@@ -1,0 +1,428 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational query surface over the TPC-H-ish test tables.
+  *
+  * The reference (see SURVEY.md §2.9) has no relational operators; this is
+  * the §7.2-step-4 extension surface the duckdb oracle checks. Design rules
+  * for oracle parity:
+  *
+  *   - Sums of double columns go through exact DECIMAL arithmetic and are
+  *     cast to double only at the end. Double summation order differs
+  *     across partitions/engines; decimal arithmetic is exact and
+  *     associative, so Spark and DuckDB produce bit-identical doubles.
+  *   - Per-row double arithmetic (projections) is IEEE-deterministic and
+  *     needs no special handling.
+  *   - Every query has a total deterministic ORDER BY (ties broken by key).
+  *
+  * Scale notes (100 TB): every query below is a declarative plan — filters
+  * and projections push into the parquet scan, aggregates run
+  * partial+final, small dimension tables (region/nation/supplier/customer
+  * at TPC-H proportions) are broadcast, and top-k queries plan as
+  * TakeOrderedAndProject (per-partition heap, no global sort).
+  */
+object RelationalQueries {
+
+  /** double -> exact decimal with 2-digit scale (money-ish columns). */
+  private def m(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** double -> exact decimal for small rates (discount / tax). */
+  private def r(c: Column): Column = c.cast(DecimalType(4, 2))
+  /** Exact decimal sum of a money column, surfaced as double. */
+  private def msum(c: Column): Column = sum(m(c)).cast("double")
+
+  // Mirrors of the helpers in DuckDB SQL text.
+  private val M = "DECIMAL(12,2)"
+  private val R = "DECIMAL(4,2)"
+  private def msumSql(x: String) = s"CAST(SUM(CAST($x AS $M)) AS DOUBLE)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1-style pricing summary: full-scan partial+final aggregation.
+    "q01_pricing_summary" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(m(col("l_quantity"))).cast("double").as("sum_qty"),
+          msum(col("l_extendedprice")).as("sum_base_price"),
+          sum(m(col("l_extendedprice")) * (lit(1) - r(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(m(col("l_extendedprice")) * (lit(1) - r(col("l_discount")))
+            * (lit(1) + r(col("l_tax")))).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Filter + projection: predicate pushdown / column pruning showcase.
+    // Per-row double arithmetic is deterministic — no decimal needed.
+    "q02_filter_project" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp") &&
+          col("l_quantity") > lit(45.0))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("net_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // Q3-style shipping priority: 3-way join + agg + top-k.
+    "q03_shipping_priority" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(m(col("l_extendedprice")) * (lit(1) - r(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Q4-style: EXISTS as a left-semi join.
+    "q04_order_priority" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey")).distinct()
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Q5-style: 6-table star join, dims broadcast, one shuffle for the agg.
+    "q05_local_supplier" -> { (s, d) =>
+      val r5 = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r5), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(m(col("l_extendedprice")) * (lit(1) - r(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Q6-style forecast: pure scan-filter-sum, fully pushed down.
+    "q06_revenue_delta" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= lit(0.03) && col("l_discount") <= lit(0.07) &&
+          col("l_quantity") < lit(24.0))
+        .agg(sum(m(col("l_extendedprice")) * r(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // Top-k without a global sort: plans as TakeOrderedAndProject.
+    "q07_topk_orders" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // Window function: top-3 orders per customer by price.
+    "q08_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    // Distinct aggregates (expand + two-phase agg).
+    "q09_distinct_parts" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ROLLUP grouping sets; NULL markers coalesced for oracle stability.
+    "q10_rollup" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(m(col("l_quantity"))).cast("double").as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy(col("rf"), col("ls"))
+    },
+
+    // Set operations: customers active in both years / only first year.
+    "q11_set_ops" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      def custsIn(year: Int) = o
+        .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val both = custsIn(1996).intersect(custsIn(1997))
+        .withColumn("bucket", lit("both"))
+      val only96 = custsIn(1996).except(custsIn(1997))
+        .withColumn("bucket", lit("only_1996"))
+      both.unionByName(only96)
+        .orderBy(col("bucket"), col("o_custkey"))
+    },
+
+    // Conditional aggregation (Q12-style case/when inside agg).
+    "q12_priority_mix" -> { (s, d) =>
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!isHigh, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Q13-style distribution: left outer join preserving zero-order custs.
+    "q13_order_dist" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val perCust = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Scalar string/date expression surface.
+    "q14_scalar_fns" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 100)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"),
+          dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"),
+          upper(col("o_orderstatus")).as("status_u"),
+          length(col("o_orderpriority")).cast("long").as("prio_len"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+          concat_ws("#", col("o_orderstatus"), col("o_orderpriority"))
+            .as("status_prio"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // GROUP BY ... HAVING.
+    "q15_having" -> { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          msum(col("c_acctbal")).as("sum_bal"))
+        .filter(col("n_cust") >= 3)
+        .orderBy(col("c_nationkey"))
+    },
+
+    // Correlated-style aggregate filter: lines above the avg qty of their
+    // part (Q17 flavor) — join against a pre-aggregated subquery.
+    "q17_small_qty" -> { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val avgQ = l.groupBy(col("l_partkey").as("p_key"))
+        .agg((sum(m(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+      l.join(broadcast(avgQ), col("l_partkey") === col("p_key"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .agg((sum(m(col("l_extendedprice"))).cast("double") / lit(7.0))
+          .as("avg_yearly"), count(lit(1)).as("n"))
+    },
+
+    // Anti join: customers with no urgent orders.
+    "q18_no_urgent_orders" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(CAST(l_quantity AS $M)) AS DOUBLE) AS sum_qty,
+         | ${msumSql("l_extendedprice")} AS sum_base_price,
+         | CAST(SUM(CAST(l_extendedprice AS $M) * (1 - CAST(l_discount AS $R))) AS DOUBLE) AS sum_disc_price,
+         | CAST(SUM(CAST(l_extendedprice AS $M) * (1 - CAST(l_discount AS $R)) * (1 + CAST(l_tax AS $R))) AS DOUBLE) AS sum_charge,
+         | COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice * (1.0 - l_discount) AS net_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01' AND l_quantity > 45.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate,
+         | CAST(SUM(CAST(l_extendedprice AS $M) * (1 - CAST(l_discount AS $R))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_local_supplier" ->
+      s"""SELECT n_name,
+         | CAST(SUM(CAST(l_extendedprice AS $M) * (1 - CAST(l_discount AS $R))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q06_revenue_delta" ->
+      s"""SELECT CAST(SUM(CAST(l_extendedprice AS $M) * CAST(l_discount AS $R)) AS DOUBLE) AS revenue,
+         | COUNT(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount >= 0.03 AND l_discount <= 0.07
+         |  AND l_quantity < 24.0""".stripMargin,
+
+    "q07_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q08_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q09_distinct_parts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q10_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         | COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS n,
+         | CAST(SUM(CAST(l_quantity AS $M)) AS DOUBLE) AS qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin,
+
+    "q11_set_ops" ->
+      """WITH y96 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+        | y97 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_custkey, 'both' AS bucket
+        |  FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1996' AS bucket
+        |  FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+        |ORDER BY bucket, o_custkey""".stripMargin,
+
+    "q12_priority_mix" ->
+      """SELECT o_orderstatus,
+        | SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS high_line_count,
+        | SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q13_order_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_scalar_fns" ->
+      """SELECT o_orderkey,
+        | CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        | CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS o_month,
+        | CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS o_day,
+        | STRFTIME(o_orderdate, '%Y-%m') AS o_ym,
+        | UPPER(o_orderstatus) AS status_u,
+        | CAST(LENGTH(o_orderpriority) AS BIGINT) AS prio_len,
+        | SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
+        | o_orderstatus || '#' || o_orderpriority AS status_prio
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
+
+    "q15_having" ->
+      s"""SELECT c_nationkey, COUNT(*) AS n_cust,
+         | ${msumSql("c_acctbal")} AS sum_bal
+         |FROM customer GROUP BY c_nationkey
+         |HAVING COUNT(*) >= 3 ORDER BY c_nationkey""".stripMargin,
+
+    "q17_small_qty" ->
+      s"""SELECT CAST(SUM(CAST(l_extendedprice AS $M)) AS DOUBLE) / 7.0 AS avg_yearly,
+         | COUNT(*) AS n
+         |FROM lineitem l
+         |JOIN (SELECT l_partkey AS p_key,
+         |       CAST(SUM(CAST(l_quantity AS $M)) AS DOUBLE) / COUNT(*) AS avg_qty
+         |      FROM lineitem GROUP BY l_partkey) a
+         | ON l.l_partkey = a.p_key
+         |WHERE l.l_quantity < a.avg_qty * 0.5""".stripMargin,
+
+    "q18_no_urgent_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin
+  )
+}
