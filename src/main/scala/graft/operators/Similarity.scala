@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.vectors
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Mirrors the reference's vector-search surface (SURVEY.md Q3/Q4 —
+  * WEB-LOCAL `ingestion-pipeline-website-local.py:143–176`, where Weaviate
+  * does the scan) re-expressed as Spark plans, plus the scale paths a
+  * 100 TB corpus needs:
+  *
+  *   - [[knn]] — exact brute force; Catalyst plans the orderBy+limit as
+  *     TakeOrderedAndProject: each partition keeps a k-element heap and only
+  *     k rows per partition reach the driver. No global sort, no shuffle.
+  *   - [[similarityJoin]] — top-k per probe row. The probe set is broadcast
+  *     (dimension-table sized); the corpus streams through one pass.
+  *   - [[lshBuckets]] / [[nearDupPairs]] — random-hyperplane bit signatures
+  *     turn the O(n²) all-pairs problem into a shuffle on bucket id; only
+  *     same-bucket pairs are scored. This is the partition-pruning path at
+  *     scale: bucket id is the shuffle/partition key.
+  *   - [[ivfAssign]] / [[ivfSearch]] — inverted-file ANN: every vector is
+  *     assigned to its nearest seed centroid; a query scans only its cell.
+  *     At cluster scale the assignment is the table's partition column, so
+  *     a query prunes all but 1/k of the data before any scan.
+  */
+object Similarity {
+
+  /** Exact cosine top-k against a constant query vector. */
+  def knn(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame =
+    corpus
+      .withColumn("score", vectors.cosineSimilarity(col(vecCol), lit(query)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+
+  /** Top-k corpus neighbors for every probe row (probes broadcast). */
+  def similarityJoin(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(p))
+      .withColumn("score",
+        vectors.cosineSimilarity(col("probe_vec"), col("neighbor_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  /** Bit-signature bucket id from the signs of inner products with the
+    * given hyperplanes (random-hyperplane LSH; here the planes are chosen
+    * deterministically by the caller). bit i is set iff dot(v, plane_i)>0.
+    */
+  def lshBuckets(df: DataFrame, vecCol: String,
+      planes: Seq[Array[Float]]): DataFrame = {
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      when(vectors.dotProduct(col(vecCol), lit(p)) > 0.0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+
+  /** Same-bucket near-duplicate pairs with cosine >= threshold.
+    * The self-join shuffles on `bucket`, never on the raw vectors, so the
+    * pair count is sum over buckets of n_b², not n² — the LSH scale path.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Array[Float]], threshold: Double): DataFrame = {
+    val b = lshBuckets(df, vecCol, planes)
+    val a = b.select(col("bucket"), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val c = b.select(col("bucket").as("bucket_b"), col(idCol).as("b_id"),
+      col(vecCol).as("b_vec"))
+    a.join(c, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
+      .withColumn("score", vectors.cosineSimilarity(col("a_vec"), col("b_vec")))
+      .filter(col("score") >= threshold)
+      .select(col("bucket"), col("a_id"), col("b_id"), col("score"))
+  }
+
+  /** Assign every vector to its most-similar seed (IVF cell build).
+    * Seeds are broadcast; ties break to the smaller seed id.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      seeds: DataFrame, seedIdCol: String, seedVecCol: String): DataFrame = {
+    val s = seeds.select(col(seedIdCol).as("cell"), col(seedVecCol).as("cell_vec"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cell_score").desc, col("cell"))
+    df.join(broadcast(s))
+      .withColumn("cell_score",
+        vectors.cosineSimilarity(col(vecCol), col("cell_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "cell_vec")
+  }
+
+  /** ANN search: scan only the query's IVF cell, exact top-k inside it. */
+  def ivfSearch(assigned: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], queryCell: Long, k: Int): DataFrame =
+    assigned
+      .filter(col("cell") === queryCell)
+      .withColumn("score", vectors.cosineSimilarity(col(vecCol), lit(query)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col("cell"), col(idCol), col("score"))
+}

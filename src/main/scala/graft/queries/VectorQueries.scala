@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.vectors
+import graft.operators.Similarity
+
+/** Similarity-search queries over the `embeddings` table (SURVEY.md Q3/Q4
+  * re-expressed; ANN scale paths beyond the reference).
+  *
+  * Determinism notes: cosine/dot accumulate left-to-right in double
+  * precision (see [[graft.functions.CosineSimilarity]]), which matches
+  * DuckDB's `list_cosine_similarity`/`list_inner_product` over `DOUBLE[]`
+  * bit-for-bit, so raw scores are oracle-comparable without rounding.
+  * All top-k and argmax steps break ties on vector id.
+  */
+object VectorQueries {
+
+  /** The probe vector is a driver-side lookup (one tiny action), then a
+    * broadcast literal in the scan — the same shape a parameterized query
+    * service would produce.
+    */
+  private def probeVec(s: SparkSession, d: String, id: Long): Array[Float] =
+    Tables.embeddings(s, d).filter(col("vec_id") === id)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  private def seedPlanes(s: SparkSession, d: String, n: Int): Seq[Array[Float]] =
+    Tables.embeddings(s, d).filter(col("vec_id") < n)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Float](1).toArray).toSeq
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact brute-force kNN -> TakeOrderedAndProject (per-partition heap).
+    "v01_knn_exact" -> { (s, d) =>
+      Similarity.knn(Tables.embeddings(s, d), "vec_id", "embedding",
+        probeVec(s, d, 0L), k = 10)
+    },
+
+    // Top-3 corpus neighbors for each of 5 probe vectors (broadcast join).
+    "v02_similarity_join" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Similarity.similarityJoin(
+        probes = e.filter(col("vec_id") < 5),
+        corpus = e.filter(col("vec_id") >= 5),
+        idCol = "vec_id", vecCol = "embedding", k = 3)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
+    // LSH-bucketed near-duplicate pairs: shuffle on bucket id, score only
+    // same-bucket pairs (the O(n²) -> O(sum n_b²) scale path).
+    "v03_near_dup_lsh" -> { (s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        seedPlanes(s, d, 8), threshold = 0.3)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Per-label centroids: array aggregation via posexplode + exact
+    // decimal sums (order-insensitive, oracle-stable).
+    "v04_label_centroids" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), (col("pos") + 1).as("pos"))
+        .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double")
+          / count(lit(1))).as("centroid"))
+        .orderBy(col("label"), col("pos"))
+    },
+
+    // IVF ANN: assign all vectors to nearest of 8 seed centroids, then
+    // search only the probe's cell. Cell id is the partition-pruning key.
+    "v05_ivf_search" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding",
+        seeds, "seed_id", "seed_vec")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val probe = assigned.filter(col("vec_id") === 42)
+        .select(col("cell").as("probe_cell"), col("embedding").as("probe_vec"))
+      assigned.join(broadcast(probe), col("cell") === col("probe_cell"))
+        .withColumn("score",
+          vectors.cosineSimilarity(col("embedding"), col("probe_vec")))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+        .select(col("cell"), col("vec_id"), col("score"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "v01_knn_exact" ->
+      """SELECT vec_id,
+        | list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS score
+        |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "v02_similarity_join" ->
+      """SELECT probe_id, rank, neighbor_id, score FROM (
+        | SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])) AS score,
+        |  ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |   ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+        |     CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        | FROM embeddings p JOIN embeddings c
+        |  ON p.vec_id < 5 AND c.vec_id >= 5) t
+        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "v03_near_dup_lsh" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS si, CAST(embedding AS DOUBLE[]) AS sv
+        |  FROM embeddings WHERE vec_id < 8),
+        |b AS (
+        |  SELECT e.vec_id, e.embedding,
+        |   CAST(SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), s.sv) > 0
+        |     THEN (CAST(1 AS BIGINT) << si) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e CROSS JOIN seeds s GROUP BY e.vec_id, e.embedding)
+        |SELECT bucket, a_id, b_id, score FROM (
+        | SELECT x.bucket, x.vec_id AS a_id, y.vec_id AS b_id,
+        |  list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |    CAST(y.embedding AS DOUBLE[])) AS score
+        | FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) t
+        |WHERE score >= 0.3 ORDER BY a_id, b_id""".stripMargin,
+
+    "v04_label_centroids" ->
+      """SELECT label, pos,
+        | CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+        |   / COUNT(*) AS centroid
+        |FROM (SELECT label, UNNEST(embedding) AS x,
+        |       GENERATE_SUBSCRIPTS(embedding, 1) AS pos FROM embeddings) t
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "v05_ivf_search" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, s.cell,
+        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) AS cs
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |   SELECT vec_id, embedding, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+        |   FROM scored) r WHERE rn = 1),
+        |probe AS (
+        |  SELECT cell AS probe_cell, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM assigned WHERE vec_id = 42)
+        |SELECT a.cell, a.vec_id,
+        | list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), p.qv) AS score
+        |FROM assigned a JOIN probe p ON a.cell = p.probe_cell
+        |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin
+  )
+}
