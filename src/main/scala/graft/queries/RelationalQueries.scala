@@ -376,10 +376,10 @@ object RelationalQueries {
 
     "q12_priority_mix" ->
       """SELECT o_orderstatus,
-        | SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-        |   THEN 1 ELSE 0 END) AS high_line_count,
-        | SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-        |   THEN 1 ELSE 0 END) AS low_line_count
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate > o_orderdate
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
