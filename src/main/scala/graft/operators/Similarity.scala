@@ -48,7 +48,7 @@ object Similarity {
     c.join(broadcast(p))
       .withColumn("score",
         vectors.cosineSimilarity(col("probe_vec"), col("neighbor_vec")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("score"))
   }
@@ -83,19 +83,27 @@ object Similarity {
   }
 
   /** Assign every vector to its most-similar seed (IVF cell build).
-    * Seeds are broadcast; ties break to the smaller seed id.
+    * Ties break to the smaller seed id.
+    *
+    * Shuffle-free: the centroid set is bounded (it's an IVF codebook), so
+    * it is materialized on the driver and inlined as literals. Each row
+    * computes a score array + argmax in one projection inside the scan —
+    * no join, no window, no shuffle. `array_position(scores, array_max)`
+    * returns the FIRST max (1-based), which with seeds sorted ascending by
+    * id is exactly the smaller-id tie-break.
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
       seeds: DataFrame, seedIdCol: String, seedVecCol: String): DataFrame = {
-    val s = seeds.select(col(seedIdCol).as("cell"), col(seedVecCol).as("cell_vec"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cell_score").desc, col("cell"))
-    df.join(broadcast(s))
-      .withColumn("cell_score",
-        vectors.cosineSimilarity(col(vecCol), col("cell_vec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "cell_vec")
+    val seedRows = seeds.select(col(seedIdCol).cast("long"), col(seedVecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val scores = array(seedRows.map { case (_, v) =>
+      vectors.cosineSimilarity(col(vecCol), lit(v))
+    }: _*)
+    val cellIds = array(seedRows.map { case (id, _) => lit(id) }: _*)
+    df.withColumn("cell",
+      element_at(cellIds, array_position(scores, array_max(scores)).cast("int")))
   }
 
   /** ANN search: scan only the query's IVF cell, exact top-k inside it. */

@@ -80,8 +80,11 @@ object RelationalQueries {
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val l = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // No broadcast hints: orders/customer are fact-proportional tables, so
+      // a forced broadcast OOMs at cluster scale. AQE picks broadcast when a
+      // filtered side is genuinely small at runtime.
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum(m(col("l_extendedprice")) * (lit(1) - r(col("l_discount"))))
           .cast("double").as("revenue"))
@@ -94,8 +97,9 @@ object RelationalQueries {
       val o = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-      val l = Tables.lineitem(s, d)
-        .select(col("l_orderkey")).distinct()
+      // Semi join dedups its build side itself — no .distinct() (that would
+      // add a full shuffle+hash-agg over every lineitem key).
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"))
       o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
@@ -112,9 +116,12 @@ object RelationalQueries {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val l = Tables.lineitem(s, d)
-      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+      // Broadcast only the constant-cardinality dims (region=5, nation=25).
+      // orders/supplier/customer all scale with SF; hinting them broadcast
+      // would OOM at 100 TB — AQE decides those joins at runtime.
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r5), col("n_regionkey") === col("r_regionkey"))
@@ -149,7 +156,7 @@ object RelationalQueries {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("rn"), col("o_orderkey"),
           col("o_totalprice"))
@@ -256,7 +263,10 @@ object RelationalQueries {
       val avgQ = l.groupBy(col("l_partkey").as("p_key"))
         .agg((sum(m(col("l_quantity"))).cast("double") / count(lit(1)))
           .as("avg_qty"))
-      l.join(broadcast(avgQ), col("l_partkey") === col("p_key"))
+      // avgQ is keyed by l_partkey — cardinality grows linearly with data,
+      // so no broadcast hint: this is a co-partitioned shuffle join on the
+      // part key (both sides hash on the same key; AQE handles skew).
+      l.join(avgQ, col("l_partkey") === col("p_key"))
         .filter(col("l_quantity") < col("avg_qty") * 0.5)
         .agg((sum(m(col("l_extendedprice"))).cast("double") / lit(7.0))
           .as("avg_yearly"), count(lit(1)).as("n"))

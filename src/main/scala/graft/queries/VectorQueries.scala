@@ -62,14 +62,17 @@ object VectorQueries {
     "v04_label_centroids" -> { (s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("label"), (col("pos") + 1).as("pos"))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
         .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double")
           / count(lit(1))).as("centroid"))
         .orderBy(col("label"), col("pos"))
     },
 
-    // IVF ANN: assign all vectors to nearest of 8 seed centroids, then
-    // search only the probe's cell. Cell id is the partition-pruning key.
+    // IVF ANN: assign all vectors to nearest of 8 seed centroids (shuffle-
+    // free argmax projection), then search only the probe's cell. The probe
+    // row is a driver-side point lookup (tiny action); the search itself is
+    // one scan with the cell filter pushed down — at cluster scale `cell`
+    // is the table's partition column and this prunes all but one cell.
     "v05_ivf_search" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       val seeds = e.filter(col("vec_id") < 8)
@@ -78,13 +81,9 @@ object VectorQueries {
         seeds, "seed_id", "seed_vec")
         .select(col("vec_id"), col("embedding"), col("cell"))
       val probe = assigned.filter(col("vec_id") === 42)
-        .select(col("cell").as("probe_cell"), col("embedding").as("probe_vec"))
-      assigned.join(broadcast(probe), col("cell") === col("probe_cell"))
-        .withColumn("score",
-          vectors.cosineSimilarity(col("embedding"), col("probe_vec")))
-        .orderBy(col("score").desc, col("vec_id"))
-        .limit(5)
-        .select(col("cell"), col("vec_id"), col("score"))
+        .select(col("cell"), col("embedding")).head()
+      Similarity.ivfSearch(assigned, "vec_id", "embedding",
+        probe.getSeq[Float](1).toArray, probe.getLong(0), k = 5)
     }
   )
 

@@ -22,7 +22,7 @@ class EntrySpec extends AnyFunSuite {
     qs.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty, s"$name has no columns")
-      assert(df.count() >= 0, s"$name failed to run")
+      assert(df.count() > 0, s"$name returned no rows at sf0.001")
     }
   }
 

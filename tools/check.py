@@ -57,7 +57,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_bad += 1
             continue
         try:
-            pd.testing.assert_frame_equal(e, g, check_dtype=False,
+            pd.testing.assert_frame_equal(e, g, check_dtype=True,
                                           check_exact=True)
             print(f"ok   {name} ({len(e)} rows)")
             n_ok += 1
