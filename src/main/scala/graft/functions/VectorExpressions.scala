@@ -28,10 +28,26 @@ abstract class VectorBinaryExpression extends BinaryExpression with ExpectsInput
   override def nullable: Boolean = left.nullable || right.nullable
 }
 
+object VectorBinaryExpression {
+  /** Interpreted-path guard; the codegen path emits the same check. */
+  def checkSameLength(a: ArrayData, b: ArrayData): Int = {
+    if (a.numElements() != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"vector length mismatch: ${a.numElements()} vs ${b.numElements()}")
+    }
+    a.numElements()
+  }
+}
+
 /** dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))), clamped to [-1, 1];
-  * 0.0 if either norm is 0. The clamp keeps self-similarity at exactly 1.0
-  * (the unclamped quotient can exceed 1 by 1 ulp) and matches DuckDB's
-  * `list_cosine_similarity` bit-for-bit on `DOUBLE[]` inputs.
+  * 0.0 if either norm is 0 (asserted in VectorContractSpec). The clamp
+  * keeps self-similarity at exactly 1.0 (the unclamped quotient can exceed
+  * 1 by 1 ulp) and matches DuckDB's `list_cosine_similarity` bit-for-bit
+  * on `DOUBLE[]` inputs.
+  *
+  * Length mismatch THROWS (as DuckDB's does) — silently truncating to the
+  * shorter array would let a ragged-vector table drift from the oracle
+  * without any signal.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends VectorBinaryExpression {
@@ -41,7 +57,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = VectorBinaryExpression.checkSameLength(a, b)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -71,7 +87,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.VectorBinaryExpression.checkSameLength($a, $b);
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = (double) $a.getFloat($i);
@@ -98,7 +114,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = VectorBinaryExpression.checkSameLength(a, b)
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -114,7 +130,7 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.VectorBinaryExpression.checkSameLength($a, $b);
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);

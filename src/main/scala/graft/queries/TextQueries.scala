@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.embed.HashingEmbedder
+import graft.functions.vectors
+import graft.text.{Splitters, TextFunctions => TF}
+
+/** Text-processing surface over the `documents` table: chunking (T1/T2
+  * declarative forms), exact + near dedup, token/quality analytics, text
+  * kNN (E2 contract) and the RAG context fold (Q5) — the operators a
+  * training-data pipeline runs over a 100 TB text corpus.
+  *
+  * Scale shapes:
+  *   - chunking/analytics are row-local projections (no shuffle, full
+  *     codegen — no UDFs anywhere in this module);
+  *   - exact dedup shuffles once on the md5 fingerprint;
+  *   - near-dup LSH shuffles on (band, minhash) — candidate pairs are
+  *     O(sum of bucket sizes squared), never O(n²);
+  *   - the RAG fold is a top-k (TakeOrderedAndProject) + a single-group
+  *     aggregate of 4 rows.
+  *
+  * Oracle parity: all hashes go through the md5-based
+  * [[graft.text.TextFunctions.hash32]] contract; integer sums stay
+  * integers; doubles come only from final divisions of exact ints or from
+  * the shared cosine expression.
+  */
+object TextQueries {
+
+  private val ChunkSize = 200
+  private val Stride = 150 // 50-char overlap between adjacent windows
+  private val Stopwords = Seq("the", "a")
+  private val embedder = HashingEmbedder(64)
+  private val RagQueryText = "big data table scan query"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T2 declarative form: fixed-stride substring windows (chunk i covers
+    // [i*stride, i*stride+size)). Projection-only: no UDF, no shuffle.
+    "d01_char_chunks" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(Splitters.fixedWindowChunkCol(col("text"), ChunkSize, Stride))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // T1 round-trip: build one markdown doc per source ("## d<id>" section
+    // per document), split it with the real MarkdownHeaderTextSplitter
+    // semantics, and recover exactly the original (source, id, text) rows.
+    "d02_header_sections" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => concat(lit("## d"), x.getField("doc_id"), lit("\n"),
+              x.getField("text"))), "\n").as("md"))
+        .as[(String, String)]
+        .flatMap { case (src, md) =>
+          Splitters.markdownHeaderSplit(md, Splitters.Headers3.take(2))
+            .map(sec => (src, sec.headers.getOrElse("Header2", ""), sec.content))
+        }
+        .toDF("source", "header2", "content")
+        .orderBy(col("source"), col("header2"))
+    },
+
+    // Per-language corpus stats: tokens via single split, exact int sums.
+    "d03_token_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          size(TF.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tok")).as("total_tokens"),
+          (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tokens"))
+        .orderBy(col("lang"))
+    },
+
+    // Exact dedup: one shuffle on the md5 fingerprint; keeper = min id.
+    "d04_exact_dedup" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("fingerprint"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
+        .orderBy(col("fingerprint"))
+    },
+
+    // MinHash signatures over word 3-shingles (4 hash-family members).
+    "d05_minhash_signature" -> { (s, d) =>
+      val sh = TF.shingles(TF.tokens(col("text")), 3)
+      Tables.documents(s, d)
+        .select(col("doc_id") +: (0 until 4).map(b =>
+          TF.minhash(sh, b).as(s"mh$b")): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // Near-dup detection, LSH-banded: candidates = pairs sharing any
+    // minhash band (shuffle on (band, mh), never all-pairs), then exact
+    // shingle-set Jaccard on candidates only. At cluster scale the
+    // signature table would be checkpointed instead of recomputed per side.
+    "d06_near_dup_text" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TF.shingles(TF.tokens(col("text")), 3).as("sh"))
+      val sig = docs.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b => TF.minhash(col("sh"), b)): _*))
+          .as(Seq("band", "mh")))
+      val cand = sig.as("x")
+        .join(sig.as("y"),
+          col("x.band") === col("y.band") && col("x.mh") === col("y.mh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val sets = docs.select(col("doc_id"), array_distinct(col("sh")).as("ss"))
+      cand
+        .join(sets.select(col("doc_id").as("a_id"), col("ss").as("sa")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("ss").as("sb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          TF.jaccard(col("sa"), col("sb")).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // E2 contract: embed a query *string* (deterministic hashing
+    // embedder), kNN over stored vectors, project document attributes.
+    "d07_knn_text_query" -> { (s, d) =>
+      val q = embedder.embed(RagQueryText)
+      Tables.embeddings(s, d)
+        .join(Tables.documents(s, d), col("vec_id") === col("doc_id"))
+        .withColumn("score",
+          vectors.cosineSimilarity(col("embedding"), lit(q)))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(5)
+        .select(col("doc_id"), col("lang"), col("score"))
+    },
+
+    // Quality scoring: token count, stopword ratio, mean token length.
+    "d08_quality_score" -> { (s, d) =>
+      val toks = TF.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          TF.stopwordCount(toks, Stopwords).as("n_stop"),
+          TF.tokenCharSum(toks).as("sum_tok_chars"))
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+          (col("sum_tok_chars").cast("double") / col("n_tokens"))
+            .as("avg_token_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Q5 retrieve→context-fold (reference: WEB-LOCAL
+    // ingestion-pipeline-website-local.py:178–200): top-4 by cosine to a
+    // stored probe vector, joined to documents, folded into one prompt
+    // context string in retrieval-rank order. The LLM call itself sits
+    // behind the LlmClient trait — out of engine scope.
+    "d09_rag_context" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val probe = e.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      e.withColumn("score",
+          vectors.cosineSimilarity(col("embedding"), lit(probe)))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(4)
+        .join(Tables.documents(s, d), col("vec_id") === col("doc_id"))
+        .select(col("score"), col("vec_id"),
+          concat(lit("Title: "), col("source"), lit("/d"), col("doc_id"),
+            lit("\nContent: "), substring(col("text"), 1, 60)).as("piece"))
+        .agg(count(lit(1)).as("n_chunks"),
+          array_join(
+            transform(
+              array_sort(collect_list(
+                struct((-col("score")).as("ns"), col("vec_id"), col("piece")))),
+              x => x.getField("piece")), "\n\n").as("context"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "d01_char_chunks" ->
+      s"""SELECT doc_id, chunk_idx, substr(text, CAST(chunk_idx*$Stride+1 AS INT), $ChunkSize) AS chunk
+         |FROM (SELECT doc_id, text,
+         |       CAST(unnest(range(0, (length(text)-1)//$Stride + 1)) AS BIGINT) AS chunk_idx
+         |      FROM documents) t
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "d02_header_sections" ->
+      """SELECT source, 'd'||doc_id AS header2, trim(text) AS content
+        |FROM documents ORDER BY source, header2""".stripMargin,
+
+    "d03_token_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        | CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+        | CAST(SUM(len(string_split(text,' '))) AS DOUBLE)/COUNT(*) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "d04_exact_dedup" ->
+      """SELECT md5(text) AS fingerprint, COUNT(*) AS n_copies,
+        | MIN(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY md5(text) ORDER BY fingerprint""".stripMargin,
+
+    "d05_minhash_signature" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
+        |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS sh FROM t)
+        |SELECT doc_id,
+        | list_aggregate(list_transform(sh, s -> CAST(('0x'||substr(md5('0:'||s),1,8)) AS BIGINT)),'min') AS mh0,
+        | list_aggregate(list_transform(sh, s -> CAST(('0x'||substr(md5('1:'||s),1,8)) AS BIGINT)),'min') AS mh1,
+        | list_aggregate(list_transform(sh, s -> CAST(('0x'||substr(md5('2:'||s),1,8)) AS BIGINT)),'min') AS mh2,
+        | list_aggregate(list_transform(sh, s -> CAST(('0x'||substr(md5('3:'||s),1,8)) AS BIGINT)),'min') AS mh3
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "d06_near_dup_text" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
+        |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS sh FROM t),
+        |sig AS (SELECT doc_id, band,
+        |         list_aggregate(list_transform(sh,
+        |          s -> CAST(('0x'||substr(md5(CAST(band AS VARCHAR)||':'||s),1,8)) AS BIGINT)),'min') AS mh
+        |        FROM sh, (VALUES (0),(1),(2),(3)) b(band)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |         FROM sig x JOIN sig y
+        |          ON x.band=y.band AND x.mh=y.mh AND x.doc_id<y.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh)
+        |SELECT a_id, b_id,
+        | CAST(len(list_intersect(sa.ss,sb.ss)) AS DOUBLE)
+        |  /(len(sa.ss)+len(sb.ss)-len(list_intersect(sa.ss,sb.ss))) AS jaccard
+        |FROM cand
+        |JOIN sets sa ON a_id=sa.doc_id JOIN sets sb ON b_id=sb.doc_id
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "d07_knn_text_query" -> {
+      val qlit = embedder.embed(RagQueryText)
+        .map(_.toDouble.toString).mkString("[", ", ", "]")
+      s"""SELECT d.doc_id, d.lang,
+         | list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), $qlit) AS score
+         |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |ORDER BY score DESC, d.doc_id LIMIT 5""".stripMargin
+    },
+
+    "d08_quality_score" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_filter(string_split(text,' '), t -> t='the' OR t='a')) AS BIGINT) AS n_stop,
+        | CAST(len(list_filter(string_split(text,' '), t -> t='the' OR t='a')) AS DOUBLE)
+        |  / len(string_split(text,' ')) AS stop_ratio,
+        | CAST(list_aggregate(list_transform(string_split(text,' '), t -> length(t)),'sum') AS DOUBLE)
+        |  / len(string_split(text,' ')) AS avg_token_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d09_rag_context" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id=7),
+        |top AS (SELECT e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+        |        FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT 4)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        | string_agg('Title: '||d.source||'/d'||d.doc_id||e'\nContent: '||substr(d.text,1,60),
+        |  e'\n\n' ORDER BY t.score DESC, t.vec_id) AS context
+        |FROM top t JOIN documents d ON t.vec_id = d.doc_id""".stripMargin
+  )
+}
