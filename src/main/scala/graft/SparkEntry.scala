@@ -16,10 +16,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ VectorQueries.queries ++ TextQueries.queries
+    RelationalQueries.queries ++ VectorQueries.queries ++
+      TextQueries.queries ++ EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ VectorQueries.oracle ++ TextQueries.oracle
+    RelationalQueries.oracle ++ VectorQueries.oracle ++
+      TextQueries.oracle ++ EventQueries.oracle
 }

@@ -19,7 +19,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark's
+    * vectorized reader rejects (timestamps are micros internally — a
+    * silent 1000× precision loss if coerced). We read nanos as a plain
+    * long (`ts_ns`, epoch nanoseconds) and keep event time in exact
+    * integer arithmetic end-to-end; queries materialize calendar
+    * timestamps only at lossless boundaries (e.g. hour starts).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").withColumnRenamed("ts", "ts_ns")
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

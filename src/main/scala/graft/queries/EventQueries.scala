@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event-stream analytics over the `events` table (event_id, ts, user_id,
+  * event_type, value, props-JSON) — the batch faces of the streaming
+  * surface (graft.streaming runs the same aggregations incrementally).
+  *
+  * Scale shapes:
+  *   - e01 tumbling-window rollup: one partial+final aggregate keyed by
+  *     (hour, type); at 100 TB the scan prunes on a date partition column.
+  *   - e02 sessionization: ONE shuffle on user_id; the lag + running-sum
+  *     windows and the session aggregate all share that partitioning, so
+  *     Catalyst plans a single exchange.
+  *   - e03 per-type stats incl. JSON extraction pushed into the scan
+  *     projection.
+  *
+  * Event time: the parquet stores nanos ([[graft.Tables.events]] reads
+  * them losslessly as long), but the cross-engine canonical axis is epoch
+  * MICROseconds because DuckDB's TIMESTAMP floors to micros on read. All
+  * bucket/gap math is exact integer `%` / `div` — an epoch-ns value
+  * (>2^53) doesn't even fit a double. Value sums go through
+  * DECIMAL(12,2) (the module-wide double-sum rule).
+  */
+object EventQueries {
+
+  private val SessionGapUs = 30L * 60 * 1000 * 1000 // 30 min
+  private val HourUs = 3600L * 1000 * 1000
+
+  private def dsum(c: Column) = sum(c.cast(DecimalType(12, 2))).cast("double")
+
+  /** Canonical event time: epoch MICROseconds. The parquet carries true
+    * nanos, but DuckDB's TIMESTAMP floors them to micros on read, so the
+    * cross-engine time axis is floor(ns/1000) — `div` floors for the
+    * positive epoch values here, matching DuckDB's truncation exactly.
+    */
+  private def tsUs: Column = expr("ts_ns div 1000")
+
+  /** Start of the UTC hour containing the event, as a timestamp. */
+  private def hourStart(us: Column): Column =
+    timestamp_micros(us - us % HourUs)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour windows per event type.
+    "e01_hourly_rollup" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(hourStart(tsUs).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+
+    // Gap-based sessionization: a session breaks after >30 min idle.
+    "e02_sessionization" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prevTs = lag(col("ts_us"), 1).over(w)
+      Tables.events(s, d)
+        .withColumn("ts_us", tsUs)
+        .withColumn("is_new",
+          when(prevTs.isNull || col("ts_us") - prevTs > SessionGapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+          dsum(col("value")).as("total_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // Per-type stats with JSON props extraction in the scan projection.
+    "e03_type_stats" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("total_value"),
+          (dsum(col("value")) / count(lit(1))).as("avg_value"),
+          sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "e01_hourly_rollup" ->
+      """SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS hour,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "e02_sessionization" ->
+      """WITH o AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM o)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "e03_type_stats" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+        | CAST(SUM(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
