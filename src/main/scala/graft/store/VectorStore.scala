@@ -1,0 +1,83 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Parquet-backed vector index catalog — the engine's counterpart of the
+  * reference's Weaviate/Elasticsearch stores (SURVEY.md D1–D4, E3;
+  * reference: kfp/website-ingestor/website-ingestion-pipeline.py:102–138
+  * idempotent create, ingestion-pipeline-website-local.py:74–136
+  * list/delete, ingestion-pipeline.py:341–353 bulk add).
+  *
+  * One index = one parquet directory under `root`. Reads are ordinary
+  * Spark scans (S6), so every query over an index gets pushdown, pruning
+  * and codegen for free; at cluster scale `root` is an object-store
+  * prefix and appends are atomic directory-level commits by Spark's
+  * parquet committer. Index names are catalog-normalized by
+  * [[graft.pipeline.Product.indexName]]-style callers; this class treats
+  * names as opaque (validated against path traversal).
+  */
+final class ParquetVectorStore(spark: SparkSession, root: String) {
+
+  /** The store's canonical chunk schema (FIXTURES.md §1.5). */
+  val chunkSchema: StructType = StructType(Seq(
+    StructField("page_content", StringType),
+    StructField("metadata", MapType(StringType, StringType)),
+    StructField("headers", MapType(StringType, StringType)),
+    StructField("embedding", ArrayType(FloatType))))
+
+  private def dir(index: String): Path = {
+    require(index.nonEmpty && index.matches("[a-z0-9_]+"),
+      s"illegal index name: $index")
+    Paths.get(root, index)
+  }
+
+  def exists(index: String): Boolean = Files.isDirectory(dir(index))
+
+  /** D1/D2: create iff absent (idempotent), with the canonical schema. */
+  def createIndex(index: String): Unit = if (!exists(index)) {
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], chunkSchema)
+      .write.mode(SaveMode.ErrorIfExists).parquet(dir(index).toString)
+  }
+
+  /** D3: enumerate indexes (the store IS the catalog). */
+  def listIndexes(): Seq[String] =
+    if (!Files.isDirectory(Paths.get(root))) Seq.empty
+    else Files.list(Paths.get(root)).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+
+  /** D4: drop if exists. */
+  def deleteIndex(index: String): Unit = if (exists(index)) {
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toSeq.foreach(rm)
+      Files.delete(p)
+    }
+    rm(dir(index))
+  }
+
+  /** E3/E4: bulk append chunks (creates the index if needed). Columns are
+    * aligned to the canonical schema by name.
+    */
+  def append(index: String, chunks: DataFrame): Unit = {
+    createIndex(index)
+    chunks
+      .select(chunkSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Append).parquet(dir(index).toString)
+  }
+
+  /** S6: read an index back as a table scan. */
+  def read(index: String): DataFrame =
+    spark.read.schema(chunkSchema).parquet(dir(index).toString)
+
+  /** Q2: record count (Spark plans a partial+final count aggregate —
+    * unlike the reference, which fetched every row to count them,
+    * ingestion-pipeline-website-local.py:94–118).
+    */
+  def count(index: String): Long = read(index).count()
+}

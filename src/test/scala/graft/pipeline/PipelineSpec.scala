@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import scala.io.Source
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+import graft.embed.HashingEmbedder
+import graft.store.ParquetVectorStore
+
+/** End-to-end ingest → store → search → RAG over fixture pages (mirrors
+  * the reference's manual validation, WEB-LOCAL
+  * ingestion-pipeline-website-local.py:417–454).
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private def fixture(name: String): String = {
+    val src = Source.fromResource(name)
+    try src.mkString finally src.close()
+  }
+
+  private val product = Product("red_hat_openshift_ai_self-managed",
+    "Red Hat OpenShift AI Self-Managed", "2.14", "en-US")
+  private val embedder = HashingEmbedder(64)
+
+  private val landingUrl = "https://docs.example/landing"
+  private val fetcher = FixtureFetcher(Map(
+    landingUrl -> fixture("landing.html"),
+    // filterDocLinks keeps the two /html/ links and rewrites them:
+    "/en/documentation/red_hat_openshift_ai/2.14/html-single/installing" ->
+      fixture("redhat-book.html"),
+    "/en/documentation/red_hat_openshift_ai/2.14/html-single/serving" ->
+      fixture("redhat-book.html")))
+
+  test("index name derivation (P14)") {
+    assert(product.indexName == "red_hat_openshift_ai_self_managed_en_us_2_14")
+  }
+
+  test("doc-link filter keeps /html/ links and rewrites to /html-single/") {
+    assert(IngestPipeline.filterDocLinks(Seq(
+      "/en/documentation/x/html/a", "/en/documentation/x/nohtml",
+      "/other/html/b", "https://ext/html/c")) ==
+      Seq("/en/documentation/x/html-single/a"))
+  }
+
+  test("store DDL: create is idempotent, list/delete work") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new ParquetVectorStore(spark, root)
+    assert(store.listIndexes().isEmpty)
+    store.createIndex("idx_a")
+    store.createIndex("idx_a") // idempotent
+    store.createIndex("idx_b")
+    assert(store.listIndexes() == Seq("idx_a", "idx_b"))
+    assert(store.count("idx_a") == 0)
+    store.deleteIndex("idx_a")
+    assert(store.listIndexes() == Seq("idx_b"))
+    intercept[IllegalArgumentException](store.createIndex("../escape"))
+  }
+
+  test("full RHPD chain: ingest fixtures, search, rag query") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new ParquetVectorStore(spark, root)
+    val lu = landingUrl // local copy: the flatMap closure must not capture the suite
+
+    val counts = IngestPipeline.ingestProducts(spark, Seq(product),
+      _ => lu, fetcher, embedder, store)
+    assert(counts.map(_._1) == Seq(product.indexName))
+    val n = counts.head._2
+    assert(n > 0, "no chunks ingested")
+
+    // Chunks carry enriched metadata (P12) and the prepend (P13).
+    val rows = store.read(product.indexName).collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val meta = r.getMap[String, String](1)
+      assert(meta("product") == product.product)
+      assert(meta("version") == "2.14")
+      assert(meta("title") == "Installing FooProduct")
+      assert(meta("source").startsWith("/en/documentation/"))
+      assert(r.getString(0).startsWith("Section: Installing FooProduct"))
+      assert(r.getString(0).contains("\n\nContent:\n"))
+      assert(r.getSeq[Float](3).length == 64)
+    }
+
+    // Search: the code chunk should be found by its own tokens (the
+    // query repeats the chunk's distinctive tokens so the 64-dim hashing
+    // embedder's direction is dominated by them).
+    val q = "kind: Pod metadata: x ```yaml echo hi print(1) $ oc get pods"
+    val hit = RagQuery.search(store, product.indexName, q, embedder, k = 4)
+      .collect()
+    assert(hit.length == 4)
+    assert(hit.head.getString(0).contains("```yaml"),
+      s"expected yaml chunk first, got: ${hit.head.getString(0).take(80)}")
+
+    // RAG: stub LLM sees a prompt assembled from top-k in rank order.
+    val answer = RagQuery.ragQuery(store, product.indexName,
+      q, embedder, StubLlm, k = 2)
+    assert(answer.startsWith("[stub:"))
+    assert(answer.contains(s"Query: $q"))
+
+    // Re-ingest appends (the store is append-mode like add_documents).
+    IngestPipeline.ingestProducts(spark, Seq(product), _ => lu,
+      fetcher, embedder, store)
+    assert(store.count(product.indexName) == 2 * n)
+  }
+
+  test("WEB chain: website ingest with 4-level headers and source stamp") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new ParquetVectorStore(spark, root)
+    val url = "https://site.example/page"
+    val n = IngestPipeline.ingestWebsite(spark, url, "web_idx",
+      FixtureFetcher(Map(url -> fixture("website-body.html"))),
+      embedder, store)
+    assert(n > 0)
+    val rows = store.read("web_idx").collect()
+    rows.foreach { r =>
+      assert(r.getMap[String, String](1)("source") == url) // P15
+      assert(r.getString(0).startsWith("Section: Site Guide"))
+    }
+    // The #### Hardware section exists with the full 4-level trail.
+    val hw = rows.filter(_.getMap[String, String](2).get("Header4").contains("Hardware"))
+    assert(hw.nonEmpty)
+    assert(hw.head.getString(0).startsWith(
+      "Section: Site Guide / Getting Started / Prerequisites / Hardware"))
+  }
+
+  test("fetch error yields empty ingest, not failure (S4 semantics)") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new ParquetVectorStore(spark, root)
+    val n = IngestPipeline.ingestWebsite(spark, "https://down.example",
+      "empty_idx", FixtureFetcher(Map.empty), embedder, store)
+    assert(n == 0)
+    assert(store.listIndexes().contains("empty_idx")) // DDL still ran
+  }
+
+  test("JSON checkpoint round-trips chunks (E5/S5)") {
+    import spark.implicits._
+    val df = Seq(("c1", Map("k" -> "v"))).toDF("page_content", "metadata")
+    val path = Files.createTempDirectory("graft-ckpt").toString + "/chunks"
+    IngestPipeline.writeCheckpoint(df, path)
+    val back = IngestPipeline.readCheckpoint(spark, path, df.schema)
+    assert(back.collect().map(_.getString(0)).toSeq == Seq("c1"))
+  }
+}
