@@ -153,6 +153,23 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // P12–P15 as declarative projections: metadata enrich / Section
+    // header prepend (RHPD:216–241) / index_name derivation (RHPD:271) /
+    // source stamp (WEB:169–170). Pure string expressions in the scan.
+    "d10_enrich_project" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("Section: "), col("source"), lit(" / d"), col("doc_id"))
+            .as("section_trail"),
+          concat(lit("Section: "), col("source"), lit(" / d"), col("doc_id"),
+            lit("\n\nContent:\n"), col("text")).as("page_content"),
+          lower(translate(
+            concat_ws("_", col("source"), col("lang"), lit("2.14-beta")),
+            "-.", "__")).as("index_name"),
+          col("source").as("metadata_source"))
+        .orderBy(col("doc_id"))
+    },
+
     // Q5 retrieve→context-fold (reference: WEB-LOCAL
     // ingestion-pipeline-website-local.py:178–200): top-4 by cosine to a
     // stored probe vector, joined to documents, folded into one prompt
@@ -250,6 +267,14 @@ object TextQueries {
         |  / len(string_split(text,' ')) AS stop_ratio,
         | CAST(list_aggregate(list_transform(string_split(text,' '), t -> length(t)),'sum') AS DOUBLE)
         |  / len(string_split(text,' ')) AS avg_token_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d10_enrich_project" ->
+      """SELECT doc_id,
+        | 'Section: '||source||' / d'||doc_id AS section_trail,
+        | 'Section: '||source||' / d'||doc_id||e'\n\nContent:\n'||text AS page_content,
+        | lower(translate(source||'_'||lang||'_'||'2.14-beta', '-.', '__')) AS index_name,
+        | source AS metadata_source
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d09_rag_context" ->

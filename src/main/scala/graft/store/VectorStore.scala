@@ -80,4 +80,11 @@ final class ParquetVectorStore(spark: SparkSession, root: String) {
     * ingestion-pipeline-website-local.py:94–118).
     */
   def count(index: String): Long = read(index).count()
+
+  /** Q1 (ingestion-pipeline-website-local.py:32–71): sample records —
+    * project (page_content, metadata), take n. Plans as CollectLimit:
+    * only n rows leave the executors.
+    */
+  def topRecords(index: String, n: Int = 10): DataFrame =
+    read(index).select("page_content", "metadata").limit(n)
 }

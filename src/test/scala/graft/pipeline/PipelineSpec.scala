@@ -9,6 +9,16 @@ import graft.TestSession
 import graft.embed.HashingEmbedder
 import graft.store.ParquetVectorStore
 
+/** Cross-JVM-visible probe for the BulkSink test (local master runs
+  * executors in-process, so statics are shared).
+  */
+object BulkSinkProbe {
+  val total = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  def record(n: Int): Unit = total.addAndGet(n)
+  def closed(): Unit = closes.incrementAndGet()
+}
+
 /** End-to-end ingest → store → search → RAG over fixture pages (mirrors
   * the reference's manual validation, WEB-LOCAL
   * ingestion-pipeline-website-local.py:417–454).
@@ -133,6 +143,43 @@ class PipelineSpec extends AnyFunSuite {
       "empty_idx", FixtureFetcher(Map.empty), embedder, store)
     assert(n == 0)
     assert(store.listIndexes().contains("empty_idx")) // DDL still ran
+  }
+
+  test("catalog loads from JSON (S1 production form)") {
+    val path = Files.createTempDirectory("graft-cat").toString + "/catalog"
+    import spark.implicits._
+    spark.createDataset(IngestPipeline.DefaultCatalog)
+      .write.json(path)
+    val back = IngestPipeline.loadCatalog(spark, path).collect().toSet
+    assert(back == IngestPipeline.DefaultCatalog.toSet)
+  }
+
+  test("topRecords projects and limits (Q1)") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new ParquetVectorStore(spark, root)
+    val url = "https://site.example/page"
+    IngestPipeline.ingestWebsite(spark, url, "q1_idx",
+      FixtureFetcher(Map(url -> fixture("website-body.html"))),
+      embedder, store)
+    val top = store.topRecords("q1_idx", 3).collect()
+    assert(top.length == 3)
+    assert(top.head.schema.fieldNames.toSeq == Seq("page_content", "metadata"))
+  }
+
+  test("BulkSink batches per partition through a fresh writer (E4 shape)") {
+    import graft.store.{BulkSink, BulkWriter}
+    import spark.implicits._
+    val df = (1 to 25).toDF("n").repartition(2)
+    BulkSink.write(df, batchSize = 10)(() => new BulkWriter {
+      private var open = true
+      override def writeBatch(rows: Seq[org.apache.spark.sql.Row]): Unit = {
+        assert(open && rows.nonEmpty && rows.size <= 10)
+        BulkSinkProbe.record(rows.size)
+      }
+      override def close(): Unit = { open = false; BulkSinkProbe.closed() }
+    })
+    assert(BulkSinkProbe.total.get() == 25)
+    assert(BulkSinkProbe.closes.get() == 2) // one writer per partition
   }
 
   test("JSON checkpoint round-trips chunks (E5/S5)") {
