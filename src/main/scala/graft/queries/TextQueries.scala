@@ -91,37 +91,57 @@ object TextQueries {
     },
 
     // MinHash signatures over word 3-shingles (4 hash-family members).
+    // toks/sh are materialized projection steps, NOT inlined expressions:
+    // interpreted higher-order lambdas re-evaluate every non-attribute
+    // they reference per element, so an inlined split(text) would
+    // re-tokenize the document hundreds of times per row (measured 10×
+    // slowdown). Attribute references keep each stage one-pass.
     "d05_minhash_signature" -> { (s, d) =>
-      val sh = TF.shingles(TF.tokens(col("text")), 3)
       Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TF.shingles(col("toks"), 3).as("sh"))
+        .select(col("doc_id"),
+          graft.functions.text.minhashSlices(col("sh"), 4).as("mhs"))
         .select(col("doc_id") +: (0 until 4).map(b =>
-          TF.minhash(sh, b).as(s"mh$b")): _*)
+          element_at(col("mhs"), b + 1).as(s"mh$b")): _*)
         .orderBy(col("doc_id"))
     },
 
     // Near-dup detection, LSH-banded: candidates = pairs sharing any
     // minhash band (shuffle on (band, mh), never all-pairs), then exact
-    // shingle-set Jaccard on candidates only. At cluster scale the
-    // signature table would be checkpointed instead of recomputed per side.
+    // shingle-set Jaccard on candidates only. Cost shape: the signature
+    // projection is one md5 per shingle (all 4 bands slice one digest);
+    // the Jaccard stage recomputes shingle sets only for the candidate
+    // rows (2×|cand|, tiny) instead of carrying full arrays through the
+    // band shuffle.
     "d06_near_dup_text" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
+      // Same materialization discipline as d05 (attribute-referencing
+      // lambdas only).
+      val shingled = Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TF.shingles(col("toks"), 3).as("sh"))
+      val sig = shingled
         .select(col("doc_id"),
-          TF.shingles(TF.tokens(col("text")), 3).as("sh"))
-      val sig = docs.select(col("doc_id"),
-        posexplode(array((0 until 4).map(b => TF.minhash(col("sh"), b)): _*))
-          .as(Seq("band", "mh")))
+          posexplode(graft.functions.text.minhashSlices(col("sh"), 4))
+            .as(Seq("band", "mh")))
       val cand = sig.as("x")
         .join(sig.as("y"),
           col("x.band") === col("y.band") && col("x.mh") === col("y.mh") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      val sets = docs.select(col("doc_id"), array_distinct(col("sh")).as("ss"))
+      val sets = shingled
+        .select(col("doc_id"), array_distinct(col("sh")).as("ss"))
       cand
         .join(sets.select(col("doc_id").as("a_id"), col("ss").as("sa")), "a_id")
         .join(sets.select(col("doc_id").as("b_id"), col("ss").as("sb")), "b_id")
+        // Materialize the intersection size once; jaccard derives from it
+        // (inlining TF.jaccard would intersect each pair twice).
         .select(col("a_id"), col("b_id"),
-          TF.jaccard(col("sa"), col("sb")).as("jaccard"))
+          size(array_intersect(col("sa"), col("sb"))).as("ix"),
+          (size(col("sa")) + size(col("sb"))).as("tot"))
+        .select(col("a_id"), col("b_id"),
+          (col("ix").cast("double") / (col("tot") - col("ix"))).as("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
     },
 
@@ -225,10 +245,10 @@ object TextQueries {
         |sh AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
         |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS sh FROM t)
         |SELECT doc_id,
-        | list_aggregate(list_transform(sh, s -> CAST(('0x'||substr(md5('0:'||s),1,8)) AS BIGINT)),'min') AS mh0,
-        | list_aggregate(list_transform(sh, s -> CAST(('0x'||substr(md5('1:'||s),1,8)) AS BIGINT)),'min') AS mh1,
-        | list_aggregate(list_transform(sh, s -> CAST(('0x'||substr(md5('2:'||s),1,8)) AS BIGINT)),'min') AS mh2,
-        | list_aggregate(list_transform(sh, s -> CAST(('0x'||substr(md5('3:'||s),1,8)) AS BIGINT)),'min') AS mh3
+        | list_aggregate(list_transform(sh, s -> CAST(('0x'||substr(md5(s),1,8)) AS BIGINT)),'min') AS mh0,
+        | list_aggregate(list_transform(sh, s -> CAST(('0x'||substr(md5(s),9,8)) AS BIGINT)),'min') AS mh1,
+        | list_aggregate(list_transform(sh, s -> CAST(('0x'||substr(md5(s),17,8)) AS BIGINT)),'min') AS mh2,
+        | list_aggregate(list_transform(sh, s -> CAST(('0x'||substr(md5(s),25,8)) AS BIGINT)),'min') AS mh3
         |FROM sh ORDER BY doc_id""".stripMargin,
 
     "d06_near_dup_text" ->
@@ -237,7 +257,7 @@ object TextQueries {
         |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS sh FROM t),
         |sig AS (SELECT doc_id, band,
         |         list_aggregate(list_transform(sh,
-        |          s -> CAST(('0x'||substr(md5(CAST(band AS VARCHAR)||':'||s),1,8)) AS BIGINT)),'min') AS mh
+        |          s -> CAST(('0x'||substr(md5(s), 1+8*band, 8)) AS BIGINT)),'min') AS mh
         |        FROM sh, (VALUES (0),(1),(2),(3)) b(band)),
         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
         |         FROM sig x JOIN sig y

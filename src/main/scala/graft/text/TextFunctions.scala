@@ -29,14 +29,27 @@ object TextFunctions {
     transform(sequence(lit(0), size(toks) - n), i =>
       concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
 
-  /** MinHash value for hash family member `band`: min over shingles of
-    * hash32("<band>:" + shingle). Distinct band ids give independent-ish
-    * hash functions from the one MD5 core.
+  /** MinHash value for hash family member `band` (0..3): min over
+    * shingles of the band's hash, where the 4 band hashes are the four
+    * disjoint 8-hex-digit slices of ONE md5 digest — 4 independent
+    * 32-bit hash functions for the price of a single digest per shingle
+    * (md5 dominates minhash cost; one digest instead of four is the
+    * difference between the signature stage being scan-bound or
+    * hash-bound at corpus scale). DuckDB mirror:
+    * `CAST(('0x'||substr(md5(s), 1+8*band, 8)) AS BIGINT)`.
     */
-  def minhash(shinglesCol: Column, band: Int): Column =
-    array_min(transform(shinglesCol, s => hash32(concat(lit(s"$band:"), s))))
+  def minhash(shinglesCol: Column, band: Int): Column = {
+    require(band >= 0 && band < 4, "md5 yields 4 independent 32-bit slices")
+    array_min(transform(shinglesCol, s =>
+      conv(substring(md5(s), 1 + 8 * band, 8), 16, 10).cast("long")))
+  }
 
-  /** Exact Jaccard similarity of two *distinct-element* array columns. */
+  /** Exact Jaccard similarity of two *distinct-element* array columns.
+    * NOTE for hot paths: this inlines array_intersect twice (numerator +
+    * union denominator); when scoring many pairs, materialize
+    * `size(array_intersect(a, b))` as its own projection step and derive
+    * jaccard from it (see d06) so the intersection runs once per row.
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - size(array_intersect(a, b)))

@@ -45,6 +45,22 @@ class VectorContractSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("native minhash_slices equals the composed md5-slice form") {
+    import graft.text.{TextFunctions => TF}
+    val df = Seq(
+      Seq("alpha beta", "beta gamma", "gamma delta"),
+      Seq("solo")).toDF("sh")
+    val native = df.select(text.minhashSlices(col("sh"), 4)).as[Seq[Long]].collect()
+    val composed = df.select(
+      array((0 until 4).map(b => TF.minhash(col("sh"), b)): _*))
+      .as[Seq[Long]].collect()
+    assert(native.toSeq == composed.toSeq)
+    // empty input → null (array_min-of-empty contract)
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+      .select(text.minhashSlices(col("sh"), 4)).head()
+    assert(empty.isNullAt(0))
+  }
+
   test("hash32 column matches the JVM-side implementation") {
     val got = Seq("abc", "", "big").toDF("s")
       .select(graft.text.TextFunctions.hash32(col("s"))).as[Long].collect()
