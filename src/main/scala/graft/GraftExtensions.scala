@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSlices}
+
+/** Registers the engine's native expressions into the SQL function
+  * registry, so `spark.sql("SELECT cosine_similarity(a, b) ...")` works
+  * alongside the Column API:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *     ...
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)`). Registration is the
+  * standard `SparkSessionExtensions.injectFunction` path — the
+  * expressions stay full Catalyst citizens (codegen, null-safety,
+  * constant folding) in SQL exactly as in the DataFrame API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+
+  /** The function catalog, shared by the extensions path and
+    * [[register]].
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
+      // cosine_similarity(a, b): cosine of two float vectors in [-1, 1]
+      info("cosine_similarity"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_similarity takes 2 arguments")
+        CosineSimilarity(args(0), args(1))
+      }),
+    (FunctionIdentifier("dot_product"),
+      // dot_product(a, b): inner product of two float vectors
+      info("dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product takes 2 arguments")
+        DotProduct(args(0), args(1))
+      }),
+    (FunctionIdentifier("minhash_slices"),
+      // minhash_slices(shingles[, nBands]): md5-sliced minhash signature
+      info("minhash_slices"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sh) => MinHashSlices(sh, 4)
+        case Seq(sh, n) => MinHashSlices(sh, n.eval().asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException(
+          "minhash_slices takes 1 or 2 arguments")
+      }))
+
+  /** Register on an already-running session (the config-based extensions
+    * path only applies at session construction).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, fnInfo, builder) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerFunction(spark, id, fnInfo, builder)
+    }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native expressions must be reachable from plain SQL. Uses the
+  * live-session register path (the shared TestSession already exists, so
+  * the config-based `spark.sql.extensions` route — same builders — can't
+  * be re-applied in this JVM).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSession.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("cosine_similarity and dot_product are SQL-callable") {
+    val r = spark.sql(
+      """SELECT
+        | cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                   array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        | dot_product(array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)),
+        |             array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT))) AS d
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 23.0)
+  }
+
+  test("minhash_slices is SQL-callable and matches the column API") {
+    val sql = spark.sql(
+      "SELECT minhash_slices(array('alpha beta', 'beta gamma'))")
+      .head().getSeq[Long](0)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val api = Seq(Seq("alpha beta", "beta gamma")).toDF("sh")
+      .select(graft.functions.text.minhashSlices(col("sh"), 4))
+      .head().getSeq[Long](0)
+    assert(sql == api)
+  }
+
+  test("extensions class wires the same catalog (constructor path)") {
+    // The class applies the same builders through injectFunction; verify
+    // it is constructible and iterates the full catalog.
+    assert(GraftExtensions.functions.map(_._1.funcName) ==
+      Seq("cosine_similarity", "dot_product", "minhash_slices"))
+    new GraftExtensions() // must not throw
+  }
+}
