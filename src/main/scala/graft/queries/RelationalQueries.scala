@@ -272,6 +272,19 @@ object RelationalQueries {
           .as("avg_yearly"), count(lit(1)).as("n"))
     },
 
+    // Q16-flavor: distinct suppliers per part brand/type bucket (the
+    // part dimension joined to fact activity; co-partitioned shuffle
+    // join on the part key, then distinct agg).
+    "q16_brand_suppliers" -> { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_size").isin(1, 5, 9, 13))
+        .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    },
+
     // Anti join: customers with no urgent orders.
     "q18_no_urgent_orders" -> { (s, d) =>
       Tables.customer(s, d)
@@ -428,6 +441,15 @@ object RelationalQueries {
          |      FROM lineitem GROUP BY l_partkey) a
          | ON l.l_partkey = a.p_key
          |WHERE l.l_quantity < a.avg_qty * 0.5""".stripMargin,
+
+    "q16_brand_suppliers" ->
+      """SELECT p_brand, p_size,
+        | CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt,
+        | COUNT(*) AS n_lines
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_size IN (1, 5, 9, 13)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
 
     "q18_no_urgent_orders" ->
       """SELECT c_custkey, c_name FROM customer

@@ -173,6 +173,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Chunk-level dedup-rank: the keep-first-copy pattern (row_number
+    // over a fingerprint window) on the d01 chunking — duplicated
+    // chunks (near-identical documents share whole windows) rank > 1
+    // and would be dropped by a `rank = 1` filter; the query surfaces
+    // every chunk with its rank + copy count so the oracle checks the
+    // full window semantics, not just survivors.
+    "d11_chunk_dedup_rank" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"), col("chunk_idx"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(Splitters.fixedWindowChunkCol(col("text"), ChunkSize, Stride))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          md5(col("chunk")).as("fp"))
+        .withColumn("copy_rank", row_number().over(w).cast("long"))
+        .withColumn("n_copies", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+        .filter(col("n_copies") > 1)
+        .select(col("doc_id"), col("chunk_idx"), col("fp"),
+          col("copy_rank"), col("n_copies"))
+        .orderBy(col("fp"), col("copy_rank"))
+    },
+
     // P12–P15 as declarative projections: metadata enrich / Section
     // header prepend (RHPD:216–241) / index_name derivation (RHPD:271) /
     // source stamp (WEB:169–170). Pure string expressions in the scan.
@@ -288,6 +312,21 @@ object TextQueries {
         | CAST(list_aggregate(list_transform(string_split(text,' '), t -> length(t)),'sum') AS DOUBLE)
         |  / len(string_split(text,' ')) AS avg_token_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d11_chunk_dedup_rank" ->
+      s"""WITH chunks AS (
+         | SELECT doc_id, chunk_idx,
+         |  md5(substr(text, CAST(chunk_idx*$Stride+1 AS INT), $ChunkSize)) AS fp
+         | FROM (SELECT doc_id, text,
+         |        CAST(unnest(range(0, (length(text)-1)//$Stride + 1)) AS BIGINT) AS chunk_idx
+         |       FROM documents) t),
+         |ranked AS (
+         | SELECT doc_id, chunk_idx, fp,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS BIGINT) AS copy_rank,
+         |  COUNT(*) OVER (PARTITION BY fp) AS n_copies
+         | FROM chunks)
+         |SELECT doc_id, chunk_idx, fp, copy_rank, n_copies
+         |FROM ranked WHERE n_copies > 1 ORDER BY fp, copy_rank""".stripMargin,
 
     "d10_enrich_project" ->
       """SELECT doc_id,
