@@ -69,10 +69,25 @@ object Similarity {
   /** Same-bucket near-duplicate pairs with cosine >= threshold.
     * The self-join shuffles on `bucket`, never on the raw vectors, so the
     * pair count is sum over buckets of n_b², not n² — the LSH scale path.
+    *
+    * `maxBucket` is the skew guard for real corpora: a degenerate bucket
+    * of m vectors contributes m²/2 pairs regardless of how well the rest
+    * hash, so production runs cap bucket size (capped buckets need more
+    * planes or a salted re-hash, not a bigger join). 0 = uncapped, which
+    * keeps the exact all-pairs-within-bucket contract the oracle checks.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      planes: Seq[Array[Float]], threshold: Double): DataFrame = {
-    val b = lshBuckets(df, vecCol, planes)
+      planes: Seq[Array[Float]], threshold: Double,
+      maxBucket: Long = 0): DataFrame = {
+    val b0 = lshBuckets(df, vecCol, planes)
+    val b =
+      if (maxBucket <= 0) b0
+      else {
+        val sizes = b0.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucket)
+        b0.join(broadcast(sizes.select(col("bucket"))), "bucket")
+      }
     val a = b.select(col("bucket"), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
     val c = b.select(col("bucket").as("bucket_b"), col(idCol).as("b_id"),
       col(vecCol).as("b_vec"))

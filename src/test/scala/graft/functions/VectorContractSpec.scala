@@ -61,6 +61,23 @@ class VectorContractSpec extends AnyFunSuite {
     assert(empty.isNullAt(0))
   }
 
+  test("nearDupPairs maxBucket drops degenerate buckets") {
+    import graft.operators.Similarity
+    // One plane: bucket = sign of first component. Three +x vectors and
+    // two -x vectors → buckets of 3 and 2.
+    val plane = Array(1.0f, 0.0f)
+    val df = Seq(
+      (1L, Seq(1.0f, 0.1f)), (2L, Seq(1.0f, 0.2f)), (3L, Seq(1.0f, 0.3f)),
+      (4L, Seq(-1.0f, 0.1f)), (5L, Seq(-1.0f, 0.2f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"))
+    def pairs(cap: Long) = Similarity.nearDupPairs(
+      df, "vec_id", "embedding", Seq(plane), threshold = -1.0,
+      maxBucket = cap).count()
+    assert(pairs(0) == 3 + 1) // uncapped: C(3,2) + C(2,2)
+    assert(pairs(2) == 1) // cap 2: only the small bucket's pair remains
+  }
+
   test("hash32 column matches the JVM-side implementation") {
     val got = Seq("abc", "", "big").toDF("s")
       .select(graft.text.TextFunctions.hash32(col("s"))).as[Long].collect()
