@@ -187,6 +187,18 @@ object RelationalQueries {
         .orderBy(col("rf"), col("ls"))
     },
 
+    // CUBE grouping sets (all 4 combinations in one expand+agg pass).
+    "q19_cube" -> { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), msum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("total"))
+        .orderBy(col("st"), col("prio"))
+    },
+
     // Set operations: customers active in both years / only first year.
     "q11_set_ops" -> { (s, d) =>
       val o = Tables.orders(s, d)
@@ -382,6 +394,13 @@ object RelationalQueries {
          | CAST(SUM(CAST(l_quantity AS $M)) AS DOUBLE) AS qty
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY rf, ls""".stripMargin,
+
+    "q19_cube" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+         | COALESCE(o_orderpriority, 'ALL') AS prio, COUNT(*) AS n,
+         | ${msumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY st, prio""".stripMargin,
 
     "q11_set_ops" ->
       """WITH y96 AS (SELECT o_custkey FROM orders

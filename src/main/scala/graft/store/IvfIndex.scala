@@ -1,0 +1,71 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.vectors
+import graft.operators.Similarity
+
+/** On-disk IVF (inverted-file) ANN index: the embeddings table written
+  * `partitionBy("cell")`, where cell = nearest seed centroid
+  * ([[Similarity.ivfAssign]], shuffle-free argmax projection).
+  *
+  * This materializes the scale claim behind v05: at query time the cell
+  * predicate is a PARTITION filter, so Spark's file index prunes every
+  * other cell's files before any IO — on a 1000-cell, 100 TB corpus a
+  * probe reads ~0.1% of the data. The pruning is visible in the plan
+  * (`PartitionFilters: [isnotnull(cell), (cell = N)]`) and asserted in
+  * IvfIndexSpec, not just claimed.
+  *
+  * Recall/exactness contract: searching `nProbe` cells is exact for
+  * vectors assigned to those cells; global recall is the standard IVF
+  * trade-off (raise nProbe or train better seeds). Seeds live next to
+  * the index so search and build can't drift.
+  */
+object IvfIndex {
+
+  /** Build: assign every vector to its nearest seed, write partitioned
+    * by cell. One narrow projection + one write; no shuffle beyond the
+    * writer's own file layout.
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      seeds: DataFrame, seedIdCol: String, seedVecCol: String,
+      path: String): Unit = {
+    Similarity.ivfAssign(df, idCol, vecCol, seeds, seedIdCol, seedVecCol)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$path/vectors")
+    seeds.select(col(seedIdCol).as("cell"), col(seedVecCol).as("seed_vec"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/seeds")
+  }
+
+  /** Search: score the query against the stored seeds (driver-side, the
+    * codebook is tiny), then scan ONLY the nProbe nearest cells — the
+    * cell filter prunes partitions before IO — and take the exact top-k
+    * inside them (per-partition heap, no global sort).
+    */
+  def search(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, query: Array[Float], k: Int, nProbe: Int = 1): DataFrame = {
+    val seeds = spark.read.parquet(s"$path/seeds")
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("cell")),
+        r.getSeq[Float](r.fieldIndex("seed_vec")).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeCells = seeds.sortBy { case (id, v) => (-cos(v, query), id) }
+      .take(math.max(nProbe, 1)).map(_._1)
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probeCells: _*)) // partition pruning
+      .withColumn("score", vectors.cosineSimilarity(col(vecCol), lit(query)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col("cell"), col(idCol), col("score"))
+  }
+}

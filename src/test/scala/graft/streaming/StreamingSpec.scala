@@ -66,6 +66,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((7L, 2L, 2.0), (7L, 1L, 1.0), (8L, 1L, 2.0)))
   }
 
+  test("session_window agrees with the batch lag/cumsum sessionization") {
+    // Two independent formulations of the same semantics over the real
+    // events table: e02's window-function approach vs session_window.
+    // (Boundary note: they differ only on gaps of EXACTLY 30 minutes,
+    // which microsecond-resolution data never hits.)
+    val sfDir = TestSession.sf
+    val e02 = graft.queries.EventQueries
+      .queries("e02_sessionization")(spark, sfDir)
+    val viaSessionWindow = EventStreams.sessionize(
+      graft.Tables.events(spark, sfDir)
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts_ns div 1000"))))
+    assert(viaSessionWindow.count() == e02.count())
+    // per-user session counts must agree, not just the global total
+    val a = e02.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = viaSessionWindow.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("documentIngestSink streams chunks into the store") {
     implicit val sq = spark.sqlContext
     val store = new ParquetVectorStore(spark,
