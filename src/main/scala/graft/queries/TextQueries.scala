@@ -31,6 +31,8 @@ object TextQueries {
 
   private val ChunkSize = 200
   private val Stride = 150 // 50-char overlap between adjacent windows
+  private val RcChunk = 100 // d12 recursive-split params (> max word len,
+  private val RcOverlap = 30 // so the merge stays at the word level)
   private val Stopwords = Seq("the", "a")
   private val embedder = HashingEmbedder(64)
   private val RagQueryText = "big data table scan query"
@@ -173,6 +175,24 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // T2 with REAL LangChain merge semantics (not the fixed-window
+    // stand-in): the actual recursiveCharSplit runs as a typed flatMap
+    // (1 row → N rows, row-local, zero shuffle); the oracle re-derives
+    // the greedy-merge-with-overlap boundaries via a recursive CTE over
+    // word prefix sums (exact on single-spaced text, where separator
+    // descent reduces to the word-level merge).
+    "d12_recursive_chunks" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          Splitters.recursiveCharSplit(text, RcChunk, RcOverlap)
+            .zipWithIndex.map { case (c, i) => (id, i.toLong, c) }
+        }
+        .toDF("doc_id", "chunk_idx", "chunk")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // Chunk-level dedup-rank: the keep-first-copy pattern (row_number
     // over a fingerprint window) on the d01 chunking — duplicated
     // chunks (near-identical documents share whole windows) rank > 1
@@ -312,6 +332,42 @@ object TextQueries {
         | CAST(list_aggregate(list_transform(string_split(text,' '), t -> length(t)),'sum') AS DOUBLE)
         |  / len(string_split(text,' ')) AS avg_token_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Boundary recurrence: chunk k = words[s..e], e = greedy max with
+    // cumlen(s,e) <= C; next s = smallest p with cumlen(p,e) <= O and
+    // cumlen(p,e)+1+len(next word) <= C (the merge loop's pop-front
+    // conditions, both monotone in p). cumlen uses 1-indexed prefix sums.
+    "d12_recursive_chunks" ->
+      s"""WITH RECURSIVE
+         |w AS (
+         | SELECT doc_id, string_split(text,' ') AS words,
+         |  list_prepend(0, list_transform(string_split(text,' '), x -> length(x))) AS lens
+         | FROM documents),
+         |p AS (
+         | SELECT doc_id, words, len(words) AS n,
+         |  [list_sum(lens[1:i]) FOR i IN range(1, len(words)+2)] AS pre
+         | FROM w),
+         |r AS (
+         | SELECT doc_id, words, n, pre, CAST(0 AS BIGINT) AS chunk_idx,
+         |  CAST(1 AS BIGINT) AS s,
+         |  1 + len(list_filter(range(1, n+1),
+         |    e -> pre[CAST(e+1 AS INT)]-pre[1]+(e-1) <= $RcChunk)) - 1 AS e
+         | FROM p
+         | UNION ALL
+         | SELECT doc_id, words, n, pre, chunk_idx + 1, ns AS s,
+         |  ns + len(list_filter(range(0, CAST(n - ns + 2 AS INT)),
+         |    k -> pre[CAST(ns+k+1 AS INT)]-pre[CAST(ns AS INT)]+k <= $RcChunk)) - 1 AS e
+         | FROM (
+         |  SELECT doc_id, words, n, pre, chunk_idx, e,
+         |   (SELECT min(pp) FROM unnest(range(1, CAST(e+2 AS INT))) t(pp)
+         |    WHERE pp >= s
+         |     AND pre[CAST(e+1 AS INT)]-pre[CAST(pp AS INT)]+(e-pp) <= $RcOverlap
+         |     AND pre[CAST(e+1 AS INT)]-pre[CAST(pp AS INT)]+(e-pp) + 1
+         |         + (pre[CAST(e+2 AS INT)]-pre[CAST(e+1 AS INT)]) <= $RcChunk) AS ns
+         |  FROM r WHERE e < n) t)
+         |SELECT doc_id, chunk_idx,
+         | array_to_string(words[CAST(s AS INT):CAST(e AS INT)], ' ') AS chunk
+         |FROM r ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "d11_chunk_dedup_rank" ->
       s"""WITH chunks AS (
