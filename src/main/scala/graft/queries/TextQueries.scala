@@ -217,6 +217,38 @@ object TextQueries {
         .orderBy(col("fp"), col("copy_rank"))
     },
 
+    // SimHash document fingerprints: per token-hash bit, +1/-1 balance;
+    // bit b of the fingerprint is set iff the balance is positive. One
+    // shuffle (the doc aggregate); the 32 bit-balances are plain
+    // conditional sums in the aggregate, no bit-level explode.
+    "d13_simhash" -> { (s, d) =>
+      val balances = (0 until 32).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"b$b"))
+      val fp = (0 until 32).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce(_ + _)
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), TF.hash32(col("tok")).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(balances.head, balances.tail: _*)
+        .select(col("doc_id"), fp.as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Token-count estimation three ways: whitespace split, regex word
+    // extraction (the BPE-ish surrogate), chars/4 heuristic.
+    "d14_token_estimate" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TF.tokens(col("text"))).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+            .cast("long").as("re_tokens"),
+          ceil(col("n_chars") / 4.0).cast("long").as("est_bpe"))
+        .orderBy(col("doc_id"))
+    },
+
     // P12–P15 as declarative projections: metadata enrich / Section
     // header prepend (RHPD:216–241) / index_name derivation (RHPD:271) /
     // source stamp (WEB:169–170). Pure string expressions in the scan.
@@ -331,6 +363,32 @@ object TextQueries {
         |  / len(string_split(text,' ')) AS stop_ratio,
         | CAST(list_aggregate(list_transform(string_split(text,' '), t -> length(t)),'sum') AS DOUBLE)
         |  / len(string_split(text,' ')) AS avg_token_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d13_simhash" -> {
+      val balances = (0 until 32).map(b =>
+        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(",\n  ")
+      val fp = (0 until 32).map(b =>
+        s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         | SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+         |h AS (
+         | SELECT doc_id, CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS h FROM tok),
+         |bal AS (
+         | SELECT doc_id,
+         |  $balances
+         | FROM h GROUP BY doc_id)
+         |SELECT doc_id, $fp AS simhash
+         |FROM bal ORDER BY doc_id""".stripMargin
+    },
+
+    "d14_token_estimate" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+        | CAST(CEIL(n_chars / 4.0) AS BIGINT) AS est_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Boundary recurrence: chunk k = words[s..e], e = greedy max with
