@@ -116,6 +116,7 @@ object IngestPipeline {
         "product" -> product.product,
         "version" -> product.version,
         "language" -> product.language,
+        "detected_lang" -> graft.text.LangId.langId(piece),
         "product_full_name" -> product.productFullName),
       headers = section.headers))
   }

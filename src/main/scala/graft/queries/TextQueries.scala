@@ -217,6 +217,31 @@ object TextQueries {
         .orderBy(col("fp"), col("copy_rank"))
     },
 
+    // T1 with NESTED headers: per-source markdown "# <source>" +
+    // "## d<id>" sections run through the real markdownHeaderSplit;
+    // every section must carry BOTH header levels' metadata. Round-trip
+    // oracle like d02, but exercising the header stack, not just one
+    // level.
+    "d15_nested_headers" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => concat(lit("## d"), x.getField("doc_id"), lit("\n"),
+              x.getField("text"))), "\n").as("body"))
+        .select(concat(lit("# "), col("source"), lit("\n"), col("body")).as("md"))
+        .as[String]
+        .flatMap { md =>
+          Splitters.markdownHeaderSplit(md, Splitters.Headers3).map(sec =>
+            (sec.headers.getOrElse("Header1", ""),
+              sec.headers.getOrElse("Header2", ""), sec.content))
+        }
+        .toDF("header1", "header2", "content")
+        .orderBy(col("header1"), col("header2"))
+    },
+
     // SimHash document fingerprints: per token-hash bit, +1/-1 balance;
     // bit b of the fingerprint is set iff the balance is positive. One
     // shuffle (the doc aggregate); the 32 bit-balances are plain
@@ -364,6 +389,10 @@ object TextQueries {
         | CAST(list_aggregate(list_transform(string_split(text,' '), t -> length(t)),'sum') AS DOUBLE)
         |  / len(string_split(text,' ')) AS avg_token_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d15_nested_headers" ->
+      """SELECT source AS header1, 'd'||doc_id AS header2, trim(text) AS content
+        |FROM documents ORDER BY header1, header2""".stripMargin,
 
     "d13_simhash" -> {
       val balances = (0 until 32).map(b =>

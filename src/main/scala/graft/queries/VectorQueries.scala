@@ -2,8 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.Tables
 import graft.functions.vectors
 import graft.operators.Similarity
@@ -58,13 +56,18 @@ object VectorQueries {
     },
 
     // Per-label centroids: array aggregation via posexplode + exact
-    // decimal sums (order-insensitive, oracle-stable).
+    // fixed-point sums (order-insensitive, oracle-stable). Components
+    // are floor-quantized to 1e-9 BEFORE summing: floor(x*1e9) is the
+    // same IEEE multiply + floor in every engine, unlike a decimal cast,
+    // whose round-half ties engines break differently (Spark HALF_UP vs
+    // DuckDB half-even — observed on the exact-binary float
+    // 0.1494140625 at sf0.1).
     "v04_label_centroids" -> { (s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
-        .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double")
-          / count(lit(1))).as("centroid"))
+        .agg((sum(floor(col("x").cast("double") * lit(1e9))).cast("double")
+          / count(lit(1)) / lit(1e9)).as("centroid"))
         .orderBy(col("label"), col("pos"))
     },
 
@@ -124,10 +127,10 @@ object VectorQueries {
 
     "v04_label_centroids" ->
       """SELECT label, pos,
-        | CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-        |   / COUNT(*) AS centroid
+        | CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |   / COUNT(*) / 1000000000.0 AS centroid
         |FROM (SELECT label, UNNEST(embedding) AS x,
-        |       GENERATE_SUBSCRIPTS(embedding, 1) AS pos FROM embeddings) t
+        |       CAST(GENERATE_SUBSCRIPTS(embedding, 1) AS BIGINT) AS pos FROM embeddings) t
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "v05_ivf_search" ->
