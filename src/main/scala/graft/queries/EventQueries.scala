@@ -74,6 +74,26 @@ object EventQueries {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // As-of join: each click matched to the user's most recent view at
+    // or before it (left join: clicks with no prior view keep nulls).
+    "e04_asof_click_view" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), tsUs.as("ts_us"),
+          col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .drop("event_type")
+      val views = ev.filter(col("event_type") === "view")
+        .drop("event_type")
+      graft.operators.AsOfJoin.asofJoin(
+        clicks, views, keys = Seq("user_id"), timeCol = "ts_us",
+        rightPayload = Seq("event_id", "ts_us"), prefix = "view_",
+        tieBreak = Seq(col("view_event_id")))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("view_event_id"), col("view_ts_us"),
+          (col("ts_us") - col("view_ts_us")).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+
     // Per-type stats with JSON props extraction in the scan projection.
     "e03_type_stats" -> { (s, d) =>
       Tables.events(s, d)
@@ -112,6 +132,18 @@ object EventQueries {
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "e04_asof_click_view" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events),
+        |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type='click'),
+        |v AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type='view')
+        |SELECT c.event_id, c.user_id, c.ts_us,
+        | v.event_id AS view_event_id, v.ts_us AS view_ts_us,
+        | c.ts_us - v.ts_us AS gap_us
+        |FROM c ASOF LEFT JOIN v
+        | ON c.user_id = v.user_id AND v.ts_us <= c.ts_us
+        |ORDER BY c.event_id""".stripMargin,
 
     "e03_type_stats" ->
       """SELECT event_type, COUNT(*) AS n,

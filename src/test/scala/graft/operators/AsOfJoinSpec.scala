@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private val trades = Seq( // (id, sym, t)
+    (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "b", 15L))
+    .toDF("id", "sym", "t")
+  private val quotes = Seq( // (qid, sym, t)
+    (100L, "a", 5L), (101L, "a", 20L), (102L, "a", 25L), (103L, "c", 1L))
+    .toDF("qid", "sym", "t")
+
+  private def run() = AsOfJoin.asofJoin(trades, quotes,
+    keys = Seq("sym"), timeCol = "t", rightPayload = Seq("qid", "t"),
+    prefix = "q_", tieBreak = Seq(col("q_qid")))
+    .select("id", "q_qid", "q_t").collect()
+    .map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    .sortBy(_._1).toSeq
+
+  test("latest right row at or before each left time, per key") {
+    assert(run() == Seq(
+      (1L, Some(100L), Some(5L)), // t=10 → quote at 5
+      (2L, Some(101L), Some(20L)), // equal time matches (<= semantics)
+      (3L, Some(102L), Some(25L)), // t=30 → quote at 25
+      (4L, None, None))) // sym b has no quotes
+  }
+
+  test("left columns and row count are preserved") {
+    val out = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "t",
+      Seq("qid"), "q_")
+    assert(out.count() == trades.count())
+    assert(Seq("id", "sym", "t", "q_qid").forall(out.columns.contains))
+  }
+}
