@@ -199,6 +199,18 @@ object RelationalQueries {
         .orderBy(col("st"), col("prio"))
     },
 
+    // Exact interpolated quantiles (sort-based aggregate; Spark's
+    // percentile and DuckDB's quantile_cont share the (1-d)·lo + d·hi
+    // interpolation bit-for-bit).
+    "q20_quantiles" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Set operations: customers active in both years / only first year.
     "q11_set_ops" -> { (s, d) =>
       val o = Tables.orders(s, d)
@@ -401,6 +413,12 @@ object RelationalQueries {
          | ${msumSql("o_totalprice")} AS total
          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          |ORDER BY st, prio""".stripMargin,
+
+    "q20_quantiles" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q11_set_ops" ->
       """WITH y96 AS (SELECT o_custkey FROM orders

@@ -274,6 +274,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Order-SENSITIVE document fingerprint: polynomial rolling hash over
+    // token hashes, h ← (31·h + hash32(tok)) mod (2³¹−1). Distinguishes
+    // permuted documents, which the set-based minhash/md5 fingerprints
+    // by design do not. Pure projection, one md5 per token.
+    "d16_rolling_fingerprint" -> { (s, d) =>
+      val M = 2147483647L
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          transform(col("toks"), t => TF.hash32(t)).as("hs"))
+        .select(col("doc_id"),
+          aggregate(col("hs"), lit(0L),
+            (acc, h) => (acc * 31 + h) % M).as("rolling_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // P12–P15 as declarative projections: metadata enrich / Section
     // header prepend (RHPD:216–241) / index_name derivation (RHPD:271) /
     // source stamp (WEB:169–170). Pure string expressions in the scan.
@@ -393,6 +409,15 @@ object TextQueries {
     "d15_nested_headers" ->
       """SELECT source AS header1, 'd'||doc_id AS header2, trim(text) AS content
         |FROM documents ORDER BY header1, header2""".stripMargin,
+
+    "d16_rolling_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(string_split(text,' '),
+        |    t -> CAST(('0x'||substr(md5(t),1,8)) AS BIGINT))),
+        |  (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d13_simhash" -> {
       val balances = (0 until 32).map(b =>
