@@ -113,10 +113,10 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    val scores = array(seedRows.map { case (_, v) =>
+    val scores = array(seedRows.toIndexedSeq.map { case (_, v) =>
       vectors.cosineSimilarity(col(vecCol), lit(v))
     }: _*)
-    val cellIds = array(seedRows.map { case (id, _) => lit(id) }: _*)
+    val cellIds = array(seedRows.toIndexedSeq.map { case (id, _) => lit(id) }: _*)
     df.withColumn("cell",
       element_at(cellIds, array_position(scores, array_max(scores)).cast("int")))
   }

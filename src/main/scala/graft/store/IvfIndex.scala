@@ -62,7 +62,7 @@ object IvfIndex {
     val probeCells = seeds.sortBy { case (id, v) => (-cos(v, query), id) }
       .take(math.max(nProbe, 1)).map(_._1)
     spark.read.parquet(s"$path/vectors")
-      .filter(col("cell").isin(probeCells: _*)) // partition pruning
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*)) // partition pruning
       .withColumn("score", vectors.cosineSimilarity(col(vecCol), lit(query)))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

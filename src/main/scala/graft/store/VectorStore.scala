@@ -67,7 +67,7 @@ final class ParquetVectorStore(spark: SparkSession, root: String) {
   def append(index: String, chunks: DataFrame): Unit = {
     createIndex(index)
     chunks
-      .select(chunkSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      .select(chunkSchema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
       .write.mode(SaveMode.Append).parquet(dir(index).toString)
   }
 
