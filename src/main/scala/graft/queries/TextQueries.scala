@@ -274,6 +274,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic train/val/test split: bucket = hash of the stable id
+    // (NOT a random() — reproducible across runs, engines, partitions),
+    // 80/10/10, with per-language stratification counts so skew is
+    // visible. The split column is what a 100 TB pipeline partitions
+    // training shards by.
+    "d17_train_split" -> { (s, d) =>
+      val bucket = TF.hash32(col("doc_id").cast("string")) % 100
+      Tables.documents(s, d)
+        .select(col("lang"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"), col("lang"))
+    },
+
     // Order-SENSITIVE document fingerprint: polynomial rolling hash over
     // token hashes, h ← (31·h + hash32(tok)) mod (2³¹−1). Distinguishes
     // permuted documents, which the set-based minhash/md5 fingerprints
@@ -409,6 +425,15 @@ object TextQueries {
     "d15_nested_headers" ->
       """SELECT source AS header1, 'd'||doc_id AS header2, trim(text) AS content
         |FROM documents ORDER BY header1, header2""".stripMargin,
+
+    "d17_train_split" ->
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        | lang, COUNT(*) AS n_docs
+        |FROM (SELECT lang,
+        |       CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 AS b
+        |      FROM documents) t
+        |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
 
     "d16_rolling_fingerprint" ->
       """SELECT doc_id,

@@ -33,6 +33,28 @@ class AsOfJoinSpec extends AnyFunSuite {
       (4L, None, None))) // sym b has no quotes
   }
 
+  test("property: matches brute-force max-time-at-or-before on random data") {
+    val rnd = new scala.util.Random(7)
+    val syms = Seq("a", "b", "c")
+    val l = Seq.tabulate(120)(i =>
+      (i.toLong, syms(rnd.nextInt(3)), rnd.nextInt(50).toLong))
+    val r = Seq.tabulate(80)(i =>
+      (1000L + i, syms(rnd.nextInt(3)), rnd.nextInt(50).toLong))
+    val got = AsOfJoin.asofJoin(l.toDF("id", "sym", "t"),
+      r.toDF("qid", "sym", "t"), Seq("sym"), "t", Seq("qid"), "q_",
+      tieBreak = Seq(col("q_qid")))
+      .select("id", "q_qid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    for ((id, sym, t) <- l) {
+      val cands = r.filter(q => q._2 == sym && q._3 <= t)
+      // expected: max time, then max qid among ties (tieBreak asc → last)
+      val exp = if (cands.isEmpty) -1L
+        else cands.maxBy(q => (q._3, q._1))._1
+      assert(got(id) == exp, s"left row $id ($sym, $t)")
+    }
+  }
+
   test("left columns and row count are preserved") {
     val out = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "t",
       Seq("qid"), "q_")
