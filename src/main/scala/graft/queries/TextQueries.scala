@@ -290,6 +290,20 @@ object TextQueries {
         .orderBy(col("split"), col("lang"))
     },
 
+    // Vocabulary statistics — the inverted-index shape: explode tokens,
+    // one shuffle keyed by term, term frequency + document frequency
+    // (distinct doc count) per token. At 100 TB this is the vocabulary-
+    // build pass of a tokenizer-training pipeline; the distinct-doc agg
+    // is the classic expand+two-phase count-distinct.
+    "d18_term_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("tf"),
+          countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("term"))
+    },
+
     // Order-SENSITIVE document fingerprint: polynomial rolling hash over
     // token hashes, h ← (31·h + hash32(tok)) mod (2³¹−1). Distinguishes
     // permuted documents, which the set-based minhash/md5 fingerprints
@@ -434,6 +448,13 @@ object TextQueries {
         |       CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 AS b
         |      FROM documents) t
         |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "d18_term_stats" ->
+      """SELECT term, COUNT(*) AS tf,
+        | CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term
+        |      FROM documents) t
+        |GROUP BY term ORDER BY tf DESC, term""".stripMargin,
 
     "d16_rolling_fingerprint" ->
       """SELECT doc_id,
