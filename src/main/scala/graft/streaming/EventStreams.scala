@@ -52,6 +52,86 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Open-session state carried between micro-batches by
+    * [[statefulSessionize]]: bounded per open session (counters + the
+    * capped path), keyed by user — the state store holds one entry per
+    * ACTIVE user, evicted on timeout, which is what keeps it bounded on
+    * an unbounded stream.
+    */
+  final case class SessionState(
+      startUs: Long,
+      lastUs: Long,
+      nEvents: Long,
+      path: List[String])
+
+  final case class SessionOut(
+      user_id: Long,
+      session_start_us: Long,
+      session_end_us: Long,
+      n_events: Long,
+      path: String)
+
+  /** e02's CUSTOM-STATE streaming face: flatMapGroupsWithState with an
+    * event-time timeout. Unlike session_window (which can only aggregate
+    * with built-in functions), the state function carries arbitrary
+    * per-session structure — here the ordered event-type path, capped at
+    * `maxPathLen` so state stays bounded. A session closes and is
+    * emitted when a >gap idle is observed in-stream or when the
+    * watermark passes its horizon (timeout).
+    */
+  def statefulSessionize(
+      events: org.apache.spark.sql.Dataset[(Long, Long, String)], // (user_id, ts_us, event_type)
+      gapMinutes: Int = 30,
+      watermark: String = "2 hours",
+      maxPathLen: Int = 20): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000 * 1000
+
+    def close(userId: Long, s: SessionState): SessionOut =
+      SessionOut(userId, s.startUs, s.lastUs, s.nEvents,
+        s.path.reverse.mkString(">"))
+
+    events
+      .withColumn("ts", timestamp_micros(col("_2")))
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed the open session's horizon: emit + evict
+            val out = state.getOption.map(close(userId, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            // fold this batch's rows (in event-time order) into sessions
+            val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+            var open = state.getOption
+            val closed = List.newBuilder[SessionOut]
+            for ((_, ts, typ, _) <- sorted) {
+              open match {
+                case Some(s) if ts - s.lastUs <= gapUs =>
+                  open = Some(s.copy(lastUs = ts, nEvents = s.nEvents + 1,
+                    path = if (s.path.length < maxPathLen) typ :: s.path else s.path))
+                case Some(s) =>
+                  closed += close(userId, s)
+                  open = Some(SessionState(ts, ts, 1, List(typ)))
+                case None =>
+                  open = Some(SessionState(ts, ts, 1, List(typ)))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // time out once the watermark passes last event + gap
+              state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes * 60L * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming document ingest: each micro-batch of (doc_id, text) runs
     * the batch chunk→embed path and appends to the store — foreachBatch
     * reuses the exact batch operators (the reference's artifact-handoff

@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.{TextFunctions => TF}
+
+/** Corpus deduplication that actually DROPS rows (the d04/d06 queries
+  * surface dup groups; these operators return the cleaned corpus a
+  * training pipeline feeds downstream).
+  *
+  * Policies are deterministic and documented:
+  *   - exact: keep the smallest id per identical text (md5 fingerprint;
+  *     one shuffle on the fingerprint).
+  *   - near: drop every document that has a SMALLER near-duplicate
+  *     partner (LSH-banded minhash candidates + exact shingle Jaccard
+  *     >= threshold). This is the standard greedy keep-first policy: a
+  *     component's minimum is always kept; long chains may retain
+  *     more than one representative (unlike full connected components,
+  *     which need an iterative algorithm — deliberate trade: one
+  *     bounded join pass, no iteration, no driver-side graph).
+  */
+object Dedup {
+
+  /** Keep one row per distinct `textCol` (smallest `idCol` wins). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("_dd_rn", row_number().over(w))
+      .filter(col("_dd_rn") === 1)
+      .drop("_dd_rn")
+  }
+
+  /** Near-dup candidate pairs (a_id < b_id) with exact Jaccard >=
+    * threshold over word `n`-shingles, via banded minhash — the d06
+    * pipeline as a reusable operator.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleLen: Int = 3, bands: Int = 4): DataFrame = {
+    val shingled = df
+      .select(col(idCol).as("_dd_id"), TF.tokens(col(textCol)).as("_dd_toks"))
+      .select(col("_dd_id"), TF.shingles(col("_dd_toks"), shingleLen).as("_dd_sh"))
+    val sig = shingled.select(col("_dd_id"),
+      posexplode(graft.functions.text.minhashSlices(col("_dd_sh"), bands))
+        .as(Seq("band", "mh")))
+    val cand = sig.as("x")
+      .join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.mh") === col("y.mh") &&
+          col("x._dd_id") < col("y._dd_id"))
+      .select(col("x._dd_id").as("a_id"), col("y._dd_id").as("b_id"))
+      .distinct()
+    val sets = shingled.select(col("_dd_id"), array_distinct(col("_dd_sh")).as("_dd_ss"))
+    cand
+      .join(sets.select(col("_dd_id").as("a_id"), col("_dd_ss").as("_dd_sa")), "a_id")
+      .join(sets.select(col("_dd_id").as("b_id"), col("_dd_ss").as("_dd_sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("_dd_sa"), col("_dd_sb"))).as("ix"),
+        (size(col("_dd_sa")) + size(col("_dd_sb"))).as("tot"))
+      .select(col("a_id"), col("b_id"),
+        (col("ix").cast("double") / (col("tot") - col("ix"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Drop every row that has a smaller near-duplicate partner. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleLen: Int = 3, bands: Int = 4): DataFrame = {
+    val doomed = nearDupPairs(df, idCol, textCol, threshold, shingleLen, bands)
+      .select(col("b_id"))
+      .distinct()
+    df.join(doomed, col(idCol) === col("b_id"), "left_anti")
+  }
+}

@@ -87,6 +87,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("statefulSessionize closes sessions on gap and on watermark timeout") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)] // (user_id, ts_us, type)
+    def us(s: String) = ts(s).getTime * 1000L
+    val q = EventStreams.statefulSessionize(in.toDS(), gapMinutes = 30,
+      watermark = "1 hour")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      in.addData(
+        (7L, us("2024-01-01 10:00:00"), "view"),
+        (7L, us("2024-01-01 10:10:00"), "click"),
+        (7L, us("2024-01-01 11:30:00"), "buy")) // >30 min: closes s1
+      q.processAllAvailable()
+      val afterGap = spark.table("sessions").collect()
+      assert(afterGap.length == 1)
+      assert(afterGap.head.getAs[Long]("n_events") == 2)
+      assert(afterGap.head.getAs[String]("path") == "view>click")
+
+      // advance the watermark far past the open session's horizon
+      in.addData((8L, us("2024-01-01 15:00:00"), "view"))
+      q.processAllAvailable()
+      in.addData((8L, us("2024-01-01 15:00:01"), "view")) // extra tick
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("n_events"),
+          r.getAs[String]("path"))).toSet
+      assert(rows.contains((7L, 1L, "buy")), s"timed-out session missing: $rows")
+    } finally q.stop()
+  }
+
   test("documentIngestSink streams chunks into the store") {
     implicit val sq = spark.sqlContext
     val store = new ParquetVectorStore(spark,

@@ -1,0 +1,44 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+
+class DedupSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private val base = "spark table scan query join filter agg window sort merge"
+  private val docs = Seq(
+    (1L, base),
+    (2L, base), // exact dup of 1
+    (3L, base + " extra tail words here"), // near dup of 1/2
+    (4L, "completely different content about streams and state stores" +
+      " with watermarks and timeouts everywhere"),
+    (5L, base)) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("dropExactDuplicates keeps the smallest id per identical text") {
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+  }
+
+  test("nearDupPairs finds exact and near duplicates with jaccard") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)))
+    assert(pairs.contains((1L, 3L)), s"near dup 1-3 missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // exact dups have jaccard 1.0
+    val j12 = Dedup.nearDupPairs(docs, "doc_id", "text", 0.5)
+      .filter("a_id = 1 AND b_id = 2").head().getDouble(2)
+    assert(j12 == 1.0)
+  }
+
+  test("dropNearDuplicates keeps component minima") {
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L))
+  }
+}
