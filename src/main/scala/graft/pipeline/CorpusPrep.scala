@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.{Dedup, LangId, TextFunctions => TF}
+
+/** The composed training-corpus preparation pass: quality filter →
+  * exact dedup → near dedup → deterministic split — each stage is the
+  * standalone operator used by the query surface; this entry point is
+  * the order a real pipeline runs them in (cheap row-local filters
+  * first, the near-dup shuffle last, on the already-shrunk corpus).
+  *
+  * Returns the input columns plus `detected_lang` and `split`.
+  */
+object CorpusPrep {
+
+  final case class Config(
+      minTokens: Int = 5,
+      maxStopRatio: Double = 0.9,
+      nearDupJaccard: Double = 0.8,
+      trainPct: Int = 80,
+      valPct: Int = 10)
+
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    require(cfg.trainPct + cfg.valPct < 100)
+    val toks = TF.tokens(col(textCol))
+    // 1. Quality gate: row-local, runs in the scan.
+    val filtered = docs
+      .withColumn("_cp_ntok", size(toks).cast("long"))
+      .withColumn("_cp_nstop", TF.stopwordCount(toks, Seq("the", "a")))
+      .filter(col("_cp_ntok") >= cfg.minTokens &&
+        col("_cp_nstop").cast("double") / col("_cp_ntok") <= cfg.maxStopRatio)
+      .drop("_cp_ntok", "_cp_nstop")
+    // 2. Exact dedup (one fingerprint shuffle).
+    val exact = Dedup.dropExactDuplicates(filtered, idCol, textCol)
+    // 3. Near dedup (LSH bands; the expensive pass runs last).
+    val deduped = Dedup.dropNearDuplicates(exact, idCol, textCol,
+      cfg.nearDupJaccard)
+    // 4. Language stamp + deterministic split.
+    val bucket = TF.hash32(col(idCol).cast("string")) % 100
+    deduped
+      .withColumn("detected_lang", LangId.langIdCol(col(textCol)))
+      .withColumn("split",
+        when(bucket < cfg.trainPct, "train")
+          .when(bucket < cfg.trainPct + cfg.valPct, "val")
+          .otherwise("test"))
+  }
+}

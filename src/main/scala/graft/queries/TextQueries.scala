@@ -116,34 +116,13 @@ object TextQueries {
     // the Jaccard stage recomputes shingle sets only for the candidate
     // rows (2×|cand|, tiny) instead of carrying full arrays through the
     // band shuffle.
+    // (Implementation lives in graft.text.Dedup.nearDupPairs — banded
+    // minhash candidates + single-evaluation exact Jaccard; threshold 0
+    // keeps every candidate pair so the oracle checks the full band
+    // semantics.)
     "d06_near_dup_text" -> { (s, d) =>
-      // Same materialization discipline as d05 (attribute-referencing
-      // lambdas only).
-      val shingled = Tables.documents(s, d)
-        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), TF.shingles(col("toks"), 3).as("sh"))
-      val sig = shingled
-        .select(col("doc_id"),
-          posexplode(graft.functions.text.minhashSlices(col("sh"), 4))
-            .as(Seq("band", "mh")))
-      val cand = sig.as("x")
-        .join(sig.as("y"),
-          col("x.band") === col("y.band") && col("x.mh") === col("y.mh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      val sets = shingled
-        .select(col("doc_id"), array_distinct(col("sh")).as("ss"))
-      cand
-        .join(sets.select(col("doc_id").as("a_id"), col("ss").as("sa")), "a_id")
-        .join(sets.select(col("doc_id").as("b_id"), col("ss").as("sb")), "b_id")
-        // Materialize the intersection size once; jaccard derives from it
-        // (inlining TF.jaccard would intersect each pair twice).
-        .select(col("a_id"), col("b_id"),
-          size(array_intersect(col("sa"), col("sb"))).as("ix"),
-          (size(col("sa")) + size(col("sb"))).as("tot"))
-        .select(col("a_id"), col("b_id"),
-          (col("ix").cast("double") / (col("tot") - col("ix"))).as("jaccard"))
+      graft.text.Dedup.nearDupPairs(
+        Tables.documents(s, d), "doc_id", "text", threshold = 0.0)
         .orderBy(col("a_id"), col("b_id"))
     },
 
