@@ -104,7 +104,15 @@ object Html {
           if (VoidTags(e.tag) && e.children.isEmpty) sb.append("/>")
           else {
             sb.append('>')
-            e.children.foreach(walk)
+            if (RawTextTags(e.tag)) {
+              // script/style content is raw text in HTML: captured
+              // undecoded at parse, so serialize verbatim (escaping it
+              // would double-escape on every parse→serialize round).
+              e.children.foreach {
+                case Text(v) => sb.append(v)
+                case c => walk(c)
+              }
+            } else e.children.foreach(walk)
             sb.append("</").append(e.tag).append('>')
           }
       }

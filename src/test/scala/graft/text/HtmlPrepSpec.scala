@@ -81,6 +81,21 @@ class HtmlPrepSpec extends AnyFunSuite {
     assert(HtmlPrep.cleanHtml(cleaned) == cleaned)
   }
 
+  test("parser and cleaner never throw on malformed input (fuzz)") {
+    val rnd = new scala.util.Random(13)
+    val pieces = Array("<div>", "</div>", "<", ">", "\"", "'", "=", "a",
+      " ", "<p class=", "<!--", "-->", "&amp;", "&", "<pre>", "</zzz>",
+      "<h1", "<!DOCTYPE", "<script>", "</script>", "<br/>", "~~~", "```")
+    for (_ <- 1 to 500) {
+      val s = Seq.fill(rnd.nextInt(30))(pieces(rnd.nextInt(pieces.length))).mkString
+      val cleaned = HtmlPrep.cleanHtml(s) // must not throw
+      HtmlPrep.htmlToMarkdown(s) // must not throw
+      HtmlPrep.extractTitleAndBody(s)
+      HtmlPrep.extractLinks(s)
+      assert(HtmlPrep.cleanHtml(cleaned) == cleaned, s"not idempotent on: $s")
+    }
+  }
+
   // ---- P1: link extraction ----
 
   test("extractLinks takes only anchors under h3[slot=headline]") {
