@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSession}
+
+/** Plan contracts: the scale properties the queries claim (pushdown,
+  * pruning, per-partition top-k, single-shuffle windows) asserted
+  * against the actual physical plans — a regression here is a silent
+  * 100×-scale problem long before it is a wall-clock problem.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSession.{sf, spark}
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  /** (requiredSchema fields, PushedFilters metadata) of every parquet
+    * scan in the query's physical plan — plan.toString truncates long
+    * lists, so assertions read the scan nodes directly.
+    */
+  private def scans(q: String): Seq[(Seq[String], String)] =
+    // sparkPlan, not executedPlan: AQE's wrapper node hides its subtree
+    // from collect() until execution.
+    SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        (f.requiredSchema.fieldNames.toSeq,
+          f.metadata.getOrElse("PushedFilters", ""))
+    }
+
+  test("q02: filters push into the parquet scan; unused columns pruned") {
+    val Seq((cols, pushed)) = scans("q02_filter_project")
+    assert(pushed.contains("IsNotNull(l_shipdate)"))
+    assert(pushed.contains("GreaterThan(l_quantity,45.0)"))
+    assert(!cols.contains("l_tax") && !cols.contains("l_returnflag"),
+      s"unread columns must be pruned, scan reads: $cols")
+  }
+
+  test("q07/v01: top-k plans as TakeOrderedAndProject, not global sort") {
+    assert(plan("q07_topk_orders").contains("TakeOrderedAndProject"))
+    assert(plan("v01_knn_exact").contains("TakeOrderedAndProject"))
+  }
+
+  test("e02: sessionization uses exactly one hash shuffle (user_id)") {
+    val p = plan("e02_sessionization")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected 1 user_id shuffle, found $hashExchanges:\n${p.take(600)}")
+  }
+
+  test("d01: chunking reads only doc_id and text") {
+    val Seq((cols, _)) = scans("d01_char_chunks")
+    assert(cols.sorted == Seq("doc_id", "text"),
+      s"chunking must read exactly (doc_id, text), got: $cols")
+  }
+
+  test("q06: pure scan-aggregate — no join, no window") {
+    val p = plan("q06_revenue_delta")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(p.contains("PushedFilters:"))
+  }
+}
