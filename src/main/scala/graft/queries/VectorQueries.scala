@@ -71,6 +71,20 @@ object VectorQueries {
         .orderBy(col("label"), col("pos"))
     },
 
+    // The SQL surface end-to-end: the native cosine expression invoked
+    // by NAME from SQL text (GraftExtensions registration) over a temp
+    // view, with a scalar subquery for the probe vector. Same plan as
+    // the Column-API form — registration must not change semantics.
+    "v06_sql_surface" -> { (s, d) =>
+      graft.GraftExtensions.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("embeddings_v")
+      s.sql(
+        """SELECT vec_id,
+          | cosine_similarity(embedding,
+          |   (SELECT embedding FROM embeddings_v WHERE vec_id = 3)) AS score
+          |FROM embeddings_v ORDER BY score DESC, vec_id LIMIT 8""".stripMargin)
+    },
+
     // IVF ANN: assign all vectors to nearest of 8 seed centroids (shuffle-
     // free argmax projection), then search only the probe's cell. The probe
     // row is a driver-side point lookup (tiny action); the search itself is
@@ -132,6 +146,12 @@ object VectorQueries {
         |FROM (SELECT label, UNNEST(embedding) AS x,
         |       CAST(GENERATE_SUBSCRIPTS(embedding, 1) AS BIGINT) AS pos FROM embeddings) t
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "v06_sql_surface" ->
+      """SELECT vec_id,
+        | list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 3)) AS score
+        |FROM embeddings ORDER BY score DESC, vec_id LIMIT 8""".stripMargin,
 
     "v05_ivf_search" ->
       """WITH seeds AS (
