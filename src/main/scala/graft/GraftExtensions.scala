@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSlices}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSlices, RecursiveSplit}
 
 /** Registers the engine's native expressions into the SQL function
   * registry, so `spark.sql("SELECT cosine_similarity(a, b) ...")` works
@@ -59,6 +59,18 @@ object GraftExtensions {
         case Seq(sh, n) => MinHashSlices(sh, n.eval().asInstanceOf[Int])
         case _ => throw new IllegalArgumentException(
           "minhash_slices takes 1 or 2 arguments")
+      }),
+    (FunctionIdentifier("split_recursive"),
+      // split_recursive(text, chunkSize, overlap): generator yielding
+      // (chunk_idx, chunk) rows — T2 as a SQL table function
+      info("split_recursive"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, size, overlap) if size.foldable && overlap.foldable =>
+          RecursiveSplit(text,
+            size.eval().asInstanceOf[Number].intValue,
+            overlap.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "split_recursive takes (text, constant chunkSize, constant overlap)")
       }))
 
   /** Register on an already-running session (the config-based extensions

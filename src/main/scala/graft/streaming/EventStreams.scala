@@ -132,6 +132,34 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each left event joined to every right
+    * event of the same key within the trailing `lag` window
+    * (`l.ts - lag <= r.ts <= l.ts`). Both sides carry watermarks, so
+    * Spark bounds the join state: right rows are evicted once the left
+    * watermark passes their horizon — this is what makes an unbounded
+    * ×unbounded join runnable at all. The batch as-of join
+    * ([[graft.operators.AsOfJoin]]) is the take-latest-only face of the
+    * same relationship.
+    *
+    * Inputs need columns (`key`, `ts`, payload…); right payload columns
+    * are returned with the `rightPrefix`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      rightPayload: Seq[String], lag: String = "30 minutes",
+      watermark: String = "2 hours", rightPrefix: String = "r_"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right
+      .select(col(key).as(s"$rightPrefix$key") +:
+        col("ts").as(s"${rightPrefix}ts") +:
+        rightPayload.map(c => col(c).as(s"$rightPrefix$c")): _*)
+      .withWatermark(s"${rightPrefix}ts", watermark)
+    l.join(r,
+      col(key) === col(s"$rightPrefix$key") &&
+        col(s"${rightPrefix}ts") >= col("ts") - expr(s"INTERVAL $lag") &&
+        col(s"${rightPrefix}ts") <= col("ts"))
+      .drop(s"$rightPrefix$key")
+  }
+
   /** Streaming document ingest: each micro-batch of (doc_id, text) runs
     * the batch chunk→embed path and appends to the store — foreachBatch
     * reuses the exact batch operators (the reference's artifact-handoff

@@ -38,11 +38,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sql == api)
   }
 
+  test("split_recursive generator matches the flatMap splitter from SQL") {
+    import spark.implicits._
+    val texts = Seq("aa bb cc dd", ("word " * 80).trim, "solo")
+    texts.toDF("text").createOrReplaceTempView("split_in")
+    val sql = spark.sql(
+      """SELECT text, chunk_idx, chunk FROM split_in
+        |LATERAL VIEW split_recursive(text, 100, 30) t AS chunk_idx, chunk
+        |""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expected = texts.flatMap(t =>
+      graft.text.Splitters.recursiveCharSplit(t, 100, 30)
+        .zipWithIndex.map { case (c, i) => (t, i.toLong, c) })
+    assert(sql.sortBy(x => (x._1, x._2)).toSeq ==
+      expected.sortBy(x => (x._1, x._2)))
+    assert(sql.length > texts.length) // the long text actually split
+  }
+
   test("extensions class wires the same catalog (constructor path)") {
     // The class applies the same builders through injectFunction; verify
     // it is constructible and iterates the full catalog.
     assert(GraftExtensions.functions.map(_._1.funcName) ==
-      Seq("cosine_similarity", "dot_product", "minhash_slices"))
+      Seq("cosine_similarity", "dot_product", "minhash_slices",
+        "split_recursive"))
     new GraftExtensions() // must not throw
   }
 }

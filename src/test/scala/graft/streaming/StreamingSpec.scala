@@ -87,6 +87,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("intervalJoin matches clicks to views in the trailing window") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)] // (user, ts, click_id)
+    val views = MemoryStream[(Long, Timestamp, Long)] // (user, ts, view_id)
+    val joined = EventStreams.intervalJoin(
+      clicks.toDF.toDF("user_id", "ts", "click_id"),
+      views.toDF.toDF("user_id", "ts", "view_id"),
+      key = "user_id", rightPayload = Seq("view_id"), lag = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      views.addData(
+        (1L, ts("2024-01-01 10:00:00"), 100L),
+        (1L, ts("2024-01-01 10:20:00"), 101L),
+        (1L, ts("2024-01-01 09:00:00"), 102L), // too old for the click
+        (2L, ts("2024-01-01 10:25:00"), 103L)) // other user
+      clicks.addData((1L, ts("2024-01-01 10:30:00"), 900L))
+      q.processAllAvailable()
+      val got = spark.table("ij")
+        .select("click_id", "r_view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // views 100 (30 min before, inclusive) and 101 match; 102/103 don't
+      assert(got == Set((900L, 100L), (900L, 101L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("statefulSessionize closes sessions on gap and on watermark timeout") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Long, String)] // (user_id, ts_us, type)
