@@ -69,4 +69,52 @@ object Dedup {
       .distinct()
     df.join(doomed, col(idCol) === col("b_id"), "left_anti")
   }
+
+  /** Connected components over a duplicate-pair edge list: every node
+    * labeled with its component's MINIMUM id — the exact keeper
+    * assignment (the greedy [[dropNearDuplicates]] policy can keep >1
+    * representative of a long chain; this cannot).
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors; converges in
+    * O(component diameter) rounds (checked, not assumed). Each round is
+    * one join + one aggregate on the edge list — the standard
+    * large-scale CC shape; label frames are localCheckpointed so the
+    * plan (and its lineage) stays flat across iterations.
+    *
+    * Returns (id, component) for every node appearing in `pairs`.
+    */
+  def dupComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // Undirected edges, both directions, plus self-loops so isolated
+    // sides keep their own label.
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels
+        .join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIter rounds")
+    labels
+  }
 }

@@ -36,6 +36,24 @@ class DedupSpec extends AnyFunSuite {
     assert(j12 == 1.0)
   }
 
+  test("dupComponents labels chains with the component minimum") {
+    // Chain 1-5, 5-3 (component min 1) + separate pair 10-12; node 3 has
+    // no smaller NEIGHBOR (5 > 3) — the case where greedy keep-first
+    // would retain 3 but exact components must not.
+    val pairs = Seq((1L, 5L), (5L, 3L), (3L, 5L), (10L, 12L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.dupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 5L -> 1L, 3L -> 1L, 10L -> 10L, 12L -> 10L))
+  }
+
+  test("dupComponents handles a long chain (diameter > 2)") {
+    val chain = (1L to 9L).sliding(2).map(s => (s(1), s(0))).toSeq
+    val got = Dedup.dupComponents(chain.toDF("a_id", "b_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 9L).map(_ -> 1L).toMap)
+  }
+
   test("dropNearDuplicates keeps component minima") {
     val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", 0.5)
       .select("doc_id").as[Long].collect().sorted.toSeq
