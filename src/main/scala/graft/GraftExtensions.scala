@@ -56,9 +56,12 @@ object GraftExtensions {
       info("minhash_slices"),
       (args: Seq[Expression]) => args match {
         case Seq(sh) => MinHashSlices(sh, 4)
-        case Seq(sh, n) => MinHashSlices(sh, n.eval().asInstanceOf[Int])
+        case Seq(sh, n) if n.foldable =>
+          // Number.intValue, not asInstanceOf[Int]: a BIGINT literal (4L)
+          // is an Int at heart only after conversion, not by cast.
+          MinHashSlices(sh, n.eval().asInstanceOf[Number].intValue)
         case _ => throw new IllegalArgumentException(
-          "minhash_slices takes 1 or 2 arguments")
+          "minhash_slices takes (shingles[, constant nBands])")
       }),
     (FunctionIdentifier("split_recursive"),
       // split_recursive(text, chunkSize, overlap): generator yielding

@@ -31,6 +31,15 @@ case class MinHashSlices(child: Expression, nBands: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_slices"
 
+  /** Always nullable: an EMPTY input array yields null (matching
+    * `array_min` on empty input), independent of child nullability.
+    * Inheriting the child's nullability here would let the optimizer
+    * elide null handling — and UnaryExpression's non-nullable codegen
+    * branch assigns `isNull` without declaring it, a compile failure
+    * that silently falls back to the interpreted path.
+    */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(v: Any): Any =
     MinHash.compute(v.asInstanceOf[ArrayData], nBands)
 

@@ -30,19 +30,29 @@ object AsOfJoin {
       tieBreak: Seq[Column] = Nil): DataFrame = {
     require(keys.nonEmpty && rightPayload.nonEmpty)
     val side = "_asof_side"
+    val payload = "_asof_payload"
     val l = left.withColumn(side, lit(1))
     val r = right.select(
       (keys :+ timeCol).map(col) ++
         rightPayload.map(c => col(c).as(prefix + c)): _*)
       .withColumn(side, lit(0))
+    // The payload travels as ONE struct (null on left rows) so the window
+    // fill picks a right row atomically: per-column last() would mix
+    // columns from different right rows whenever a payload value is null,
+    // and an all-null payload row would be indistinguishable from no match.
     val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn(payload,
+        when(col(side) === 0,
+          struct(rightPayload.map(c => col(prefix + c).as(c)): _*)))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol) +: col(side) +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rightPayload.foldLeft(u) { (df, c) =>
-      df.withColumn(prefix + c, last(col(prefix + c), ignoreNulls = true).over(w))
-    }
+    val filled = u
+      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
       .filter(col(side) === 1)
-      .drop(side)
+    rightPayload.foldLeft(filled) { (df, c) =>
+      df.withColumn(prefix + c, col(payload).getField(c))
+    }
+      .drop(side, payload)
   }
 }

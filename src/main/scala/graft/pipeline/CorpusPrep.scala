@@ -15,12 +15,19 @@ import graft.text.{Dedup, LangId, TextFunctions => TF}
   */
 object CorpusPrep {
 
+  /** `maxLshBucket` caps the near-dup LSH band-bucket size (0 = uncapped):
+    * the skew guard for boilerplate-heavy corpora, where one degenerate
+    * bucket turns the candidate join quadratic. Exact dedup runs first, so
+    * identical documents never reach the LSH pass, but heavily-templated
+    * NEAR-identical content still can — production corpora set a cap.
+    */
   final case class Config(
       minTokens: Int = 5,
       maxStopRatio: Double = 0.9,
       nearDupJaccard: Double = 0.8,
       trainPct: Int = 80,
-      valPct: Int = 10)
+      valPct: Int = 10,
+      maxLshBucket: Long = 0)
 
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
@@ -37,7 +44,7 @@ object CorpusPrep {
     val exact = Dedup.dropExactDuplicates(filtered, idCol, textCol)
     // 3. Near dedup (LSH bands; the expensive pass runs last).
     val deduped = Dedup.dropNearDuplicates(exact, idCol, textCol,
-      cfg.nearDupJaccard)
+      cfg.nearDupJaccard, maxBucket = cfg.maxLshBucket)
     // 4. Language stamp + deterministic split.
     val bucket = TF.hash32(col(idCol).cast("string")) % 100
     deduped

@@ -34,15 +34,33 @@ object Dedup {
   /** Near-dup candidate pairs (a_id < b_id) with exact Jaccard >=
     * threshold over word `n`-shingles, via banded minhash — the d06
     * pipeline as a reusable operator.
+    *
+    * `maxBucket` is the skew guard: a degenerate band bucket of m
+    * signatures (boilerplate- or exact-dup-heavy corpora produce exactly
+    * this) contributes m²/2 candidate pairs regardless of banding, so
+    * production runs cap bucket size — oversized buckets are dropped, not
+    * joined (their members need exact-dedup first or more bands, not a
+    * quadratic join). The size pass is a window count keyed exactly like
+    * the candidate self-join, so it rides the same (band, mh) exchange —
+    * no driver-side bucket list, which at corpus scale would itself be
+    * huge. 0 = uncapped, the exact all-candidates contract d06 checks.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleLen: Int = 3, bands: Int = 4): DataFrame = {
+      threshold: Double, shingleLen: Int = 3, bands: Int = 4,
+      maxBucket: Long = 0): DataFrame = {
     val shingled = df
       .select(col(idCol).as("_dd_id"), TF.tokens(col(textCol)).as("_dd_toks"))
       .select(col("_dd_id"), TF.shingles(col("_dd_toks"), shingleLen).as("_dd_sh"))
-    val sig = shingled.select(col("_dd_id"),
+    val sig0 = shingled.select(col("_dd_id"),
       posexplode(graft.functions.text.minhashSlices(col("_dd_sh"), bands))
         .as(Seq("band", "mh")))
+    val sig =
+      if (maxBucket <= 0) sig0
+      else sig0
+        .withColumn("_dd_bn",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("mh"))))
+        .filter(col("_dd_bn") <= maxBucket)
+        .drop("_dd_bn")
     val cand = sig.as("x")
       .join(sig.as("y"),
         col("x.band") === col("y.band") && col("x.mh") === col("y.mh") &&
@@ -63,8 +81,10 @@ object Dedup {
 
   /** Drop every row that has a smaller near-duplicate partner. */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleLen: Int = 3, bands: Int = 4): DataFrame = {
-    val doomed = nearDupPairs(df, idCol, textCol, threshold, shingleLen, bands)
+      threshold: Double, shingleLen: Int = 3, bands: Int = 4,
+      maxBucket: Long = 0): DataFrame = {
+    val doomed = nearDupPairs(df, idCol, textCol, threshold, shingleLen,
+      bands, maxBucket)
       .select(col("b_id"))
       .distinct()
     df.join(doomed, col(idCol) === col("b_id"), "left_anti")

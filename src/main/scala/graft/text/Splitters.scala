@@ -215,8 +215,13 @@ object Splitters {
     */
   def fixedWindowChunkCol(text: Column, size: Int, stride: Int): Column = {
     require(size > 0 && stride > 0)
-    transform(
-      sequence(lit(0), floor((length(text) - 1) / stride).cast("int")),
-      i => text.substr(i * stride + 1, lit(size)))
+    // Empty text → empty array (zero chunk rows after posexplode, matching
+    // the DuckDB `range` oracle). Without the guard, sequence(0, -1) counts
+    // DOWN, emitting a spurious index -1 that substr reads from the end.
+    when(length(text) > 0,
+      transform(
+        sequence(lit(0), floor((length(text) - 1) / stride).cast("int")),
+        i => text.substr(i * stride + 1, lit(size))))
+      .otherwise(typedLit(Seq.empty[String]))
   }
 }

@@ -24,10 +24,17 @@ object TextFunctions {
   /** Single-space tokenization (the documents table is single-spaced). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles: m tokens → m-n+1 shingles joined by spaces. */
+  /** Word n-gram shingles: m tokens → m-n+1 shingles joined by spaces;
+    * empty when m < n (the guard matters: `sequence(0, negative)` counts
+    * DOWN in Spark, so an unguarded short document would index position 0
+    * / out-of-bounds and throw under ANSI — and the DuckDB `range` oracle
+    * yields an empty list for the same input).
+    */
   def shingles(toks: Column, n: Int): Column =
-    transform(sequence(lit(0), size(toks) - n), i =>
-      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(typedLit(Seq.empty[String]))
 
   /** MinHash value for hash family member `band` (0..3): min over
     * shingles of the band's hash, where the 4 band hashes are the four

@@ -38,6 +38,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sql == api)
   }
 
+  test("minhash_slices accepts a BIGINT band count and empty arrays") {
+    // Regression: asInstanceOf[Int] on a BIGINT literal threw CCE; and an
+    // empty (non-nullable) array child must yield null, which requires the
+    // expression to declare itself nullable for codegen to compile.
+    val r = spark.sql(
+      """SELECT minhash_slices(array('a b'), CAST(2 AS BIGINT)) AS m2,
+        |       minhash_slices(CAST(array() AS ARRAY<STRING>)) AS me
+        |""".stripMargin).head()
+    assert(r.getSeq[Long](0).length == 2)
+    assert(r.isNullAt(1))
+  }
+
   test("split_recursive generator matches the flatMap splitter from SQL") {
     import spark.implicits._
     val texts = Seq("aa bb cc dd", ("word " * 80).trim, "solo")

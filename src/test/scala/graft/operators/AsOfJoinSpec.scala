@@ -55,6 +55,31 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("a null payload value never tears the match across right rows") {
+    // Latest quote (102) has px=null; per-column backfill would pair
+    // qid=102 with px=9.0 from the OLDER quote 101 — a row that never
+    // existed. The struct fill must take quote 102 whole: (102, null).
+    val q = Seq((101L, "a", 5L, Some(9.0)), (102L, "a", 8L, None))
+      .toDF("qid", "sym", "t", "px")
+    val out = AsOfJoin.asofJoin(trades, q, Seq("sym"), "t",
+      rightPayload = Seq("qid", "px"), prefix = "q_")
+      .filter(col("id") === 1L) // trade at t=10 → quote 102
+      .select("q_qid", "q_px").head()
+    assert(out.getLong(0) == 102L)
+    assert(out.isNullAt(1), "px must be quote 102's null, not quote 101's 9.0")
+  }
+
+  test("an all-null payload row still counts as a match") {
+    val q = Seq((201L, "a", 5L))
+      .toDF("qid", "sym", "t")
+      .select(col("sym"), col("t"),
+        org.apache.spark.sql.functions.lit(null).cast("double").as("px"))
+    val out = AsOfJoin.asofJoin(
+      trades.filter(col("id") === 1L), q, Seq("sym"), "t",
+      rightPayload = Seq("px"), prefix = "q_")
+    assert(out.count() == 1) // matched (null px), not dropped or mis-tagged
+  }
+
   test("left columns and row count are preserved") {
     val out = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "t",
       Seq("qid"), "q_")

@@ -36,6 +36,29 @@ class DedupSpec extends AnyFunSuite {
     assert(j12 == 1.0)
   }
 
+  test("maxBucket skew guard drops degenerate band buckets") {
+    // 40 near-identical docs share every band bucket: uncapped that is
+    // 40·39/2 = 780 scored pairs; capped at 10, the degenerate buckets are
+    // dropped entirely — the quadratic join never happens.
+    val n = 40
+    val degenerate = (1L to n.toLong)
+      .map(i => (i, base + " tail"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.nearDupPairs(degenerate, "doc_id", "text", 0.0)
+    assert(uncapped.count() == n.toLong * (n - 1) / 2)
+    val capped = Dedup.nearDupPairs(degenerate, "doc_id", "text", 0.0,
+      maxBucket = 10)
+    assert(capped.count() == 0)
+    // A healthy small bucket still passes under the cap.
+    val mixed = degenerate.limit(3)
+      .unionByName(Seq((100L, "totally different words about stream state"))
+        .toDF("doc_id", "text"))
+    val cappedMixed = Dedup.nearDupPairs(mixed, "doc_id", "text", 0.0,
+      maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedMixed == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("dupComponents labels chains with the component minimum") {
     // Chain 1-5, 5-3 (component min 1) + separate pair 10-12; node 3 has
     // no smaller NEIGHBOR (5 > 3) — the case where greedy keep-first
