@@ -23,9 +23,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Full materialization via the noop sink: every column is computed and
+    // serialized exactly as a real write would, but nothing hits disk. A
+    // bare count() would let Catalyst prune all payload columns, so
+    // projection-heavy queries would be timed as near-no-ops.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -34,6 +34,7 @@ object TextQueries {
   private val RcChunk = 100 // d12 recursive-split params (> max word len,
   private val RcOverlap = 30 // so the merge stays at the word level)
   private val Stopwords = Seq("the", "a")
+  private val BatchDocs = 64 // d02/d15 docs-per-markdown-batch row bound
   private val embedder = HashingEmbedder(64)
   private val RagQueryText = "big data table scan query"
 
@@ -50,18 +51,30 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
-    // T1 round-trip: build one markdown doc per source ("## d<id>" section
-    // per document), split it with the real MarkdownHeaderTextSplitter
+    // T1 round-trip: build markdown docs per source ("## d<id>" section
+    // per document), split them with the real MarkdownHeaderTextSplitter
     // semantics, and recover exactly the original (source, id, text) rows.
+    // Docs are grouped into FIXED-SIZE batches (row_number over the
+    // source, BatchDocs docs per markdown string): the collected row is
+    // bounded at BatchDocs × doc size no matter how popular a source is —
+    // an unbatched per-source collect_list would grow a single row with
+    // corpus size and OOM a task at 100×. Sections are independent, so
+    // batching preserves the round-trip output exactly.
     "d02_header_sections" -> { (s, d) =>
       import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
       Tables.documents(s, d)
-        .groupBy(col("source"))
+        .select(col("source"), col("doc_id"), col("text"))
+        .withColumn("batch",
+          ((row_number().over(w) - 1) / lit(BatchDocs)).cast("int"))
+        .groupBy(col("source"), col("batch"))
         .agg(array_join(
           transform(
             array_sort(collect_list(struct(col("doc_id"), col("text")))),
             x => concat(lit("## d"), x.getField("doc_id"), lit("\n"),
               x.getField("text"))), "\n").as("md"))
+        .select(col("source"), col("md"))
         .as[(String, String)]
         .flatMap { case (src, md) =>
           Splitters.markdownHeaderSplit(md, Splitters.Headers3.take(2))
@@ -124,6 +137,60 @@ object TextQueries {
       graft.text.Dedup.nearDupPairs(
         Tables.documents(s, d), "doc_id", "text", threshold = 0.0)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Exact duplicate grouping: connected components over the d06
+    // candidate-pair edge list (iterative min-label propagation — each
+    // round one join+aggregate job; lineage kept flat via checkpoints).
+    // The oracle re-derives the same labels with a recursive CTE
+    // (transitive closure, then min over reachable nodes) — the one
+    // operator that was previously pinned only by unit tests.
+    "d19_dup_components" -> { (s, d) =>
+      graft.text.Dedup.dupComponents(
+        graft.text.Dedup.nearDupPairs(
+          Tables.documents(s, d), "doc_id", "text", threshold = 0.0))
+        .orderBy(col("id"))
+    },
+
+    // WEB-variant section pipeline (P13/WEB + T1/Headers4): per-document
+    // 4-level markdown run through the real markdownHeaderSplit with the
+    // WEB header set, then prependHeaderWeb (Header1 is the trail base —
+    // the §2.8 RHPD/WEB difference). Row-local flatMap, zero shuffle.
+    "d20_web_sections" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .as[(Long, String, String, String)]
+        .flatMap { case (id, src, lang, text) =>
+          val md = s"# $src\n## d$id\n### $lang\n#### body\n$text"
+          Splitters.markdownHeaderSplit(md, Splitters.Headers4).map { sec =>
+            val chunk = graft.pipeline.IngestPipeline.prependHeaderWeb(
+              graft.pipeline.Chunk(sec.content, Map.empty, sec.headers))
+            (id, sec.headers.getOrElse("Header4", ""), chunk.pageContent)
+          }
+        }
+        .toDF("doc_id", "header4", "page_content")
+        .orderBy(col("doc_id"), col("header4"))
+    },
+
+    // Multimodal decode under the oracle: document text re-encoded as an
+    // opaque binary column, pushed through the real mapPartitions decode
+    // path (one codec per partition). The stub codec derives every field
+    // from md5(bytes), so DuckDB reproduces them from hex slices — the
+    // Spark-side plumbing (binary schema, partition-lifecycle, struct
+    // output) is what this row pins.
+    "d21_media_decode" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+      graft.multimodal.Multimodal
+        .decodeAll(media, () => graft.multimodal.StubCodec, featureDim = 8)
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.nFrames").as("n_frames"),
+          col("meta.sizeBytes").as("size_bytes"))
+        .orderBy(col("media_id"))
     },
 
     // E2 contract: embed a query *string* (deterministic hashing
@@ -200,11 +267,18 @@ object TextQueries {
     // "## d<id>" sections run through the real markdownHeaderSplit;
     // every section must carry BOTH header levels' metadata. Round-trip
     // oracle like d02, but exercising the header stack, not just one
-    // level.
+    // level. Same fixed-size batching as d02 (each batch repeats the
+    // "# <source>" line, so Header1 metadata is identical): collected
+    // rows stay bounded at any corpus size.
     "d15_nested_headers" -> { (s, d) =>
       import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
       Tables.documents(s, d)
-        .groupBy(col("source"))
+        .select(col("source"), col("doc_id"), col("text"))
+        .withColumn("batch",
+          ((row_number().over(w) - 1) / lit(BatchDocs)).cast("int"))
+        .groupBy(col("source"), col("batch"))
         .agg(array_join(
           transform(
             array_sort(collect_list(struct(col("doc_id"), col("text")))),
@@ -342,6 +416,24 @@ object TextQueries {
     }
   )
 
+  /** Shared DuckDB CTE chain producing the LSH candidate-pair list —
+    * tokenize → 3-shingle → 4 banded minhash slices of one md5 digest →
+    * same-(band,mh) pairs with a_id < b_id. Used verbatim by both the
+    * d06 pair oracle and the d19 connected-components oracle so the two
+    * can never drift.
+    */
+  private val CandCtes: String =
+    """t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
+      |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS sh FROM t),
+      |sig AS (SELECT doc_id, band,
+      |         list_aggregate(list_transform(sh,
+      |          s -> CAST(('0x'||substr(md5(s), 1+8*band, 8)) AS BIGINT)),'min') AS mh
+      |        FROM sh, (VALUES (0),(1),(2),(3)) b(band)),
+      |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      |         FROM sig x JOIN sig y
+      |          ON x.band=y.band AND x.mh=y.mh AND x.doc_id<y.doc_id)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "d01_char_chunks" ->
       s"""SELECT doc_id, chunk_idx, substr(text, CAST(chunk_idx*$Stride+1 AS INT), $ChunkSize) AS chunk
@@ -378,16 +470,7 @@ object TextQueries {
         |FROM sh ORDER BY doc_id""".stripMargin,
 
     "d06_near_dup_text" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
-        |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS sh FROM t),
-        |sig AS (SELECT doc_id, band,
-        |         list_aggregate(list_transform(sh,
-        |          s -> CAST(('0x'||substr(md5(s), 1+8*band, 8)) AS BIGINT)),'min') AS mh
-        |        FROM sh, (VALUES (0),(1),(2),(3)) b(band)),
-        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-        |         FROM sig x JOIN sig y
-        |          ON x.band=y.band AND x.mh=y.mh AND x.doc_id<y.doc_id),
+      s"""WITH $CandCtes,
         |sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh)
         |SELECT a_id, b_id,
         | CAST(len(list_intersect(sa.ss,sb.ss)) AS DOUBLE)
@@ -395,6 +478,38 @@ object TextQueries {
         |FROM cand
         |JOIN sets sa ON a_id=sa.doc_id JOIN sets sb ON b_id=sb.doc_id
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Min-label connected components as a recursive transitive closure:
+    // reach(id, r) = every node r reachable from id over the undirected
+    // candidate edges; the component label is min(reach). Same candidate
+    // CTEs as d06 (threshold 0 keeps every candidate pair).
+    "d19_dup_components" ->
+      s"""WITH RECURSIVE $CandCtes,
+        |e AS (SELECT a_id AS src, b_id AS dst FROM cand
+        |      UNION SELECT b_id, a_id FROM cand),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+        |SELECT id, MIN(r) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
+
+    "d20_web_sections" ->
+      """SELECT doc_id, 'body' AS header4,
+        | 'Section: '||source||' / d'||doc_id||' / '||lang
+        |  ||e' / body\n\nContent:\n'||trim(text) AS page_content
+        |FROM documents ORDER BY doc_id, header4""".stripMargin,
+
+    // Stub-codec fields re-derived from md5 hex slices (byte i of the
+    // digest = hex chars 2i+1..2i+2), sizeBytes = utf-8 byte length.
+    "d21_media_decode" ->
+      """SELECT doc_id AS media_id,
+        | ['png','jpeg','wav','mp4'][(CAST(('0x'||substr(md5(text),1,2)) AS INT) % 4) + 1] AS format,
+        | CAST(16 * (1 + CAST(('0x'||substr(md5(text),3,2)) AS INT) % 64) AS INT) AS width,
+        | CAST(16 * (1 + CAST(('0x'||substr(md5(text),5,2)) AS INT) % 64) AS INT) AS height,
+        | CAST(1 + CAST(('0x'||substr(md5(text),7,2)) AS INT) % 30 AS INT) AS n_frames,
+        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "d07_knn_text_query" -> {
       val qlit = embedder.embed(RagQueryText)

@@ -99,22 +99,39 @@ object Dedup {
     * smallest label among itself and its neighbors; converges in
     * O(component diameter) rounds (checked, not assumed). Each round is
     * one join + one aggregate on the edge list — the standard
-    * large-scale CC shape; label frames are localCheckpointed so the
-    * plan (and its lineage) stays flat across iterations.
+    * large-scale CC shape — materialized as exactly ONE job: the new
+    * label frame carries the old label alongside, so the convergence
+    * check is a count over the just-materialized frame, not a second
+    * recomputation of the join.
+    *
+    * Lineage across rounds is truncated by checkpointing. With
+    * `checkpointDir` set the checkpoint is RELIABLE (written to that
+    * path — typically HDFS/object storage on a cluster — and survives
+    * executor loss, the right mode for a long 100-TB run); unset, it
+    * falls back to `localCheckpoint` (executor-memory lineage — cheaper,
+    * but a lost executor aborts the computation; fine for short jobs and
+    * tests).
     *
     * Returns (id, component) for every node appearing in `pairs`.
     */
-  def dupComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    // Undirected edges, both directions, plus self-loops so isolated
-    // sides keep their own label.
+  def dupComponents(pairs: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def checkpointed(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // Undirected edges, both directions; reused every round, so cache
+    // once (self-loops are implicit: `least(old, nbr_min)` keeps a
+    // node's own label in play without doubling the edge list).
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = checkpointed(
+      edges.select(col("src").as("id"))
+        .distinct()
+        .withColumn("component", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -122,18 +139,20 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("component")).as("nbr_min"))
-      val next = labels
-        .join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old"))
-        .isEmpty
-      labels = next
+      // One frame carries both labels: checkpointing materializes it
+      // (one job), and the convergence count is a cheap scan of the
+      // materialized result — no re-run of the join, no extra isEmpty.
+      val next = checkpointed(
+        labels.withColumnRenamed("component", "old")
+          .join(neighborMin, col("id") === col("id2"), "left")
+          .select(col("id"), col("old"),
+            least(col("old"), coalesce(col("nbr_min"), col("old")))
+              .as("component")))
+      converged = next.filter(col("component") =!= col("old")).isEmpty
+      labels = next.select(col("id"), col("component"))
       i += 1
     }
+    edges.unpersist()
     require(converged, s"label propagation did not converge in $maxIter rounds")
     labels
   }
