@@ -52,8 +52,9 @@ final case class HashingEmbedder(dim: Int = 64) extends Embedder {
   }
 
   /** Column form for batch embedding (E1). A UDF is appropriate here: the
-    * per-row work (MD5 per token) dwarfs the row-boxing cost, and a real
-    * model behind [[Embedder]] would be mapPartitions-batched anyway.
+    * per-row work (MD5 per token) dwarfs the row-boxing cost. A real
+    * model goes through [[BatchedEmbed.embedAll]] instead — one model
+    * instance per partition, batched forward passes.
     */
   def embedCol: Column => Column = {
     val self = this
@@ -64,6 +65,62 @@ final case class HashingEmbedder(dim: Int = 64) extends Embedder {
   /** Add an embedding column to a DataFrame (batch-embed, E1 shape). */
   def embedAll(df: DataFrame, textCol: String, outCol: String): DataFrame =
     df.withColumn(outCol, embedCol(col(textCol)))
+}
+
+/** Batch-embedding contract (E1, the scale form): one MODEL instance
+  * embeds a whole batch of strings in one call. This is the shape a real
+  * sentence-encoder needs — model load is seconds, a forward pass over a
+  * batch amortizes it; per-row `Embedder.embed` cannot express that.
+  * The factory (not the model) crosses the closure boundary: models hold
+  * native state that must never be serialized or shared across tasks.
+  */
+trait BatchEmbedder extends Serializable {
+  def dim: Int
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]]
+}
+
+/** [[HashingEmbedder]] behind the batch contract — the deterministic test
+  * stand-in for a real model (same vectors as the per-row path).
+  */
+final case class HashingBatchEmbedder(dim: Int = 64) extends BatchEmbedder {
+  private val inner = HashingEmbedder(dim)
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+    texts.map(t => if (t == null) null else inner.embed(t))
+}
+
+/** mapPartitions-batched embedding (E1 at scale; reference:
+  * ingestion-pipeline.py:331–339 re-instantiates the model per INDEX —
+  * the engine's contract is one instance per PARTITION, amortized over
+  * every row in it).
+  *
+  * Shape: `mapPartitions` constructs the model once via `factory`, then
+  * feeds it `batchSize`-row slices; each output row is the input row plus
+  * the embedding column. Rows stream through — only one batch of texts
+  * and vectors is resident at a time, so executor memory is bounded by
+  * `batchSize × (doc + vector)`, independent of partition size.
+  */
+object BatchedEmbed {
+  import org.apache.spark.sql.{Encoders, Row}
+  import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+  def embedAll(df: DataFrame, textCol: String, outCol: String,
+      factory: () => BatchEmbedder, batchSize: Int = 64): DataFrame = {
+    require(batchSize > 0)
+    val schema = df.schema.add(outCol, ArrayType(FloatType), nullable = true)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val model = factory() // ONE instantiation per (non-empty) partition
+        rows.grouped(batchSize).flatMap { batch =>
+          val vecs = model.embedBatch(batch.map(_.getString(idx)))
+          batch.iterator.zip(vecs.iterator).map { case (r, v) =>
+            Row.fromSeq(r.toSeq :+ v)
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
 }
 
 object HashingEmbedder {

@@ -38,7 +38,16 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("score"))
 
-  /** Top-k corpus neighbors for every probe row (probes broadcast). */
+  /** Top-k corpus neighbors for every probe row (probes broadcast).
+    *
+    * Scale contract: EXACT, and sized for dimension-table probe sets —
+    * every (probe, corpus) pair is scored and |corpus| × |probes| rows
+    * flow through the per-probe rank window. That is the right trade for
+    * hundreds-to-thousands of probes (one broadcast, no corpus shuffle);
+    * for probe sets that are themselves corpus-sized use
+    * [[bucketedSimilarityJoin]], which prunes pairs by LSH bucket before
+    * any scoring at the cost of approximate recall.
+    */
   def similarityJoin(probes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
@@ -46,6 +55,36 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     c.join(broadcast(p))
+      .withColumn("score",
+        vectors.cosineSimilarity(col("probe_vec"), col("neighbor_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  /** Approximate top-k neighbors for LARGE probe sets: both sides are
+    * bucketed by the same random-hyperplane signature and only
+    * same-bucket (probe, corpus) pairs are scored — the join shuffles on
+    * `bucket`, so the pair count is Σ_b |probes_b|·|corpus_b| instead of
+    * |probes|·|corpus|, and neither side is broadcast. Approximate: a
+    * true neighbor hashed to a different bucket is missed (recall rises
+    * with fewer planes / falls with more; same trade as [[nearDupPairs]]).
+    * Probes with an empty bucket return no rows — at scale, re-query the
+    * misses through [[similarityJoin]] or an IVF probe.
+    */
+  def bucketedSimilarityJoin(probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, planes: Seq[Array[Float]],
+      k: Int): DataFrame = {
+    val p = lshBuckets(
+      probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec")),
+      "probe_vec", planes)
+    val c = lshBuckets(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec")),
+      "neighbor_vec", planes)
+      .withColumnRenamed("bucket", "bucket_c")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    p.join(c, col("bucket") === col("bucket_c"))
       .withColumn("score",
         vectors.cosineSimilarity(col("probe_vec"), col("neighbor_vec")))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -26,19 +26,46 @@ final case class FixtureFetcher(pages: Map[String, String]) extends Fetcher {
   override def fetch(url: String): Option[String] = pages.get(url)
 }
 
-/** `java.net`-based fetcher for real deployments (S2/S3: GET with
-  * error→None semantics). Not exercised in tests — the build environment
-  * has no egress — but the contract is identical to FixtureFetcher.
+/** `java.net.http.HttpClient`-based fetcher for real deployments (S2/S3:
+  * GET with error→None semantics). Contract:
+  *   - redirects followed (NORMAL policy: https→http downgrades refused);
+  *   - any non-2xx status → None (the reference treats every fetch
+  *     failure as an empty page, never a job abort);
+  *   - charset honored from the Content-Type header, UTF-8 otherwise;
+  *   - connect + request timeouts bounded by `timeoutMs`.
+  * Live HTTP is not exercisable in this build environment (no egress);
+  * the pipeline tests drive the same code paths through FixtureFetcher.
+  * The client is per-JVM lazy state (@transient): executors rebuild it
+  * on first use instead of serializing it with the task closure.
   */
 final case class HttpFetcher(timeoutMs: Int = 30000) extends Fetcher {
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+    .build()
+
+  private val CharsetRe = "(?i)charset=\\s*\"?([^\";\\s]+)".r.unanchored
+
   override def fetch(url: String): Option[String] =
     try {
-      val conn = new java.net.URL(url).openConnection()
-      conn.setConnectTimeout(timeoutMs)
-      conn.setReadTimeout(timeoutMs)
-      val in = conn.getInputStream
-      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
-      finally in.close()
+      val req = HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .GET().build()
+      val res = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+      if (res.statusCode() / 100 != 2) None
+      else {
+        val charset = res.headers().firstValue("Content-Type")
+          .map[java.nio.charset.Charset] {
+            case CharsetRe(cs) =>
+              try java.nio.charset.Charset.forName(cs)
+              catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+            case _ => java.nio.charset.StandardCharsets.UTF_8
+          }
+          .orElse(java.nio.charset.StandardCharsets.UTF_8)
+        Some(new String(res.body(), charset))
+      }
     } catch { case _: Exception => None }
 }
 
@@ -142,9 +169,12 @@ object IngestPipeline {
       }
   }
 
-  /** Ingest the RHPD chain into the store: one append per index
-    * (RHPD:267–278 groups splits per product index; here the grouping is
-    * a partitionBy-style filter per index over one cached plan).
+  /** Ingest the RHPD chain into the store in ONE pass (RHPD:267–278
+    * groups splits per product index; here the grouping is the writer's
+    * own `partitionBy(index_name)` — one job writes every index, instead
+    * of one filter-pass + one count job per index). Returns
+    * (index, rows appended) per index, from a single grouped count over
+    * the same cached frame.
     */
   def ingestProducts(spark: SparkSession, products: Seq[Product],
       landingUrl: Product => String, fetcher: Fetcher,
@@ -157,12 +187,10 @@ object IngestPipeline {
       .toDF("index_name", "page_content", "metadata", "headers", "embedding")
       .cache()
     try {
-      val indexes = chunks.select("index_name").distinct()
-        .as[String].collect().sorted
-      indexes.map { idx =>
-        store.append(idx, chunks.filter(col("index_name") === idx))
-        idx -> store.count(idx)
-      }.toSeq
+      store.appendAll(chunks)
+      chunks.groupBy(col("index_name"))
+        .agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toSeq.sortBy(_._1)
     } finally chunks.unpersist()
   }
 

@@ -24,6 +24,54 @@ import graft.operators.Similarity
   */
 object IvfIndex {
 
+  /** Train IVF seed centroids: spherical mini-k-means (maximize cosine).
+    * Each iteration is one pass over `df` — the shuffle-free
+    * [[Similarity.ivfAssign]] argmax projection, then per-(cell, dim)
+    * sums (one shuffle, k×dim result rows) collected and L2-normalized
+    * into the next codebook. Driver state is exactly the codebook
+    * (k × dim floats) — bounded no matter the corpus size. Empty cells
+    * keep their previous seed.
+    *
+    * Initialization is deterministic: the k vectors with the smallest
+    * ids. At 100 TB you train on a sample (`df.sample(...)` from the
+    * caller) — seed quality needs thousands of vectors per cell, not the
+    * whole corpus — then assign the full corpus once via [[build]].
+    *
+    * Returns a (cell_id, seed_vec) frame ready for [[build]].
+    */
+  def trainSeeds(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 5): DataFrame = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var seeds: Seq[(Long, Array[Float])] =
+      df.select(col(idCol).cast("long"), col(vecCol))
+        .orderBy(col(idCol)).limit(k)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
+        .toSeq
+    for (_ <- 0 until iters) {
+      val seedsDf = seeds.toDF("cell_id", "seed_vec")
+      val sums = Similarity
+        .ivfAssign(df, idCol, vecCol, seedsDf, "cell_id", "seed_vec")
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("x").cast("double")).as("sx"))
+        .collect() // k × dim rows — the codebook, nothing more
+      val byCell = sums.groupBy(_.getLong(0))
+      seeds = seeds.map { case (cid, old) =>
+        byCell.get(cid).fold((cid, old)) { rows =>
+          val v = new Array[Double](old.length)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+          val n = math.sqrt(v.map(x => x * x).sum)
+          if (n == 0) (cid, old)
+          else (cid, v.map(x => (x / n).toFloat))
+        }
+      }
+    }
+    seeds.toDF("cell_id", "seed_vec")
+  }
+
   /** Build: assign every vector to its nearest seed, write partitioned
     * by cell. One narrow projection + one write; no shuffle beyond the
     * writer's own file layout.

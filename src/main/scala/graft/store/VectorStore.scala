@@ -52,13 +52,12 @@ final class ParquetVectorStore(spark: SparkSession, root: String) {
       .map(_.getFileName.toString).toSeq.sorted
 
   /** D4: drop if exists. */
-  def deleteIndex(index: String): Unit = if (exists(index)) {
-    def rm(p: Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq.foreach(rm)
-      Files.delete(p)
-    }
-    rm(dir(index))
+  def deleteIndex(index: String): Unit = if (exists(index)) rm(dir(index))
+
+  private def rm(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(rm)
+    Files.delete(p)
   }
 
   /** E3/E4: bulk append chunks (creates the index if needed). Columns are
@@ -69,6 +68,43 @@ final class ParquetVectorStore(spark: SparkSession, root: String) {
     chunks
       .select(chunkSchema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
       .write.mode(SaveMode.Append).parquet(dir(index).toString)
+  }
+
+  /** E3 bulk form: append chunks for MANY indexes in ONE Spark job.
+    * The frame is written once with `partitionBy(indexCol)` into a
+    * staging directory (so Spark splits rows by index inside the shuffle-
+    * free writer, not via one filter-pass per index), then each
+    * `index_name=X` partition directory is moved into its index — a
+    * directory-level commit, the same pattern Spark's own committer uses.
+    * partitionBy drops the partition column from the data files, so the
+    * staged files already match [[chunkSchema]] exactly.
+    *
+    * Returns the distinct indexes written, sorted.
+    */
+  def appendAll(chunks: DataFrame, indexCol: String = "index_name"): Seq[String] = {
+    val staging = Paths.get(root, s".staging-${java.util.UUID.randomUUID()}")
+    try {
+      chunks
+        .select((indexCol +: chunkSchema.fieldNames.toIndexedSeq)
+          .map(org.apache.spark.sql.functions.col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(indexCol)
+        .parquet(staging.toString)
+      Files.list(staging).iterator().asScala.toSeq
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(s"$indexCol="))
+        .map { p =>
+          val idx = p.getFileName.toString.stripPrefix(s"$indexCol=")
+          createIndex(idx)
+          Files.list(p).iterator().asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (f, i) =>
+              Files.move(f, dir(idx).resolve(
+                s"part-${java.util.UUID.randomUUID()}-$i.parquet"))
+            }
+          idx
+        }.sorted
+    } finally if (Files.isDirectory(staging)) rm(staging)
   }
 
   /** S6: read an index back as a table scan. */
