@@ -21,13 +21,22 @@ object CorpusPrep {
     * identical documents never reach the LSH pass, but heavily-templated
     * NEAR-identical content still can — production corpora set a cap.
     */
+  /** `exactDupGroups = true` replaces the greedy near-dup drop policy
+    * with full connected-components keeper assignment
+    * ([[Dedup.dupComponents]]): only each duplicate component's minimum
+    * survives. The greedy policy can keep several representatives of one
+    * transitive chain (every node whose direct partners are all larger
+    * survives); the CC policy cannot — at the cost of the iterative
+    * label-propagation rounds, so it's opt-in.
+    */
   final case class Config(
       minTokens: Int = 5,
       maxStopRatio: Double = 0.9,
       nearDupJaccard: Double = 0.8,
       trainPct: Int = 80,
       valPct: Int = 10,
-      maxLshBucket: Long = 0)
+      maxLshBucket: Long = 0,
+      exactDupGroups: Boolean = false)
 
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
@@ -43,8 +52,16 @@ object CorpusPrep {
     // 2. Exact dedup (one fingerprint shuffle).
     val exact = Dedup.dropExactDuplicates(filtered, idCol, textCol)
     // 3. Near dedup (LSH bands; the expensive pass runs last).
-    val deduped = Dedup.dropNearDuplicates(exact, idCol, textCol,
-      cfg.nearDupJaccard, maxBucket = cfg.maxLshBucket)
+    val deduped =
+      if (cfg.exactDupGroups) {
+        val pairs = Dedup.nearDupPairs(exact, idCol, textCol,
+          cfg.nearDupJaccard, maxBucket = cfg.maxLshBucket)
+        val doomed = Dedup.dupComponents(pairs)
+          .filter(col("id") =!= col("component")) // non-minimum of its component
+          .select(col("id").as("_cp_doomed"))
+        exact.join(doomed, col(idCol) === col("_cp_doomed"), "left_anti")
+      } else Dedup.dropNearDuplicates(exact, idCol, textCol,
+        cfg.nearDupJaccard, maxBucket = cfg.maxLshBucket)
     // 4. Language stamp + deterministic split.
     val bucket = TF.hash32(col(idCol).cast("string")) % 100
     deduped

@@ -26,6 +26,38 @@ class CorpusPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("exactDupGroups collapses transitive chains the greedy policy keeps") {
+    // 1 ~ 5 and 3 ~ 5 (5 is the concatenation of both), but 1 !~ 3:
+    // the duplicate component is {1, 3, 5} with no direct (1, 3) pair.
+    // Greedy dooms only ids with a SMALLER direct partner — {5} — so it
+    // keeps {1, 3}; connected components keeps only the component
+    // minimum {1}.
+    val w1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val w3 = "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+    val docs = Seq(
+      (1L, w1),
+      (3L, w3),
+      (5L, w1 + " " + w3),
+      (7L, "an unrelated document with entirely separate vocabulary throughout"))
+      .toDF("doc_id", "text")
+    val cfgBase = CorpusPrep.Config(nearDupJaccard = 0.3)
+
+    // Precondition: the LSH candidates actually contain both chain links.
+    val pairs = graft.text.Dedup
+      .nearDupPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)) && pairs.contains((3L, 5L)) &&
+      !pairs.contains((1L, 3L)), s"fixture bands broke: $pairs")
+
+    val greedy = CorpusPrep.prepare(docs, "doc_id", "text", cfgBase)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val exact = CorpusPrep.prepare(docs, "doc_id", "text",
+      cfgBase.copy(exactDupGroups = true))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(greedy == Seq(1L, 3L, 7L))
+    assert(exact == Seq(1L, 7L))
+  }
+
   test("prepare runs on the real documents table and keeps most docs") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()

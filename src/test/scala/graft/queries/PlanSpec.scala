@@ -54,6 +54,18 @@ class PlanSpec extends AnyFunSuite {
       s"chunking must read exactly (doc_id, text), got: $cols")
   }
 
+  test("d20/d21: section build and media decode are row-local — no hash shuffle") {
+    // The only exchange allowed is the presentation orderBy's range
+    // partitioning; a hash exchange would mean the 1→N flatMap or the
+    // mapPartitions decode secretly aggregates or joins.
+    Seq("d20_web_sections", "d21_media_decode").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle:\n${p.take(600)}")
+      assert(!p.contains("Join"), s"$q must not join")
+    }
+  }
+
   test("q06: pure scan-aggregate — no join, no window") {
     val p = plan("q06_revenue_delta")
     assert(!p.contains("Join") && !p.contains("Window"))
