@@ -185,7 +185,36 @@ object IngestPipeline {
         (idx, c.pageContent, c.metadata, c.headers, embedder.embed(c.pageContent))
       }
       .toDF("index_name", "page_content", "metadata", "headers", "embedding")
-      .cache()
+    writeAndCount(spark, store, chunks)
+  }
+
+  /** [[ingestProducts]] with the scale embedding path: embeddings come
+    * from [[graft.embed.BatchedEmbed]] — ONE model instance per
+    * partition fed `batchSize`-chunk batches — instead of a per-row
+    * call. This is the variant a real (seconds-to-load, batch-forward)
+    * encoder deploys with; the reference re-instantiated its model once
+    * per product index (RHPD:331–339).
+    */
+  def ingestProductsBatched(spark: SparkSession, products: Seq[Product],
+      landingUrl: Product => String, fetcher: Fetcher,
+      embedderFactory: () => graft.embed.BatchEmbedder,
+      store: ParquetVectorStore, batchSize: Int = 64): Seq[(String, Long)] = {
+    import spark.implicits._
+    val bare = productChunks(spark, products, landingUrl, fetcher)
+      .map { case (idx, c) => (idx, c.pageContent, c.metadata, c.headers) }
+      .toDF("index_name", "page_content", "metadata", "headers")
+    val chunks = graft.embed.BatchedEmbed.embedAll(
+      bare, "page_content", "embedding", embedderFactory, batchSize)
+    writeAndCount(spark, store, chunks)
+  }
+
+  /** One partitionBy write job + one grouped count over the same cached
+    * frame — shared tail of both ingest variants.
+    */
+  private def writeAndCount(spark: SparkSession, store: ParquetVectorStore,
+      chunksDf: DataFrame): Seq[(String, Long)] = {
+    import spark.implicits._
+    val chunks = chunksDf.cache()
     try {
       store.appendAll(chunks)
       chunks.groupBy(col("index_name"))

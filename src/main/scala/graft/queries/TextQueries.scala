@@ -126,9 +126,10 @@ object TextQueries {
     // minhash band (shuffle on (band, mh), never all-pairs), then exact
     // shingle-set Jaccard on candidates only. Cost shape: the signature
     // projection is one md5 per shingle (all 4 bands slice one digest);
-    // the Jaccard stage recomputes shingle sets only for the candidate
-    // rows (2×|cand|, tiny) instead of carrying full arrays through the
-    // band shuffle.
+    // the Jaccard stage rebuilds shingle sets in a second scan-side pass
+    // and joins them to the candidate pairs, instead of carrying full
+    // arrays through the band shuffle (see Dedup.nearDupPairs for the
+    // measured trade).
     // (Implementation lives in graft.text.Dedup.nearDupPairs — banded
     // minhash candidates + single-evaluation exact Jaccard; threshold 0
     // keeps every candidate pair so the oracle checks the full band

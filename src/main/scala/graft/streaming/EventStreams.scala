@@ -160,6 +160,27 @@ object EventStreams {
       .drop(s"$rightPrefix$key")
   }
 
+  /** Streaming exact dedup: keep the FIRST arrival of each content
+    * fingerprint, with state bounded by the watermark —
+    * `dropDuplicatesWithinWatermark` keys the state store by fingerprint
+    * and evicts an entry once the watermark passes its event time, so a
+    * duplicate arriving within the horizon is dropped and state never
+    * grows with stream length (a plain streaming `dropDuplicates` keeps
+    * every key forever — unusable on an unbounded corpus feed). The
+    * batch face of the same policy is
+    * [[graft.text.Dedup.dropExactDuplicates]]; re-deduplicate the stored
+    * corpus with it periodically if duplicates can straddle horizons.
+    *
+    * Input needs an event-time `ts` column plus `textCol`.
+    */
+  def streamingExactDedup(docs: DataFrame, textCol: String = "text",
+      watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("_fp", md5(col(textCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** Streaming document ingest: each micro-batch of (doc_id, text) runs
     * the batch chunk→embed path and appends to the store — foreachBatch
     * reuses the exact batch operators (the reference's artifact-handoff

@@ -67,6 +67,15 @@ object Dedup {
           col("x._dd_id") < col("y._dd_id"))
       .select(col("x._dd_id").as("a_id"), col("y._dd_id").as("b_id"))
       .distinct()
+    // The exact-Jaccard stage rebuilds shingle sets with a SECOND pass
+    // over the corpus and joins them to the candidate pairs. Measured
+    // trade (sf0.1): filtering this pass down to candidate ids first
+    // requires evaluating the candidate subtree twice (once for the
+    // pairs, once for the id filter — Catalyst cannot reuse it across
+    // the two consumers), which costs MORE than re-shingling every
+    // document in one clean scan-side pass; so the full-corpus pass
+    // stays. At cluster scale the two sort-merge joins below shuffle
+    // each document's distinct-shingle array exactly once each.
     val sets = shingled.select(col("_dd_id"), array_distinct(col("_dd_sh")).as("_dd_ss"))
     cand
       .join(sets.select(col("_dd_id").as("a_id"), col("_dd_ss").as("_dd_sa")), "a_id")

@@ -116,6 +116,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(store.count(product.indexName) == 2 * n)
   }
 
+  test("batched-embedder ingest produces the same store rows as per-row") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new ParquetVectorStore(spark, root)
+    val rootB = Files.createTempDirectory("graft-store-b").toString
+    val storeB = new ParquetVectorStore(spark, rootB)
+    val lu = landingUrl
+
+    val perRow = IngestPipeline.ingestProducts(spark, Seq(product),
+      _ => lu, fetcher, embedder, store)
+    val batched = IngestPipeline.ingestProductsBatched(spark, Seq(product),
+      _ => lu, fetcher, () => graft.embed.HashingBatchEmbedder(64), storeB,
+      batchSize = 8)
+    assert(batched == perRow)
+
+    def rows(s: ParquetVectorStore) = s.read(product.indexName).collect()
+      .map(r => (r.getString(0), r.getSeq[Float](3).toSeq)).toSet
+    assert(rows(storeB) == rows(store))
+  }
+
   test("WEB chain: website ingest with 4-level headers and source stamp") {
     val root = Files.createTempDirectory("graft-store").toString
     val store = new ParquetVectorStore(spark, root)

@@ -150,6 +150,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingExactDedup drops within-horizon duplicates, bounded state") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = EventStreams.streamingExactDedup(
+      in.toDF.toDF("ts", "doc_id", "text"), "text", "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "alpha doc"),
+        (ts("2024-01-01 10:05:00"), 2L, "alpha doc"), // dup within horizon
+        (ts("2024-01-01 10:10:00"), 3L, "beta doc"))
+      q.processAllAvailable()
+      val first = spark.table("dedup").collect()
+        .map(r => (r.getLong(1), r.getString(2))).toSet
+      assert(first == Set((1L, "alpha doc"), (3L, "beta doc")),
+        s"got $first")
+      // Event time advances far past the watermark: the "alpha doc"
+      // fingerprint's state entry is evicted, so a NEW arrival of the
+      // same text is kept again (the documented re-dedup contract).
+      in.addData((ts("2024-01-01 13:00:00"), 4L, "advance watermark"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 13:05:00"), 5L, "alpha doc"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getLong(1)).toSet
+      assert(ids == Set(1L, 3L, 4L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("documentIngestSink streams chunks into the store") {
     implicit val sq = spark.sqlContext
     val store = new ParquetVectorStore(spark,
