@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSlices, RecursiveSplit}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSlices, RecursiveSplit, Shingles}
 
 /** Registers the engine's native expressions into the SQL function
   * registry, so `spark.sql("SELECT cosine_similarity(a, b) ...")` works
@@ -62,6 +62,15 @@ object GraftExtensions {
           MinHashSlices(sh, n.eval().asInstanceOf[Number].intValue)
         case _ => throw new IllegalArgumentException(
           "minhash_slices takes (shingles[, constant nBands])")
+      }),
+    (FunctionIdentifier("shingles"),
+      // shingles(tokens, n): word n-gram shingles (empty when too short)
+      info("shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks, n) if n.foldable =>
+          Shingles(toks, n.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "shingles takes (tokens, constant n)")
       }),
     (FunctionIdentifier("split_recursive"),
       // split_recursive(text, chunkSize, overlap): generator yielding

@@ -84,8 +84,63 @@ object MinHash {
   }
 }
 
+/** Native word n-gram shingling: m tokens → m−n+1 space-joined n-grams,
+  * EMPTY array when m < n (the short-document contract of
+  * [[graft.text.TextFunctions.shingles]], whose declarative form this
+  * replaces on hot paths).
+  *
+  * Semantically identical to
+  * `transform(sequence(0, size-n), i -> concat_ws(' ', toks[i+1..i+n]))`
+  * under the size guard — but one tight loop per row instead of an
+  * interpreted higher-order lambda doing n `element_at` probes and a
+  * varargs concat per element. The shingle projection runs TWICE per
+  * near-dup pass (signature stage + exact-Jaccard stage), so it is the
+  * scan-side cost floor of d05/d06/d19.
+  */
+case class Shingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, "shingle length must be >= 1")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.compute(v.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleOps {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object text {
   /** Array of `nBands` minhash values for a string-array column. */
   def minhashSlices(shingles: Column, nBands: Int = 4): Column =
     ColumnBridge.column(MinHashSlices(ColumnBridge.expression(shingles), nBands))
+
+  /** Native word n-gram shingles over a token-array column. */
+  def shingles(toks: Column, n: Int): Column =
+    ColumnBridge.column(Shingles(ColumnBridge.expression(toks), n))
 }

@@ -30,6 +30,10 @@ trait MediaCodec extends Serializable {
   def decode(bytes: Array[Byte]): MediaMeta
   /** Fixed-dim feature vector (the multimodal analog of an embedding). */
   def features(bytes: Array[Byte], dim: Int): Array[Float]
+  /** Re-encode at the given size (image resize / audio downsample). */
+  def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte]
+  /** Sample up to `n` frames, evenly spaced over the medium's frames. */
+  def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
 }
 
 /** STUB codec — deterministic fake decode (no media libs available).
@@ -45,6 +49,34 @@ object StubCodec extends MediaCodec {
       height = 16 * (1 + u(2) % 64),
       nFrames = 1 + u(3) % 30,
       sizeBytes = bytes.length.toLong)
+  }
+
+  /** STUB resize: deterministic re-digest sized to width×height bytes
+    * (cycled md5 of the input + target box) — stands in for a real
+    * scaler; stable across JVMs like every other stub field.
+    */
+  override def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val seed = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes ++ s":$width:$height".getBytes("UTF-8"))
+    val n = math.min(width * height, 4096) // stub payload, capped
+    Array.tabulate[Byte](n)(i => seed(i % seed.length))
+  }
+
+  /** STUB frame sampling: frame i = md5(bytes ++ ":frame:" ++ i) for n
+    * evenly-spaced indices in [0, nFrames) — deterministic, one entry
+    * per sampled frame, like a real keyframe extractor's output shape.
+    */
+  override def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    require(n > 0)
+    val total = decode(bytes).nFrames
+    val idxs =
+      if (total <= n) 0 until total
+      else (0 until n).map(i => (i.toLong * total / n).toInt)
+    idxs.map { i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes ++ s":frame:$i".getBytes("UTF-8"))
+    }
   }
 
   override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -85,6 +117,36 @@ object Multimodal {
         (id, codec.decode(bytes), codec.features(bytes, featureDim))
       }
     }.toDF("media_id", "meta", "features")
+  }
+
+  /** Resize every medium (one codec per partition, like [[decodeAll]]).
+    * Output: (media_id, resized binary) — the thumbnail/downsample pass
+    * of a training-data pipeline, run as a row-local projection.
+    */
+  def resizeAll(media: Dataset[(Long, Array[Byte])],
+      codecFactory: () => MediaCodec, width: Int, height: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = codecFactory()
+      rows.map { case (id, bytes) => (id, codec.resize(bytes, width, height)) }
+    }.toDF("media_id", "resized")
+  }
+
+  /** Sample frames from every medium: 1 row → up to `n` rows
+    * (media_id, frame_idx, frame) — the keyframe-extraction fan-out,
+    * row-local like the splitters, so it runs map-side at input
+    * parallelism with no shuffle.
+    */
+  def sampleFramesAll(media: Dataset[(Long, Array[Byte])],
+      codecFactory: () => MediaCodec, n: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = codecFactory()
+      rows.flatMap { case (id, bytes) =>
+        codec.sampleFrames(bytes, n).iterator.zipWithIndex
+          .map { case (f, i) => (id, i.toLong, f) }
+      }
+    }.toDF("media_id", "frame_idx", "frame")
   }
 
   /** Near-dup media detection: exact via md5 over raw bytes; perceptual

@@ -25,16 +25,17 @@ object TextFunctions {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word n-gram shingles: m tokens → m-n+1 shingles joined by spaces;
-    * empty when m < n (the guard matters: `sequence(0, negative)` counts
-    * DOWN in Spark, so an unguarded short document would index position 0
-    * / out-of-bounds and throw under ANSI — and the DuckDB `range` oracle
-    * yields an empty list for the same input).
+    * empty when m < n (short documents MUST yield an empty list, matching
+    * the DuckDB `range` oracle — `sequence(0, negative)` counts DOWN in
+    * Spark, which is how the old declarative form crashed on them).
+    * Delegates to the native [[graft.functions.Shingles]] expression: one
+    * tight codegen'd loop per row instead of an interpreted higher-order
+    * lambda doing n element probes per shingle — this projection runs
+    * twice per near-dup pass, so it is the scan-side cost floor of
+    * d05/d06/d19.
     */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-      .otherwise(typedLit(Seq.empty[String]))
+    graft.functions.text.shingles(toks, n)
 
   /** MinHash value for hash family member `band` (0..3): min over
     * shingles of the band's hash, where the 4 band hashes are the four

@@ -50,6 +50,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("shingles is SQL-callable; short arrays yield empty, not a crash") {
+    val r = spark.sql(
+      """SELECT shingles(array('a','b','c','d'), 3) AS sh3,
+        |       shingles(array('a','b'), 3) AS short,
+        |       shingles(CAST(array() AS ARRAY<STRING>), 3) AS empty
+        |""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getSeq[String](1) == Seq.empty)
+    assert(r.getSeq[String](2) == Seq.empty)
+  }
+
   test("split_recursive generator matches the flatMap splitter from SQL") {
     import spark.implicits._
     val texts = Seq("aa bb cc dd", ("word " * 80).trim, "solo")
@@ -72,7 +83,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // it is constructible and iterates the full catalog.
     assert(GraftExtensions.functions.map(_._1.funcName) ==
       Seq("cosine_similarity", "dot_product", "minhash_slices",
-        "split_recursive"))
+        "shingles", "split_recursive"))
     new GraftExtensions() // must not throw
   }
 }

@@ -34,6 +34,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(norm - 1.0) < 1e-5)
   }
 
+  test("resizeAll is deterministic and respects the target box") {
+    val out = Multimodal.resizeAll(media.toDS(), () => StubCodec, 32, 32)
+      .orderBy("media_id").collect()
+    assert(out.length == 3)
+    out.foreach(r => assert(r.getAs[Array[Byte]](1).length == 32 * 32))
+    // same input bytes → same resized payload (ids 1 and 3)
+    assert(out(0).getAs[Array[Byte]](1).toSeq == out(2).getAs[Array[Byte]](1).toSeq)
+    // different target box → different payload
+    val small = Multimodal.resizeAll(media.toDS(), () => StubCodec, 16, 16)
+      .orderBy("media_id").collect()
+    assert(small(0).getAs[Array[Byte]](1).length == 256)
+    assert(small(0).getAs[Array[Byte]](1).toSeq !=
+      out(0).getAs[Array[Byte]](1).take(256).toSeq)
+  }
+
+  test("sampleFramesAll fans out up to n evenly-spaced frames per medium") {
+    val n = 4
+    val out = Multimodal.sampleFramesAll(media.toDS(), () => StubCodec, n)
+      .orderBy("media_id", "frame_idx").collect()
+    val byId = out.groupBy(_.getLong(0))
+    byId.foreach { case (id, rows) =>
+      val total = StubCodec.decode(media.find(_._1 == id).get._2).nFrames
+      assert(rows.length == math.min(n, total))
+      assert(rows.map(_.getLong(1)).toSeq == (0 until rows.length).map(_.toLong))
+      // frames are distinct (different frame indices → different digests)
+      assert(rows.map(_.getAs[Array[Byte]](2).toSeq).distinct.length == rows.length)
+    }
+    // dup media (1 and 3) sample identical frames
+    assert(byId(1L).map(_.getAs[Array[Byte]](2).toSeq).toSeq ==
+      byId(3L).map(_.getAs[Array[Byte]](2).toSeq).toSeq)
+  }
+
   test("exactDupGroups finds byte-identical media") {
     val groups = Multimodal.exactDupGroups(media.toDS())
       .orderBy("keeper_media_id").collect()
