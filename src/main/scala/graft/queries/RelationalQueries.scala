@@ -317,6 +317,21 @@ object RelationalQueries {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
+    },
+
+    // The salted skew join under the oracle: salting is pure execution
+    // strategy (spread a hot key over `buckets` tasks), so its output
+    // must be EXACTLY the plain join's — which is what the oracle's
+    // ordinary SQL join checks. Probe = lineitem (the skewed fact),
+    // build = high-priority orders (the replicated side).
+    "q21_salted_join" -> { (s, d) =>
+      val build = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      graft.operators.SkewJoin.saltedJoin(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+        build, key = "l_orderkey", buckets = 8)
+        .orderBy(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
     }
   )
 
@@ -492,6 +507,13 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |  AND o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // The salt must never change results: the oracle is the PLAIN join.
+    "q21_salted_join" ->
+      """SELECT l_orderkey, l_quantity, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY l_orderkey, l_quantity, o_totalprice""".stripMargin
   )
 }

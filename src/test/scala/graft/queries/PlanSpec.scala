@@ -71,4 +71,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window"))
     assert(p.contains("PushedFilters:"))
   }
+
+  test("d05: minhash signatures are a pure projection — no hash shuffle, no join") {
+    val p = plan("d05_minhash_signature")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"signature stage must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("Join"))
+  }
+
+  test("d04/d13/d17: one hash shuffle each (the single aggregate they claim)") {
+    Seq("d04_exact_dedup", "d13_simhash", "d17_train_split").foreach { q =>
+      val n = "Exchange hashpartitioning".r.findAllIn(plan(q)).length
+      assert(n == 1, s"$q: expected exactly 1 hash shuffle, found $n")
+    }
+  }
+
+  test("d18: distinct-doc term stats use the two-phase partial aggregate") {
+    // countDistinct must plan as partial_count(distinct ...) under ONE
+    // (term)-keyed exchange pair, not an expand + extra shuffle per
+    // distinct column.
+    val p = plan("d18_term_stats")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"d18: expected <= 2 hash shuffles (term, term+doc), found $n")
+    assert(p.contains("partial"), "aggregation must be map-side partial first")
+  }
 }
