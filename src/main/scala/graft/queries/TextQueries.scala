@@ -174,6 +174,19 @@ object TextQueries {
         .orderBy(col("doc_id"), col("header4"))
     },
 
+    // Language-ID under the oracle — as a REPRODUCIBILITY check, not
+    // accuracy (documents.lang is not ground truth for this corpus; see
+    // LangId's scaladoc): DuckDB mirrors the same stopword-profile
+    // scoring with the same tie-breaks, so the row pins that the scorer
+    // is the deterministic function it claims to be. Scan-projection
+    // shape: one tokenization + set lookups per row.
+    "d22_lang_id" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.text.LangId.langIdCol(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    },
+
     // Multimodal decode under the oracle: document text re-encoded as an
     // opaque binary column, pushed through the real mapPartitions decode
     // path (one codec per partition). The stub codec derives every field
@@ -500,6 +513,33 @@ object TextQueries {
         | 'Section: '||source||' / d'||doc_id||' / '||lang
         |  ||e' / body\n\nContent:\n'||trim(text) AS page_content
         |FROM documents ORDER BY doc_id, header4""".stripMargin,
+
+    // Stopword-profile scoring mirrored in SQL, with the profile lists
+    // generated from LangId.Profiles (single source — the two cannot
+    // drift). Tie-break: among equal max scores the alphabetically-first
+    // language code wins, which the CASE's evaluation order encodes
+    // (de checked first with >=, then en, es, fr).
+    "d22_lang_id" -> {
+      def inList(lang: String) = graft.text.LangId.Profiles(lang)
+        .toSeq.sorted.map(w => s"'$w'").mkString(", ")
+      def score(lang: String) =
+        s"CASE WHEN len(toks) = 0 THEN 0 ELSE CAST(len(list_filter(toks, " +
+          s"x -> x IN (${inList(lang)}))) AS DOUBLE) / len(toks) END AS $lang"
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |              x -> x <> '') AS toks
+         | FROM documents),
+         |s AS (SELECT doc_id, len(toks) AS n,
+         |  ${score("de")}, ${score("en")}, ${score("es")}, ${score("fr")}
+         | FROM t)
+         |SELECT doc_id,
+         | CASE WHEN n = 0 OR greatest(de, en, es, fr) < 0.08 THEN 'und'
+         |      WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+         |      WHEN en >= es AND en >= fr THEN 'en'
+         |      WHEN es >= fr THEN 'es'
+         |      ELSE 'fr' END AS lang_guess
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     // Stub-codec fields re-derived from md5 hex slices (byte i of the
     // digest = hex chars 2i+1..2i+2), sizeBytes = utf-8 byte length.

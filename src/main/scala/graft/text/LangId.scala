@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions.udf
   *
   * NOTE: the driver's `documents.lang` column is NOT ground truth for
   * this function — that corpus uses one shared vocabulary for all lang
-  * labels (verified), so LangId is pinned by real-language fixtures in
-  * LangIdSpec instead of a DuckDB oracle row.
+  * labels (verified) — so ACCURACY is pinned by real-language fixtures
+  * in LangIdSpec. REPRODUCIBILITY is additionally pinned by the
+  * d22_lang_id oracle row, whose DuckDB SQL mirrors this exact scoring
+  * (profile lists generated from [[Profiles]], same 0.08 floor, same
+  * alphabetical tie-break).
   */
 object LangId {
 
