@@ -187,6 +187,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The COMPOSED corpus-prep pass under the oracle: quality gate →
+    // exact dedup → greedy near-dup drop → LangId stamp → deterministic
+    // split, exactly as CorpusPrep.prepare wires them (default config).
+    // The oracle re-derives every stage in SQL from the same shared CTE
+    // builders the per-stage oracles use, so the composition itself —
+    // stage order and inter-stage contracts — is what this row checks.
+    "d23_corpus_prep" -> { (s, d) =>
+      graft.pipeline.CorpusPrep.prepare(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("detected_lang"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // Multimodal decode under the oracle: document text re-encoded as an
     // opaque binary column, pushed through the real mapPartitions decode
     // path (one codec per partition). The stub codec derives every field
@@ -430,14 +442,15 @@ object TextQueries {
     }
   )
 
-  /** Shared DuckDB CTE chain producing the LSH candidate-pair list —
-    * tokenize → 3-shingle → 4 banded minhash slices of one md5 digest →
-    * same-(band,mh) pairs with a_id < b_id. Used verbatim by both the
-    * d06 pair oracle and the d19 connected-components oracle so the two
-    * can never drift.
+  /** Shared DuckDB CTE chain producing the LSH candidate-pair list over
+    * source relation `src` (must expose doc_id, text) — tokenize →
+    * 3-shingle → 4 banded minhash slices of one md5 digest →
+    * same-(band,mh) pairs with a_id < b_id. Used verbatim by the d06
+    * pair oracle, the d19 connected-components oracle and the d23
+    * corpus-prep oracle so they can never drift.
     */
-  private val CandCtes: String =
-    """t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+  private def candCtes(src: String): String =
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM $src),
       |sh AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
       |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS sh FROM t),
       |sig AS (SELECT doc_id, band,
@@ -447,6 +460,36 @@ object TextQueries {
       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
       |         FROM sig x JOIN sig y
       |          ON x.band=y.band AND x.mh=y.mh AND x.doc_id<y.doc_id)""".stripMargin
+
+  private val CandCtes: String = candCtes("documents")
+
+  /** DuckDB CTE chain mirroring [[graft.text.LangId.langId]] over
+    * `src(doc_id, text)`, ending in relation `lang(doc_id, lang_guess)`:
+    * profile IN-lists generated from [[graft.text.LangId.Profiles]], the
+    * same 0.08 floor, and the alphabetical tie-break encoded in CASE
+    * evaluation order (de with >=, then en, es, fr).
+    */
+  private def langCtes(src: String): String = {
+    def inList(lang: String) = graft.text.LangId.Profiles(lang)
+      .toSeq.sorted.map(w => s"'$w'").mkString(", ")
+    def score(lang: String) =
+      s"CASE WHEN len(ltoks) = 0 THEN 0 ELSE CAST(len(list_filter(ltoks, " +
+        s"x -> x IN (${inList(lang)}))) AS DOUBLE) / len(ltoks) END AS $lang"
+    s"""lt AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |              x -> x <> '') AS ltoks
+       | FROM $src),
+       |ls AS (SELECT doc_id, len(ltoks) AS ln,
+       |  ${score("de")}, ${score("en")}, ${score("es")}, ${score("fr")}
+       | FROM lt),
+       |lang AS (SELECT doc_id,
+       |  CASE WHEN ln = 0 OR greatest(de, en, es, fr) < 0.08 THEN 'und'
+       |       WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+       |       WHEN en >= es AND en >= fr THEN 'en'
+       |       WHEN es >= fr THEN 'es'
+       |       ELSE 'fr' END AS lang_guess
+       | FROM ls)""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
     "d01_char_chunks" ->
@@ -514,32 +557,50 @@ object TextQueries {
         |  ||e' / body\n\nContent:\n'||trim(text) AS page_content
         |FROM documents ORDER BY doc_id, header4""".stripMargin,
 
-    // Stopword-profile scoring mirrored in SQL, with the profile lists
-    // generated from LangId.Profiles (single source — the two cannot
-    // drift). Tie-break: among equal max scores the alphabetically-first
-    // language code wins, which the CASE's evaluation order encodes
-    // (de checked first with >=, then en, es, fr).
-    "d22_lang_id" -> {
-      def inList(lang: String) = graft.text.LangId.Profiles(lang)
-        .toSeq.sorted.map(w => s"'$w'").mkString(", ")
-      def score(lang: String) =
-        s"CASE WHEN len(toks) = 0 THEN 0 ELSE CAST(len(list_filter(toks, " +
-          s"x -> x IN (${inList(lang)}))) AS DOUBLE) / len(toks) END AS $lang"
-      s"""WITH t AS (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '[^a-z]+'),
-         |              x -> x <> '') AS toks
-         | FROM documents),
-         |s AS (SELECT doc_id, len(toks) AS n,
-         |  ${score("de")}, ${score("en")}, ${score("es")}, ${score("fr")}
-         | FROM t)
-         |SELECT doc_id,
-         | CASE WHEN n = 0 OR greatest(de, en, es, fr) < 0.08 THEN 'und'
-         |      WHEN de >= en AND de >= es AND de >= fr THEN 'de'
-         |      WHEN en >= es AND en >= fr THEN 'en'
-         |      WHEN es >= fr THEN 'es'
-         |      ELSE 'fr' END AS lang_guess
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+    // Stopword-profile scoring mirrored in SQL (shared langCtes builder;
+    // the profile lists are generated from LangId.Profiles — single
+    // source, the two cannot drift).
+    "d22_lang_id" ->
+      s"""WITH ${langCtes("documents")}
+         |SELECT doc_id, lang_guess FROM lang ORDER BY doc_id""".stripMargin,
+
+    // The composed corpus-prep pass, stage by stage: quality gate
+    // (token floor + stopword-ratio ceiling) → exact dedup (min id per
+    // md5) → greedy near-dup drop (jaccard >= 0.8 over the SAME
+    // candidate CTEs as d06, built over the deduped relation) → LangId
+    // stamp (shared langCtes) → d17's deterministic hash split.
+    "d23_corpus_prep" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE len(string_split(text,' ')) >= 5
+         |    AND CAST(len(list_filter(string_split(text,' '),
+         |          t -> t='the' OR t='a')) AS DOUBLE)
+         |        / len(string_split(text,' ')) <= 0.9),
+         |e AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM q) WHERE rn = 1),
+         |${candCtes("e")},
+         |sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh),
+         |doomed AS (
+         |  SELECT DISTINCT b_id FROM cand
+         |  JOIN sets sa ON a_id = sa.doc_id JOIN sets sb ON b_id = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+         |        / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))
+         |        >= 0.8),
+         |kept AS (SELECT doc_id, text FROM e
+         |         WHERE doc_id NOT IN (SELECT b_id FROM doomed)),
+         |${langCtes("kept")}
+         |SELECT k.doc_id, lang.lang_guess AS detected_lang,
+         | CASE WHEN k.b < 80 THEN 'train' WHEN k.b < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+         |          % 100 AS b
+         |      FROM kept) k
+         |JOIN lang ON k.doc_id = lang.doc_id
+         |ORDER BY k.doc_id""".stripMargin,
 
     // Stub-codec fields re-derived from md5 hex slices (byte i of the
     // digest = hex chars 2i+1..2i+2), sizeBytes = utf-8 byte length.
