@@ -4,10 +4,10 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
 /** Native minhash-signature expression.
   *
@@ -119,6 +119,22 @@ case class Shingles(child: Expression, n: Int)
 object ShingleOps {
   private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 
+  /** Single merge pass over two ascending-sorted arrays. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
   def compute(arr: ArrayData, n: Int): ArrayData = {
     val m = arr.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Any])
@@ -135,6 +151,40 @@ object ShingleOps {
   }
 }
 
+/** Intersection size of two SORTED string arrays by a single merge pass —
+  * O(n+m) comparisons, zero allocation — the alternative to
+  * `size(array_intersect(a, b))`, which builds a hash set per CALL.
+  * Inputs must be sorted ascending under UTF8String binary order
+  * (`array_sort` on a distinct array); duplicates on either side would
+  * be counted per occurrence, so feed distinct arrays.
+  *
+  * WHEN to prefer it: pair-dense workloads — candidate pairs >> distinct
+  * documents — where per-pair hash-set builds dominate and the one-off
+  * corpus-wide sort amortizes. At d06's sf0.1 densities the built-in
+  * array_intersect measured FASTER (the extra array_sort dominated), so
+  * the oracle dedup path keeps the built-in; this expression is the
+  * documented escape hatch, pinned by TextContractSpec.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleOps.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ShingleOps.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object text {
   /** Array of `nBands` minhash values for a string-array column. */
   def minhashSlices(shingles: Column, nBands: Int = 4): Column =
@@ -143,4 +193,9 @@ object text {
   /** Native word n-gram shingles over a token-array column. */
   def shingles(toks: Column, n: Int): Column =
     ColumnBridge.column(Shingles(ColumnBridge.expression(toks), n))
+
+  /** Merge-count intersection of two sorted-distinct string arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

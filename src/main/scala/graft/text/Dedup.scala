@@ -76,6 +76,13 @@ object Dedup {
     // document in one clean scan-side pass; so the full-corpus pass
     // stays. At cluster scale the two sort-merge joins below shuffle
     // each document's distinct-shingle array exactly once each.
+    // Per-pair intersection via the built-in array_intersect (hash set
+    // per pair). Measured trade at sf0.1: pre-sorting every document's
+    // set to use the native merge-pass sortedIntersectCount costs MORE
+    // than the per-pair hashing it saves at these candidate densities
+    // (the corpus-wide array_sort dominates); on pair-dense corpora —
+    // candidate pairs >> documents — flip to sorted sets +
+    // graft.functions.text.sortedIntersectCount.
     val sets = shingled.select(col("_dd_id"), array_distinct(col("_dd_sh")).as("_dd_ss"))
     cand
       .join(sets.select(col("_dd_id").as("a_id"), col("_dd_ss").as("_dd_sa")), "a_id")
