@@ -46,7 +46,7 @@ case class RecursiveSplit(
       s"split_recursive needs a string input, got ${child.dataType}")
   }
 
-  override def eval(input: InternalRow): TraversableOnce[InternalRow] = {
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)
     if (v == null) Nil
     else Splitters
