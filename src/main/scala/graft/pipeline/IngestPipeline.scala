@@ -33,10 +33,12 @@ final case class FixtureFetcher(pages: Map[String, String]) extends Fetcher {
   *     failure as an empty page, never a job abort);
   *   - charset honored from the Content-Type header, UTF-8 otherwise;
   *   - connect + request timeouts bounded by `timeoutMs`.
-  * Live HTTP is not exercisable in this build environment (no egress);
-  * the pipeline tests drive the same code paths through FixtureFetcher.
-  * The client is per-JVM lazy state (@transient): executors rebuild it
-  * on first use instead of serializing it with the task closure.
+  * The full contract — charset decode, redirect follow, non-2xx/
+  * unreachable → None — is exercised against a loopback JDK HttpServer
+  * in HttpFetcherSpec (no egress required); the pipeline tests drive the
+  * same chains through FixtureFetcher. The client is per-JVM lazy state
+  * (@transient): executors rebuild it on first use instead of
+  * serializing it with the task closure.
   */
 final case class HttpFetcher(timeoutMs: Int = 30000) extends Fetcher {
   import java.net.http.{HttpClient, HttpRequest, HttpResponse}

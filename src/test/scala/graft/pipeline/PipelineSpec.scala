@@ -116,6 +116,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(store.count(product.indexName) == 2 * n)
   }
 
+  test("appendAll writes many indexes in one job and keeps them readable") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new ParquetVectorStore(spark, root)
+    val n = 12
+    val chunks = (0 until 60).map { i =>
+      (s"idx_${i % n}", s"content $i", Map("k" -> s"$i"),
+        Map.empty[String, String], Array.fill(4)(i.toFloat))
+    }.toDF("index_name", "page_content", "metadata", "headers", "embedding")
+    val written = store.appendAll(chunks)
+    assert(written == (0 until n).map(i => s"idx_$i").sorted)
+    assert(store.listIndexes() == written)
+    (0 until n).foreach(i => assert(store.count(s"idx_$i") == 5))
+    // append again: rows accumulate, no staging leftovers
+    store.appendAll(chunks)
+    assert(store.count("idx_0") == 10)
+    assert(store.listIndexes() == written, "staging dirs must not leak")
+  }
+
   test("batched-embedder ingest produces the same store rows as per-row") {
     val root = Files.createTempDirectory("graft-store").toString
     val store = new ParquetVectorStore(spark, root)

@@ -42,9 +42,10 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Seq(("x", 0, "abcd"), ("x", 1, "def")))
   }
 
-  test("nearDupPairs survives a corpus containing short documents") {
+  test("nearDupPairs survives a corpus containing short and NULL documents") {
     val docs = Seq((1L, "x y"), (2L, "spark table scan query join"),
-      (3L, "spark table scan query join")).toDF("doc_id", "text")
+      (3L, "spark table scan query join"), (4L, null: String))
+      .toDF("doc_id", "text")
     val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((2L, 3L)))
