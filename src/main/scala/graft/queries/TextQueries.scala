@@ -37,6 +37,8 @@ object TextQueries {
   private val BatchDocs = 64 // d02/d15 docs-per-markdown-batch row bound
   private val embedder = HashingEmbedder(64)
   private val RagQueryText = "big data table scan query"
+  private val QueryTerms = RagQueryText.split(" ").toSeq
+  private val HybridTopK = 50
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T2 declarative form: fixed-stride substring windows (chunk i covers
@@ -197,6 +199,48 @@ object TextQueries {
       graft.pipeline.CorpusPrep.prepare(Tables.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), col("detected_lang"), col("split"))
         .orderBy(col("doc_id"))
+    },
+
+    // BM25 lexical scoring for the fixed RAG query — the lexical half of
+    // hybrid retrieval. One bounded aggregate (N, avgdl, per-term df) +
+    // one scoring projection; no shuffle, no inverted index for a
+    // constant query.
+    "d24_bm25" -> { (s, d) =>
+      graft.text.Bm25.score(Tables.documents(s, d), "doc_id", "text",
+        QueryTerms)
+        .orderBy(col("doc_id"))
+    },
+
+    // Hybrid retrieval: dense kNN ranking + BM25 ranking fused with
+    // reciprocal-rank fusion (1/(60+rank), the standard RRF constant)
+    // over the top-K of each side. Each side's top-K is a
+    // TakeOrderedAndProject (per-partition heap); the rank window then
+    // runs over K rows, not the corpus — the scale-safe fusion shape.
+    // Docs present in only one list contribute that one term (full
+    // outer + coalesce).
+    "d25_hybrid_rrf" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = embedder.embed(RagQueryText)
+      val vr = Tables.embeddings(s, d)
+        .withColumn("vscore",
+          vectors.cosineSimilarity(col("embedding"), lit(q)))
+        .orderBy(col("vscore").desc, col("vec_id")).limit(HybridTopK)
+        .select(col("vec_id"), row_number()
+          .over(Window.orderBy(col("vscore").desc, col("vec_id")))
+          .cast("long").as("vrank"))
+      val br = graft.text.Bm25
+        .score(Tables.documents(s, d), "doc_id", "text", QueryTerms)
+        .orderBy(col("score").desc, col("doc_id")).limit(HybridTopK)
+        .select(col("doc_id"), row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("brank"))
+      vr.join(br, col("vec_id") === col("doc_id"), "full_outer")
+        .select(coalesce(col("vec_id"), col("doc_id")).as("doc_id"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("vrank").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("brank").cast("double")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
     },
 
     // Multimodal decode under the oracle: document text re-encoded as an
@@ -491,6 +535,31 @@ object TextQueries {
        | FROM ls)""".stripMargin
   }
 
+  /** DuckDB CTE chain mirroring [[graft.text.Bm25.score]] for the fixed
+    * query terms, ending in relation `bm(doc_id, score)`. Every
+    * fractional constant is an e-notation DOUBLE literal (plain decimals
+    * are DECIMAL in DuckDB — different arithmetic); the operation order
+    * mirrors the Column expression token for token; ROUND(_, 9) on both
+    * engines absorbs ln's last-ulp libm differences.
+    */
+  private def bm25Ctes: String = {
+    val terms = QueryTerms.distinct
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(",\n  ")
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      val tf = s"CAST(len(list_filter(bt.toks, x -> x = '$t')) AS DOUBLE)"
+      s"ln((bs.n - bs.df$i + 0.5e0) / (bs.df$i + 0.5e0) + 1.0e0)" +
+        s" * ($tf * 2.2e0)" +
+        s" / ($tf + 1.2e0 * (0.25e0 + 0.75e0 * CAST(len(bt.toks) AS DOUBLE) / bs.avgdl))"
+    }.mkString("\n   + ")
+    s"""bt AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       |bs AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl,
+       |  $dfs
+       | FROM bt),
+       |bm AS (SELECT bt.doc_id, ROUND($perTerm, 9) AS score FROM bt, bs)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "d01_char_chunks" ->
       s"""SELECT doc_id, chunk_idx, substr(text, CAST(chunk_idx*$Stride+1 AS INT), $ChunkSize) AS chunk
@@ -601,6 +670,33 @@ object TextQueries {
          |      FROM kept) k
          |JOIN lang ON k.doc_id = lang.doc_id
          |ORDER BY k.doc_id""".stripMargin,
+
+    "d24_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, score FROM bm ORDER BY doc_id""".stripMargin,
+
+    // RRF fusion of the dense and lexical top-K rankings; ROW_NUMBER
+    // before LIMIT ranks identically to Spark's rank-after-top-K (same
+    // total order key).
+    "d25_hybrid_rrf" -> {
+      val qlit = embedder.embed(RagQueryText)
+        .map(_.toDouble.toString).mkString("[", ", ", "]")
+      s"""WITH $bm25Ctes,
+         |br AS (SELECT doc_id,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS brank
+         |       FROM bm ORDER BY score DESC, doc_id LIMIT $HybridTopK),
+         |vs AS (SELECT vec_id,
+         |        list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qlit) AS vscore
+         |       FROM embeddings),
+         |vr AS (SELECT vec_id,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY vscore DESC, vec_id) AS BIGINT) AS vrank
+         |       FROM vs ORDER BY vscore DESC, vec_id LIMIT $HybridTopK)
+         |SELECT COALESCE(vr.vec_id, br.doc_id) AS doc_id,
+         | COALESCE(1.0e0 / (60.0e0 + vr.vrank), 0.0e0)
+         |  + COALESCE(1.0e0 / (60.0e0 + br.brank), 0.0e0) AS rrf
+         |FROM vr FULL OUTER JOIN br ON vr.vec_id = br.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+    },
 
     // Stub-codec fields re-derived from md5 hex slices (byte i of the
     // digest = hex chars 2i+1..2i+2), sizeBytes = utf-8 byte length.
