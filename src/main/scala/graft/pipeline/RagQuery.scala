@@ -38,6 +38,50 @@ object RagQuery {
       .orderBy(col("score").desc, col("page_content"))
       .limit(k)
 
+  /** Hybrid retrieval over the index: dense kNN ranking fused with a
+    * BM25 lexical ranking by reciprocal-rank fusion (1/(60+rank)) —
+    * the d25 fusion shape over the store's chunks. Each side's top
+    * `poolK` is a TakeOrderedAndProject; the rank windows run over
+    * `poolK` rows, not the index. Chunks found by only one ranking keep
+    * that one term (full outer + coalesce). Lexical tokenization is the
+    * engine's standard lowercase-word split applied to `page_content`.
+    */
+  def hybridSearch(store: ParquetVectorStore, index: String, query: String,
+      embedder: Embedder, k: Int = 4, poolK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Chunk identity = content; duplicate copies (append-mode stores
+    // accumulate them) collapse to one row so ranks stay deterministic.
+    val chunks = store.read(index)
+      .withColumn("_hs_id", col("page_content"))
+      .dropDuplicates("_hs_id")
+    val vr = chunks
+      .withColumn("vscore",
+        vectors.cosineSimilarity(col("embedding"), lit(embedder.embed(query))))
+      .orderBy(col("vscore").desc, col("_hs_id")).limit(poolK)
+      .select(col("_hs_id").as("_hs_vid"), row_number()
+        .over(Window.orderBy(col("vscore").desc, col("_hs_id")))
+        .cast("long").as("vrank"))
+    val terms = query.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    val br = graft.text.Bm25
+      .score(chunks.withColumn("_hs_text", lower(col("page_content"))),
+        "_hs_id", "_hs_text", terms)
+      .orderBy(col("score").desc, col("_hs_id")).limit(poolK)
+      .select(col("_hs_id").as("_hs_bid"), row_number()
+        .over(Window.orderBy(col("score").desc, col("_hs_id")))
+        .cast("long").as("brank"))
+    val fused = vr.join(br, col("_hs_vid") === col("_hs_bid"), "full_outer")
+      .select(coalesce(col("_hs_vid"), col("_hs_bid")).as("_hs_id"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("vrank").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("brank").cast("double")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("_hs_id"))
+      .limit(k)
+    chunks.join(fused, "_hs_id")
+      .select(col("page_content"), col("metadata"), col("headers"),
+        col("embedding"), col("rrf"))
+      .orderBy(col("rrf").desc, col("page_content"))
+  }
+
   /** Q5 (WEB-LOCAL:178–200): retrieve → fold "Title: …\nContent: …" in
     * rank order → prompt → LLM. The fold is one 4-row aggregate; the
     * heavy lifting (the scan) happened in [[search]].

@@ -154,6 +154,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(storeB) == rows(store))
   }
 
+  test("hybridSearch fuses lexical and dense rankings (RRF)") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new ParquetVectorStore(spark, root)
+    val lu = landingUrl
+    IngestPipeline.ingestProducts(spark, Seq(product), _ => lu,
+      fetcher, embedder, store)
+
+    val q = "kind: Pod metadata: x ```yaml echo hi print(1) $ oc get pods"
+    val hits = RagQuery.hybridSearch(store, product.indexName, q,
+      embedder, k = 4).collect()
+    assert(hits.length == 4)
+    // rrf scores are in (0, 2/61], descending, deterministic
+    val rrf = hits.map(_.getDouble(4))
+    assert(rrf.toSeq == rrf.sortBy(-_).toSeq)
+    assert(rrf.forall(s => s > 0 && s <= 2.0 / 61.0 + 1e-12))
+    // The yaml chunk dominates BOTH rankings for this query, so fusion
+    // must keep it first — same winner as pure-dense search.
+    assert(hits.head.getString(0).contains("```yaml"))
+    // Determinism: a second run returns the identical ranking.
+    val again = RagQuery.hybridSearch(store, product.indexName, q,
+      embedder, k = 4).collect()
+    assert(again.map(r => (r.getString(0), r.getDouble(4))).toSeq ==
+      hits.map(r => (r.getString(0), r.getDouble(4))).toSeq)
+  }
+
   test("WEB chain: website ingest with 4-level headers and source stamp") {
     val root = Files.createTempDirectory("graft-store").toString
     val store = new ParquetVectorStore(spark, root)
