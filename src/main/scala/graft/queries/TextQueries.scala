@@ -39,6 +39,8 @@ object TextQueries {
   private val RagQueryText = "big data table scan query"
   private val QueryTerms = RagQueryText.split(" ").toSeq
   private val HybridTopK = 50
+  private val PackBudget = 300 // d26 tokens per training sequence
+  private val PackGroups = 4 // d26 parallel packing groups
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T2 declarative form: fixed-stride substring windows (chunk i covers
@@ -198,6 +200,16 @@ object TextQueries {
     "d23_corpus_prep" -> { (s, d) =>
       graft.pipeline.CorpusPrep.prepare(Tables.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), col("detected_lang"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Sequence packing: greedy fixed-token-budget bin-packing within
+    // hash groups (packing is sequential, so groups are the parallel
+    // unit — one shuffle, then a pure per-group fold). The oracle
+    // re-derives the exact assignment with a per-group linear recursion.
+    "d26_pack_greedy" -> { (s, d) =>
+      graft.text.Packing.packGreedy(Tables.documents(s, d),
+        "doc_id", "text", budget = PackBudget, groups = PackGroups)
         .orderBy(col("doc_id"))
     },
 
@@ -670,6 +682,29 @@ object TextQueries {
          |      FROM kept) k
          |JOIN lang ON k.doc_id = lang.doc_id
          |ORDER BY k.doc_id""".stripMargin,
+
+    // Per-group linear recursion: state = (grp, pos, pack_id, filled);
+    // step consumes the group's next doc (pos+1), starting a new pack
+    // when it would overflow the budget — exactly packGreedy's fold.
+    "d26_pack_greedy" ->
+      s"""WITH RECURSIVE nd AS (
+         |  SELECT doc_id, doc_id % $PackGroups AS grp,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id % $PackGroups
+         |                       ORDER BY doc_id) AS pos
+         |  FROM documents),
+         |r AS (
+         |  SELECT grp, pos, doc_id, n_tok,
+         |    CAST(0 AS BIGINT) AS pack_id, n_tok AS filled
+         |  FROM nd WHERE pos = 1
+         |  UNION ALL
+         |  SELECT nd.grp, nd.pos, nd.doc_id, nd.n_tok,
+         |    CASE WHEN r.filled + nd.n_tok > $PackBudget
+         |         THEN r.pack_id + 1 ELSE r.pack_id END,
+         |    CASE WHEN r.filled + nd.n_tok > $PackBudget
+         |         THEN nd.n_tok ELSE r.filled + nd.n_tok END
+         |  FROM r JOIN nd ON nd.grp = r.grp AND nd.pos = r.pos + 1)
+         |SELECT doc_id, grp, pack_id FROM r ORDER BY doc_id""".stripMargin,
 
     "d24_bm25" ->
       s"""WITH $bm25Ctes
