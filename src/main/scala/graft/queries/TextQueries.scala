@@ -381,20 +381,22 @@ object TextQueries {
     // bit b of the fingerprint is set iff the balance is positive. One
     // shuffle (the doc aggregate); the 32 bit-balances are plain
     // conditional sums in the aggregate, no bit-level explode.
+    // (Implementation: graft.text.Dedup.simhashFingerprints.)
     "d13_simhash" -> { (s, d) =>
-      val balances = (0 until 32).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as(s"b$b"))
-      val fp = (0 until 32).map(b =>
-        when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-        .reduce(_ + _)
-      Tables.documents(s, d)
-        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), TF.hash32(col("tok")).as("h"))
-        .groupBy(col("doc_id"))
-        .agg(balances.head, balances.tail: _*)
-        .select(col("doc_id"), fp.as("simhash"))
+      graft.text.Dedup.simhashFingerprints(Tables.documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))
+    },
+
+    // SimHash near-dup pairs: Hamming <= 3 via the 4-band pigeonhole
+    // (a pair within distance 3 must agree on one 8-bit band exactly) —
+    // the BITWISE member of the dedup trio (shingle-Jaccard d06,
+    // vector-LSH v03, bit-radius d27). Shuffles on the band key, never
+    // all-pairs.
+    "d27_simhash_neardup" -> { (s, d) =>
+      graft.text.Dedup.simhashNearDupPairs(
+        Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))
     },
 
     // Token-count estimation three ways: whitespace split, regex word
@@ -570,6 +572,28 @@ object TextQueries {
        |  $dfs
        | FROM bt),
        |bm AS (SELECT bt.doc_id, ROUND($perTerm, 9) AS score FROM bt, bs)""".stripMargin
+  }
+
+  /** DuckDB CTE chain mirroring [[graft.text.Dedup.simhashFingerprints]]
+    * over documents, ending in relation `sim(doc_id, simhash)`. Shared
+    * by the d13 fingerprint oracle and the d27 near-dup oracle.
+    */
+  private def simhashCtes: String = {
+    val balances = (0 until 32).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n  ")
+    val fp = (0 until 32).map(b =>
+      s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""tok AS (
+       | SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+       |h AS (
+       | SELECT doc_id, CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS h FROM tok),
+       |bal AS (
+       | SELECT doc_id,
+       |  $balances
+       | FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $fp AS simhash FROM bal)""".stripMargin
   }
 
   def oracle: Map[String, String] = Map(
@@ -792,24 +816,25 @@ object TextQueries {
         |  (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "d13_simhash" -> {
-      val balances = (0 until 32).map(b =>
-        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
-        .mkString(",\n  ")
-      val fp = (0 until 32).map(b =>
-        s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH tok AS (
-         | SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
-         |h AS (
-         | SELECT doc_id, CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS h FROM tok),
-         |bal AS (
-         | SELECT doc_id,
-         |  $balances
-         | FROM h GROUP BY doc_id)
-         |SELECT doc_id, $fp AS simhash
-         |FROM bal ORDER BY doc_id""".stripMargin
-    },
+    "d13_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+
+    // Banded pigeonhole candidates + exact bit_count(xor) distance,
+    // over the same sim CTE as d13 (the two cannot drift).
+    "d27_simhash_neardup" ->
+      s"""WITH $simhashCtes,
+         |sb AS (SELECT doc_id, simhash, band,
+         |        (simhash >> (8 * band)) & 255 AS key
+         |       FROM sim, (VALUES (0),(1),(2),(3)) b(band)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+         |          x.simhash AS a_fp, y.simhash AS b_fp
+         |         FROM sb x JOIN sb y
+         |          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT a_id, b_id,
+         | CAST(bit_count(xor(a_fp, b_fp)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(a_fp, b_fp)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "d14_token_estimate" ->
       """SELECT doc_id,

@@ -106,6 +106,62 @@ object Dedup {
     df.join(doomed, col(idCol) === col("b_id"), "left_anti")
   }
 
+  /** 32-bit SimHash fingerprints: per token-hash bit a ±1 balance, bit b
+    * of the fingerprint set iff balance b is positive — one shuffle (the
+    * per-doc aggregate), no bit-level explode (the d13 shape as a
+    * reusable operator). Returns (id, simhash).
+    */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val balances = (0 until 32).map(b =>
+      sum(when(shiftright(col("_sh_h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"_sh_b$b"))
+    val fp = (0 until 32).map(b =>
+      when(col(s"_sh_b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    df.select(col(idCol).as("_sh_id"), explode(TF.tokens(col(textCol))).as("_sh_tok"))
+      .select(col("_sh_id"), TF.hash32(col("_sh_tok")).as("_sh_h"))
+      .groupBy(col("_sh_id"))
+      .agg(balances.head, balances.tail: _*)
+      .select(col("_sh_id").as("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance <= `maxHamming`
+    * — the BITWISE near-dup detector (order-insensitive like minhash,
+    * but radius-bounded in bit space; catches small token-level edits
+    * that leave most of the weighted bit profile intact).
+    *
+    * Banded pigeonhole: the 32-bit fingerprint splits into 4 disjoint
+    * 8-bit bands; two fingerprints within Hamming distance 3 MUST agree
+    * exactly on at least one band, so candidates = pairs sharing any
+    * (band, key) — a shuffle on the band key, never all-pairs, the same
+    * scale shape as the minhash bands. Exact `bit_count(xor)` then
+    * filters candidates. maxHamming must stay < 4 for the 4-band
+    * completeness guarantee (k+1 bands catch Hamming k).
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "4 bands guarantee completeness only for Hamming distance <= 3")
+    val banded = simhashFingerprints(df, idCol, textCol)
+      .select(col("id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), 8 * b).bitwiseAND(255)): _*))
+          .as(Seq("band", "key")))
+    // fingerprints ride the distinct (they are functions of the id, so
+    // pair-distinctness is unchanged) — no re-join to fetch them.
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        col("x.simhash").as("_sh_afp"), col("y.simhash").as("_sh_bfp"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("_sh_afp").bitwiseXOR(col("_sh_bfp"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Connected components over a duplicate-pair edge list: every node
     * labeled with its component's MINIMUM id — the exact keeper
     * assignment (the greedy [[dropNearDuplicates]] policy can keep >1
