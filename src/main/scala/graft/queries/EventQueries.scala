@@ -94,6 +94,32 @@ object EventQueries {
         .orderBy(col("event_id"))
     },
 
+    // Conversion funnel view → click → purchase: per user, the first
+    // view, the first click strictly after it, the first purchase
+    // strictly after that — stage counts plus end-to-end conversion.
+    // Three aggregates all keyed on user_id (co-partitioned at scale:
+    // one logical exchange feeds every stage); the final row is three
+    // scalar counts cross-joined.
+    "e05_funnel" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), tsUs.as("ts_us"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts_us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts_us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+        .select(col("n_view"), col("n_view_click"),
+          col("n_view_click_purchase"),
+          (col("n_view_click_purchase").cast("double") / col("n_view"))
+            .as("conversion"))
+    },
+
     // Per-type stats with JSON props extraction in the scan projection.
     "e03_type_stats" -> { (s, d) =>
       Tables.events(s, d)
@@ -144,6 +170,24 @@ object EventQueries {
         |FROM c ASOF LEFT JOIN v
         | ON c.user_id = v.user_id AND v.ts_us <= c.ts_us
         |ORDER BY c.event_id""".stripMargin,
+
+    "e05_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |v AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts_us) AS t2 FROM e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts_us > v.t1
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts_us) AS t3 FROM e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts_us > c.t2
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        | (SELECT COUNT(*) FROM c) AS n_view_click,
+        | (SELECT COUNT(*) FROM p) AS n_view_click_purchase,
+        | CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+        |  / (SELECT COUNT(*) FROM v) AS conversion""".stripMargin,
 
     "e03_type_stats" ->
       """SELECT event_type, COUNT(*) AS n,
