@@ -62,6 +62,60 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("score"))
   }
 
+  /** Maximal-marginal-relevance selection: greedily pick `k` vectors
+    * maximizing `lambda·sim(q,d) − (1−lambda)·max_{s∈selected} sim(d,s)`
+    * — relevance traded against redundancy, the diversity-aware
+    * retrieval mode RAG stacks pair with plain kNN. Ties break to the
+    * smaller id; the first pick is the pure-relevance argmax.
+    *
+    * Execution: k driver-side rounds, each ONE corpus pass ending in a
+    * TakeOrderedAndProject of a single row; the selected set (≤ k
+    * vectors) travels as broadcast literals. Driver state is the k
+    * picked vectors — bounded. k is a UI-sized constant; for large k
+    * use plain [[knn]] and diversify client-side.
+    *
+    * Returns (rank, id, qsim, mmr) in selection order.
+    */
+  def mmr(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && lambda >= 0.0 && lambda <= 1.0)
+    implicit val spark: org.apache.spark.sql.SparkSession = corpus.sparkSession
+    val scored = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("qsim", vectors.cosineSimilarity(col("v"), lit(query)))
+    var selected = Vector.empty[(Long, Array[Float], Double, Double)] // id, vec, qsim, mmr
+    while (selected.size < k) {
+      val remaining = selected.foldLeft(scored) { case (df, (id, _, _, _)) =>
+        df.filter(col("id") =!= id)
+      }
+      val simsToSel = selected.map { case (_, v, _, _) =>
+        vectors.cosineSimilarity(col("v"), lit(v))
+      }
+      val mmrScore =
+        if (simsToSel.isEmpty) col("qsim")
+        else lit(lambda) * col("qsim") - lit(1.0 - lambda) *
+          (if (simsToSel.size == 1) simsToSel.head else greatest(simsToSel: _*))
+      val top = remaining.withColumn("mmr", mmrScore)
+        .orderBy(col("mmr").desc, col("id"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) return result(selected) // corpus smaller than k
+      val r = top.head
+      selected :+= ((r.getLong(r.fieldIndex("id")),
+        r.getSeq[Float](r.fieldIndex("v")).toArray,
+        r.getDouble(r.fieldIndex("qsim")),
+        r.getDouble(r.fieldIndex("mmr"))))
+    }
+    result(selected)
+  }
+
+  private def result(sel: Vector[(Long, Array[Float], Double, Double)])(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    sel.zipWithIndex
+      .map { case ((id, _, qsim, mmr), i) => (i.toLong + 1, id, qsim, mmr) }
+      .toDF("rank", "id", "qsim", "mmr")
+  }
+
   /** Approximate top-k neighbors for LARGE probe sets: both sides are
     * bucketed by the same random-hyperplane signature and only
     * same-bucket (probe, corpus) pairs are scored — the join shuffles on

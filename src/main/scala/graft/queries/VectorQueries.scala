@@ -85,6 +85,18 @@ object VectorQueries {
           |FROM embeddings_v ORDER BY score DESC, vec_id LIMIT 8""".stripMargin)
     },
 
+    // Maximal-marginal-relevance: greedy diversity-aware top-4 (first
+    // pick = pure relevance; each next pick trades relevance against
+    // max similarity to the already-picked set, lambda = 0.5). k driver
+    // rounds of one-pass + top-1; the oracle UNROLLS the same greedy
+    // selection as four chained argmax CTEs.
+    "v07_mmr" -> { (s, d) =>
+      Similarity.mmr(Tables.embeddings(s, d), "vec_id", "embedding",
+        probeVec(s, d, 0L), k = 4, lambda = 0.5)
+        .select(col("rank"), col("id").as("vec_id"), col("qsim"), col("mmr"))
+        .orderBy(col("rank"))
+    },
+
     // IVF ANN: assign all vectors to nearest of 8 seed centroids (shuffle-
     // free argmax projection), then search only the probe's cell. The probe
     // row is a driver-side point lookup (tiny action); the search itself is
@@ -152,6 +164,43 @@ object VectorQueries {
         | list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 3)) AS score
         |FROM embeddings ORDER BY score DESC, vec_id LIMIT 8""".stripMargin,
+
+    // Greedy MMR unrolled: pX = argmax over qs minus the picks so far;
+    // operation order (0.5e0*qsim - 0.5e0*greatest(...)) mirrors the
+    // Column expression; ties break on vec_id everywhere.
+    "v07_mmr" ->
+      """WITH qs AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |   list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS qsim
+        |  FROM embeddings),
+        |p1 AS (SELECT vec_id, v, qsim, qsim AS mmr FROM qs
+        |       ORDER BY qsim DESC, vec_id LIMIT 1),
+        |p2 AS (SELECT qs.vec_id, qs.v, qs.qsim,
+        |        0.5e0 * qs.qsim - 0.5e0 * list_cosine_similarity(qs.v, p1.v) AS mmr
+        |       FROM qs, p1 WHERE qs.vec_id <> p1.vec_id
+        |       ORDER BY mmr DESC, qs.vec_id LIMIT 1),
+        |p3 AS (SELECT qs.vec_id, qs.v, qs.qsim,
+        |        0.5e0 * qs.qsim - 0.5e0 * greatest(
+        |          list_cosine_similarity(qs.v, p1.v),
+        |          list_cosine_similarity(qs.v, p2.v)) AS mmr
+        |       FROM qs, p1, p2
+        |       WHERE qs.vec_id <> p1.vec_id AND qs.vec_id <> p2.vec_id
+        |       ORDER BY mmr DESC, qs.vec_id LIMIT 1),
+        |p4 AS (SELECT qs.vec_id, qs.v, qs.qsim,
+        |        0.5e0 * qs.qsim - 0.5e0 * greatest(
+        |          list_cosine_similarity(qs.v, p1.v),
+        |          list_cosine_similarity(qs.v, p2.v),
+        |          list_cosine_similarity(qs.v, p3.v)) AS mmr
+        |       FROM qs, p1, p2, p3
+        |       WHERE qs.vec_id <> p1.vec_id AND qs.vec_id <> p2.vec_id
+        |         AND qs.vec_id <> p3.vec_id
+        |       ORDER BY mmr DESC, qs.vec_id LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS rank, vec_id, qsim, mmr FROM p1
+        |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, qsim, mmr FROM p2
+        |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, qsim, mmr FROM p3
+        |UNION ALL SELECT CAST(4 AS BIGINT), vec_id, qsim, mmr FROM p4
+        |ORDER BY rank""".stripMargin,
 
     "v05_ivf_search" ->
       """WITH seeds AS (
