@@ -160,6 +160,78 @@ object EventStreams {
       .drop(s"$rightPrefix$key")
   }
 
+  /** Funnel progress carried between micro-batches by
+    * [[streamingFunnel]]: the first-view / first-click-after /
+    * first-purchase-after timestamps observed so far — three longs per
+    * ACTIVE user, evicted on completion or timeout.
+    */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  final case class FunnelOut(
+      user_id: Long,
+      view_us: Long,
+      click_us: Long,
+      purchase_us: Long)
+
+  /** e05's streaming face: a per-user funnel STATE MACHINE
+    * (view → click → purchase) over flatMapGroupsWithState — unlike the
+    * windowed aggregations, the state here is ordered progress, not a
+    * rollup: stage k only advances on an event strictly after stage k−1.
+    * A completed funnel emits one row and clears its state immediately;
+    * incomplete funnels are evicted when the watermark passes
+    * `timeoutMinutes` after the last advance, so state is bounded by
+    * active, incomplete users — not by stream length.
+    *
+    * Late events within the watermark still advance correctly when they
+    * arrive in order within a batch (each batch's rows are folded in
+    * event-time order); cross-batch out-of-order events that would have
+    * improved an earlier stage are ignored once a later stage is locked
+    * — the documented streaming-vs-batch trade (the exact batch answer
+    * is e05).
+    */
+  def streamingFunnel(
+      events: org.apache.spark.sql.Dataset[(Long, Long, String)], // (user_id, ts_us, event_type)
+      timeoutMinutes: Int = 120,
+      watermark: String = "2 hours"): org.apache.spark.sql.Dataset[FunnelOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+
+    events
+      .withColumn("ts", timestamp_micros(col("_2")))
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[FunnelState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            state.remove() // incomplete funnel expired
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            val done = List.newBuilder[FunnelOut]
+            for ((_, ts, typ, _) <- rows.toSeq.sortBy(r => (r._2, r._3))) {
+              typ match {
+                case "view" if s.t1 < 0 => s = s.copy(t1 = ts)
+                case "click" if s.t1 >= 0 && s.t2 < 0 && ts > s.t1 =>
+                  s = s.copy(t2 = ts)
+                case "purchase" if s.t2 >= 0 && s.t3 < 0 && ts > s.t2 =>
+                  done += FunnelOut(userId, s.t1, s.t2, ts)
+                  s = FunnelState(-1L, -1L, -1L) // restart for the next funnel
+                case _ => ()
+              }
+            }
+            if (s.t1 >= 0) {
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s.t1, math.max(s.t2, 0L)) / 1000 +
+                  timeoutMinutes * 60L * 1000)
+            } else state.remove()
+            done.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: keep the FIRST arrival of each content
     * fingerprint, with state bounded by the watermark —
     * `dropDuplicatesWithinWatermark` keys the state store by fingerprint

@@ -150,6 +150,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingFunnel: ordered stage machine, completion clears state") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val us = 1000L * 1000 // seconds → micros
+    val q = EventStreams.streamingFunnel(in.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      in.addData(
+        (1L, 10 * us, "view"), (1L, 20 * us, "click"), (1L, 30 * us, "purchase"),
+        (2L, 10 * us, "click"), // click before any view: no progress
+        (2L, 20 * us, "view"), (2L, 30 * us, "purchase"), // no click after view
+        (3L, 10 * us, "view"), (3L, 15 * us, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((1L, 10 * us, 20 * us, 30 * us)))
+
+      // User 3 completes across batches (state carried); the purchase
+      // must be strictly after the stored click.
+      in.addData((3L, 40 * us, "purchase"))
+      q.processAllAvailable()
+      val rows2 = spark.table("funnel").collect().map(_.getLong(0)).sorted
+      assert(rows2.toSeq == Seq(1L, 3L))
+
+      // User 1's state was cleared on completion: a lone purchase with
+      // no fresh view/click starts nothing.
+      in.addData((1L, 50 * us, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("funnel").count() == 2)
+    } finally q.stop()
+  }
+
   test("streamingExactDedup drops within-horizon duplicates, bounded state") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
