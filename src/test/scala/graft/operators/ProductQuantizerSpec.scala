@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+import graft.functions.vectors
+
+/** PQ contract: bounded codes, deterministic encode, and ADC recall
+  * against exact inner-product search on a clustered fixture.
+  */
+class ProductQuantizerSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  /** 160 vectors in 16 dims, 4 clusters on two-axis combos plus seeded
+    * deterministic noise.
+    */
+  private def vec(i: Int): Array[Float] = {
+    val rnd = new scala.util.Random(i)
+    val v = Array.fill(16)((rnd.nextDouble() * 0.2 - 0.1).toFloat)
+    val c = i % 4
+    v(c) = 1.0f
+    v(8 + c) = 0.8f
+    v
+  }
+
+  private lazy val corpus = (0 until 160).map(i => (i.toLong, vec(i))).toDF("id", "vec")
+
+  private lazy val cb = ProductQuantizer.train(corpus, "id", "vec",
+    blocks = 4, codes = 16, iters = 3)
+
+  test("codebook shape and encode bounds") {
+    assert(cb.blocks == 4 && cb.blockDim == 4 && cb.codes == 16)
+    val enc = ProductQuantizer.encode(corpus, "id", "vec", cb)
+    val rows = enc.collect()
+    assert(rows.length == 160)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 4)
+      assert(codes.forall(c => c >= 0 && c < 16))
+    }
+    // deterministic: re-encode is identical
+    val again = ProductQuantizer.encode(corpus, "id", "vec", cb).collect()
+    assert(again.map(_.toString).toSeq == rows.map(_.toString).toSeq)
+  }
+
+  test("ADC search recall vs exact inner-product top-10") {
+    val enc = ProductQuantizer.encode(corpus, "id", "vec", cb).cache()
+    try {
+      val hits = (0 until 8).map { probe =>
+        val q = vec(probe * 17)
+        val exact = corpus
+          .withColumn("s", vectors.dotProduct(col("vec"), lit(q)))
+          .orderBy(col("s").desc, col("id")).limit(10)
+          .collect().map(_.getLong(0)).toSet
+        val pq = ProductQuantizer.search(enc, cb, q, k = 10)
+          .collect().map(_.getLong(0)).toSet
+        (exact & pq).size
+      }
+      val recall = hits.sum.toDouble / (8 * 10)
+      assert(recall >= 0.6, s"ADC recall@10 too low: $recall (hits=$hits)")
+    } finally enc.unpersist()
+  }
+
+  test("search plan reads only the codes column (vectors never touched)") {
+    val enc = ProductQuantizer.encode(corpus, "id", "vec", cb)
+    val plan = ProductQuantizer.search(enc, cb, vec(0), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("vec#") || !plan.contains("dot_product"),
+      "ADC search must not rescore raw vectors")
+  }
+}
