@@ -63,6 +63,42 @@ class ProductQuantizerSpec extends AnyFunSuite {
     } finally enc.unpersist()
   }
 
+  test("IVF-PQ: cell pruning composes with ADC search") {
+    import graft.store.IvfIndex
+    // Train 4 IVF cells, assign, then PQ-encode; a probe searches ONLY
+    // its cell's codes — the standard two-level index: partition prune
+    // by centroid, then compressed rescoring inside the cell.
+    val seeds = IvfIndex.trainSeeds(corpus, "id", "vec", k = 4, iters = 3)
+    val assigned = Similarity.ivfAssign(corpus, "id", "vec",
+      seeds, "cell_id", "seed_vec")
+    val enc = ProductQuantizer.encode(assigned, "id", "vec", cb)
+      .join(assigned.select(col("id"), col("cell")), "id")
+      .cache()
+    try {
+      val q = vec(34)
+      // probe cell = argmax over the trained seeds, driver-side
+      val seedRows = seeds.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      def dot(a: Array[Float], b: Array[Float]) =
+        a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val probeCell = seedRows.maxBy { case (id, v) => (dot(v, q), -id) }._1
+
+      val inCell = ProductQuantizer.search(
+        enc.filter(col("cell") === probeCell).drop("cell"), cb, q, k = 5)
+        .collect().map(_.getLong(0))
+      assert(inCell.length == 5)
+      // Every hit must come from the probed cell…
+      val cellIds = assigned.filter(col("cell") === probeCell)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(inCell.forall(cellIds.contains))
+      // …and in-cell ADC agrees with in-cell full-corpus ADC restricted
+      // to the cell (pruning must not change in-cell ranking).
+      val full = ProductQuantizer.search(enc.drop("cell"), cb, q, k = 160)
+        .collect().map(_.getLong(0)).filter(cellIds.contains).take(5)
+      assert(inCell.toSeq == full.toSeq)
+    } finally enc.unpersist()
+  }
+
   test("search plan reads only the codes column (vectors never touched)") {
     val enc = ProductQuantizer.encode(corpus, "id", "vec", cb)
     val plan = ProductQuantizer.search(enc, cb, vec(0), 5)
