@@ -79,6 +79,14 @@ object Similarity {
   def mmr(corpus: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, lambda: Double = 0.5): DataFrame = {
     require(k >= 1 && lambda >= 0.0 && lambda <= 1.0)
+    // Selected ids are tracked as longs on the driver; reject ids that a
+    // long cast would silently null out (unlike knn/similarityJoin,
+    // which are id-type-agnostic).
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(corpus.schema(idCol).dataType)
+    }, s"mmr requires an integral id column, got ${corpus.schema(idCol).dataType}")
     implicit val spark: org.apache.spark.sql.SparkSession = corpus.sparkSession
     val scored = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("qsim", vectors.cosineSimilarity(col("v"), lit(query)))

@@ -152,7 +152,8 @@ object IngestPipeline {
 
   /** RHPD chain (§3.1): catalog → landing page → doc links → pages →
     * chunks, as one Dataset plan. Returns (index_name, chunk) rows ready
-    * for the store; `ingestProducts` materializes them per index.
+    * for the store; `ingestProducts` writes every index from them in a
+    * single `partitionBy(index_name)` job.
     */
   def productChunks(spark: SparkSession, products: Seq[Product],
       landingUrl: Product => String, fetcher: Fetcher): Dataset[(String, Chunk)] = {

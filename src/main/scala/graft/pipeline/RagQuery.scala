@@ -50,7 +50,10 @@ object RagQuery {
       embedder: Embedder, k: Int = 4, poolK: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Chunk identity = content; duplicate copies (append-mode stores
-    // accumulate them) collapse to one row so ranks stay deterministic.
+    // accumulate them) collapse to one row so RANKS stay deterministic.
+    // Contract note: when duplicate-content copies carry different
+    // metadata/headers, the surviving copy's metadata is unspecified —
+    // content and rrf are the deterministic outputs.
     val chunks = store.read(index)
       .withColumn("_hs_id", col("page_content"))
       .dropDuplicates("_hs_id")
@@ -61,10 +64,15 @@ object RagQuery {
       .select(col("_hs_id").as("_hs_vid"), row_number()
         .over(Window.orderBy(col("vscore").desc, col("_hs_id")))
         .cast("long").as("vrank"))
+    // A whitespace-only query has no lexical side: fuse against an empty
+    // BM25 ranking (pure-dense result) instead of failing.
     val terms = query.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
-    val br = graft.text.Bm25
-      .score(chunks.withColumn("_hs_text", lower(col("page_content"))),
-        "_hs_id", "_hs_text", terms)
+    val brBase =
+      if (terms.isEmpty) chunks.select(col("_hs_id"), lit(0.0).as("score")).limit(0)
+      else graft.text.Bm25
+        .score(chunks.withColumn("_hs_text", lower(col("page_content"))),
+          "_hs_id", "_hs_text", terms)
+    val br = brBase
       .orderBy(col("score").desc, col("_hs_id")).limit(poolK)
       .select(col("_hs_id").as("_hs_bid"), row_number()
         .over(Window.orderBy(col("score").desc, col("_hs_id")))

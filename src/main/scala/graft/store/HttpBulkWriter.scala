@@ -44,12 +44,20 @@ final class HttpBulkWriter(endpoint: String, index: String,
       throw new java.io.IOException(
         s"bulk write to $endpoint failed: HTTP ${res.statusCode()}: " +
           res.body().take(200))
-    if (res.body().contains("\"errors\":true"))
+    // Whitespace-tolerant match on the top-level errors flag (a
+    // pretty-printing proxy emits `"errors": true`); the _bulk response
+    // never echoes document sources, so a flag match in the body is the
+    // item-failure signal.
+    if (HttpBulkWriter.ErrorsTrue.pattern.matcher(res.body()).find())
       throw new java.io.IOException(
         s"bulk write to $endpoint reported item errors: ${res.body().take(200)}")
   }
 
   override def close(): Unit = () // java.net.http clients hold no open resources pre-JDK21
+}
+
+object HttpBulkWriter {
+  private val ErrorsTrue = """"errors"\s*:\s*true""".r
 }
 
 /** Dependency-free JSON rendering for Spark [[Row]]s — enough for the

@@ -41,7 +41,8 @@ object IvfIndex {
     */
   def trainSeeds(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 5): DataFrame = {
-    require(k > 0 && iters >= 0, "k and iters must be positive")
+    require(k > 0, "k must be positive")
+    require(iters >= 0, "iters must be non-negative")
     val spark = df.sparkSession
     import spark.implicits._
     var seeds: Seq[(Long, Array[Float])] =
@@ -50,6 +51,10 @@ object IvfIndex {
         .collect().zipWithIndex
         .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
         .toSeq
+    // Fail fast instead of silently training an underfilled codebook —
+    // callers size cell pruning by k (same contract as PQ's train).
+    require(seeds.length == k,
+      s"corpus has only ${seeds.length} vectors, cannot train $k cells")
     for (_ <- 0 until iters) {
       val seedsDf = seeds.toDF("cell_id", "seed_vec")
       val sums = Similarity

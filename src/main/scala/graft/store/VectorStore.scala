@@ -44,12 +44,18 @@ final class ParquetVectorStore(spark: SparkSession, root: String) {
       .write.mode(SaveMode.ErrorIfExists).parquet(dir(index).toString)
   }
 
-  /** D3: enumerate indexes (the store IS the catalog). */
+  /** D3: enumerate indexes (the store IS the catalog). Hidden entries
+    * (`.`/`_` prefixes — appendAll staging dirs, committer metadata) are
+    * never indexes: they are skipped so an in-flight or crash-orphaned
+    * staging directory cannot surface in the catalog.
+    */
   def listIndexes(): Seq[String] =
     if (!Files.isDirectory(Paths.get(root))) Seq.empty
     else Files.list(Paths.get(root)).iterator().asScala
       .filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      .toSeq.sorted
 
   /** D4: drop if exists. */
   def deleteIndex(index: String): Unit = if (exists(index)) rm(dir(index))

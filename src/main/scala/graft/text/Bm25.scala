@@ -52,6 +52,11 @@ object Bm25 {
       }
     val stats = base.agg(statCols.head, statCols.tail: _*).head()
     val n = stats.getAs[Long]("n")
+    // Empty corpus: the avg/sum aggregates are null — return the empty
+    // (id, score) frame instead of unboxing them (a freshly created
+    // index must score as empty, not throw).
+    if (n == 0)
+      return base.select(col("_bm_id").as(idCol), lit(0.0).as("score"))
     val avgdl = stats.getAs[Double]("avgdl")
 
     val dl = col("_bm_len").cast("double")

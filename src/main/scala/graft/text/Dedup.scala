@@ -190,9 +190,29 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // Respect a caller-configured checkpoint dir; only set it when the
+    // context has none (setCheckpointDir is application-global state).
+    checkpointDir.foreach { d =>
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(d)
+    }
+    // Reliable checkpoints are files that outlive the frames referencing
+    // them; each round deletes the PREVIOUS round's checkpoint once the
+    // new one is materialized, so a long run holds at most two rounds of
+    // label state on storage instead of one per round.
+    var prevCheckpoint: Option[String] = None
     def checkpointed(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) {
+        val out = df.checkpoint() // eager: materialized before we delete the old one
+        val old = prevCheckpoint
+        prevCheckpoint = out.rdd.getCheckpointFile
+        old.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(path, true)
+        }
+        out
+      } else df.localCheckpoint()
     // Undirected edges, both directions; reused every round, so cache
     // once (self-loops are implicit: `least(old, nbr_min)` keeps a
     // node's own label in play without doubling the edge list).

@@ -35,7 +35,11 @@ object TextFunctions {
     * d05/d06/d19.
     */
   def shingles(toks: Column, n: Int): Column =
-    graft.functions.text.shingles(toks, n)
+    // coalesce preserves the declarative form's null contract: a null
+    // token array (null text) yields an EMPTY shingle list, not null —
+    // size()/posexplode callers rely on the empty-array behavior.
+    coalesce(graft.functions.text.shingles(toks, n),
+      typedLit(Seq.empty[String]))
 
   /** MinHash value for hash family member `band` (0..3): min over
     * shingles of the band's hash, where the 4 band hashes are the four

@@ -104,7 +104,7 @@ class ProductQuantizerSpec extends AnyFunSuite {
     val plan = ProductQuantizer.search(enc, cb, vec(0), 5)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
-    assert(!plan.contains("vec#") || !plan.contains("dot_product"),
-      "ADC search must not rescore raw vectors")
+    assert(!plan.contains("vec#") && !plan.contains("dot_product"),
+      "ADC search must not read or rescore raw vectors")
   }
 }

@@ -179,6 +179,32 @@ class PipelineSpec extends AnyFunSuite {
       hits.map(r => (r.getString(0), r.getDouble(4))).toSeq)
   }
 
+  test("hybridSearch tolerates empty indexes and whitespace queries") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new ParquetVectorStore(spark, root)
+    store.createIndex("empty_idx")
+    assert(RagQuery.hybridSearch(store, "empty_idx", "anything",
+      embedder, k = 3).isEmpty)
+
+    val lu = landingUrl
+    IngestPipeline.ingestProducts(spark, Seq(product), _ => lu,
+      fetcher, embedder, store)
+    // whitespace-only query: lexical side empty → pure-dense fusion,
+    // not an exception
+    val hits = RagQuery.hybridSearch(store, product.indexName, "   ",
+      embedder, k = 2).collect()
+    assert(hits.length == 2)
+  }
+
+  test("listIndexes never surfaces hidden/staging directories") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new ParquetVectorStore(spark, root)
+    store.createIndex("real_idx")
+    Files.createDirectory(java.nio.file.Paths.get(root, ".staging-orphan"))
+    Files.createDirectory(java.nio.file.Paths.get(root, "_committer_tmp"))
+    assert(store.listIndexes() == Seq("real_idx"))
+  }
+
   test("WEB chain: website ingest with 4-level headers and source stamp") {
     val root = Files.createTempDirectory("graft-store").toString
     val store = new ParquetVectorStore(spark, root)

@@ -93,6 +93,16 @@ class HttpBulkWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("pretty-printed errors flag is still detected") {
+    withServer(200, "{\n  \"took\": 5,\n  \"errors\" : true,\n  \"items\": []\n}") {
+      (endpoint, _) =>
+        intercept[Exception] {
+          BulkSink.write(chunkDf, batchSize = 10)(
+            () => new HttpBulkWriter(endpoint, "chunks_idx"))
+        }
+    }
+  }
+
   test("JsonRender escapes control characters and handles non-finite floats") {
     assert(JsonRender.quote("a" + 1.toChar + "b") == "\"a\\u0001b\"")
     assert(JsonRender.render(Float.NaN.asInstanceOf[java.lang.Float]) == "null")

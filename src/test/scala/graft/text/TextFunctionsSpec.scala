@@ -42,6 +42,16 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Seq(("x", 0, "abcd"), ("x", 1, "def")))
   }
 
+  test("shingles of a NULL token array is empty, not null (size contract)") {
+    import spark.implicits._
+    val r = Seq((1L, null: String)).toDF("id", "text")
+      .select(org.apache.spark.sql.functions.size(
+        TF.shingles(TF.tokens(org.apache.spark.sql.functions.col("text")), 3))
+        .as("n"))
+      .head()
+    assert(!r.isNullAt(0) && r.getInt(0) == 0)
+  }
+
   test("nearDupPairs survives a corpus containing short and NULL documents") {
     val docs = Seq((1L, "x y"), (2L, "spark table scan query join"),
       (3L, "spark table scan query join"), (4L, null: String))
