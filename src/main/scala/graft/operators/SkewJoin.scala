@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   * semantics-preserving under salting (each probe row still matches
   * exactly the same build rows, just in a salted task).
   *
-  * The salt is `rand()`-based (non-deterministic per run, uniform) —
-  * fine because it never reaches the output; pass a `saltExpr` (e.g.
-  * `pmod(hash(col("other_col")), lit(buckets))`) for a reproducible
-  * spread.
+  * The default salt is `rand(seed = 42)` — uniform, and deterministic
+  * for a given partition layout (seeded per-partition), so reruns over
+  * the same partitioning salt identically; it never reaches the output
+  * either way. Pass a `saltExpr` (e.g.
+  * `pmod(hash(col("other_col")), lit(buckets))`) to make the spread a
+  * pure row function, reproducible across any partitioning.
   */
 object SkewJoin {
 

@@ -29,8 +29,14 @@ final class ParquetVectorStore(spark: SparkSession, root: String) {
     StructField("headers", MapType(StringType, StringType)),
     StructField("embedding", ArrayType(FloatType))))
 
+  /** Legal index names: must START with [a-z0-9] so a name can never
+    * collide with the hidden `.`/`_` prefixes that [[listIndexes]]
+    * excludes (a `_foo` index would be creatable yet catalog-invisible).
+    */
+  private val namePattern = "[a-z0-9][a-z0-9_]*"
+
   private def dir(index: String): Path = {
-    require(index.nonEmpty && index.matches("[a-z0-9_]+"),
+    require(index.nonEmpty && index.matches(namePattern),
       s"illegal index name: $index")
     Paths.get(root, index)
   }
@@ -88,6 +94,18 @@ final class ParquetVectorStore(spark: SparkSession, root: String) {
     * Returns the distinct indexes written, sorted.
     */
   def appendAll(chunks: DataFrame, indexCol: String = "index_name"): Seq[String] = {
+    // Validate every distinct index name BEFORE staging anything: the
+    // per-partition move loop below is not atomic, so a name that dir()
+    // would reject mid-loop (null → __HIVE_DEFAULT_PARTITION__, uppercase,
+    // dash) must fail the whole job up front, not after some indexes have
+    // already been committed. One small job, bounded by #indexes.
+    val badNames = chunks
+      .select(org.apache.spark.sql.functions.col(indexCol).cast("string"))
+      .distinct().collect()
+      .map(r => Option(r.getString(0)))
+      .filterNot(_.exists(n => n.nonEmpty && n.matches(namePattern)))
+    require(badNames.isEmpty,
+      s"illegal index names in $indexCol: ${badNames.map(_.getOrElse("NULL")).mkString(", ")}")
     val staging = Paths.get(root, s".staging-${java.util.UUID.randomUUID()}")
     try {
       chunks

@@ -223,9 +223,17 @@ object EventStreams {
             }
             if (s.t1 >= 0) {
               state.update(s)
+              // The timeout base is the last ADVANCE (t1/t2), which a batch
+              // of non-advancing events does not refresh — so the computed
+              // timestamp can already be behind the watermark (which would
+              // throw in setTimeoutTimestamp and kill the query). Clamp to
+              // just past the watermark: the state then expires on the next
+              // watermark advance, the same eviction the un-clamped timer
+              // would have fired.
+              val computed = math.max(s.t1, math.max(s.t2, 0L)) / 1000 +
+                timeoutMinutes * 60L * 1000
               state.setTimeoutTimestamp(
-                math.max(s.t1, math.max(s.t2, 0L)) / 1000 +
-                  timeoutMinutes * 60L * 1000)
+                math.max(state.getCurrentWatermarkMs() + 1, computed))
             } else state.remove()
             done.result().iterator
           }

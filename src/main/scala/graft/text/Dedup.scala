@@ -200,17 +200,35 @@ object Dedup {
     // them; each round deletes the PREVIOUS round's checkpoint once the
     // new one is materialized, so a long run holds at most two rounds of
     // label state on storage instead of one per round.
-    var prevCheckpoint: Option[String] = None
+    //
+    // The new round's files are found by diffing the checkpoint root
+    // before/after the eager checkpoint — `Dataset.rdd.getCheckpointFile`
+    // is useless here (the Dataset wraps the checkpointed internal RDD in
+    // a fresh deserializing RDD, so it always returns None). The diff
+    // attributes any rdd-* dir created during the call to this round,
+    // which is exact as long as nothing else checkpoints concurrently in
+    // the same SparkContext (single-job usage, as here).
+    def listCheckpointed(): Set[String] =
+      spark.sparkContext.getCheckpointDir.toSet[String].flatMap { d =>
+        val path = new org.apache.hadoop.fs.Path(d)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(path)) fs.listStatus(path).map(_.getPath.toString).toSet
+        else Set.empty[String]
+      }
+    var prevCheckpoint: Set[String] = Set.empty
     def checkpointed(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) {
+        val before = listCheckpointed()
         val out = df.checkpoint() // eager: materialized before we delete the old one
-        val old = prevCheckpoint
-        prevCheckpoint = out.rdd.getCheckpointFile
-        old.foreach { p =>
+        val created = listCheckpointed() -- before
+        assert(created.nonEmpty,
+          "reliable checkpoint produced no files under the checkpoint dir")
+        prevCheckpoint.foreach { p =>
           val path = new org.apache.hadoop.fs.Path(p)
           path.getFileSystem(spark.sparkContext.hadoopConfiguration)
             .delete(path, true)
         }
+        prevCheckpoint = created
         out
       } else df.localCheckpoint()
     // Undirected edges, both directions; reused every round, so cache

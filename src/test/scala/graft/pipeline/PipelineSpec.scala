@@ -67,6 +67,9 @@ class PipelineSpec extends AnyFunSuite {
     store.deleteIndex("idx_a")
     assert(store.listIndexes() == Seq("idx_b"))
     intercept[IllegalArgumentException](store.createIndex("../escape"))
+    // '_'-prefixed names would be creatable yet invisible to listIndexes
+    // (hidden-dir exclusion) — rejected at create time instead.
+    intercept[IllegalArgumentException](store.createIndex("_hidden"))
   }
 
   test("full RHPD chain: ingest fixtures, search, rag query") {
@@ -133,6 +136,26 @@ class PipelineSpec extends AnyFunSuite {
     store.appendAll(chunks)
     assert(store.count("idx_0") == 10)
     assert(store.listIndexes() == written, "staging dirs must not leak")
+  }
+
+  test("appendAll rejects illegal index names BEFORE committing anything") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new ParquetVectorStore(spark, root)
+    def chunk(idx: String) =
+      (idx, "content", Map.empty[String, String],
+        Map.empty[String, String], Array(1.0f))
+    // One good name + one bad (uppercase) — the move loop would have
+    // committed idx_ok before failing on the bad one; pre-validation
+    // must fail the whole job with NOTHING written.
+    for (bad <- Seq("BadName", "bad-name", "_hidden", null)) {
+      val chunks = Seq(chunk("idx_ok"), chunk(bad))
+        .toDF("index_name", "page_content", "metadata", "headers", "embedding")
+      val e = intercept[IllegalArgumentException](store.appendAll(chunks))
+      assert(e.getMessage.contains("illegal index names"))
+      assert(store.listIndexes().isEmpty,
+        s"partial append leaked for bad name $bad: ${store.listIndexes()}")
+    }
   }
 
   test("batched-embedder ingest produces the same store rows as per-row") {

@@ -186,6 +186,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingFunnel survives a non-advancing event behind the timeout horizon") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val us = 1000L * 1000
+    val hour = 3600L
+    val q = EventStreams.streamingFunnel(in.toDS())
+      .writeStream.format("memory").queryName("funnel_clamp")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      in.addData((1L, 10 * us, "view")) // t1 = 10s
+      q.processAllAvailable()
+      in.addData((9L, 6 * hour * us, "view")) // watermark → 4h, past t1+120min
+      q.processAllAvailable()
+      // A second 'view' for user 1 advances nothing, so the re-armed
+      // timeout is still based on the stored t1 (≈2h) — BEHIND the 4h
+      // watermark. Un-clamped, setTimeoutTimestamp threw and killed the
+      // query here.
+      in.addData((1L, 5 * hour * us, "view"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_clamp").count() == 0)
+      // State survived the clamp: the funnel completes cross-batch from
+      // the ORIGINAL t1.
+      in.addData((1L, 11 * hour * us, "click"),
+        (1L, (11 * hour + 60) * us, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_clamp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq ==
+        Seq((1L, 10 * us, 11 * hour * us, (11 * hour + 60) * us)))
+    } finally q.stop()
+  }
+
   test("streamingExactDedup drops within-horizon duplicates, bounded state") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]

@@ -77,6 +77,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got == (1L to 9L).map(_ -> 1L).toMap)
   }
 
+  test("dupComponents reliable-checkpoint mode GCs previous rounds") {
+    // A diameter-8 chain forces several label-propagation rounds, each
+    // with its own reliable checkpoint. If per-round GC works, exactly
+    // one rdd-* checkpoint dir survives the run (the final round's);
+    // the r6 getCheckpointFile bug left one per round.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(tmp)
+    val chain = (1L to 9L).sliding(2).map(s => (s(1), s(0))).toSeq
+    val got = Dedup.dupComponents(chain.toDF("a_id", "b_id"),
+      checkpointDir = Some(tmp)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 9L).map(_ -> 1L).toMap)
+    val ckptRoot = new java.io.File(
+      new java.net.URI(spark.sparkContext.getCheckpointDir.get).getPath)
+    val rddDirs = Option(ckptRoot.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("rdd-"))
+    assert(rddDirs.length == 1,
+      s"expected exactly the final round's checkpoint, got: ${rddDirs.map(_.getName).toSeq}")
+  }
+
   test("dropNearDuplicates keeps component minima") {
     val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", 0.5)
       .select("doc_id").as[Long].collect().sorted.toSeq
