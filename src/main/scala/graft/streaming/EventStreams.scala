@@ -204,11 +204,25 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
             state: GroupState[FunnelState]) =>
+          // Eviction horizon of a stored funnel: `timeoutMinutes` after
+          // the last ADVANCE (t1 or t2). t1 >= 0 whenever state is stored.
+          def horizonMs(st: FunnelState): Long =
+            math.max(st.t1, st.t2) / 1000 + timeoutMinutes * 60L * 1000
           if (rows.isEmpty && state.hasTimedOut) {
             state.remove() // incomplete funnel expired
             Iterator.empty
           } else {
-            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            // Whether Spark's timeout batch ran before this data batch is
+            // an ordering detail of the engine (processAllAvailable drains
+            // an empty timer batch after every watermark advance; a busy
+            // production stream delivers the data in the SAME batch the
+            // timer would have fired in). Make eviction deterministic
+            // either way: a stored funnel whose horizon is already behind
+            // the current watermark is expired HERE — drop it and fold
+            // this batch's events into a fresh funnel.
+            var s = state.getOption
+              .filter(st => horizonMs(st) > state.getCurrentWatermarkMs())
+              .getOrElse(FunnelState(-1L, -1L, -1L))
             val done = List.newBuilder[FunnelOut]
             for ((_, ts, typ, _) <- rows.toSeq.sortBy(r => (r._2, r._3))) {
               typ match {
@@ -221,20 +235,16 @@ object EventStreams {
                 case _ => ()
               }
             }
-            if (s.t1 >= 0) {
+            if (s.t1 >= 0 && horizonMs(s) > state.getCurrentWatermarkMs()) {
               state.update(s)
-              // The timeout base is the last ADVANCE (t1/t2), which a batch
-              // of non-advancing events does not refresh — so the computed
-              // timestamp can already be behind the watermark (which would
-              // throw in setTimeoutTimestamp and kill the query). Clamp to
-              // just past the watermark: the state then expires on the next
-              // watermark advance, the same eviction the un-clamped timer
-              // would have fired.
-              val computed = math.max(s.t1, math.max(s.t2, 0L)) / 1000 +
-                timeoutMinutes * 60L * 1000
-              state.setTimeoutTimestamp(
-                math.max(state.getCurrentWatermarkMs() + 1, computed))
-            } else state.remove()
+              state.setTimeoutTimestamp(horizonMs(s))
+            } else {
+              // Either no progress, or the only advances came from events
+              // so late that the funnel is already past its eviction
+              // horizon — storing it would resurrect expired state (and
+              // setTimeoutTimestamp behind the watermark throws). Evict.
+              state.remove()
+            }
             done.result().iterator
           }
       }

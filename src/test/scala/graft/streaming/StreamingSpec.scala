@@ -3,6 +3,8 @@ package graft.streaming
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -186,13 +188,13 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streamingFunnel survives a non-advancing event behind the timeout horizon") {
+  test("streamingFunnel evicts state past the timeout horizon; a later view starts fresh") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Long, String)]
     val us = 1000L * 1000
     val hour = 3600L
     val q = EventStreams.streamingFunnel(in.toDS())
-      .writeStream.format("memory").queryName("funnel_clamp")
+      .writeStream.format("memory").queryName("funnel_evict")
       .outputMode("append")
       .option("checkpointLocation",
         Files.createTempDirectory("graft-ck").toString)
@@ -200,24 +202,96 @@ class StreamingSpec extends AnyFunSuite {
     try {
       in.addData((1L, 10 * us, "view")) // t1 = 10s
       q.processAllAvailable()
-      in.addData((9L, 6 * hour * us, "view")) // watermark → 4h, past t1+120min
+      // Watermark → 4h, which is past t1 + 120 min: user 1's incomplete
+      // funnel is expired per the documented eviction contract — whether
+      // Spark's timer batch or the next data batch's expiry check drops
+      // it, the outcome is the same.
+      in.addData((9L, 6 * hour * us, "view"))
       q.processAllAvailable()
-      // A second 'view' for user 1 advances nothing, so the re-armed
-      // timeout is still based on the stored t1 (≈2h) — BEHIND the 4h
-      // watermark. Un-clamped, setTimeoutTimestamp threw and killed the
-      // query here.
+      // This view therefore starts a FRESH funnel at t1 = 5h (it does
+      // not resurrect the evicted 10s state).
       in.addData((1L, 5 * hour * us, "view"))
       q.processAllAvailable()
-      assert(spark.table("funnel_clamp").count() == 0)
-      // State survived the clamp: the funnel completes cross-batch from
-      // the ORIGINAL t1.
+      assert(spark.table("funnel_evict").count() == 0)
       in.addData((1L, 11 * hour * us, "click"),
         (1L, (11 * hour + 60) * us, "purchase"))
       q.processAllAvailable()
-      val rows = spark.table("funnel_clamp").collect()
+      val rows = spark.table("funnel_evict").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       assert(rows.toSeq ==
-        Seq((1L, 10 * us, 11 * hour * us, (11 * hour + 60) * us)))
+        Seq((1L, 5 * hour * us, 11 * hour * us, (11 * hour + 60) * us)))
+    } finally q.stop()
+  }
+
+  test("streamingFunnel drops a late view already past its own horizon") {
+    // An event so late that ts + timeout <= current watermark would arm a
+    // timer BEHIND the watermark (setTimeoutTimestamp throws) or, stored,
+    // resurrect already-expired state. The operator must instead discard
+    // it — exercising the post-fold expiry branch in a DATA batch, which
+    // the timer-batch ordering of the previous test never reaches.
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val us = 1000L * 1000
+    val hour = 3600L
+    val q = EventStreams.streamingFunnel(in.toDS())
+      .writeStream.format("memory").queryName("funnel_late")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      in.addData((9L, 6 * hour * us, "view")) // watermark → 4h
+      q.processAllAvailable()
+      // ts=10s, horizon 10s+120min ≈ 2h <= 4h watermark: already expired
+      // at birth — must not be stored (un-guarded, setTimeoutTimestamp
+      // would throw and kill the query right here).
+      in.addData((1L, 10 * us, "view"))
+      q.processAllAvailable()
+      // No stored t1: a lone click finds no funnel to advance.
+      in.addData((1L, 11 * hour * us, "click"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_late").count() == 0)
+      // A fresh in-horizon funnel for the same user completes normally,
+      // proving the late view left no residue.
+      in.addData((1L, 12 * hour * us, "view"),
+        (1L, (12 * hour + 30) * us, "click"),
+        (1L, (12 * hour + 60) * us, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_late").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq ==
+        Seq((1L, 12 * hour * us, (12 * hour + 30) * us, (12 * hour + 60) * us)))
+    } finally q.stop()
+  }
+
+  test("streamingFunnel runs on the RocksDB state store provider") {
+    // At 100-TB scale the in-memory (HDFS-backed) state store caps state
+    // at executor heap; RocksDB spills per-key state to local disk. Pin
+    // that the stateful funnel is provider-agnostic: same answer, and the
+    // progress metrics prove RocksDB actually served the state.
+    val s2 = spark.newSession() // own SQLConf: no leak into parallel suites
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sq = s2.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val us = 1000L * 1000
+    val q = EventStreams.streamingFunnel(in.toDS())
+      .writeStream.format("memory").queryName("funnel_rocksdb")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      in.addData((1L, 10 * us, "view"), (3L, 10 * us, "view"))
+      q.processAllAvailable()
+      in.addData((1L, 20 * us, "click"), (1L, 30 * us, "purchase"))
+      q.processAllAvailable()
+      val rows = s2.table("funnel_rocksdb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((1L, 10 * us, 20 * us, 30 * us)))
+      val custom = q.lastProgress.stateOperators.head.customMetrics
+      assert(custom.keySet.asScala.exists(_.startsWith("rocksdb")),
+        s"state not served by RocksDB: ${custom.keySet}")
     } finally q.stop()
   }
 
