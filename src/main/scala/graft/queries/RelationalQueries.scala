@@ -199,15 +199,42 @@ object RelationalQueries {
         .orderBy(col("st"), col("prio"))
     },
 
-    // Exact interpolated quantiles (sort-based aggregate; Spark's
-    // percentile and DuckDB's quantile_cont share the (1-d)·lo + d·hi
-    // interpolation bit-for-bit).
+    // Exact interpolated quantiles via a TWO-PASS rank-based plan.
+    // Spark's `percentile` aggregate buffers every group value in one
+    // aggregation buffer — at 100 TB a single o_orderstatus group holds
+    // ~1e8 values in executor memory. Instead: row_number over
+    // (group, value) — a disk-spillable external sort — then each
+    // quantile is the sum of exactly two selected contributions,
+    // mirroring DuckDB's quantile_cont interpolation literally
+    // (RN = (n-1)·p, FRN = floor(RN): (CRN-RN)·v[FRN] + (RN-FRN)·v[CRN],
+    // same IEEE ops → bit-identical doubles).
     "q20_quantiles" -> { (s, d) =>
-      Tables.orders(s, d)
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"))
+      val ranked = Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+      // max(rn) == per-group count; the groupBy reuses the window's
+      // hash partitioning, so no second exchange of the big table.
+      val counts = ranked.groupBy(col("o_orderstatus"))
+        .agg(max(col("rn")).as("n"))
+      // Contribution of this row to quantile p: nonzero only at the two
+      // bracketing ranks. d == 0 degenerates to 1.0·v[FRN] + 0.0·v[CRN]
+      // (both multiplications exact), matching DuckDB's FRN==CRN branch.
+      def contrib(p: Double): Column = {
+        val h = (col("n") - 1).cast("double") * lit(p)
+        val loRank = floor(h).cast("long") + 1
+        when(col("rn") === loRank,
+            (loRank.cast("double") - h) * col("o_totalprice"))
+          .when(col("rn") === loRank + 1,
+            (h - floor(h)) * col("o_totalprice"))
+          .otherwise(lit(0.0))
+      }
+      ranked.join(broadcast(counts), "o_orderstatus")
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"),
-          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
-          percentile(col("o_totalprice"), lit(0.9)).as("p90"))
+        .agg(max(col("n")).as("n"),
+          sum(contrib(0.5)).as("p50"),
+          sum(contrib(0.9)).as("p90"))
         .orderBy(col("o_orderstatus"))
     },
 

@@ -86,6 +86,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q20: rank-based quantiles — no Percentile buffer, spillable sort") {
+    // Spark's `percentile` aggregate holds every group value in one
+    // in-memory buffer (OOM at 1e8 rows/group). The two-pass plan must
+    // instead rank via a disk-spillable window sort and keep the big
+    // table's contribution inside ordinary partial aggregation.
+    val p = plan("q20_quantiles")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"q20 must not use the Percentile aggregate:\n${p.take(600)}")
+    assert(p.contains("Window"), "q20 must rank via a window sort")
+    assert(p.contains("partial"), "final agg must be map-side partial first")
+  }
+
   test("d18: distinct-doc term stats use the two-phase partial aggregate") {
     // countDistinct must plan as partial_count(distinct ...) under ONE
     // (term)-keyed exchange pair, not an expand + extra shuffle per
