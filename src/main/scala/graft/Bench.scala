@@ -37,7 +37,7 @@ object Bench {
       try {
         timeOnce(fn) // warmup: JIT, codegen cache, file-footer cache
         val runs = Seq.fill(3)(timeOnce(fn)).sorted
-        name -> Right(runs(1)) // median
+        name -> Right(runs) // sorted [min, median, max]
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -45,12 +45,27 @@ object Bench {
       }
     }
     val qs = results.map {
-      case (k, Right(v)) => s"\"$k\":$v"
+      case (k, Right(runs)) => s"\"$k\":${runs(1)}"
       case (k, Left(_)) => s"\"$k\":-1"
     }.mkString("{", ",", "}")
+    // Contamination self-diagnosis: on a quiet box the 3 post-warmup runs
+    // of the same query are near-identical; external load shows up as a
+    // wide min→max spread. Emit the raw spreads and flag any query whose
+    // max/min exceeds 2× so a contaminated bench is machine-detectable
+    // instead of silently reading as a regression.
+    val spreads = results.collect { case (k, Right(runs)) =>
+      s""""$k":[${runs.mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    val noisy = results.collect {
+      case (k, Right(runs)) if runs(0) > 0 && runs(2) / runs(0) > 2.0 => k
+    }
+    noisy.foreach { k =>
+      System.err.println(s"[bench] WARNING: $k spread max/min > 2x — " +
+        "timings are contaminated by external load; rerun on a quiet box")
+    }
     val failed = results.collect { case (k, Left(_)) => s"\"$k\"" }
-    val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    val total = results.collect { case (_, Right(runs)) => runs(1) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"noisy":[${noisy.map(k => s"\"$k\"").mkString(",")}],"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
