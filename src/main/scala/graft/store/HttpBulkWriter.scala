@@ -65,7 +65,7 @@ object HttpBulkWriter {
   * numerics and structs. NaN/Infinity render as null (JSON has no
   * representation for them).
   */
-private[store] object JsonRender {
+private[graft] object JsonRender {
 
   def quote(s: String): String = {
     val b = new StringBuilder("\"")
