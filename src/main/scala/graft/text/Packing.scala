@@ -12,10 +12,11 @@ import graft.text.{TextFunctions => TF}
   *
   * Scale shape: packing is inherently sequential, so it runs PER HASH
   * GROUP — `grp = doc_id % groups` — and groups pack in parallel after
-  * ONE shuffle. Each group's docs are folded in doc-id order; a group
-  * must fit an executor (at corpus scale, size `groups` so a group is
-  * shard-sized — the same contract as any per-shard packer). A document
-  * larger than the budget gets a pack of its own.
+  * ONE shuffle. The shuffle is a SECONDARY SORT (repartition by grp +
+  * disk-spillable sortWithinPartitions on (grp, doc_id)), and the fold
+  * is a pure iterator pass with O(1) state — a group never materializes
+  * in memory, so group sizing only bounds sequential work per task, not
+  * heap. A document larger than the budget gets a pack of its own.
   *
   * Deterministic end to end (stable grouping, stable order, pure fold)
   * — the d26 oracle re-derives the exact assignment with a per-group
@@ -34,13 +35,17 @@ object Packing {
       .select(col(idCol).cast("long").as("doc_id"),
         size(TF.tokens(col(textCol))).cast("long").as("n_tok"))
       .withColumn("grp", pmod(col("doc_id"), lit(groups.toLong)))
+      .repartition(col("grp"))
+      .sortWithinPartitions(col("grp"), col("doc_id"))
       .as[(Long, Long, Long)]
-      .groupByKey(_._3)
-      .flatMapGroups { (grp, it) =>
-        val ds = it.toSeq.sortBy(_._1)
+      .mapPartitions { it =>
+        // Iterator fold over the secondary-sorted rows: group changes
+        // reset the running (pack, filled) — no per-group buffering.
+        var curGrp = -1L
         var pack = 0L
         var filled = 0L
-        ds.iterator.map { case (id, n, _) =>
+        it.map { case (id, n, grp) =>
+          if (grp != curGrp) { curGrp = grp; pack = 0L; filled = 0L }
           if (filled > 0 && filled + n > budget) { pack += 1; filled = n }
           else filled += n
           (id, grp, pack)

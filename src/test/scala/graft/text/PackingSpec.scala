@@ -1,5 +1,6 @@
 package graft.text
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSession
@@ -36,6 +37,27 @@ class PackingSpec extends AnyFunSuite {
       budget = 4, groups = 2)
     // grp 0: docs 0,2 → packs 0,1; grp 1: docs 1,3 → packs 0,1
     assert(out == Seq((0L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 1L), (3L, 1L, 1L)))
+  }
+
+  test("one huge group streams through the fold (no per-group materialization)") {
+    // 200k tiny docs all landing in ONE group exercise the iterator fold
+    // path: with groupByKey+toSeq this group would materialize wholesale;
+    // the secondary-sort fold keeps O(1) state. Every doc is 1 token and
+    // budget is 4, so pack_id is exactly doc_id/4 within the single group
+    // — pinned on a sample plus aggregate invariants over the whole run.
+    val n = 200000L
+    val docs = TestSession.spark.range(n)
+      .select(col("id").as("doc_id"), lit("w").as("text"))
+    val out = Packing.packGreedy(docs, "doc_id", "text",
+      budget = 4, groups = 1)
+    val stats = out.agg(
+      count(lit(1)), countDistinct(col("pack_id")), max(col("pack_id")),
+      sum(when(col("pack_id") === floor(col("doc_id") / 4), 0L).otherwise(1L)))
+      .head()
+    assert(stats.getLong(0) == n)
+    assert(stats.getLong(1) == n / 4)
+    assert(stats.getLong(2) == n / 4 - 1)
+    assert(stats.getLong(3) == 0L, "pack assignment must be doc_id/4")
   }
 
   test("pack token sums never exceed the budget except single-doc packs") {
