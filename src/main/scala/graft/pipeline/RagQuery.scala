@@ -49,13 +49,18 @@ object RagQuery {
   def hybridSearch(store: ParquetVectorStore, index: String, query: String,
       embedder: Embedder, k: Int = 4, poolK: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Chunk identity = content; duplicate copies (append-mode stores
-    // accumulate them) collapse to one row so RANKS stay deterministic.
+    // Chunk identity = content, keyed by md5(content): chunks are
+    // multi-KB, and the id flows through a dropDuplicates exchange, two
+    // rank windows, a full-outer join and the final re-join — hashing
+    // cuts every one of those shuffles ~100× narrower while content
+    // itself rides along only where projected. Duplicate copies
+    // (append-mode stores accumulate them) collapse to one row so RANKS
+    // stay deterministic; ties still break on the raw content string.
     // Contract note: when duplicate-content copies carry different
     // metadata/headers, the surviving copy's metadata is unspecified —
     // content and rrf are the deterministic outputs.
     val chunks = store.read(index)
-      .withColumn("_hs_id", col("page_content"))
+      .withColumn("_hs_id", md5(col("page_content")))
       .dropDuplicates("_hs_id")
     val vr = chunks
       .withColumn("vscore",
