@@ -80,16 +80,16 @@ final case class HttpFetcher(timeoutMs: Int = 30000) extends Fetcher {
   */
 object IngestPipeline {
 
-  /** S1 (RHPD:9–39): the constant product catalog. */
+  /** S1 (RHPD:18–39): the constant product catalog, verbatim. */
   val DefaultCatalog: Seq[Product] = Seq(
     Product("red_hat_openshift_ai_self-managed",
       "Red Hat OpenShift AI Self-Managed", "2.14", "en-US"),
-    Product("red_hat_openshift_ai_cloud_service",
-      "Red Hat OpenShift AI Cloud Service", "1", "en-US"),
     Product("openshift_container_platform",
-      "OpenShift Container Platform", "4.17", "en-US"),
-    Product("red_hat_enterprise_linux", "Red Hat Enterprise Linux",
-      "9", "en-US"))
+      "Red Hat OpenShift Container Platform", "4.17", "en-US"),
+    Product("red_hat_enterprise_linux", "Red Hat Enterprise Linux 9",
+      "9", "en-US"),
+    Product("red_hat_ansible_automation_platform",
+      "Red Hat Ansible Automation Platform", "2.5", "en-US"))
 
   /** S1 production form: read the catalog as JSON. */
   def loadCatalog(spark: SparkSession, path: String): Dataset[Product] = {
