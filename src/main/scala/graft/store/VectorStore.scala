@@ -94,18 +94,6 @@ final class ParquetVectorStore(spark: SparkSession, root: String) {
     * Returns the distinct indexes written, sorted.
     */
   def appendAll(chunks: DataFrame, indexCol: String = "index_name"): Seq[String] = {
-    // Validate every distinct index name BEFORE staging anything: the
-    // per-partition move loop below is not atomic, so a name that dir()
-    // would reject mid-loop (null → __HIVE_DEFAULT_PARTITION__, uppercase,
-    // dash) must fail the whole job up front, not after some indexes have
-    // already been committed. One small job, bounded by #indexes.
-    val badNames = chunks
-      .select(org.apache.spark.sql.functions.col(indexCol).cast("string"))
-      .distinct().collect()
-      .map(r => Option(r.getString(0)))
-      .filterNot(_.exists(n => n.nonEmpty && n.matches(namePattern)))
-    require(badNames.isEmpty,
-      s"illegal index names in $indexCol: ${badNames.map(_.getOrElse("NULL")).mkString(", ")}")
     val staging = Paths.get(root, s".staging-${java.util.UUID.randomUUID()}")
     try {
       chunks
@@ -114,20 +102,32 @@ final class ParquetVectorStore(spark: SparkSession, root: String) {
         .write.mode(SaveMode.Overwrite)
         .partitionBy(indexCol)
         .parquet(staging.toString)
-      Files.list(staging).iterator().asScala.toSeq
+      val parts = Files.list(staging).iterator().asScala.toSeq
         .filter(p => Files.isDirectory(p) &&
           p.getFileName.toString.startsWith(s"$indexCol="))
-        .map { p =>
-          val idx = p.getFileName.toString.stripPrefix(s"$indexCol=")
-          createIndex(idx)
-          Files.list(p).iterator().asScala.toSeq
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .zipWithIndex.foreach { case (f, i) =>
-              Files.move(f, dir(idx).resolve(
-                s"part-${java.util.UUID.randomUUID()}-$i.parquet"))
-            }
-          idx
-        }.sorted
+        .map(p => p -> p.getFileName.toString.stripPrefix(s"$indexCol="))
+      // Validate every STAGED partition name after the single write but
+      // BEFORE the first move: the move loop is not atomic, so a name
+      // dir() would reject (null → __HIVE_DEFAULT_PARTITION__, uppercase,
+      // dash) must fail the whole job while nothing is committed yet.
+      // Legal names never get Hive path-escaping, so matching the raw
+      // directory suffix is exact — and unlike a pre-write validation
+      // pass over the frame, this costs no second Spark job and cannot
+      // diverge from what was actually written when the input frame is
+      // nondeterministic (no TOCTOU).
+      val bad = parts.map(_._2).filterNot(n => n.nonEmpty && n.matches(namePattern))
+      require(bad.isEmpty,
+        s"illegal index names in $indexCol: ${bad.mkString(", ")}")
+      parts.map { case (p, idx) =>
+        createIndex(idx)
+        Files.list(p).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (f, i) =>
+            Files.move(f, dir(idx).resolve(
+              s"part-${java.util.UUID.randomUUID()}-$i.parquet"))
+          }
+        idx
+      }.sorted
     } finally if (Files.isDirectory(staging)) rm(staging)
   }
 

@@ -221,7 +221,10 @@ object Dedup {
         val before = listCheckpointed()
         val out = df.checkpoint() // eager: materialized before we delete the old one
         val created = listCheckpointed() -- before
-        assert(created.nonEmpty,
+        // Not an assert: -Xelide-below builds would silently skip the
+        // invariant, and deleting prevCheckpoint on a false success would
+        // drop the ONLY materialized copy of the labels.
+        if (created.isEmpty) throw new IllegalStateException(
           "reliable checkpoint produced no files under the checkpoint dir")
         prevCheckpoint.foreach { p =>
           val path = new org.apache.hadoop.fs.Path(p)
