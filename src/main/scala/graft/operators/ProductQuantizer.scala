@@ -91,20 +91,24 @@ object ProductQuantizer {
     cb
   }
 
+  /** Codes array column for an arbitrary vector column — composes with
+    * other projections (e.g. IVF cell assignment in
+    * [[graft.store.IvfPqIndex]]) without a join.
+    */
+  def codesCol(vecCol: Column, cb: Codebooks): Column =
+    array((0 until cb.blocks).map(b => assignCode(vecCol, cb, b)): _*)
+
   /** Encode: (id, codes array<int>) — the compressed index. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
       cb: Codebooks): DataFrame =
-    df.select(col(idCol).as("id"),
-      array((0 until cb.blocks).map(b => assignCode(col(vecCol), cb, b)): _*)
-        .as("codes"))
+    df.select(col(idCol).as("id"), codesCol(col(vecCol), cb).as("codes"))
 
-  /** ADC search over an encoded index: score = Σ_b table_b(code_b),
-    * where table_b = the query block's inner products with block b's
-    * codewords (computed once, driver-side). One projection over the
-    * codes column + a top-k heap; the original vectors are never read.
+  /** ADC score column: Σ_b table_b(code_b) with the per-block
+    * query→codeword inner-product tables baked in as literals
+    * (driver-side, blocks × codes doubles).
     */
-  def search(encoded: DataFrame, cb: Codebooks, query: Array[Float],
-      k: Int): DataFrame = {
+  def adcScoreCol(codesColumn: Column, cb: Codebooks,
+      query: Array[Float]): Column = {
     require(query.length == cb.dim)
     val tables: Array[Array[Double]] = Array.tabulate(cb.blocks) { b =>
       val qb = query.slice(b * cb.blockDim, (b + 1) * cb.blockDim)
@@ -115,13 +119,21 @@ object ProductQuantizer {
         s
       }
     }
-    val score = (0 until cb.blocks).map { b =>
-      element_at(lit(tables(b)), element_at(col("codes"), b + 1) + 1)
+    (0 until cb.blocks).map { b =>
+      element_at(lit(tables(b)), element_at(codesColumn, b + 1) + 1)
     }.reduce(_ + _)
+  }
+
+  /** ADC search over an encoded index: score = Σ_b table_b(code_b),
+    * where table_b = the query block's inner products with block b's
+    * codewords (computed once, driver-side). One projection over the
+    * codes column + a top-k heap; the original vectors are never read.
+    */
+  def search(encoded: DataFrame, cb: Codebooks, query: Array[Float],
+      k: Int): DataFrame =
     encoded
-      .withColumn("score", score)
+      .withColumn("score", adcScoreCol(col("codes"), cb, query))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
       .select(col("id"), col("score"))
-  }
 }

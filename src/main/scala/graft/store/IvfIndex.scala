@@ -99,7 +99,20 @@ object IvfIndex {
     * inside them (per-partition heap, no global sort).
     */
   def search(spark: SparkSession, path: String, idCol: String,
-      vecCol: String, query: Array[Float], k: Int, nProbe: Int = 1): DataFrame = {
+      vecCol: String, query: Array[Float], k: Int, nProbe: Int = 1): DataFrame =
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probeCells(spark, path, query, nProbe): _*)) // partition pruning
+      .withColumn("score", vectors.cosineSimilarity(col(vecCol), lit(query)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col("cell"), col(idCol), col("score"))
+
+  /** The `nProbe` nearest seed cells for a query, scored driver-side
+    * against the on-disk `<path>/seeds` codebook (tiny by contract).
+    * Shared by the plain and the PQ-compressed index.
+    */
+  private[store] def probeCells(spark: SparkSession, path: String,
+      query: Array[Float], nProbe: Int): Seq[Long] = {
     val seeds = spark.read.parquet(s"$path/seeds")
       .collect()
       .map(r => (r.getLong(r.fieldIndex("cell")),
@@ -112,13 +125,7 @@ object IvfIndex {
       }
       if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val probeCells = seeds.sortBy { case (id, v) => (-cos(v, query), id) }
-      .take(math.max(nProbe, 1)).map(_._1)
-    spark.read.parquet(s"$path/vectors")
-      .filter(col("cell").isin(probeCells.toIndexedSeq: _*)) // partition pruning
-      .withColumn("score", vectors.cosineSimilarity(col(vecCol), lit(query)))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(k)
-      .select(col("cell"), col(idCol), col("score"))
+    seeds.sortBy { case (id, v) => (-cos(v, query), id) }
+      .take(math.max(nProbe, 1)).map(_._1).toIndexedSeq
   }
 }
