@@ -399,6 +399,24 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Deterministic stratified sampling — the corpus-REBALANCING op of a
+    // training-data pipeline: downsample the over-represented language
+    // (en → 30%) while keeping the rest whole, reproducibly. Selection
+    // is a pure hash predicate on the stable id (no random(): same rows
+    // on every run, engine, partitioning — a row-local filter in the
+    // scan stage, no shuffle, no sampling pass), so mixture ratios are
+    // auditable and shards rebuild byte-identical.
+    // d17 is the sibling SPLIT op (one global 80/10/10); this one applies
+    // a per-stratum rate.
+    "d28_stratified_sample" -> { (s, d) =>
+      val bucket = TF.hash32(col("doc_id").cast("string")) % 100
+      Tables.documents(s, d)
+        .filter(bucket <
+          when(col("lang") === "en", 30).otherwise(100))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // Token-count estimation three ways: whitespace split, regex word
     // extraction (the BPE-ish surrogate), chars/4 heuristic.
     "d14_token_estimate" -> { (s, d) =>
@@ -835,6 +853,13 @@ object TextQueries {
          | CAST(bit_count(xor(a_fp, b_fp)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(a_fp, b_fp)) <= 3
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // Same hash32 predicate as the Spark side (md5 first 8 hex chars).
+    "d28_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100
+        |      < CASE WHEN lang = 'en' THEN 30 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin,
 
     "d14_token_estimate" ->
       """SELECT doc_id,
