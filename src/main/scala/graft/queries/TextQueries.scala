@@ -417,6 +417,23 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Epoch weighting — the UPSAMPLING half of corpus rebalancing (d28
+    // is the downsampling half): low-resource strata repeat 2–3×, the
+    // dominant one stays at 1, so the training mixture hits its target
+    // ratios by repetition ("k epochs over that source"). A row-local
+    // explode(sequence(1, k)) 1→N multiplier — no shuffle; the epoch
+    // column is what shard writers then salt/shuffle on so repeats of a
+    // doc land in different shards.
+    "d29_epoch_weights" -> { (s, d) =>
+      val k = when(col("lang") === "en", 1)
+        .when(col("lang") === "zh", 3).otherwise(2)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1), k)).as("epoch"))
+        .select(col("doc_id"), col("lang"), col("epoch").cast("long"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+
     // Token-count estimation three ways: whitespace split, regex word
     // extraction (the BPE-ish surrogate), chars/4 heuristic.
     "d14_token_estimate" -> { (s, d) =>
@@ -860,6 +877,17 @@ object TextQueries {
         |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100
         |      < CASE WHEN lang = 'en' THEN 30 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
+
+    // DuckDB 1.0 has no lateral generate_series — unnest(range(...)) in
+    // a subquery; range(1, k+1) = 1..k, already BIGINT.
+    "d29_epoch_weights" ->
+      """SELECT doc_id, lang, epoch FROM (
+        | SELECT doc_id, lang,
+        |  unnest(range(1, (CASE WHEN lang = 'en' THEN 1
+        |                        WHEN lang = 'zh' THEN 3
+        |                        ELSE 2 END) + 1)) AS epoch
+        | FROM documents)
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     "d14_token_estimate" ->
       """SELECT doc_id,
