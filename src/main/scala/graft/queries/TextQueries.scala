@@ -434,6 +434,29 @@ object TextQueries {
         .orderBy(col("doc_id"), col("epoch"))
     },
 
+    // Train/eval DECONTAMINATION — the n-gram overlap sweep every LLM
+    // training pipeline runs before training: flag any training doc
+    // sharing an 8-gram with the held-out eval set (here: doc_id % 50,
+    // standing in for a benchmark suite). Scale shape: the eval
+    // fingerprint set is benchmark-sized → BROADCAST; the corpus side is
+    // a row-local shingle+md5 projection probed against it, so the only
+    // shuffle is the per-doc count of the (rare) matched rows — the
+    // 100-TB corpus never exchanges. n-grams are keyed by md5, not the
+    // raw 8-gram string, to keep the probe row narrow.
+    "d30_decontaminate" -> { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TF.shingles(TF.tokens(col("text")), 8)).as("sh8"))
+      val evalFp = sh.filter(col("doc_id") % 50 === 0)
+        .select(md5(col("sh8")).as("fp")).distinct()
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), md5(col("sh8")).as("fp"))
+        .join(broadcast(evalFp), "fp")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("fp")).as("n_shared"))
+        .orderBy(col("doc_id"))
+    },
+
     // Token-count estimation three ways: whitespace split, regex word
     // extraction (the BPE-ish surrogate), chars/4 heuristic.
     "d14_token_estimate" -> { (s, d) =>
@@ -888,6 +911,20 @@ object TextQueries {
         |                        ELSE 2 END) + 1)) AS epoch
         | FROM documents)
         |ORDER BY doc_id, epoch""".stripMargin,
+
+    // 8-gram shingles via the same range/list_transform shape as the
+    // 3-gram candidate CTEs; empty for docs under 8 tokens.
+    "d30_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |s8 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-6),
+        |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||
+        |             toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7])) AS sh8
+        |       FROM t),
+        |ev AS (SELECT DISTINCT md5(sh8) AS fp FROM s8 WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, md5(sh8) AS fp FROM s8 WHERE doc_id % 50 <> 0)
+        |SELECT tr.doc_id, CAST(COUNT(DISTINCT tr.fp) AS BIGINT) AS n_shared
+        |FROM tr JOIN ev ON tr.fp = ev.fp
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
     "d14_token_estimate" ->
       """SELECT doc_id,
