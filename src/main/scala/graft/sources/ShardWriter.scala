@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.text.{TextFunctions => TF}
+
+/** Deterministic training-shard layout — the last step of a corpus
+  * pipeline (filtered/deduped/rebalanced docs → fixed set of shard
+  * files a trainer streams).
+  *
+  * Design rules, all scale-motivated:
+  *   - **Shard assignment is a pure hash of the stable id** (plus an
+  *     optional epoch column from d29-style upsampling, so repeats of a
+  *     doc land in DIFFERENT shards): re-running the pipeline rebuilds
+  *     byte-identical shard membership — no `rand()`, no dependence on
+  *     input partitioning. The hash also decorrelates adjacent doc ids,
+  *     which is the shuffle a trainer needs (sequential reads of one
+  *     shard see a pseudo-random document mix).
+  *   - **One exchange**: `repartition(nShards, shard)` is the only
+  *     shuffle, and each output task writes exactly its shard.
+  *   - **Bounded files**: `maxRecordsPerFile` caps file size inside a
+  *     shard so one hot shard cannot produce an unsplittable giant file.
+  *   - Rows inside a shard are sorted by (id, epoch) before writing, so
+  *     file contents are deterministic too, not just membership.
+  */
+object ShardWriter {
+
+  /** Shard id column: `hash32(id · epoch) mod nShards`. Exposed so
+    * tests and audits can re-derive membership without writing.
+    */
+  def shardCol(idCol: String, epochCol: Option[String], nShards: Int) = {
+    val key = epochCol match {
+      case Some(e) => concat_ws("", col(idCol).cast("string"),
+        col(e).cast("string"))
+      case None => col(idCol).cast("string")
+    }
+    pmod(TF.hash32(key), lit(nShards.toLong))
+  }
+
+  /** Write `df` into `nShards` shard directories (`shard=K/`) under
+    * `path`. Returns the shard ids written (0 until nShards, minus any
+    * empty ones).
+    */
+  def writeShards(df: DataFrame, path: String, idCol: String,
+      nShards: Int, epochCol: Option[String] = None,
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    require(nShards > 0, "nShards must be positive")
+    val sharded = df
+      .withColumn("shard", shardCol(idCol, epochCol, nShards))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(
+        (col("shard") +: col(idCol) +: epochCol.map(col).toSeq): _*)
+    sharded.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(path)
+  }
+}
