@@ -457,6 +457,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Adjacent-pair counts — the inner loop of BPE/merge-rule tokenizer
+    // TRAINING at corpus scale (d18 is the unigram vocab pass; this
+    // ranks the merge candidates). A 2-gram shingle IS the adjacent
+    // pair, so the scan side reuses the codegen'd shingle projection;
+    // one term-keyed partial+final count, top candidates by frequency.
+    "d31_bpe_pairs" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TF.shingles(TF.tokens(col("text")), 2)).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(30)
+    },
+
     // Token-count estimation three ways: whitespace split, regex word
     // extraction (the BPE-ish surrogate), chars/4 heuristic.
     "d14_token_estimate" -> { (s, d) =>
@@ -925,6 +939,13 @@ object TextQueries {
         |SELECT tr.doc_id, CAST(COUNT(DISTINCT tr.fp) AS BIGINT) AS n_shared
         |FROM tr JOIN ev ON tr.fp = ev.fp
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    "d31_bpe_pairs" ->
+      """WITH t AS (SELECT string_split(text,' ') AS toks FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i]||' '||toks[i+1])) AS pair FROM t)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
 
     "d14_token_estimate" ->
       """SELECT doc_id,
