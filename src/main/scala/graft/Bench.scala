@@ -44,13 +44,21 @@ object Bench {
           name -> Left(e.getClass.getSimpleName)
       }
     }
+    // The harness captures only the last ~2000 chars of output and parses
+    // the JSON line it finds there. Round-8's full-precision inline spreads
+    // grew the line past that window and the harness recorded parsed:null —
+    // so the stdout line stays COMPACT (3-decimal medians, ~25 chars/query)
+    // and the full-precision [min,median,max] spreads go to a sidecar file.
+    def fmt(d: Double): String =
+      if (d >= 100) f"$d%.0f" else if (d >= 10) f"$d%.1f"
+      else if (d >= 1) f"$d%.2f" else f"$d%.3f"
     val qs = results.map {
-      case (k, Right(runs)) => s"\"$k\":${runs(1)}"
+      case (k, Right(runs)) => s"\"$k\":${fmt(runs(1))}"
       case (k, Left(_)) => s"\"$k\":-1"
     }.mkString("{", ",", "}")
     // Contamination self-diagnosis: on a quiet box the 3 post-warmup runs
     // of the same query are near-identical; external load shows up as a
-    // wide min→max spread. Emit the raw spreads and flag any query whose
+    // wide min→max spread. Persist the raw spreads and flag any query whose
     // max/min exceeds 2× so a contaminated bench is machine-detectable
     // instead of silently reading as a regression.
     val spreads = results.collect { case (k, Right(runs)) =>
@@ -65,7 +73,14 @@ object Bench {
     }
     val failed = results.collect { case (k, Left(_)) => s"\"$k\"" }
     val total = results.collect { case (_, Right(runs)) => runs(1) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"noisy":[${noisy.map(k => s"\"$k\"").mkString(",")}],"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SPREADS.json"),
+      s"""{"spreads":$spreads,"noisy":[${noisy.map(k => s"\"$k\"").mkString(",")}],"sf":"$sfDir"}""".getBytes("UTF-8"))
+    catch { // the sidecar is best-effort; never fail the bench over it
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write BENCH_SPREADS.json: $e")
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"noisy":[${noisy.map(k => s"\"$k\"").mkString(",")}],"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
