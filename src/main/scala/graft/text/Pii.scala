@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII scrubbing — the redaction pass a training-data pipeline runs before
+  * any text leaves the ingest boundary (reference scope: document prep
+  * before indexing, `kfp/redhat-product-documentation-ingestor/
+  * ingestion-pipeline.py` cleans documents before embedding; redaction is
+  * the corpus-scale sibling of that cleanup).
+  *
+  * All patterns are restricted to the syntax subset that Java's
+  * `java.util.regex` (Spark's `regexp_replace`/`regexp_extract_all`) and
+  * RE2 (the DuckDB oracle's engine) interpret identically: character
+  * classes, bounded repetition and `\b` ASCII word boundaries — no
+  * backreferences, no lookaround. That keeps the scrub oracle-comparable
+  * and (on the Spark side) fully codegen'd: `scrub` is three chained
+  * `regexp_replace` projections, row-local, no UDF, no shuffle — at
+  * 100 TB it rides the scan.
+  *
+  * Replacement tokens contain no digits or `@`/`.`-digit runs, so `scrub`
+  * is idempotent (scrubbing scrubbed text is a no-op; pinned by PiiSpec).
+  */
+object Pii {
+
+  /** Practical email shape (lowercased corpora): local@domain.tld. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** Dotted-quad IPv4 (no range check — redaction favors recall). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Phone-like digit groups: 555-0042 or 555-867-5309 shapes. */
+  val PhoneRe = "\\b\\d{3}-(\\d{3}-)?\\d{4}\\b"
+
+  val EmailToken = "<EMAIL>"
+  val IpToken = "<IP>"
+  val PhoneToken = "<PHONE>"
+
+  /** Redact all three classes. Email first (its domain would otherwise
+    * leave dotted fragments the IP rule could half-match), then IPs,
+    * then phones.
+    */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, EmailToken),
+        Ipv4Re, IpToken),
+      PhoneRe, PhoneToken)
+
+  /** Occurrences of `pattern` in the ORIGINAL text (audit counters). */
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+}
