@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.embed.HashingEmbedder
 import graft.functions.vectors
-import graft.text.{Splitters, TextFunctions => TF}
+import graft.text.{Pii, Splitters, TextFunctions => TF}
 
 /** Text-processing surface over the `documents` table: chunking (T1/T2
   * declarative forms), exact + near dedup, token/quality analytics, text
@@ -469,6 +469,93 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(30)
+    },
+
+    // PII redaction ([[graft.text.Pii]]): scrub emails / IPv4s / phone
+    // numbers to typed tokens plus per-class audit counts. The synthetic
+    // corpus contains no PII, so the query plants deterministic
+    // doc_id-derived PII (an email, a dotted-quad, a phone, a second
+    // email on even ids) into each row FIRST — both engines build the
+    // same augmented string from table data, so the oracle genuinely
+    // exercises regex-dialect parity (Java regex vs RE2) on 500 distinct
+    // inputs rather than hashing a no-op. Row-local chained
+    // regexp_replace projections: no UDF, no shuffle, rides the scan at
+    // any scale. Realistic-PII goldens + idempotence are pinned by
+    // PiiSpec.
+    "d34_pii_redact" -> { (s, d) =>
+      val aug = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") % 100).cast("string"),
+        when(col("doc_id") % 2 === 0, lit(" and admin@test.org"))
+          .otherwise(lit("")),
+        lit(" tel 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          Pii.countMatches(col("aug"), Pii.EmailRe).as("n_email"),
+          Pii.countMatches(col("aug"), Pii.Ipv4Re).as("n_ip"),
+          Pii.countMatches(col("aug"), Pii.PhoneRe).as("n_phone"),
+          Pii.scrub(col("aug")).as("clean"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Cross-document span dedup (the C4-style pass): fixed 200-char
+    // non-overlapping windows, GLOBAL first-occurrence keep (first =
+    // smallest (doc_id, pos) over the whole corpus, via one row_number
+    // keyed by the window's md5), then each document is reassembled from
+    // its surviving windows. Documents whose every window was seen
+    // earlier vanish entirely. d04 dedups whole docs and d11 ranks
+    // repeated chunks; this one REWRITES the corpus around repeated
+    // spans. Scale shape: one shuffle keyed by window hash (exchange
+    // carries doc_id/pos plus the window text needed for reassembly),
+    // one shuffle back on doc_id — no all-pairs step anywhere.
+    "d33_global_chunk_dedup" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val win = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(
+            Splitters.fixedWindowChunkCol(col("text"), ChunkSize, ChunkSize))
+            .as(Seq("pos", "chunk")))
+      win
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("chunk")))
+            .orderBy(col("doc_id"), col("pos"))))
+        .filter(col("rn") === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("chunk")))),
+              x => x.getField("chunk")),
+            "").as("text_kept"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Repetition-quality stats (the Gopher-style repetition filter, the
+    // gate d08's length/punct ratios cannot express): type-token ratio
+    // and the most-frequent-term share of each document, flagging
+    // low-diversity / highly repetitive docs. Two map-side-combined
+    // aggregations — (doc, term) counts then per-doc max/sum — no
+    // row-level state, so the 100-TB shape is two partial+final shuffles
+    // keyed by doc id. Ratios are exact-int IEEE divisions (engine-
+    // identical); thresholds are double literals on both sides.
+    "d32_repetition_stats" -> { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("c"))
+      tf.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          (count(lit(1)).cast("double") / sum(col("c"))).as("ttr"),
+          (max(col("c")).cast("double") / sum(col("c"))).as("top_frac"))
+        .select(col("doc_id"), col("n_tokens"), col("ttr"), col("top_frac"),
+          (col("ttr") < lit(0.4) || col("top_frac") > lit(0.12))
+            .as("flagged"))
+        .orderBy(col("doc_id"))
     },
 
     // Token-count estimation three ways: whitespace split, regex word
@@ -946,6 +1033,67 @@ object TextQueries {
         |        i -> toks[i]||' '||toks[i+1])) AS pair FROM t)
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+
+    // Same augmented string built in SQL; patterns are the shared
+    // RE2-compatible subset (single-quoted SQL strings pass backslashes
+    // through verbatim). DuckDB regexp_replace needs the explicit 'g'
+    // flag — Spark's is global by default.
+    "d34_pii_redact" ->
+      """WITH a AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |   || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |   || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |   || CASE WHEN doc_id % 2 = 0 THEN ' and admin@test.org'
+        |           ELSE '' END
+        |   || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |   AS aug
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(aug,
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        | CAST(len(regexp_extract_all(aug,
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        | CAST(len(regexp_extract_all(aug,
+        |   '\b\d{3}-(\d{3}-)?\d{4}\b')) AS BIGINT) AS n_phone,
+        | regexp_replace(regexp_replace(regexp_replace(aug,
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\b\d{3}-(\d{3}-)?\d{4}\b', '<PHONE>', 'g') AS clean
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // Same window recurrence as d01 (stride = size here); the reassembly
+    // is an ordered string_agg, mirroring Spark's sorted collect_list.
+    "d33_global_chunk_dedup" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, pos,
+         |   substr(text, CAST(pos*$ChunkSize+1 AS INT), $ChunkSize) AS chunk
+         |  FROM (SELECT doc_id, text,
+         |         CAST(unnest(range(0, (length(text)-1)//$ChunkSize + 1))
+         |           AS BIGINT) AS pos
+         |        FROM documents) t),
+         |f AS (SELECT doc_id, pos, chunk,
+         |       ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+         |         ORDER BY doc_id, pos) AS rn
+         |      FROM c)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         | string_agg(chunk, '' ORDER BY pos) AS text_kept
+         |FROM f WHERE rn = 1
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Sum(BIGINT) is HUGEINT in DuckDB — cast before the divisions; the
+    // 0.4e0/0.12e0 literals force DOUBLE (plain decimals are DECIMAL and
+    // compare through a different cast path).
+    "d32_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        | CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+        | CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac,
+        | (CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) < 0.4e0
+        |  OR CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) > 0.12e0)
+        |   AS flagged
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d14_token_estimate" ->
       """SELECT doc_id,
