@@ -97,6 +97,28 @@ object VectorQueries {
         .orderBy(col("rank"))
     },
 
+    // One Lloyd k-means step (the unit [[graft.operators.KMeans.lloyd]]
+    // iterates): assign every vector to its max-cosine seed (row-local
+    // broadcast-codebook argmax, v05's shape), then the per-(cluster,dim)
+    // fixed-point mean (v04's shape) plus member counts. Multi-iteration
+    // convergence is KMeansSpec's; this row pins the step's arithmetic
+    // against the oracle.
+    "v08_kmeans_step" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+      Similarity.ivfAssign(e, "vec_id", "embedding",
+        seeds, "seed_id", "seed_vec")
+        .select(col("cell").as("cluster"),
+          posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .groupBy(col("cluster"), (col("pos0") + 1).cast("long").as("pos"))
+        .agg(count(lit(1)).as("n_members"),
+          (sum(floor(col("x").cast("double") * lit(1e9))).cast("double")
+            / count(lit(1)) / lit(1e9)).as("centroid"))
+        .select(col("cluster"), col("pos"), col("centroid"), col("n_members"))
+        .orderBy(col("cluster"), col("pos"))
+    },
+
     // IVF ANN: assign all vectors to nearest of 8 seed centroids (shuffle-
     // free argmax projection), then search only the probe's cell. The probe
     // row is a driver-side point lookup (tiny action); the search itself is
@@ -201,6 +223,29 @@ object VectorQueries {
         |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, qsim, mmr FROM p3
         |UNION ALL SELECT CAST(4 AS BIGINT), vec_id, qsim, mmr FROM p4
         |ORDER BY rank""".stripMargin,
+
+    // v05's assignment CTE + v04's fixed-point mean, composed.
+    "v08_kmeans_step" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, s.cell,
+        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) AS cs
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |   SELECT vec_id, embedding, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+        |   FROM scored) r WHERE rn = 1)
+        |SELECT cell AS cluster, pos,
+        | CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |   / COUNT(*) / 1000000000.0 AS centroid,
+        | CAST(COUNT(*) AS BIGINT) AS n_members
+        |FROM (SELECT cell, UNNEST(embedding) AS x,
+        |       CAST(GENERATE_SUBSCRIPTS(embedding, 1) AS BIGINT) AS pos
+        |      FROM assigned) t
+        |GROUP BY cell, pos ORDER BY cluster, pos""".stripMargin,
 
     "v05_ivf_search" ->
       """WITH seeds AS (
