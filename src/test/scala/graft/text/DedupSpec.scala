@@ -18,6 +18,28 @@ class DedupSpec extends AnyFunSuite {
     (5L, base)) // exact dup of 1
     .toDF("doc_id", "text")
 
+  test("bloomNovelty: every true duplicate is flagged, novels mostly pass") {
+    import org.apache.spark.sql.functions.col
+    val corpus = (0 until 200).map(i => (i.toLong, s"corpus document number $i"))
+      .toDF("doc_id", "text")
+    val incoming = ((0 until 50).map(i => (1000L + i, s"corpus document number $i")) ++
+      (0 until 100).map(i => (2000L + i, s"brand new never seen text $i")))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomNovelty(corpus, incoming, "text",
+      expectedItems = 200, fpp = 0.01).cache()
+    // No false negatives is the Bloom INVARIANT, not a probability.
+    assert(out.filter(col("doc_id") >= 1000 && col("doc_id") < 2000)
+      .filter(!col("maybe_dup")).count() == 0)
+    val novelPassed = out.filter(col("doc_id") >= 2000)
+      .filter(!col("maybe_dup")).count()
+    assert(novelPassed >= 90, s"false-positive storm: only $novelPassed/100 novel passed")
+    // Spark's BloomFilter hashes with a fixed seed: runs are deterministic.
+    val again = Dedup.bloomNovelty(corpus, incoming, "text", 200, 0.01)
+      .filter(!col("maybe_dup")).count()
+    assert(again == novelPassed)
+    out.unpersist()
+  }
+
   test("dropExactDuplicates keeps the smallest id per identical text") {
     val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
       .select("doc_id").as[Long].collect().sorted.toSeq
