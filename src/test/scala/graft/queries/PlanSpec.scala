@@ -98,6 +98,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"), "final agg must be map-side partial first")
   }
 
+  test("d34: PII redaction is a pure projection over a pruned scan") {
+    val p = plan("d34_pii_redact")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"redaction must ride the scan, not shuffle:\n${p.take(600)}")
+    assert(!p.contains("Join"))
+    val Seq((cols, _)) = scans("d34_pii_redact")
+    assert(cols.sorted == Seq("doc_id", "text"),
+      s"redaction must read exactly (doc_id, text), got: $cols")
+  }
+
+  test("d32: repetition stats are two map-side-combined aggregations") {
+    val p = plan("d32_repetition_stats")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 2, s"d32: expected 2 hash shuffles ((doc,term) then doc), found $n")
+    assert(p.contains("partial"), "aggregation must be map-side partial first")
+    assert(!p.contains("Join"))
+  }
+
+  test("d33: span dedup is one window-hash shuffle plus one doc regroup — no join") {
+    val p = plan("d33_global_chunk_dedup")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 2, s"d33: expected 2 hash shuffles (md5(chunk), doc_id), found $n")
+    assert(!p.contains("Join"), "first-occurrence keep must be a window, not a self-join")
+  }
+
+  test("v08: k-means step assigns without a join and aggregates once") {
+    val p = plan("v08_kmeans_step")
+    assert(!p.contains("Join"),
+      s"assignment must be a broadcast-codebook projection, not a join:\n${p.take(600)}")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"v08: expected 1 hash shuffle ((cluster,pos) agg), found $n")
+    assert(p.contains("partial"), "mean must be map-side partial first")
+  }
+
   test("d18: distinct-doc term stats use the two-phase partial aggregate") {
     // countDistinct must plan as partial_count(distinct ...) under ONE
     // (term)-keyed exchange pair, not an expand + extra shuffle per
