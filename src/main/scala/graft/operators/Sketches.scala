@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded-memory mergeable sketches, as typed [[Aggregator]]s: partial
+  * aggregation runs map-side, each task holds O(k) state no matter how
+  * many rows flow through it, and partials merge associatively on the
+  * way up — the only aggregation shape that survives a 100-TB group-by
+  * where exact distinct/top-k state would be gigabytes per group.
+  *
+  * [[KmvDistinct]] is chosen over HyperLogLog deliberately: KMV's state
+  * (the k smallest distinct hash values) is a pure FUNCTION OF THE INPUT
+  * SET — independent of row order, partitioning, and merge tree shape —
+  * so its estimate is bit-for-bit reproducible and oracle-checkable
+  * (q22), while engine HLLs (Spark's approx_count_distinct, DuckDB's)
+  * use private register layouts that never match across engines.
+  * [[HeavyHitters]] (Misra-Gries) is merge-order dependent by nature;
+  * its contract is the deterministic ERROR BOUND (≤ n/(k+1) per item),
+  * pinned by SketchesSpec rather than an oracle row.
+  */
+object Sketches {
+
+  /** SQL-surface registration (the UDAF path — typed Aggregators enter
+    * the function registry through `spark.udf.register`, not the
+    * expression-injection path GraftExtensions uses):
+    * `kmv_distinct(hash)` and `heavy_hitters(term)` become callable from
+    * SQL text with the given sketch sizes.
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession,
+      kmvK: Int = 256, hhK: Int = 32): Unit = {
+    spark.udf.register("kmv_distinct",
+      org.apache.spark.sql.functions.udaf(new KmvDistinct(kmvK)))
+    spark.udf.register("heavy_hitters",
+      org.apache.spark.sql.functions.udaf(new HeavyHitters(hhK)))
+  }
+
+  /** K-minimum-values distinct-count sketch over 32-bit-range hashes
+    * (feed it [[graft.text.TextFunctions.hash32]] values). State: the k
+    * smallest DISTINCT hashes, sorted ascending. Estimate: exact count
+    * while fewer than k distinct hashes were seen; otherwise the k-th
+    * smallest hash h(k) estimates the set density in [0, 2³²) as
+    * (k−1) · 2³² / h(k) — relative standard error ≈ 1/√(k−2) (~6% at
+    * k=256). Estimates DISTINCT HASHES: hash collisions fold values
+    * together, identically in every engine that shares the hash.
+    */
+  class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Double]
+      with Serializable {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+
+    def zero: Array[Long] = Array.emptyLongArray
+
+    /** Sorted-insert keeping the k smallest distinct values. O(log k)
+      * reject for the common full-buffer case (h >= current max).
+      */
+    def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      if (buf.length == k && h >= buf(buf.length - 1)) return buf
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos >= 0) return buf // already present
+      val ins = -pos - 1
+      val outLen = math.min(buf.length + 1, k)
+      val out = new Array[Long](outLen)
+      System.arraycopy(buf, 0, out, 0, ins)
+      out(ins) = h
+      System.arraycopy(buf, ins, out, ins + 1, outLen - ins - 1)
+      out
+    }
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // merge two sorted distinct arrays, keep the k smallest distinct
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val fromA = j >= b.length || (i < a.length && a(i) <= b(j))
+        val v = if (fromA) a(i) else b(j)
+        if (fromA) { if (j < b.length && b(j) == v) j += 1; i += 1 }
+        else j += 1
+        out(n) = v; n += 1
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    def finish(buf: Array[Long]): Double =
+      if (buf.length < k) buf.length.toDouble
+      else (k - 1).toDouble * 4294967296.0 / buf(k - 1)
+
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Misra-Gries heavy-hitters sketch: k counters; a miss on a full
+    * summary decrements every counter (dropping zeros), so any item with
+    * true frequency > n/(k+1) is GUARANTEED to survive, and every
+    * reported count sits in [true − n/(k+1), true]. Merge (Agarwal et
+    * al., "Mergeable Summaries"): sum counters, then subtract the
+    * (k+1)-th largest count and drop non-positives — the bound holds
+    * across any merge tree. Counter VALUES depend on encounter order
+    * (inherent to MG); the deterministic contract is the bound, pinned
+    * by SketchesSpec across partition layouts.
+    *
+    * Buffers are immutable maps (the typed-Aggregator API contract);
+    * the per-row persistent-map update is O(log k). If a profile ever
+    * shows this aggregate hash-bound, the upgrade path is a
+    * TypedImperativeAggregate over an open-addressing map — same
+    * algorithm, engine-internal API.
+    */
+  class HeavyHitters(k: Int)
+      extends Aggregator[String, Map[String, Long], Seq[(String, Long)]]
+      with Serializable {
+    require(k >= 1, s"MG needs k >= 1, got $k")
+
+    def zero: Map[String, Long] = Map.empty
+
+    def reduce(buf: Map[String, Long], item: String): Map[String, Long] =
+      buf.get(item) match {
+        case Some(c) => buf.updated(item, c + 1)
+        case None if buf.size < k => buf.updated(item, 1L)
+        case None => // decrement-all, drop zeros
+          buf.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+      }
+
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-th largest count from everything
+        val kth = sum.valuesIterator.toArray.sorted(Ordering[Long].reverse)(k)
+        sum.view.mapValues(_ - kth).filter(_._2 > 0).toMap
+      }
+    }
+
+    def finish(buf: Map[String, Long]): Seq[(String, Long)] =
+      buf.toSeq.sortBy { case (t, c) => (-c, t) }
+
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+  }
+}

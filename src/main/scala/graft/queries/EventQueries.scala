@@ -31,6 +31,7 @@ object EventQueries {
 
   private val SessionGapUs = 30L * 60 * 1000 * 1000 // 30 min
   private val HourUs = 3600L * 1000 * 1000
+  private val AttributionUs = 60L * 60 * 1000 * 1000 // e06 look-ahead
 
   private def dsum(c: Column) = sum(c.cast(DecimalType(12, 2))).cast("double")
 
@@ -120,6 +121,50 @@ object EventQueries {
             .as("conversion"))
     },
 
+    // Bounded look-ahead interval join ([[graft.operators.IntervalJoin]]):
+    // every (view, click) pair where the click lands within one hour
+    // AFTER the view, per user — the attribution-window join. The naive
+    // per-key join materializes views×clicks per user before filtering;
+    // the operator's window-width time-bucketing bounds each join group
+    // to ~one window of data per key (see IntervalJoin's scaladoc), so
+    // hot users cost events-per-window², not events-per-key².
+    "e06_interval_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), tsUs.as("ts_us"),
+          col("event_type"))
+      val views = ev.filter(col("event_type") === "view").drop("event_type")
+      val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+      graft.operators.IntervalJoin.intervalJoin(
+        views, clicks, keys = Seq("user_id"), timeCol = "ts_us",
+        windowUs = AttributionUs, rightPayload = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("iv_event_id"), col("iv_ts_us"),
+          (col("iv_ts_us") - col("ts_us")).as("gap_us"))
+        .orderBy(col("event_id"), col("iv_event_id"))
+    },
+
+    // CDC-style latest-state compaction: the current (user, event_type)
+    // state table — last event wins by (ts, event_id). Deliberately
+    // max_by over a struct, NOT a row_number window: max_by partial-
+    // aggregates map-side, so the exchange carries one row per (user,
+    // type) per input partition instead of every raw event through a
+    // per-key sort — the shape that lets a 100-TB changelog compact into
+    // a state snapshot in one pass.
+    "e07_last_state" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), tsUs.as("ts_us"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max_by(
+          struct(col("ts_us"), col("event_id"), col("value")),
+          struct(col("ts_us"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("event_type"),
+          col("last.ts_us").as("last_ts_us"),
+          col("last.event_id").as("last_event_id"),
+          col("last.value").as("last_value"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
     // Per-type stats with JSON props extraction in the scan projection.
     "e03_type_stats" -> { (s, d) =>
       Tables.events(s, d)
@@ -188,6 +233,29 @@ object EventQueries {
         | (SELECT COUNT(*) FROM p) AS n_view_click_purchase,
         | CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
         |  / (SELECT COUNT(*) FROM v) AS conversion""".stripMargin,
+
+    "e06_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events),
+        |v AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type='view'),
+        |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type='click')
+        |SELECT v.event_id, v.user_id, v.ts_us,
+        | c.event_id AS iv_event_id, c.ts_us AS iv_ts_us,
+        | c.ts_us - v.ts_us AS gap_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        | AND c.ts_us > v.ts_us AND c.ts_us <= v.ts_us + 3600000000
+        |ORDER BY v.event_id, iv_event_id""".stripMargin,
+
+    // Identical winner to max_by((ts_us, event_id)): event_id is unique,
+    // so the DESC row_number has no ties to break differently.
+    "e07_last_state" ->
+      """SELECT user_id, event_type, ts_us AS last_ts_us,
+        | event_id AS last_event_id, value AS last_value
+        |FROM (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |       ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
     "e03_type_stats" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -359,8 +359,32 @@ object RelationalQueries {
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
         build, key = "l_orderkey", buckets = 8)
         .orderBy(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+    },
+
+    // KMV distinct-count sketch ([[graft.operators.Sketches.KmvDistinct]])
+    // vs the exact count, per group. The sketch is the 100-TB cardinality
+    // path: O(k) state per group through partial aggregation where exact
+    // countDistinct expands every distinct value through the exchange.
+    // KMV's state is a function of the input SET (not order/partitioning/
+    // merge shape), so unlike HLL the estimate is oracle-reproducible:
+    // DuckDB re-derives the k-th smallest md5-based hash and applies the
+    // same (k−1)·2³²/h(k) estimator. The exact column doubles as the
+    // sketch's accuracy witness in CORRECTNESS, not just a comparison.
+    "q22_kmv_distinct" -> { (s, d) =>
+      val kmv = udaf(new graft.operators.Sketches.KmvDistinct(KmvK))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          graft.text.TextFunctions.hash32(col("l_partkey").cast("string"))
+            .as("h"),
+          col("l_partkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          kmv(col("h")).as("est_distinct"))
+        .orderBy(col("l_returnflag"))
     }
   )
+
+  private val KmvK = 256
 
   def oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -541,6 +565,28 @@ object RelationalQueries {
       """SELECT l_orderkey, l_quantity, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
-        |ORDER BY l_orderkey, l_quantity, o_totalprice""".stripMargin
+        |ORDER BY l_orderkey, l_quantity, o_totalprice""".stripMargin,
+
+    // KMV re-derived declaratively: k-th smallest distinct hash per group
+    // (MAX over CASE rn=k), same estimator arithmetic left-to-right.
+    "q22_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT l_returnflag AS g,
+         |        CAST(('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,8)) AS BIGINT) AS h
+         |       FROM lineitem),
+         |r AS (SELECT g, h,
+         |       ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn,
+         |       COUNT(*) OVER (PARTITION BY g) AS nd
+         |      FROM h),
+         |e AS (SELECT g,
+         |       CASE WHEN MAX(nd) < $KmvK THEN CAST(MAX(nd) AS DOUBLE)
+         |            ELSE ${KmvK - 1}e0 * 4294967296e0
+         |                 / MAX(CASE WHEN rn = $KmvK THEN h END) END AS est
+         |      FROM r GROUP BY g),
+         |ex AS (SELECT l_returnflag AS g,
+         |        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact
+         |       FROM lineitem GROUP BY 1)
+         |SELECT ex.g AS l_returnflag, ex.n_exact, e.est AS est_distinct
+         |FROM ex JOIN e ON ex.g = e.g
+         |ORDER BY l_returnflag""".stripMargin
   )
 }

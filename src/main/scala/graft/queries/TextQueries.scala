@@ -535,6 +535,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // EXACT n-gram Jaccard near-dup ([[graft.text.Dedup.ngramJaccardPairs]])
+    // — the complete-by-construction counterpart to d06's banded-LSH
+    // pipeline: an inverted index on the 3-shingles, a posting-list
+    // self-join whose per-pair count IS the intersection size, set sizes
+    // joined back, threshold on the exact Jaccard. No signature step, no
+    // candidate-miss risk; the scale lever is the documented df cap
+    // (uncapped here so the oracle checks the complete contract — d06's
+    // LSH output must be a subset of this at the same threshold, pinned
+    // by DedupSpec).
+    "d35_ngram_jaccard" -> { (s, d) =>
+      graft.text.Dedup.ngramJaccardPairs(
+        Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Repetition-quality stats (the Gopher-style repetition filter, the
     // gate d08's length/punct ratios cannot express): type-token ratio
     // and the most-frequent-term share of each document, flagging
@@ -892,6 +907,23 @@ object TextQueries {
     "d24_bm25" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, score FROM bm ORDER BY doc_id""".stripMargin,
+
+    // Inverted-index exact Jaccard: the per-pair shared-shingle COUNT is
+    // the intersection; sizes are distinct-shingle set sizes.
+    "d35_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |ss AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS ss FROM t),
+        |p AS (SELECT doc_id, unnest(ss) AS sh FROM ss),
+        |ix AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS ix
+        |       FROM p x JOIN p y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |       GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(ss) AS n FROM ss)
+        |SELECT a_id, b_id,
+        | CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) AS jaccard
+        |FROM ix JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        |WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // RRF fusion of the dense and lexical top-K rankings; ROW_NUMBER
     // before LIMIT ranks identically to Spark's rank-after-top-K (same

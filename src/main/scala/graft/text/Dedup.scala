@@ -128,6 +128,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT n-gram Jaccard near-dup pairs (a_id < b_id) via an inverted
+    * index on the shingles themselves — no minhash approximation anywhere:
+    * with `maxDf = 0` every pair with at least one shared shingle is
+    * scored, so the output is complete for any threshold > 0 (the
+    * guarantee [[nearDupPairs]] trades away for banding: LSH misses a
+    * pair whenever no band collides, this cannot miss).
+    *
+    * Shape: one pass builds each document's distinct-shingle set; the
+    * posting list (shingle, id) self-joins on the shingle and a
+    * partial+final count per (a, b) IS the intersection size — the
+    * shingle sets themselves never meet in a per-pair array operation.
+    * Set sizes then join back and Jaccard = ix / (|A| + |B| − ix).
+    * Shuffle cost: one exchange keyed by shingle (posting list), one
+    * keyed by the pair. Candidate volume is Σ_s df(s)², so the honest
+    * 100-TB run sets `maxDf`: shingles appearing in more than `maxDf`
+    * documents (boilerplate, headers) are dropped from the posting list
+    * BEFORE the self-join — the df gate is a window count keyed exactly
+    * like the join, riding the same exchange. A dropped shingle removes
+    * itself from intersections only (set sizes stay full), so capped
+    * Jaccard is a LOWER bound — capping never creates a false positive
+    * above the threshold, it can only miss pairs whose overlap is
+    * carried by ubiquitous shingles (which near-dup detection should
+    * ignore anyway). `maxDf = 0` = uncapped exact contract (d35).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleLen: Int = 3, maxDf: Long = 0): DataFrame = {
+    val sets = df.select(col(idCol).as("_nj_id"),
+      array_distinct(TF.shingles(TF.tokens(col(textCol)), shingleLen))
+        .as("_nj_ss"))
+    val posting0 = sets.select(col("_nj_id"), explode(col("_nj_ss")).as("_nj_sh"))
+    val posting =
+      if (maxDf <= 0) posting0
+      else posting0
+        .withColumn("_nj_df",
+          count(lit(1)).over(Window.partitionBy(col("_nj_sh"))))
+        .filter(col("_nj_df") <= maxDf)
+        .drop("_nj_df")
+    val inter = posting.as("x")
+      .join(posting.as("y"),
+        col("x._nj_sh") === col("y._nj_sh") &&
+          col("x._nj_id") < col("y._nj_id"))
+      .groupBy(col("x._nj_id").as("a_id"), col("y._nj_id").as("b_id"))
+      .agg(count(lit(1)).as("_nj_ix"))
+    val sizes = sets.select(col("_nj_id"), size(col("_nj_ss")).as("_nj_n"))
+    inter
+      .join(sizes.select(col("_nj_id").as("a_id"), col("_nj_n").as("_nj_na")), "a_id")
+      .join(sizes.select(col("_nj_id").as("b_id"), col("_nj_n").as("_nj_nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("_nj_ix").cast("double")
+          / (col("_nj_na") + col("_nj_nb") - col("_nj_ix"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Drop every row that has a smaller near-duplicate partner. */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleLen: Int = 3, bands: Int = 4,

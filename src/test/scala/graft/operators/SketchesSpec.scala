@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+
+class SketchesSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private def kmvEst(values: Seq[Long], k: Int, parts: Int): Double = {
+    val f = udaf(new Sketches.KmvDistinct(k))
+    values.toDF("h").repartition(parts)
+      .agg(f(col("h")))
+      .head().getDouble(0)
+  }
+
+  test("KMV is exact below k and partition-invariant always") {
+    val small = (1 to 100).map(i => (i % 40) * 104729L) // 40 distinct
+    assert(kmvEst(small, k = 256, parts = 1) == 40.0)
+    assert(kmvEst(small, k = 256, parts = 7) == 40.0)
+    // 20k rows over 10k distinct uniform 32-bit hashes: the k smallest
+    // distinct hashes are a function of the SET, so any layout gives the
+    // bit-identical estimate.
+    // Fibonacci-constant multiply is a 64-bit bijection whose top 32
+    // bits are uniform over sequential inputs — a stand-in for hash32
+    // without paying 20k md5s in a unit test (java.util.Random(seed)'s
+    // first draw is NOT uniform across sequential seeds and skews the
+    // order statistics the estimator reads).
+    val rnd = new scala.util.Random(42)
+    val big = Seq.fill(20000)(rnd.nextInt(10000))
+      .map(i => (i * 0x9E3779B97F4A7C15L) >>> 32)
+    val e1 = kmvEst(big, k = 256, parts = 1)
+    val e13 = kmvEst(big, k = 256, parts = 13)
+    assert(e1 == e13, s"layout changed the KMV estimate: $e1 vs $e13")
+    val exact = big.distinct.size
+    assert(math.abs(e1 - exact) / exact < 0.2,
+      s"KMV off by ${math.abs(e1 - exact) / exact} (est $e1, exact $exact)")
+  }
+
+  test("KMV merge == sorted distinct union truncated to k (fuzz)") {
+    val agg = new Sketches.KmvDistinct(16)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val a = Seq.fill(rnd.nextInt(20))(rnd.nextInt(60).toLong)
+        .foldLeft(agg.zero)(agg.reduce)
+      val b = Seq.fill(rnd.nextInt(20))(rnd.nextInt(60).toLong)
+        .foldLeft(agg.zero)(agg.reduce)
+      val want = (a ++ b).distinct.sorted.take(16).toSeq
+      assert(agg.merge(a, b).toSeq == want)
+      assert(agg.merge(b, a).toSeq == want, "merge must be commutative")
+    }
+  }
+
+  test("SQL surface: kmv_distinct / heavy_hitters callable from SQL text") {
+    Sketches.registerSql(spark, kmvK = 64, hhK = 4)
+    (1 to 500).map(i => ((i % 30) * 7919L, s"t${i % 3}"))
+      .toDF("h", "term").createOrReplaceTempView("sketch_in")
+    val row = spark.sql(
+      "SELECT kmv_distinct(h) AS nd, heavy_hitters(term) AS hh FROM sketch_in")
+      .head()
+    assert(row.getDouble(0) == 30.0) // below k → exact
+    val hh = row.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getString(0)).toSet
+    assert(hh == Set("t0", "t1", "t2"))
+  }
+
+  test("Misra-Gries: guaranteed hitters survive, counts within n/(k+1), any layout") {
+    val k = 20
+    // 3 heavy terms (1200/800/500 of n=4000) over a 400-term tail.
+    val corpus = Seq.fill(1200)("hot_a") ++ Seq.fill(800)("hot_b") ++
+      Seq.fill(500)("hot_c") ++ (0 until 1500).map(i => s"tail_${i % 400}")
+    val truth = corpus.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = corpus.size
+    val bound = n.toDouble / (k + 1)
+    for (parts <- Seq(1, 7, 32)) {
+      val f = udaf(new Sketches.HeavyHitters(k))
+      val got = scala.util.Random.shuffle(corpus).toDF("term")
+        .repartition(parts)
+        .agg(f(col("term")))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.size <= k)
+      Seq("hot_a", "hot_b", "hot_c").foreach { t =>
+        assert(got.contains(t), s"parts=$parts lost guaranteed hitter $t: $got")
+      }
+      got.foreach { case (t, c) =>
+        assert(c <= truth(t), s"parts=$parts overcounted $t: $c > ${truth(t)}")
+        assert(c >= truth(t) - bound,
+          s"parts=$parts undercounted $t past the bound: $c < ${truth(t)} - $bound")
+      }
+    }
+  }
+}

@@ -72,6 +72,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters:"))
   }
 
+  test("d35: inverted-index Jaccard — equi joins only, scan pruned to (doc_id, text)") {
+    val p = plan("d35_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"posting-list join degenerated to a cross product:\n${p.take(600)}")
+    assert(scans("d35_ngram_jaccard").forall(_._1.sorted == Seq("doc_id", "text")),
+      "every pass over documents must read exactly (doc_id, text)")
+  }
+
+  test("e06: interval join is an equi join on (key, bucket) — never a per-key cross product") {
+    val p = plan("e06_interval_join")
+    assert(p.contains("_iv_bucket"),
+      s"bucket key missing from the join:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("e07: latest-state compaction partial-aggregates map-side, no window") {
+    val p = plan("e07_last_state")
+    assert(p.contains("partial_max_by"),
+      s"map-side partial aggregation missing:\n${p.take(600)}")
+    assert(!p.contains("Window"),
+      "compaction must not sort raw events through a per-key window")
+  }
+
+  test("q22: KMV sketch partial-aggregates before the exchange") {
+    val p = plan("q22_kmv_distinct")
+    assert(p.contains("partial_kmvdistinct"),
+      s"KMV must combine map-side:\n${p.take(600)}")
+  }
+
   test("d05: minhash signatures are a pure projection — no hash shuffle, no join") {
     val p = plan("d05_minhash_signature")
     assert(!p.contains("Exchange hashpartitioning"),

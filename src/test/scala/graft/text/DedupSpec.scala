@@ -58,6 +58,47 @@ class DedupSpec extends AnyFunSuite {
     assert(j12 == 1.0)
   }
 
+  test("ngramJaccardPairs: exact Jaccard, superset of the LSH pipeline") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // Hand-checked values: 1/2/5 identical (J=1); doc 3 = base + 4 extra
+    // tokens → base has 8 3-shingles, doc3 has 12, all 8 shared minus the
+    // boundary: shingles of doc3 include base's 8 plus 4 new ⇒ J = 8/12.
+    assert(exact((1L, 2L)) == 1.0 && exact((1L, 5L)) == 1.0 && exact((2L, 5L)) == 1.0)
+    assert(exact.contains((1L, 3L)) &&
+      math.abs(exact((1L, 3L)) - 8.0 / 12.0) < 1e-12, s"got ${exact.get((1L, 3L))}")
+    assert(!exact.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    // Completeness: LSH candidates at the same threshold must be a subset
+    // (banding can only MISS pairs relative to the inverted index).
+    val lsh = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact.keySet), s"LSH found a pair the exact index lost")
+  }
+
+  test("ngramJaccardPairs maxDf cap only lowers Jaccard, never raises it") {
+    // doc 6 shares doc 3's "extra tail" run (those shingles have df=2);
+    // the base shingles appear in 5 docs, so maxDf=2 drops them — pairs
+    // carried only by the base text vanish, the 3↔6 overlap survives at
+    // a REDUCED Jaccard (base contribution gone, sizes still full).
+    val docs2 = docs.unionByName(
+      Seq((6L, base + " extra tail words here and then some"))
+        .toDF("doc_id", "text"))
+    val capped = Dedup.ngramJaccardPairs(docs2, "doc_id", "text",
+      threshold = 0.0, maxDf = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val uncapped = Dedup.ngramJaccardPairs(docs2, "doc_id", "text",
+      threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    capped.foreach { case (k, j) => assert(j <= uncapped(k) + 1e-12,
+      s"cap raised Jaccard for $k: $j > ${uncapped(k)}") }
+    assert(!capped.contains((1L, 2L)), "df-capped postings must drop the all-shared pair")
+    // 3↔6 share 4 df=2 shingles; |3|=12, |6|=15 → capped J = 4/23,
+    // uncapped J = 12/15 (8 base + 4 tail shared).
+    assert(math.abs(capped((3L, 6L)) - 4.0 / 23.0) < 1e-12)
+    assert(math.abs(uncapped((3L, 6L)) - 12.0 / 15.0) < 1e-12)
+  }
+
   test("maxBucket skew guard drops degenerate band buckets") {
     // 40 near-identical docs share every band bucket: uncapped that is
     // 40·39/2 = 780 scored pairs; capped at 10, the degenerate buckets are
