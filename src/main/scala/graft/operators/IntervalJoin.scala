@@ -35,13 +35,26 @@ object IntervalJoin {
       timeCol: String, windowUs: Long, rightPayload: Seq[String],
       prefix: String = "iv_"): DataFrame = {
     require(keys.nonEmpty && windowUs > 0 && rightPayload.nonEmpty)
+    // timeCol is already carried as prefix+timeCol; a payload copy would
+    // emit a second identically-named column and break every downstream
+    // reference to it.
+    require(!rightPayload.contains(timeCol),
+      s"rightPayload must not repeat timeCol '$timeCol' — it is emitted as " +
+        s"'$prefix$timeCol' already")
     val bucket = "_iv_bucket"
     val rTime = prefix + timeCol
     // Floor-div without the double-precision trap: Column./ on longs is
     // IEEE division, and a raw cast of t/w can truncate an x.9999…
     // artifact. Subtracting the remainder first makes the numerator an
     // exact multiple of w (both < 2^53), so the division is exact and
-    // the long cast is the true floor for the nonneg epoch values here.
+    // the long cast is the true floor for nonneg epoch values. Negative
+    // (pre-epoch) times are ALSO correct: `%` is sign-of-dividend, so
+    // this truncates toward zero there instead of flooring — but both
+    // sides bucket through this same function, and trunc-bucketing is
+    // still a monotone step function whose boundaries are >= w apart
+    // (the zero-straddling bucket is simply 2w−1 wide), so an interval
+    // of width w still spans at most two consecutive bucket ids and the
+    // two-probe containment argument above is unchanged.
     def bucketOf(t: Column): Column =
       ((t - t % windowUs) / windowUs).cast("long")
     val probes = left.withColumn(bucket,

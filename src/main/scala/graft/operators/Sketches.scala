@@ -30,7 +30,7 @@ object Sketches {
   def registerSql(spark: org.apache.spark.sql.SparkSession,
       kmvK: Int = 256, hhK: Int = 32): Unit = {
     spark.udf.register("kmv_distinct",
-      org.apache.spark.sql.functions.udaf(new KmvDistinct(kmvK)))
+      org.apache.spark.sql.functions.udaf(new KmvDistinct(kmvK), Encoders.LONG))
     spark.udf.register("heavy_hitters",
       org.apache.spark.sql.functions.udaf(new HeavyHitters(hhK)))
   }
@@ -43,8 +43,16 @@ object Sketches {
     * (k−1) · 2³² / h(k) — relative standard error ≈ 1/√(k−2) (~6% at
     * k=256). Estimates DISTINCT HASHES: hash collisions fold values
     * together, identically in every engine that shares the hash.
+    *
+    * Input contract, ENFORCED: hashes must lie in [0, 2³²) — anything
+    * else (a full-64-bit or negative hash) would corrupt the density
+    * estimator silently, so reduce throws instead. NULL inputs are
+    * ignored (the boxed input type exists precisely so a null — e.g.
+    * hash32 of a null text — is visible here rather than decoded as a
+    * spurious 0 by a primitive encoder).
     */
-  class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Double]
+  class KmvDistinct(k: Int)
+      extends Aggregator[java.lang.Long, Array[Long], Double]
       with Serializable {
     require(k >= 2, s"KMV needs k >= 2, got $k")
 
@@ -53,7 +61,11 @@ object Sketches {
     /** Sorted-insert keeping the k smallest distinct values. O(log k)
       * reject for the common full-buffer case (h >= current max).
       */
-    def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    def reduce(buf: Array[Long], boxed: java.lang.Long): Array[Long] = {
+      if (boxed == null) return buf // null hash = null input: no element
+      val h = boxed.longValue()
+      require(h >= 0L && h < 4294967296L,
+        s"KMV input hash $h outside [0, 2^32) — feed it 32-bit-range hashes")
       if (buf.length == k && h >= buf(buf.length - 1)) return buf
       val pos = java.util.Arrays.binarySearch(buf, h)
       if (pos >= 0) return buf // already present

@@ -235,16 +235,16 @@ object EventQueries {
         |  / (SELECT COUNT(*) FROM v) AS conversion""".stripMargin,
 
     "e06_interval_join" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
-        |           FROM events),
-        |v AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type='view'),
-        |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type='click')
-        |SELECT v.event_id, v.user_id, v.ts_us,
-        | c.event_id AS iv_event_id, c.ts_us AS iv_ts_us,
-        | c.ts_us - v.ts_us AS gap_us
-        |FROM v JOIN c ON v.user_id = c.user_id
-        | AND c.ts_us > v.ts_us AND c.ts_us <= v.ts_us + 3600000000
-        |ORDER BY v.event_id, iv_event_id""".stripMargin,
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+         |           FROM events),
+         |v AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type='view'),
+         |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type='click')
+         |SELECT v.event_id, v.user_id, v.ts_us,
+         | c.event_id AS iv_event_id, c.ts_us AS iv_ts_us,
+         | c.ts_us - v.ts_us AS gap_us
+         |FROM v JOIN c ON v.user_id = c.user_id
+         | AND c.ts_us > v.ts_us AND c.ts_us <= v.ts_us + $AttributionUs
+         |ORDER BY v.event_id, iv_event_id""".stripMargin,
 
     // Identical winner to max_by((ts_us, event_id)): event_id is unique,
     // so the DESC row_number has no ties to break differently.

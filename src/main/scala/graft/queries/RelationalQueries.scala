@@ -371,7 +371,8 @@ object RelationalQueries {
     // same (k−1)·2³²/h(k) estimator. The exact column doubles as the
     // sketch's accuracy witness in CORRECTNESS, not just a comparison.
     "q22_kmv_distinct" -> { (s, d) =>
-      val kmv = udaf(new graft.operators.Sketches.KmvDistinct(KmvK))
+      val kmv = udaf(new graft.operators.Sketches.KmvDistinct(KmvK),
+        org.apache.spark.sql.Encoders.LONG)
       Tables.lineitem(s, d)
         .select(col("l_returnflag"),
           graft.text.TextFunctions.hash32(col("l_partkey").cast("string"))

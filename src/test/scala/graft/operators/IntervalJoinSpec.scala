@@ -55,6 +55,34 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fuzz degenerated to an empty comparison")
   }
 
+  test("payload repeating timeCol is rejected (would emit duplicate column)") {
+    intercept[IllegalArgumentException] {
+      IntervalJoin.intervalJoin(
+        views, clicks, Seq("user"), "t", W, rightPayload = Seq("cid", "t"))
+    }
+  }
+
+  test("negative (pre-epoch) times: bucketed join ≡ naive range join") {
+    val rnd = new scala.util.Random(11)
+    val l = Seq.tabulate(150)(i =>
+      (i.toLong, s"u${rnd.nextInt(3)}", rnd.nextInt(1000) - 500L))
+      .toDF("id", "user", "t")
+    val r = Seq.tabulate(250)(i =>
+      (1000L + i, s"u${rnd.nextInt(3)}", rnd.nextInt(1000) - 500L))
+      .toDF("cid", "user", "t")
+    val w = 37L
+    val got = IntervalJoin.intervalJoin(l, r, Seq("user"), "t", w, Seq("cid"))
+      .select(col("id"), col("iv_cid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = l.as("l").join(r.as("r"),
+      col("l.user") === col("r.user") &&
+        col("r.t") > col("l.t") && col("r.t") <= col("l.t") + w)
+      .select(col("l.id"), col("r.cid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fuzz degenerated to an empty comparison")
+  }
+
   test("each matching pair is emitted exactly once (no probe double-count)") {
     val out = IntervalJoin.intervalJoin(
       views, clicks, Seq("user"), "t", W, Seq("cid"))

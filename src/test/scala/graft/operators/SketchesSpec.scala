@@ -10,7 +10,8 @@ class SketchesSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def kmvEst(values: Seq[Long], k: Int, parts: Int): Double = {
-    val f = udaf(new Sketches.KmvDistinct(k))
+    val f = udaf(new Sketches.KmvDistinct(k),
+      org.apache.spark.sql.Encoders.LONG)
     values.toDF("h").repartition(parts)
       .agg(f(col("h")))
       .head().getDouble(0)
@@ -44,13 +45,34 @@ class SketchesSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 200) {
       val a = Seq.fill(rnd.nextInt(20))(rnd.nextInt(60).toLong)
-        .foldLeft(agg.zero)(agg.reduce)
+        .foldLeft(agg.zero)((b, h) => agg.reduce(b, h))
       val b = Seq.fill(rnd.nextInt(20))(rnd.nextInt(60).toLong)
-        .foldLeft(agg.zero)(agg.reduce)
+        .foldLeft(agg.zero)((buf, h) => agg.reduce(buf, h))
       val want = (a ++ b).distinct.sorted.take(16).toSeq
       assert(agg.merge(a, b).toSeq == want)
       assert(agg.merge(b, a).toSeq == want, "merge must be commutative")
     }
+  }
+
+  test("KMV ignores nulls and rejects out-of-range hashes") {
+    val agg = new Sketches.KmvDistinct(16)
+    // null = no element: folding nulls in leaves the state untouched.
+    val withNulls: Seq[java.lang.Long] =
+      Seq[java.lang.Long](5L, null, 9L, null, 5L)
+    val state = withNulls.foldLeft(agg.zero)(agg.reduce)
+    assert(state.toSeq == Seq(5L, 9L))
+    assert(agg.finish(state) == 2.0)
+    // out-of-contract hashes fail loudly instead of corrupting the
+    // estimator: negative and >= 2^32 both throw.
+    intercept[IllegalArgumentException](agg.reduce(agg.zero, -1L))
+    intercept[IllegalArgumentException](agg.reduce(agg.zero, 1L << 32))
+    // end-to-end: a null-producing hash (hash32 of NULL text) is skipped.
+    val f = udaf(new Sketches.KmvDistinct(16),
+      org.apache.spark.sql.Encoders.LONG)
+    val est = Seq(Some("a"), None, Some("b"), Some("a")).toDF("t")
+      .agg(f(graft.text.TextFunctions.hash32(col("t"))))
+      .head().getDouble(0)
+    assert(est == 2.0, s"null text must not count as a distinct hash: $est")
   }
 
   test("SQL surface: kmv_distinct / heavy_hitters callable from SQL text") {
