@@ -28,11 +28,17 @@ object Sketches {
     * SQL text with the given sketch sizes.
     */
   def registerSql(spark: org.apache.spark.sql.SparkSession,
-      kmvK: Int = 256, hhK: Int = 32): Unit = {
+      kmvK: Int = 256, hhK: Int = 32, quantileK: Int = 128,
+      quantilePs: Seq[Double] = Seq(0.5, 0.9)): Unit = {
     spark.udf.register("kmv_distinct",
       org.apache.spark.sql.functions.udaf(new KmvDistinct(kmvK), Encoders.LONG))
     spark.udf.register("heavy_hitters",
       org.apache.spark.sql.functions.udaf(new HeavyHitters(hhK)))
+    spark.udf.register("bottomk_quantiles",
+      org.apache.spark.sql.functions.udaf(
+        new BottomKQuantile(quantileK, quantilePs),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(java.lang.Long, java.lang.Double)]()))
   }
 
   /** K-minimum-values distinct-count sketch over 32-bit-range hashes
@@ -99,6 +105,91 @@ object Sketches {
     def bufferEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Mergeable quantile sketch via bounded uniform-hash bottom-k
+    * sampling: state is the k lexicographically-smallest DISTINCT
+    * (hash, value) pairs — like [[KmvDistinct]], a pure function of the
+    * input SET, independent of row order, partitioning, and merge-tree
+    * shape, so the estimate is bit-for-bit reproducible and
+    * oracle-checkable (q23) where engine-native quantile sketches
+    * (t-digest, KLL) carry layout-dependent internal state that never
+    * matches across engines.
+    *
+    * Feed it (hash of a UNIQUE row key, value): hashing a unique key
+    * makes the bottom-k a uniform random sample of the rows (any hash
+    * range works for determinism; uniformity is what makes the sample
+    * unbiased), and makes pair-distinctness coincide with row identity.
+    * The value rides second in the pair so even colliding hashes keep
+    * the state a set function. NULL hash or value = no element.
+    *
+    * Estimate: the SQL-standard continuous-quantile interpolation over
+    * the sampled values (RN = (n−1)·p, FRN = floor(RN):
+    * (FRN+1−RN)·v[FRN] + (RN−FRN)·v[FRN+1] — q20's oracle-matched
+    * arithmetic, bit-identical to DuckDB's quantile_cont over the same
+    * sample). Sampling error ~ O(1/√k) on the rank, exact while the
+    * group holds ≤ k rows. The 100-TB shape is the same as KMV: O(k)
+    * state per group through partial aggregation, where exact
+    * percentile aggregates buffer every group value (q20's two-pass
+    * rank plan is the exact alternative; this is the one-pass
+    * approximate one).
+    */
+  class BottomKQuantile(k: Int, ps: Seq[Double])
+      extends Aggregator[(java.lang.Long, java.lang.Double),
+        Seq[(Long, Double)], Seq[Double]]
+      with Serializable {
+    require(k >= 2, s"bottom-k sampling needs k >= 2, got $k")
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantiles must lie in [0, 1]: $ps")
+
+    private def lt(a: (Long, Double), b: (Long, Double)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    def zero: Seq[(Long, Double)] = Vector.empty
+
+    def reduce(buf: Seq[(Long, Double)],
+        in: (java.lang.Long, java.lang.Double)): Seq[(Long, Double)] = {
+      if (in._1 == null || in._2 == null) return buf
+      val pair = (in._1.longValue(), in._2.doubleValue())
+      // common full-buffer case: reject without rebuilding the state
+      if (buf.length == k && !lt(pair, buf.last)) return buf
+      val (smaller, rest) = buf.span(lt(_, pair))
+      if (rest.headOption.contains(pair)) buf // already present
+      else ((smaller :+ pair) ++ rest).take(k)
+    }
+
+    def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] = {
+      // sorted distinct merge of two sorted distinct states, truncated
+      val out = Vector.newBuilder[(Long, Double)]
+      var i = 0; var j = 0; var n = 0
+      val lim = math.min(a.length + b.length, k)
+      while (n < lim && (i < a.length || j < b.length)) {
+        val fromA = j >= b.length || (i < a.length && !lt(b(j), a(i)))
+        val v = if (fromA) a(i) else b(j)
+        if (fromA) { if (j < b.length && b(j) == v) j += 1; i += 1 }
+        else j += 1
+        out += v; n += 1
+      }
+      out.result()
+    }
+
+    def finish(buf: Seq[(Long, Double)]): Seq[Double] = {
+      if (buf.isEmpty) return ps.map(_ => Double.NaN)
+      val vs = buf.map(_._2).sorted.toIndexedSeq
+      val n = vs.length
+      ps.map { p =>
+        val rn = (n - 1).toDouble * p
+        val frn = math.floor(rn)
+        val lo = frn.toInt
+        if (lo + 1 >= n) vs(n - 1)
+        else (frn + 1.0 - rn) * vs(lo) + (rn - frn) * vs(lo + 1)
+      }
+    }
+
+    def bufferEncoder: Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+    def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
   /** Misra-Gries heavy-hitters sketch: k counters; a miss on a full

@@ -382,10 +382,39 @@ object RelationalQueries {
         .agg(countDistinct(col("l_partkey")).as("n_exact"),
           kmv(col("h")).as("est_distinct"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Mergeable rank sketch ([[graft.operators.Sketches.BottomKQuantile]])
+    // vs q20's exact two-pass quantiles: ONE pass, O(k) state per group
+    // through partial aggregation — the 100-TB percentile path when a
+    // second pass over the data is too expensive. Like q22, the sketch
+    // is chosen for oracle-reproducibility: its state (the k smallest
+    // (hash, value) pairs, hash of the UNIQUE o_orderkey) is a function
+    // of the input set, so DuckDB re-derives the identical sample with
+    // a window rank and applies quantile_cont — whose interpolation
+    // arithmetic q20 already proved bit-compatible with the finish()
+    // formula. n_rows is the exact-count witness.
+    "q23_bottomk_quantiles" -> { (s, d) =>
+      val bq = udaf(
+        new graft.operators.Sketches.BottomKQuantile(QuantK, Seq(0.5, 0.9)),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(java.lang.Long, java.lang.Double)]())
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"),
+          graft.text.TextFunctions.hash32(col("o_orderkey").cast("string"))
+            .as("h"),
+          col("o_totalprice"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"), bq(col("h"), col("o_totalprice")).as("q"))
+        .select(col("o_orderstatus"), col("n_rows"),
+          element_at(col("q"), 1).as("p50_est"),
+          element_at(col("q"), 2).as("p90_est"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 
   private val KmvK = 256
+  private val QuantK = 128
 
   def oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -588,6 +617,23 @@ object RelationalQueries {
          |       FROM lineitem GROUP BY 1)
          |SELECT ex.g AS l_returnflag, ex.n_exact, e.est AS est_distinct
          |FROM ex JOIN e ON ex.g = e.g
-         |ORDER BY l_returnflag""".stripMargin
+         |ORDER BY l_returnflag""".stripMargin,
+
+    // The bottom-k sample re-derived declaratively: distinct (hash,
+    // value) pairs per group, window-ranked by (h, v), rn <= k, then
+    // quantile_cont over the sampled values (bit-compatible with
+    // finish()'s interpolation — the q20-proved arithmetic).
+    "q23_bottomk_quantiles" ->
+      s"""WITH h AS (SELECT DISTINCT o_orderstatus AS g,
+         |        CAST(('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,8)) AS BIGINT) AS h,
+         |        o_totalprice AS v
+         |       FROM orders),
+         |r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, v) AS rn
+         |      FROM h),
+         |s AS (SELECT g, quantile_cont(v, 0.5) AS p50, quantile_cont(v, 0.9) AS p90
+         |      FROM r WHERE rn <= $QuantK GROUP BY g),
+         |n AS (SELECT o_orderstatus AS g, COUNT(*) AS n_rows FROM orders GROUP BY 1)
+         |SELECT n.g AS o_orderstatus, n.n_rows, s.p50 AS p50_est, s.p90 AS p90_est
+         |FROM n JOIN s ON n.g = s.g ORDER BY o_orderstatus""".stripMargin
   )
 }

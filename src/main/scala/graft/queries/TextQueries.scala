@@ -550,6 +550,24 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // The df-CAPPED variant of d35 under the oracle: shingles appearing
+    // in more than maxDf documents are dropped from the posting list
+    // before the self-join (the production lever that bounds candidate
+    // volume Σ df(s)² at 100 TB). Capping removes shared shingles from
+    // intersections only — set sizes stay full — so capped Jaccard is a
+    // LOWER bound on the true score and this row's pairs are a strict
+    // subset of d35's at the same threshold (21 vs 25 at sf0.01; the
+    // oracle re-derives the same capped posting list, pinning the
+    // lower-bound-only contract end-to-end, not just in DedupSpec).
+    // maxDf = 3 because the sf0.01 corpus's df histogram tops out at 7:
+    // the cap must BITE at test scale to pin anything.
+    "d36_ngram_jaccard_capped" -> { (s, d) =>
+      graft.text.Dedup.ngramJaccardPairs(
+        Tables.documents(s, d), "doc_id", "text", threshold = 0.5,
+        maxDf = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Repetition-quality stats (the Gopher-style repetition filter, the
     // gate d08's length/punct ratios cannot express): type-token ratio
     // and the most-frequent-term share of each document, flagging
@@ -915,6 +933,28 @@ object TextQueries {
         |ss AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
         |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS ss FROM t),
         |p AS (SELECT doc_id, unnest(ss) AS sh FROM ss),
+        |ix AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS ix
+        |       FROM p x JOIN p y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |       GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(ss) AS n FROM ss)
+        |SELECT a_id, b_id,
+        | CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) AS jaccard
+        |FROM ix JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        |WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // d35's CTEs with the df gate on the posting list (window count per
+    // shingle, exactly the exchange-riding filter the Spark side plans);
+    // sizes stay uncapped so the capped Jaccard is the lower bound.
+    "d36_ngram_jaccard_capped" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |ss AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS ss FROM t),
+        |p0 AS (SELECT doc_id, unnest(ss) AS sh FROM ss),
+        |p AS (SELECT doc_id, sh FROM (
+        |       SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+        |       FROM p0) f
+        |      WHERE df <= 3),
         |ix AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS ix
         |       FROM p x JOIN p y ON x.sh = y.sh AND x.doc_id < y.doc_id
         |       GROUP BY 1, 2),

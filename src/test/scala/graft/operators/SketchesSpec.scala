@@ -88,6 +88,69 @@ class SketchesSpec extends AnyFunSuite {
     assert(hh == Set("t0", "t1", "t2"))
   }
 
+  private def bqEst(rows: Seq[(Long, Double)], k: Int, parts: Int): Seq[Double] = {
+    val f = udaf(new Sketches.BottomKQuantile(k, Seq(0.25, 0.5, 0.9)),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(java.lang.Long, java.lang.Double)]())
+    rows.toDF("h", "v").repartition(parts)
+      .agg(f(col("h"), col("v")))
+      .head().getSeq[Double](0).toSeq
+  }
+
+  test("BottomKQuantile: exact below k, layout-invariant always (fuzz)") {
+    // 60 rows with unique hashes: sample == population → the estimate is
+    // the exact quantile_cont interpolation over all 60 values.
+    val rnd = new scala.util.Random(3)
+    val small = Seq.tabulate(60)(i =>
+      ((i * 0x9E3779B97F4A7C15L) >>> 32, rnd.nextDouble() * 1000))
+    val exact = {
+      val vs = small.map(_._2).sorted.toIndexedSeq
+      Seq(0.25, 0.5, 0.9).map { p =>
+        val rn = (vs.size - 1) * p; val frn = math.floor(rn); val lo = frn.toInt
+        if (lo + 1 >= vs.size) vs.last
+        else (frn + 1.0 - rn) * vs(lo) + (rn - frn) * vs(lo + 1)
+      }
+    }
+    assert(bqEst(small, k = 128, parts = 1) == exact)
+    assert(bqEst(small, k = 128, parts = 7) == exact)
+    // 5k rows through a k=64 sketch: any partition layout produces the
+    // bit-identical estimate (state is a function of the input set), and
+    // the sampled rank error stays within ~O(1/sqrt(k)) of the truth.
+    val big = Seq.tabulate(5000)(i =>
+      ((i * 0x9E3779B97F4A7C15L) >>> 32, rnd.nextDouble() * 1000))
+    val layouts = Seq(1, 7, 32).map(p => bqEst(big, k = 64, parts = p))
+    assert(layouts.distinct.size == 1,
+      s"layout changed the bottom-k estimate: $layouts")
+    val truth = big.map(_._2).sorted.toIndexedSeq
+    Seq(0.25, 0.5, 0.9).zip(layouts.head).foreach { case (p, est) =>
+      val rank = truth.search(est).insertionPoint.toDouble / truth.size
+      assert(math.abs(rank - p) < 0.2,
+        s"p=$p estimate $est sits at rank $rank — sample is biased")
+    }
+  }
+
+  test("BottomKQuantile merge is shape-independent and ignores nulls") {
+    val agg = new Sketches.BottomKQuantile(16, Seq(0.5))
+    val rnd = new scala.util.Random(9)
+    def boxed(p: (Long, Double)): (java.lang.Long, java.lang.Double) =
+      (Long.box(p._1), Double.box(p._2))
+    for (_ <- 1 to 200) {
+      val items = Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(5).toDouble))
+      val (x, y) = items.splitAt(rnd.nextInt(items.size))
+      val whole = items.foldLeft(agg.zero)((b, p) => agg.reduce(b, boxed(p)))
+      val merged = agg.merge(
+        x.foldLeft(agg.zero)((b, p) => agg.reduce(b, boxed(p))),
+        y.foldLeft(agg.zero)((b, p) => agg.reduce(b, boxed(p))))
+      val want = items.distinct.sorted.take(16)
+      assert(whole.toList == want, s"fold state drifted: $whole vs $want")
+      assert(merged.toList == want, s"merge state drifted: $merged vs $want")
+    }
+    val withNull = agg.reduce(
+      agg.reduce(agg.zero, (null, Double.box(1.0))),
+      (Long.box(1L), null))
+    assert(withNull.isEmpty, "null hash or value must contribute nothing")
+  }
+
   test("Misra-Gries: guaranteed hitters survive, counts within n/(k+1), any layout") {
     val k = 20
     // 3 heavy terms (1200/800/500 of n=4000) over a 400-term tail.
