@@ -275,11 +275,37 @@ object EventStreams {
     * the batch chunk→embed path and appends to the store — foreachBatch
     * reuses the exact batch operators (the reference's artifact-handoff
     * restartability maps to checkpointed micro-batches).
+    *
+    * `noveltyGate = true` inserts [[graft.text.Dedup.bloomNovelty]]'s
+    * continuous-ingest pattern BEFORE the embed step (so duplicate
+    * chunks never pay the model): a driver-held Bloom filter over
+    * md5(chunk) of everything ingested answers "definitely new?" with a
+    * row-local broadcast probe — no join, no shuffle for the
+    * overwhelmingly-novel common case. Rows the filter flags are "in
+    * the corpus OR a false positive (~fpp)", so only that small subset
+    * pays an exact anti-join against the store before being admitted.
+    * The filter is REBUILT from the store every `noveltyRebuildEvery`
+    * batches (one corpus aggregation pass, re-sized to 2× the current
+    * corpus so growth never saturates it) and updated incrementally
+    * with each appended batch's fingerprints in between — the
+    * incremental put is what makes a duplicate of a RECENT batch
+    * (arrived since the last rebuild) still gate correctly. Driver cost
+    * per batch: one micro-batch-bounded fingerprint collect; a crash
+    * loses only the in-memory filter, which rebuilds from the store on
+    * restart. In-batch duplicate chunks collapse through
+    * [[graft.text.Dedup.dropExactDuplicates]] (smallest doc_id wins)
+    * before the probe, so a batch can never self-duplicate either.
     */
   def documentIngestSink(docs: DataFrame, embedder: Embedder,
       store: ParquetVectorStore, index: String,
-      chunkSize: Int = 2048, overlap: Int = 256)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      chunkSize: Int = 2048, overlap: Int = 256,
+      noveltyGate: Boolean = false, noveltyFpp: Double = 0.01,
+      noveltyRebuildEvery: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // foreachBatch runs on the driver: the filter and rebuild counter are
+    // plain driver state, serialized access per micro-batch.
+    var bloom: org.apache.spark.util.sketch.BloomFilter = null
+    var sinceRebuild = 0
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       import batch.sparkSession.implicits._
       val chunks = batch.select(col("doc_id").cast("long"), col("text"))
@@ -288,10 +314,56 @@ object EventStreams {
           Splitters.recursiveCharSplit(text, chunkSize, overlap)
             .zipWithIndex.map { case (piece, i) =>
               (id, piece, Map("doc_id" -> id.toString, "chunk" -> i.toString),
-                Map.empty[String, String], embedder.embed(piece))
+                Map.empty[String, String])
             }
         }
+        .toDF("doc_id", "page_content", "metadata", "headers")
+      val novel =
+        if (!noveltyGate) chunks
+        else {
+          if (bloom == null || sinceRebuild >= noveltyRebuildEvery) {
+            val hasCorpus = store.exists(index)
+            val n = if (hasCorpus) store.count(index) else 0L
+            val expected = math.max(1024L, 2L * n)
+            bloom =
+              if (!hasCorpus)
+                org.apache.spark.util.sketch.BloomFilter.create(expected, noveltyFpp)
+              else store.read(index)
+                .select(md5(col("page_content")).as("_fp"))
+                .stat.bloomFilter("_fp", expected, noveltyFpp)
+            sinceRebuild = 0
+          }
+          sinceRebuild += 1
+          val inBatch = graft.text.Dedup.dropExactDuplicates(
+            chunks, "doc_id", "page_content")
+          val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+          val probe = udf((fp: String) => bc.value.mightContainString(fp))
+          val probed = inBatch.withColumn("_fp", md5(col("page_content")))
+            .withColumn("_maybe", probe(col("_fp")))
+          val flagged = probed.filter(col("_maybe"))
+          val cleared = // false positives survive the exact check
+            if (!store.exists(index)) flagged
+            else flagged.join(
+              store.read(index).select(md5(col("page_content")).as("_fp"))
+                .distinct(),
+              Seq("_fp"), "left_anti")
+          probed.filter(!col("_maybe")).unionByName(cleared)
+            .drop("_fp", "_maybe")
+            .persist() // fingerprints are re-read after the append
+        }
+      val out = novel
+        .as[(Long, String, Map[String, String], Map[String, String])]
+        .map { case (id, piece, meta, hdrs) =>
+          (id, piece, meta, hdrs, embedder.embed(piece))
+        }
         .toDF("doc_id", "page_content", "metadata", "headers", "embedding")
-      store.append(index, chunks)
+      store.append(index, out)
+      if (noveltyGate) {
+        novel.select(md5(col("page_content")).as("_fp")).distinct()
+          .collect().foreach(r => bloom.putString(r.getString(0)))
+        novel.unpersist()
+        ()
+      }
     }
+  }
 }

@@ -349,4 +349,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.forall(_.getSeq[Float](3).length == 64))
     } finally q.stop()
   }
+
+  test("documentIngestSink novelty gate: duplicate batches add no rows, novel rows ingest") {
+    implicit val sq = spark.sqlContext
+    val store = new ParquetVectorStore(spark,
+      Files.createTempDirectory("graft-store").toString)
+    val in = MemoryStream[(Long, String)]
+    // rebuildEvery=2 so the run exercises BOTH the incremental-put path
+    // (duplicate arriving right after its original, filter stale) and
+    // the rebuild-from-store path.
+    val q = EventStreams.documentIngestSink(
+      in.toDF.toDF("doc_id", "text"), HashingEmbedder(64), store, "novel_idx",
+      noveltyGate = true, noveltyRebuildEvery = 2)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      // batch 1: two docs, one in-batch duplicate text (doc 3 == doc 1)
+      in.addData((1L, "alpha doc"), (2L, "beta doc"), (3L, "alpha doc"))
+      q.processAllAvailable()
+      val n1 = store.count("novel_idx")
+      assert(n1 == 2, s"in-batch duplicate must collapse: $n1")
+      // batch 2: a full duplicate of batch 1 BEFORE any rebuild — the
+      // incremental bloom update must already know these fingerprints.
+      in.addData((4L, "alpha doc"), (5L, "beta doc"))
+      q.processAllAvailable()
+      assert(store.count("novel_idx") == n1, "duplicate batch added rows")
+      // batch 3 (rebuild batch): novel + duplicate mixed.
+      in.addData((6L, "gamma doc"), (7L, "alpha doc"))
+      q.processAllAvailable()
+      val rows = store.read("novel_idx").collect()
+      assert(rows.length == 3, s"expected exactly 3 distinct chunks: ${rows.length}")
+      val contents = rows.map(_.getString(0)).toSet
+      assert(contents == Set("alpha doc", "beta doc", "gamma doc"))
+      // the kept alpha/beta rows are the FIRST arrivals (smallest doc_id)
+      val byContent = rows.map(r => r.getString(0) ->
+        r.getMap[String, String](1)("doc_id")).toMap
+      assert(byContent("alpha doc") == "1" && byContent("beta doc") == "2",
+        s"keeper must be the first arrival: $byContent")
+    } finally q.stop()
+  }
 }
