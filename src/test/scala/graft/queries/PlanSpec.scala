@@ -161,6 +161,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"), "mean must be map-side partial first")
   }
 
+  test("e01 claim: date-partitioned events prune the scan to the filtered day") {
+    // e01's scaladoc claims "at 100 TB the scan prunes on a date
+    // partition column" — prove it: the same rollup over a
+    // date-partitioned layout with a day filter must plan a
+    // PartitionFilter and touch ONE partition, not list-and-filter rows.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-part")
+      .resolve("events").toString
+    graft.Tables.events(spark, sf)
+      .withColumn("event_date",
+        to_date(timestamp_micros(expr("ts_ns div 1000"))))
+      .write.partitionBy("event_date").parquet(dir)
+    val part = spark.read.parquet(dir)
+    val nDays = part.select(col("event_date")).distinct().count()
+    assert(nDays > 1, s"fixture degenerated: only $nDays event day(s)")
+    val day = part.select(min(col("event_date"))).head().getDate(0)
+    val rolled = part
+      .filter(col("event_date") === lit(day))
+      .groupBy(
+        timestamp_micros(expr("(ts_ns div 1000) - (ts_ns div 1000) % 3600000000"))
+          .as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val Seq(scan) = rolled.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.metadata.getOrElse("PartitionFilters", "").contains("event_date"),
+      s"no partition filter in scan: ${scan.metadata.getOrElse("PartitionFilters", "")}")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition of $nDays, " +
+        s"scanned ${scan.selectedPartitions.partitionCount}")
+    assert(rolled.count() > 0)
+  }
+
   test("d18: distinct-doc term stats use the two-phase partial aggregate") {
     // countDistinct must plan as partial_count(distinct ...) under ONE
     // (term)-keyed exchange pair, not an expand + extra shuffle per
