@@ -7,6 +7,18 @@ import org.apache.spark.sql.SparkSession
   * (byte-identical code swung individual queries ~3×): warmup absorbs JVM
   * JIT + parquet-footer caching, the median absorbs GC/scheduler jitter.
   *
+  * Contamination handling is two-stage. DIAGNOSE: a query whose 3
+  * post-warmup runs spread past 2× max/min was measured under external
+  * load (round 9 proved the flag works — it caught its own contaminated
+  * sweep). HEAL: each flagged query is re-run (up to 2 fresh
+  * median-of-3 attempts) AFTER the whole sweep, when the box has gone
+  * quiet, and the first clean attempt replaces the contaminated runs;
+  * a query still spreading after retries keeps its flag, so a noisy
+  * headline total can never silently masquerade as clean.
+  *
+  * `SPARK_GRAFT_ONLY=q1,q2` restricts the sweep to named queries — the
+  * isolated-rerun mode used to audit individual timings on a quiet box.
+  *
   * Failures are LOUD: a failed query is reported in "failed", excluded
   * from the total, timed as -1, and the process exits nonzero — a broken
   * query must never read as a fast one.
@@ -15,6 +27,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,16 +47,41 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def noisySpread(runs: Seq[Double]): Boolean =
+      runs.head > 0 && runs.last / runs.head > 2.0
+
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    require(selected.nonEmpty, s"SPARK_GRAFT_ONLY matched no queries: $only")
+    val swept = selected.map { case (name, fn) =>
       try {
         timeOnce(fn) // warmup: JIT, codegen cache, file-footer cache
-        val runs = Seq.fill(3)(timeOnce(fn)).sorted
-        name -> Right(runs) // sorted [min, median, max]
+        name -> Right(Seq.fill(3)(timeOnce(fn)).sorted) // [min, median, max]
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           name -> Left(e.getClass.getSimpleName)
       }
+    }
+    // Self-heal pass: retry flagged queries after the sweep (quiet tail).
+    val fnOf = selected.toMap
+    val retried = scala.collection.mutable.ListBuffer.empty[String]
+    val results = swept.map {
+      case (name, Right(runs)) if noisySpread(runs) =>
+        var cur = runs
+        var attempts = 0
+        while (attempts < 2 && noisySpread(cur)) {
+          attempts += 1
+          System.err.println(
+            f"[bench] $name spread ${cur.last / cur.head}%.1fx — isolated retry $attempts")
+          try cur = Seq.fill(3)(timeOnce(fnOf(name))).sorted
+          catch { case e: Throwable => // keep the contaminated-but-real runs
+            System.err.println(s"[bench] $name retry failed: ${e.getMessage}")
+          }
+        }
+        retried += name
+        name -> Right(cur)
+      case other => other
     }
     // The harness captures only the last ~2000 chars of output and parses
     // the JSON line it finds there. Round-8's full-precision inline spreads
@@ -56,26 +95,25 @@ object Bench {
       case (k, Right(runs)) => s"\"$k\":${fmt(runs(1))}"
       case (k, Left(_)) => s"\"$k\":-1"
     }.mkString("{", ",", "}")
-    // Contamination self-diagnosis: on a quiet box the 3 post-warmup runs
-    // of the same query are near-identical; external load shows up as a
-    // wide min→max spread. Persist the raw spreads and flag any query whose
-    // max/min exceeds 2× so a contaminated bench is machine-detectable
-    // instead of silently reading as a regression.
     val spreads = results.collect { case (k, Right(runs)) =>
       s""""$k":[${runs.mkString(",")}]"""
     }.mkString("{", ",", "}")
+    // Queries still spreading after the heal pass: the box never went
+    // quiet (or the query is intrinsically variable) — flag them.
     val noisy = results.collect {
-      case (k, Right(runs)) if runs(0) > 0 && runs(2) / runs(0) > 2.0 => k
+      case (k, Right(runs)) if noisySpread(runs) => k
     }
     noisy.foreach { k =>
-      System.err.println(s"[bench] WARNING: $k spread max/min > 2x — " +
-        "timings are contaminated by external load; rerun on a quiet box")
+      System.err.println(s"[bench] WARNING: $k spread max/min > 2x even " +
+        "after isolated retries — rerun on a quiet box")
     }
     val failed = results.collect { case (k, Left(_)) => s"\"$k\"" }
     val total = results.collect { case (_, Right(runs)) => runs(1) }.sum
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SPREADS.json"),
-      s"""{"spreads":$spreads,"noisy":[${noisy.map(k => s"\"$k\"").mkString(",")}],"sf":"$sfDir"}""".getBytes("UTF-8"))
+      (s"""{"spreads":$spreads,"noisy":[${noisy.map(k => s"\"$k\"").mkString(",")}],""" +
+        s""""healed":[${retried.map(k => s"\"$k\"").mkString(",")}],"sf":"$sfDir"}""")
+        .getBytes("UTF-8"))
     catch { // the sidecar is best-effort; never fail the bench over it
       case e: java.io.IOException =>
         System.err.println(s"[bench] could not write BENCH_SPREADS.json: $e")
