@@ -568,6 +568,32 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // NEAR-dup decontamination ([[graft.text.Dedup.crossNearDupPairs]]):
+    // d30 catches eval rows leaked VERBATIM (exact 8-gram overlap); this
+    // catches leaks WITH EDITS — train docs sharing a minhash band
+    // bucket with an eval doc (same % 50 split as d30), rescored with
+    // exact 3-shingle Jaccard, folded to one decision record per
+    // flagged train doc: candidate count, best-matching eval doc
+    // (highest Jaccard, smallest eval id on ties via max over a
+    // (jaccard, -id) struct — partial-aggregating map-side, no per-doc
+    // sort), and the contamination verdict at 0.5.
+    "d37_neardup_decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.text.Dedup.crossNearDupPairs(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", threshold = 0.0)
+        .groupBy(col("a_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_candidates"),
+          max(struct(col("jaccard").as("j"), (-col("b_id")).as("nb")))
+            .as("best"))
+        .select(col("doc_id"), col("n_candidates"),
+          col("best.j").as("best_jaccard"),
+          (-col("best.nb")).as("best_eval_id"),
+          (col("best.j") >= 0.5).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+
     // Repetition-quality stats (the Gopher-style repetition filter, the
     // gate d08's length/punct ratios cannot express): type-token ratio
     // and the most-frequent-term share of each document, flagging
@@ -964,6 +990,35 @@ object TextQueries {
         |FROM ix JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
         |WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Cross-split band candidates (the d06 sig CTEs with the self-join's
+    // a<b replaced by the train/eval split), exact-Jaccard rescore, then
+    // the per-train-doc best pick as a window rank.
+    "d37_neardup_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
+        |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS sh FROM t),
+        |sig AS (SELECT doc_id, band,
+        |         list_aggregate(list_transform(sh,
+        |          s -> CAST(('0x'||substr(md5(s), 1+8*band, 8)) AS BIGINT)),'min') AS mh
+        |        FROM sh, (VALUES (0),(1),(2),(3)) b(band)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |         FROM sig x JOIN sig y ON x.band=y.band AND x.mh=y.mh
+        |         WHERE x.doc_id % 50 <> 0 AND y.doc_id % 50 = 0),
+        |sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh),
+        |j AS (SELECT a_id, b_id,
+        |       CAST(len(list_intersect(sa.ss,sb.ss)) AS DOUBLE)
+        |        /(len(sa.ss)+len(sb.ss)-len(list_intersect(sa.ss,sb.ss))) AS jac
+        |      FROM cand
+        |      JOIN sets sa ON a_id=sa.doc_id JOIN sets sb ON b_id=sb.doc_id),
+        |r AS (SELECT a_id, b_id, jac,
+        |       ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY jac DESC, b_id) AS rn,
+        |       COUNT(*) OVER (PARTITION BY a_id) AS nc
+        |      FROM j WHERE jac >= 0.0e0)
+        |SELECT a_id AS doc_id, CAST(nc AS BIGINT) AS n_candidates,
+        | jac AS best_jaccard, b_id AS best_eval_id,
+        | jac >= 0.5e0 AS contaminated
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // RRF fusion of the dense and lexical top-K rankings; ROW_NUMBER
     // before LIMIT ranks identically to Spark's rank-after-top-K (same

@@ -181,6 +181,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** CROSS-corpus near-dup candidates: (left doc, right doc) pairs
+    * sharing a minhash band bucket, scored with exact shingle Jaccard >=
+    * threshold — [[nearDupPairs]]'s banded-LSH shape with the self-join
+    * replaced by a left×right join. The decontamination primitive d30's
+    * exact 8-gram overlap cannot express: an eval document that leaked
+    * into the training corpus WITH small edits shares few exact 8-grams
+    * but most of its 3-shingle set, and lands in the same band buckets.
+    *
+    * Scale shape: identical to [[nearDupPairs]] — one band-keyed
+    * exchange for candidates (the eval side is tiny, so candidate volume
+    * is driven by the eval corpus, not the training corpus), one
+    * shingle-set shuffle per side for the exact rescore. `maxBucket`
+    * caps degenerate buckets counting BOTH sides through one combined
+    * window — same exchange, no driver state.
+    */
+  def crossNearDupPairs(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleLen: Int = 3,
+      bands: Int = 4, maxBucket: Long = 0): DataFrame = {
+    def shingled(df: DataFrame) = df
+      .select(col(idCol).as("_dd_id"), TF.tokens(col(textCol)).as("_dd_toks"))
+      .select(col("_dd_id"), TF.shingles(col("_dd_toks"), shingleLen).as("_dd_sh"))
+    val ls = shingled(left)
+    val rs = shingled(right)
+    def sig(s: DataFrame, side: String) = s.select(col("_dd_id"),
+      posexplode(graft.functions.text.minhashSlices(col("_dd_sh"), bands))
+        .as(Seq("band", "mh")))
+      .withColumn("_dd_side", lit(side))
+    val sig0 = sig(ls, "l").unionByName(sig(rs, "r"))
+    val sigs =
+      if (maxBucket <= 0) sig0
+      else sig0
+        .withColumn("_dd_bn",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("mh"))))
+        .filter(col("_dd_bn") <= maxBucket)
+        .drop("_dd_bn")
+    val cand = sigs.filter(col("_dd_side") === "l").as("x")
+      .join(sigs.filter(col("_dd_side") === "r").as("y"),
+        col("x.band") === col("y.band") && col("x.mh") === col("y.mh"))
+      .select(col("x._dd_id").as("a_id"), col("y._dd_id").as("b_id"))
+      .distinct()
+    cand
+      .join(ls.select(col("_dd_id").as("a_id"),
+        array_distinct(col("_dd_sh")).as("_dd_sa")), "a_id")
+      .join(rs.select(col("_dd_id").as("b_id"),
+        array_distinct(col("_dd_sh")).as("_dd_sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("_dd_sa"), col("_dd_sb"))).as("ix"),
+        (size(col("_dd_sa")) + size(col("_dd_sb"))).as("tot"))
+      .select(col("a_id"), col("b_id"),
+        (col("ix").cast("double") / (col("tot") - col("ix"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Drop every row that has a smaller near-duplicate partner. */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleLen: Int = 3, bands: Int = 4,

@@ -99,6 +99,41 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(uncapped((3L, 6L)) - 12.0 / 15.0) < 1e-12)
   }
 
+  test("crossNearDupPairs: identical cross docs always found, pairs honest vs brute force") {
+    import org.apache.spark.sql.functions.col
+    val train = docs // ids 1..5
+    val eval = Seq(
+      (100L, base), // identical to train 1/2/5
+      (101L, base + " extra tail words here"), // identical to train 3
+      (102L, "entirely unrelated evaluation question about gradients"))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossNearDupPairs(train, eval, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // An identical doc agrees on EVERY band minhash — candidate
+    // generation cannot miss it (LSH completeness for jaccard 1.0).
+    Seq(1L, 2L, 5L).foreach { id =>
+      assert(got.get((id, 100L)).contains(1.0), s"missed identical pair ($id,100): $got")
+    }
+    assert(got.get((3L, 101L)).contains(1.0))
+    // every reported pair is correct against brute-force exact Jaccard
+    // (LSH may MISS sub-identical pairs, it must never over-report)
+    val bySide = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tm = bySide(train); val em = bySide(eval)
+    def jac(a: String, b: String): Double = {
+      def sh(s: String) = s.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+      val (x, y) = (sh(a), sh(b))
+      x.intersect(y).size.toDouble / (x.size + y.size - x.intersect(y).size)
+    }
+    got.foreach { case ((a, b), j) =>
+      assert(math.abs(j - jac(tm(a), em(b))) < 1e-12 && j >= 0.5,
+        s"pair ($a,$b) score $j disagrees with brute force ${jac(tm(a), em(b))}")
+    }
+    // direction is fixed: a_id from the left (train) side only
+    assert(got.keys.forall { case (a, b) => a < 100 && b >= 100 })
+  }
+
   test("maxBucket skew guard drops degenerate band buckets") {
     // 40 near-identical docs share every band bucket: uncapped that is
     // 40·39/2 = 780 scored pairs; capped at 10, the degenerate buckets are
