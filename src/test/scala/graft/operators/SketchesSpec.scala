@@ -75,17 +75,23 @@ class SketchesSpec extends AnyFunSuite {
     assert(est == 2.0, s"null text must not count as a distinct hash: $est")
   }
 
-  test("SQL surface: kmv_distinct / heavy_hitters callable from SQL text") {
-    Sketches.registerSql(spark, kmvK = 64, hhK = 4)
-    (1 to 500).map(i => ((i % 30) * 7919L, s"t${i % 3}"))
-      .toDF("h", "term").createOrReplaceTempView("sketch_in")
+  test("SQL surface: kmv_distinct / heavy_hitters / bottomk_quantiles callable from SQL text") {
+    Sketches.registerSql(spark, kmvK = 64, hhK = 4, quantileK = 128)
+    (1 to 500).map(i => ((i % 30) * 7919L, s"t${i % 3}", (i % 100).toDouble))
+      .toDF("h", "term", "v").createOrReplaceTempView("sketch_in")
     val row = spark.sql(
-      "SELECT kmv_distinct(h) AS nd, heavy_hitters(term) AS hh FROM sketch_in")
+      "SELECT kmv_distinct(h) AS nd, heavy_hitters(term) AS hh, " +
+        "bottomk_quantiles(h, v) AS q FROM sketch_in")
       .head()
     assert(row.getDouble(0) == 30.0) // below k → exact
     val hh = row.getSeq[org.apache.spark.sql.Row](1)
       .map(r => r.getString(0)).toSet
     assert(hh == Set("t0", "t1", "t2"))
+    // 30 distinct (h, v) pairs fit inside k=128 → exact interpolation
+    // over the distinct pair values {0,3,...,87} ∪ {19,22,...} — just pin
+    // shape and bounds here; exactness is the dedicated test's job.
+    val q = row.getSeq[Double](2)
+    assert(q.length == 2 && q(0) >= 0 && q(0) <= q(1) && q(1) <= 99.0, s"$q")
   }
 
   private def bqEst(rows: Seq[(Long, Double)], k: Int, parts: Int): Seq[Double] = {
