@@ -39,6 +39,11 @@ object Sketches {
         new BottomKQuantile(quantileK, quantilePs),
         org.apache.spark.sql.catalyst.encoders
           .ExpressionEncoder[(java.lang.Long, java.lang.Double)]()))
+    spark.udf.register("topk_by_score",
+      org.apache.spark.sql.functions.udaf(
+        new TopKByScore(quantileK),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(java.lang.Double, java.lang.Long)]()))
   }
 
   /** K-minimum-values distinct-count sketch over 32-bit-range hashes
@@ -190,6 +195,66 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
     def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** EXACT per-group top-k as a mergeable aggregate — the 100-TB
+    * replacement for the `row_number() <= k` window idiom. The window
+    * form sorts EVERY group row through the exchange (rank needs the
+    * whole group ordered); this state is the top-k (score DESC, id ASC)
+    * DISTINCT pairs — a pure function of the input set, so it
+    * partial-aggregates map-side and only k rows per group per task
+    * cross the wire, layout- and merge-shape-independent like the
+    * sketches above (but exact, not approximate: top-k of a union IS
+    * the merge of top-ks).
+    *
+    * Ties break to the smaller id; feed unique ids to make the order
+    * total. NULL score or id = no element; NaN scores are rejected
+    * loudly (they have no total order and would corrupt the state
+    * silently).
+    */
+  class TopKByScore(k: Int)
+      extends Aggregator[(java.lang.Double, java.lang.Long),
+        Seq[(Double, Long)], Seq[(Double, Long)]]
+      with Serializable {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+
+    /** Strict "ranks ahead of": score DESC then id ASC. */
+    private def ahead(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    def zero: Seq[(Double, Long)] = Vector.empty
+
+    def reduce(buf: Seq[(Double, Long)],
+        in: (java.lang.Double, java.lang.Long)): Seq[(Double, Long)] = {
+      if (in._1 == null || in._2 == null) return buf
+      val pair = (in._1.doubleValue(), in._2.longValue())
+      require(!pair._1.isNaN, "TopKByScore: NaN score has no rank")
+      if (buf.length == k && !ahead(pair, buf.last)) return buf
+      val (better, rest) = buf.span(ahead(_, pair))
+      if (rest.headOption.contains(pair)) buf // already present
+      else ((better :+ pair) ++ rest).take(k)
+    }
+
+    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+      val out = Vector.newBuilder[(Double, Long)]
+      var i = 0; var j = 0; var n = 0
+      val lim = math.min(a.length + b.length, k)
+      while (n < lim && (i < a.length || j < b.length)) {
+        val fromA = j >= b.length || (i < a.length && !ahead(b(j), a(i)))
+        val v = if (fromA) a(i) else b(j)
+        if (fromA) { if (j < b.length && b(j) == v) j += 1; i += 1 }
+        else j += 1
+        out += v; n += 1
+      }
+      out.result()
+    }
+
+    def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+
+    def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
   /** Misra-Gries heavy-hitters sketch: k counters; a miss on a full

@@ -410,6 +410,25 @@ object RelationalQueries {
           element_at(col("q"), 1).as("p50_est"),
           element_at(col("q"), 2).as("p90_est"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // Exact per-group top-k WITHOUT the window sort
+    // ([[graft.operators.Sketches.TopKByScore]]): q08's row_number idiom
+    // sorts every group row through the exchange; the mergeable top-k
+    // state moves only k rows per group per task (map-side combined,
+    // pinned by PlanSpec). The oracle is the window form itself — the
+    // aggregate must reproduce it exactly, rank for rank.
+    "q24_group_topk" -> { (s, d) =>
+      val topk = udaf(new graft.operators.Sketches.TopKByScore(5),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(java.lang.Double, java.lang.Long)]())
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderstatus"), posexplode(col("top")).as(Seq("r0", "p")))
+        .select(col("o_orderstatus"), (col("r0") + 1).cast("long").as("rank"),
+          col("p._2").as("o_orderkey"), col("p._1").as("o_totalprice"))
+        .orderBy(col("o_orderstatus"), col("rank"))
     }
   )
 
@@ -634,6 +653,15 @@ object RelationalQueries {
          |      FROM r WHERE rn <= $QuantK GROUP BY g),
          |n AS (SELECT o_orderstatus AS g, COUNT(*) AS n_rows FROM orders GROUP BY 1)
          |SELECT n.g AS o_orderstatus, n.n_rows, s.p50 AS p50_est, s.p90 AS p90_est
-         |FROM n JOIN s ON n.g = s.g ORDER BY o_orderstatus""".stripMargin
+         |FROM n JOIN s ON n.g = s.g ORDER BY o_orderstatus""".stripMargin,
+
+    // The window idiom the aggregate replaces IS its oracle.
+    "q24_group_topk" ->
+      """SELECT o_orderstatus, CAST(rn AS BIGINT) AS rank, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |       ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 5 ORDER BY o_orderstatus, rank""".stripMargin
   )
 }

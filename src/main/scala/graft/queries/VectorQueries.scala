@@ -134,6 +134,24 @@ object VectorQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Int8 scalar quantization ([[graft.operators.ScalarQuant]]): the
+    // embedding-storage compression path, oracle-pinned per COMPONENT —
+    // the query explodes (code, reconstruction error) to scalar rows so
+    // every quantized value and its error bound is hash-compared, not
+    // just an aggregate. Pure row-local projection (PlanSpec pins
+    // no-shuffle).
+    "v10_int8_quantize" -> { (s, d) =>
+      graft.operators.ScalarQuant.quantize(Tables.embeddings(s, d), "embedding")
+        .select(col("vec_id"), col("scale"),
+          posexplode(arrays_zip(col("codes"), col("embedding")))
+            .as(Seq("pos0", "z")))
+        .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("scale"), col("z.codes").cast("long").as("code"),
+          abs(col("z.codes").cast("double") * col("scale")
+            - col("z.embedding").cast("double")).as("recon_err"))
+        .orderBy(col("vec_id"), col("pos"))
+    },
+
     // IVF ANN: assign all vectors to nearest of 8 seed centroids (shuffle-
     // free argmax projection), then search only the probe's cell. The probe
     // row is a driver-side point lookup (tiny action); the search itself is
@@ -307,6 +325,25 @@ object VectorQueries {
         |                           CAST(y.embedding AS DOUBLE[])) AS score
         |  FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id < y.vec_id) t
         |WHERE score >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+
+    // scale = max|x|/127; code = floor(x/scale + 0.5) — the same IEEE
+    // ops in both engines (round-half-up chosen over half-even exactly
+    // because engines agree on floor and disagree on tie-rounding).
+    "v10_int8_quantize" ->
+      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |        list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+        |          x -> abs(x)), 'max') / 127.0e0 AS scale
+        |       FROM embeddings),
+        |q AS (SELECT vec_id, scale, v,
+        |       list_transform(v, x -> CASE WHEN scale = 0.0e0 THEN 0.0e0
+        |         ELSE FLOOR(x / scale + 0.5e0) END) AS cds
+        |      FROM s),
+        |u AS (SELECT vec_id, scale, v, cds,
+        |       UNNEST(range(1, len(v) + 1)) AS i FROM q)
+        |SELECT vec_id, CAST(i AS BIGINT) AS pos, scale,
+        | CAST(cds[i] AS BIGINT) AS code,
+        | abs(cds[i] * scale - v[i]) AS recon_err
+        |FROM u ORDER BY vec_id, pos""".stripMargin,
 
     "v05_ivf_search" ->
       """WITH seeds AS (

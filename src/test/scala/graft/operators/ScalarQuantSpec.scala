@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+
+/** Quantize/dequantize contract: per-component error <= scale/2 (the
+  * round-half-up bound), codes span the full int8 range symmetrically,
+  * zero vectors survive untouched, and the whole thing is a row-local
+  * projection. Per-value arithmetic parity is oracle-pinned (v10).
+  */
+class ScalarQuantSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private def vec(i: Int): Array[Float] = {
+    val rnd = new scala.util.Random(i)
+    Array.fill(16)((rnd.nextDouble() * 4 - 2).toFloat)
+  }
+
+  private lazy val corpus =
+    ((0 until 50).map(i => (i.toLong, vec(i))) :+
+      (99L, Array.fill(16)(0.0f))) // all-zero vector
+      .toDF("id", "vec")
+
+  test("round-trip error is bounded by scale/2 per component; zeros exact") {
+    val out = ScalarQuant.dequantize(
+      ScalarQuant.quantize(corpus, "vec"), "codes", "scale", "deq")
+      .select(col("id"), col("vec"), col("scale"), col("codes"), col("deq"))
+      .collect()
+    out.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val scale = r.getDouble(2)
+      val codes = r.getSeq[Byte](3)
+      val deq = r.getSeq[Double](4)
+      assert(codes.length == v.length && deq.length == v.length)
+      if (v.forall(_ == 0f)) {
+        assert(scale == 0.0 && codes.forall(_ == 0) && deq.forall(_ == 0.0))
+      } else {
+        assert(scale > 0)
+        codes.foreach(c => assert(c >= -127 && c <= 127, s"code $c out of range"))
+        v.zip(deq).foreach { case (x, d) =>
+          assert(math.abs(d - x.toDouble) <= scale / 2 + 1e-12,
+            s"component error ${math.abs(d - x.toDouble)} > scale/2 ${scale / 2}")
+        }
+        // the max-magnitude component quantizes to exactly +-127
+        assert(codes.map(c => math.abs(c.toInt)).max == 127,
+          "symmetric scaling must use the full code range")
+      }
+    }
+  }
+
+  test("quantization is a row-local projection — no shuffle, no UDF in the plan") {
+    val p = ScalarQuant.quantize(corpus, "vec")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"quantize must not shuffle:\n${p.take(400)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "quantize must stay inside codegen'd expressions")
+  }
+}

@@ -157,6 +157,31 @@ class SketchesSpec extends AnyFunSuite {
     assert(withNull.isEmpty, "null hash or value must contribute nothing")
   }
 
+  test("TopKByScore ≡ window row_number under every layout; guards hold") {
+    val rnd = new scala.util.Random(21)
+    val rows = Seq.tabulate(3000)(i =>
+      (s"g${i % 4}", rnd.nextInt(500).toDouble, i.toLong))
+    val want = rows.groupBy(_._1).view.mapValues(
+      _.map(t => (t._2, t._3)).sortBy(p => (-p._1, p._2)).take(7)).toMap
+    for (parts <- Seq(1, 5, 32)) {
+      val f = udaf(new Sketches.TopKByScore(7),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(java.lang.Double, java.lang.Long)]())
+      val got = rows.toDF("g", "score", "id").repartition(parts)
+        .groupBy(col("g")).agg(f(col("score"), col("id")).as("top"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getDouble(0), p.getLong(1))).toSeq)
+        .toMap
+      assert(got == want, s"parts=$parts top-k drifted from the window form")
+    }
+    val agg = new Sketches.TopKByScore(4)
+    intercept[IllegalArgumentException](
+      agg.reduce(agg.zero, (Double.box(Double.NaN), Long.box(1L))))
+    assert(agg.reduce(agg.zero, (null, Long.box(1L))).isEmpty)
+    assert(agg.reduce(agg.zero, (Double.box(1.0), null)).isEmpty)
+  }
+
   test("Misra-Gries: guaranteed hitters survive, counts within n/(k+1), any layout") {
     val k = 20
     // 3 heavy terms (1200/800/500 of n=4000) over a 400-term tail.

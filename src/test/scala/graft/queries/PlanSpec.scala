@@ -101,6 +101,14 @@ class PlanSpec extends AnyFunSuite {
       s"KMV must combine map-side:\n${p.take(600)}")
   }
 
+  test("q24: group top-k partial-aggregates map-side — no window sort of raw rows") {
+    val p = plan("q24_group_topk")
+    assert(p.contains("partial_topkbyscore"),
+      s"top-k must combine map-side:\n${p.take(600)}")
+    assert(!p.contains("Window"),
+      "the aggregate form must not sort whole groups through a window")
+  }
+
   test("d05: minhash signatures are a pure projection — no hash shuffle, no join") {
     val p = plan("d05_minhash_signature")
     assert(!p.contains("Exchange hashpartitioning"),
