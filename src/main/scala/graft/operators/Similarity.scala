@@ -124,6 +124,41 @@ object Similarity {
       .toDF("rank", "id", "qsim", "mmr")
   }
 
+  /** Two-stage ANN over int8-quantized storage ([[ScalarQuant]]): a
+    * coarse top-`candidates` pass scoring cosine against the DEQUANTIZED
+    * codes, then an exact float rescore of just those candidates — the
+    * standard retrieve-then-rescore trade of quantized vector stores.
+    * At corpus scale the coarse scan reads (codes, scale) only — ~4×
+    * fewer bytes than the float vectors — and the exact vectors are
+    * touched for `candidates` rows, not the corpus (here the vector
+    * column rides the same frame; in a store layout the rescore is a
+    * candidates-sized point-lookup join against the full-precision
+    * column family). Both stages plan as TakeOrderedAndProject
+    * (per-partition heaps, no global sort). Approximate only in the
+    * coarse ORDER: a true top-k neighbor can be missed when
+    * quantization error reorders it past rank `candidates` —
+    * exact in the limit candidates = |corpus| (spec-pinned).
+    *
+    * Returns (id, qscore, score) for the exact top-k of the candidate
+    * set, ties to the smaller id in both stages.
+    */
+  def knnQuantizedRescore(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, candidates: Int): DataFrame = {
+    require(k >= 1 && candidates >= k,
+      s"need candidates >= k >= 1, got k=$k candidates=$candidates")
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val deq = transform(col("codes"), c => c.cast("double") * col("scale"))
+      .cast(ArrayType(FloatType))
+    ScalarQuant.quantize(corpus, vecCol)
+      .withColumn("qscore", vectors.cosineSimilarity(deq, lit(query)))
+      .orderBy(col("qscore").desc, col(idCol))
+      .limit(candidates)
+      .withColumn("score", vectors.cosineSimilarity(col(vecCol), lit(query)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("qscore"), col("score"))
+  }
+
   /** Approximate top-k neighbors for LARGE probe sets: both sides are
     * bucketed by the same random-hyperplane signature and only
     * same-bucket (probe, corpus) pairs are scored — the join shuffles on

@@ -152,6 +152,16 @@ object VectorQueries {
         .orderBy(col("vec_id"), col("pos"))
     },
 
+    // Two-stage quantized ANN ([[Similarity.knnQuantizedRescore]]):
+    // coarse top-50 on int8-dequantized cosine, exact float rescore to
+    // top-10 — v10's storage compression driving an actual search. The
+    // oracle replays both stages (dequantize → coarse rank → rescore
+    // rank) with the same float32 rounding and id tie-breaks.
+    "v11_quantized_knn" -> { (s, d) =>
+      Similarity.knnQuantizedRescore(Tables.embeddings(s, d), "vec_id",
+        "embedding", probeVec(s, d, 0L), k = 10, candidates = 50)
+    },
+
     // IVF ANN: assign all vectors to nearest of 8 seed centroids (shuffle-
     // free argmax projection), then search only the probe's cell. The probe
     // row is a driver-side point lookup (tiny action); the search itself is
@@ -344,6 +354,30 @@ object VectorQueries {
         | CAST(cds[i] AS BIGINT) AS code,
         | abs(cds[i] * scale - v[i]) AS recon_err
         |FROM u ORDER BY vec_id, pos""".stripMargin,
+
+    // v10's quantization CTEs, dequantized through the same REAL (f32)
+    // rounding Spark's array<float> cast applies, then the two ranked
+    // stages as window/limit chains.
+    "v11_quantized_knn" ->
+      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |        list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+        |          x -> abs(x)), 'max') / 127.0e0 AS scale
+        |       FROM embeddings),
+        |q AS (SELECT vec_id, v,
+        |       CAST(CAST(list_transform(v, x ->
+        |         (CASE WHEN scale = 0.0e0 THEN 0.0e0
+        |          ELSE FLOOR(x / scale + 0.5e0) END) * scale) AS REAL[])
+        |        AS DOUBLE[]) AS dv
+        |      FROM s),
+        |probe AS (SELECT CAST(embedding AS DOUBLE[]) AS pv
+        |          FROM embeddings WHERE vec_id = 0),
+        |coarse AS (SELECT q.vec_id, q.v,
+        |            list_cosine_similarity(q.dv, probe.pv) AS qscore
+        |           FROM q, probe
+        |           ORDER BY qscore DESC, vec_id LIMIT 50)
+        |SELECT vec_id, qscore,
+        | list_cosine_similarity(v, (SELECT pv FROM probe)) AS score
+        |FROM coarse ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     "v05_ivf_search" ->
       """WITH seeds AS (

@@ -51,6 +51,29 @@ class ScalarQuantSpec extends AnyFunSuite {
     }
   }
 
+  test("knnQuantizedRescore == exact knn when candidates cover the corpus") {
+    val query = vec(7)
+    val exact = Similarity.knn(corpus, "id", "vec", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rescored = Similarity.knnQuantizedRescore(
+      corpus, "id", "vec", query, k = 10, candidates = 51)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(rescored == exact,
+      "with candidates = |corpus| the rescore must reproduce exact knn")
+    // a narrow candidate set still returns k rows, scored exactly
+    val narrow = Similarity.knnQuantizedRescore(
+      corpus, "id", "vec", query, k = 5, candidates = 5)
+      .collect()
+    assert(narrow.length == 5)
+    val exactScores = exact.toMap
+    narrow.foreach { r =>
+      // every returned exact score matches the true cosine when the id
+      // is also in the exact top-10 (quantization may reorder ranks,
+      // never alter the exact rescore arithmetic)
+      exactScores.get(r.getLong(0)).foreach(s => assert(r.getDouble(2) == s))
+    }
+  }
+
   test("quantization is a row-local projection — no shuffle, no UDF in the plan") {
     val p = ScalarQuant.quantize(corpus, "vec")
       .queryExecution.executedPlan.toString
