@@ -32,6 +32,7 @@ object EventQueries {
   private val SessionGapUs = 30L * 60 * 1000 * 1000 // 30 min
   private val HourUs = 3600L * 1000 * 1000
   private val AttributionUs = 60L * 60 * 1000 * 1000 // e06 look-ahead
+  private val DayUs = 24L * 3600 * 1000 * 1000 // e08 cohort bucket
 
   private def dsum(c: Column) = sum(c.cast(DecimalType(12, 2))).cast("double")
 
@@ -165,6 +166,34 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // Daily retention cohorts — the classic activity-analytics matrix:
+    // users grouped by first-seen day, then for each later day the
+    // fraction of the cohort still active. Shapes for 100 TB: distinct
+    // (user, day) is ONE exchange keyed by user (the per-user min and
+    // the activity join reuse it); the cohort-size and cell aggregates
+    // are countDistinct over already-deduped pairs — partial+final, no
+    // row-level state. Days are exact epoch-micros integer buckets.
+    "e08_retention_cohorts" -> { (s, d) =>
+      val uw = Tables.events(s, d)
+        .select(col("user_id"),
+          expr(s"(ts_ns div 1000) div $DayUs").as("week"))
+        .distinct()
+      val cohort = uw.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      val sizes = cohort.groupBy(col("cohort_week"))
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(sizes, "cohort_week")
+        .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+          col("n_active"),
+          (col("n_active").cast("double") / col("cohort_size"))
+            .as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
     // Per-type stats with JSON props extraction in the scan projection.
     "e03_type_stats" -> { (s, d) =>
       Tables.events(s, d)
@@ -256,6 +285,23 @@ object EventQueries {
         |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "e08_retention_cohorts" ->
+      s"""WITH uw AS (SELECT DISTINCT user_id,
+         |             epoch_us(ts) // $DayUs AS week FROM events),
+         |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1),
+         |sz AS (SELECT cohort_week,
+         |        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_size
+         |       FROM c GROUP BY 1),
+         |cell AS (SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+         |          CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_active
+         |         FROM uw JOIN c ON uw.user_id = c.user_id
+         |         GROUP BY 1, 2)
+         |SELECT cell.cohort_week, cell.week_offset, sz.cohort_size,
+         | cell.n_active,
+         | CAST(cell.n_active AS DOUBLE) / sz.cohort_size AS retention
+         |FROM cell JOIN sz ON cell.cohort_week = sz.cohort_week
+         |ORDER BY 1, 2""".stripMargin,
 
     "e03_type_stats" ->
       """SELECT event_type, COUNT(*) AS n,

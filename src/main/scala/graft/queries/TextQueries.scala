@@ -40,6 +40,7 @@ object TextQueries {
   private val QueryTerms = RagQueryText.split(" ").toSeq
   private val HybridTopK = 50
   private val PackBudget = 300 // d26 tokens per training sequence
+  private val LangBudget = 70 // d38 docs kept per language
   private val PackGroups = 4 // d26 parallel packing groups
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -594,6 +595,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Language-budgeted corpus sampling: cap every language at a fixed
+    // document budget, picking each language's keepers DETERMINISTICALLY
+    // as the budget smallest md5-hash docs — an unbiased, reproducible
+    // subsample (hash order is independent of storage order). Composed
+    // from the mergeable top-k aggregate (score = −hash), so the 100-TB
+    // shape is q24's: map-side partial top-k per language, only
+    // budget-many rows per task cross the exchange, NO per-language
+    // window sort of the whole corpus. Groups under budget keep every
+    // doc (en is capped at sf0.01, fr is not — both paths exercised).
+    "d38_language_budget" -> { (s, d) =>
+      val topk = udaf(new graft.operators.Sketches.TopKByScore(LangBudget),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(java.lang.Double, java.lang.Long)]())
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          TF.hash32(col("doc_id").cast("string")).as("h"))
+        .groupBy(col("lang"))
+        .agg(topk((-col("h")).cast("double"), col("doc_id")).as("pick"))
+        .select(col("lang"), posexplode(col("pick")).as(Seq("r0", "p")))
+        .select(col("lang"), (col("r0") + 1).cast("long").as("rank"),
+          col("p._2").as("doc_id"))
+        .orderBy(col("lang"), col("rank"))
+    },
+
     // Repetition-quality stats (the Gopher-style repetition filter, the
     // gate d08's length/punct ratios cannot express): type-token ratio
     // and the most-frequent-term share of each document, flagging
@@ -1019,6 +1044,17 @@ object TextQueries {
         | jac AS best_jaccard, b_id AS best_eval_id,
         | jac >= 0.5e0 AS contaminated
         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // The deterministic hash sample re-derived as a window rank over
+    // (hash, doc_id) — the idiom the mergeable top-k replaces.
+    "d38_language_budget" ->
+      s"""SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id
+         |FROM (SELECT lang, doc_id,
+         |       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+         |      FROM (SELECT lang, doc_id,
+         |             CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS h
+         |            FROM documents) x) t
+         |WHERE rn <= $LangBudget ORDER BY lang, rank""".stripMargin,
 
     // RRF fusion of the dense and lexical top-K rankings; ROW_NUMBER
     // before LIMIT ranks identically to Spark's rank-after-top-K (same
