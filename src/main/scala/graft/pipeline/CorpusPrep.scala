@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.text.{Dedup, LangId, TextFunctions => TF}
 
 /** The composed training-corpus preparation pass: quality filter →
-  * exact dedup → near dedup → deterministic split — each stage is the
-  * standalone operator used by the query surface; this entry point is
-  * the order a real pipeline runs them in (cheap row-local filters
-  * first, the near-dup shuffle last, on the already-shrunk corpus).
+  * exact dedup → near dedup → (optional) semantic dedup →
+  * deterministic split — each stage is the standalone operator used by
+  * the query surface; this entry point is the order a real pipeline
+  * runs them in (cheap row-local filters first, the text-shuffle passes
+  * next, the embedding-space pass last, each on the already-shrunk
+  * corpus).
   *
   * Returns the input columns plus `detected_lang` and `split`.
   */
@@ -29,6 +31,14 @@ object CorpusPrep {
     * survives); the CC policy cannot — at the cost of the iterative
     * label-propagation rounds, so it's opt-in.
     */
+  /** `semanticVecCol = Some(col)` appends a SemDeDup pass
+    * ([[graft.operators.SemanticDedup.dropSemanticDuplicates]]) over a
+    * precomputed embedding column: documents whose TEXT already
+    * diverged past the Jaccard gates but whose embeddings are
+    * near-identical (translations, paraphrases, templated rewrites)
+    * drop here. Runs last — it is the only stage that trains state (a
+    * `semanticK`-cell codebook), so it sees the smallest corpus.
+    */
   final case class Config(
       minTokens: Int = 5,
       maxStopRatio: Double = 0.9,
@@ -36,7 +46,11 @@ object CorpusPrep {
       trainPct: Int = 80,
       valPct: Int = 10,
       maxLshBucket: Long = 0,
-      exactDupGroups: Boolean = false)
+      exactDupGroups: Boolean = false,
+      semanticVecCol: Option[String] = None,
+      semanticK: Int = 64,
+      semanticIters: Int = 2,
+      semanticThreshold: Double = 0.97)
 
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
@@ -62,9 +76,16 @@ object CorpusPrep {
         exact.join(doomed, col(idCol) === col("_cp_doomed"), "left_anti")
       } else Dedup.dropNearDuplicates(exact, idCol, textCol,
         cfg.nearDupJaccard, maxBucket = cfg.maxLshBucket)
+    // 3b. Optional semantic dedup on the embedding column (smallest
+    // corpus, most expensive per-doc state — always the last drop).
+    val semDeduped = cfg.semanticVecCol.fold(deduped) { vecCol =>
+      graft.operators.SemanticDedup.dropSemanticDuplicates(
+        deduped, idCol, vecCol,
+        cfg.semanticK, cfg.semanticIters, cfg.semanticThreshold)
+    }
     // 4. Language stamp + deterministic split.
     val bucket = TF.hash32(col(idCol).cast("string")) % 100
-    deduped
+    semDeduped
       .withColumn("detected_lang", LangId.langIdCol(col(textCol)))
       .withColumn("split",
         when(bucket < cfg.trainPct, "train")

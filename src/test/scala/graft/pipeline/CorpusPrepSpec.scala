@@ -58,6 +58,29 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(exact == Seq(1L, 7L))
   }
 
+  test("semantic stage drops embedding-near docs the text gates keep") {
+    // docs 10 and 11 share no vocabulary (Jaccard 0, no LSH candidate)
+    // but carry near-identical embeddings — a paraphrase/translation
+    // stand-in only the semantic pass can see. doc 12 is far in both.
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(8)(0.0f); v(axis) = 1.0f; v(7) = eps; v
+    }
+    val docs = Seq(
+      (10L, "alpha bravo charlie delta echo foxtrot golf hotel", vec(0, 0f)),
+      (11L, "uno dos tres cuatro cinco seis siete ocho", vec(0, 0.01f)),
+      (12L, "mike november oscar papa quebec romeo sierra tango", vec(4, 0f)))
+      .toDF("doc_id", "text", "emb")
+    val cfg = CorpusPrep.Config(semanticVecCol = Some("emb"),
+      semanticK = 2, semanticIters = 2, semanticThreshold = 0.97)
+    val without = CorpusPrep.prepare(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val withSem = CorpusPrep.prepare(docs, "doc_id", "text", cfg)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(without == Seq(10L, 11L, 12L), s"text gates must keep all: $without")
+    assert(withSem == Seq(10L, 12L),
+      s"semantic stage must drop the embedding-twin 11: $withSem")
+  }
+
   test("prepare runs on the real documents table and keeps most docs") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
