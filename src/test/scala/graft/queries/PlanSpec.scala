@@ -203,6 +203,30 @@ class PlanSpec extends AnyFunSuite {
     assert(rolled.count() > 0)
   }
 
+  test("v09/d37: dedup compositions plan equi joins only — no cross products") {
+    Seq("v09_semantic_dedup", "d37_neardup_decontaminate").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a cross product:\n${p.take(600)}")
+    }
+  }
+
+  test("v11: both quantized-ANN stages plan as per-partition top-k heaps") {
+    val p = plan("v11_quantized_knn")
+    val n = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(n == 2, s"expected coarse+rescore TakeOrderedAndProject pair, found $n")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quantized knn must not shuffle:\n${p.take(600)}")
+  }
+
+  test("d38: budgeted sampling partial-aggregates — no per-language window sort") {
+    val p = plan("d38_language_budget")
+    assert(p.contains("partial_topkbyscore"),
+      s"budget pick must combine map-side:\n${p.take(600)}")
+    assert(!p.contains("Window"),
+      "the sample must not sort whole languages through a window")
+  }
+
   test("d18: distinct-doc term stats use the two-phase partial aggregate") {
     // countDistinct must plan as partial_count(distinct ...) under ONE
     // (term)-keyed exchange pair, not an expand + extra shuffle per

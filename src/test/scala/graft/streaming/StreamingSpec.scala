@@ -350,6 +350,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mergeable sketches aggregate incrementally in streaming (KMV + top-k)") {
+    // The sketches' set-function state is exactly what lets them live in
+    // a streaming state store: each micro-batch partial-merges into the
+    // stored buffer, and the final estimate must equal the batch
+    // computation over everything seen — one more merge shape on top of
+    // SketchesSpec's layout fuzz.
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, udaf}
+    val kmv = udaf(new graft.operators.Sketches.KmvDistinct(64),
+      org.apache.spark.sql.Encoders.LONG)
+    val topk = udaf(new graft.operators.Sketches.TopKByScore(3),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(java.lang.Double, java.lang.Long)]())
+    val in = MemoryStream[(String, Long, Double)]
+    val q = in.toDF.toDF("g", "h", "v")
+      .groupBy(col("g"))
+      .agg(kmv(col("h")).as("nd"), topk(col("v"), col("h")).as("top"))
+      .writeStream.format("memory").queryName("sketches")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      def batch(lo: Int, hi: Int) =
+        (lo until hi).map(i => ("g1", ((i % 40) * 7919L) % 4294967296L, (i % 25).toDouble))
+      in.addData(batch(0, 100): _*)
+      q.processAllAvailable()
+      in.addData(batch(100, 300): _*) // overlaps batch 1's values
+      q.processAllAvailable()
+      val row = spark.table("sketches").head()
+      assert(row.getDouble(1) == 40.0, "below-k KMV must be exact across batches")
+      val top = row.getSeq[org.apache.spark.sql.Row](2)
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      // top-3 of the union: score 24.0 appears with several ids; the
+      // distinct (score, id) order fixes the winners deterministically.
+      val want = (0 until 300).map(i => ((i % 25).toDouble, ((i % 40) * 7919L) % 4294967296L))
+        .distinct.sortBy(p => (-p._1, p._2)).take(3)
+      assert(top == want, s"streaming top-k drifted: $top vs $want")
+    } finally q.stop()
+  }
+
   test("documentIngestSink novelty gate: duplicate batches add no rows, novel rows ingest") {
     implicit val sq = spark.sqlContext
     val store = new ParquetVectorStore(spark,
