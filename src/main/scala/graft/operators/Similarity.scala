@@ -266,4 +266,32 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
       .select(col("cell"), col(idCol), col("score"))
+
+  /** Multi-probe ANN: scan the `nprobe` cells whose CENTROIDS are most
+    * similar to the query (ties to the smaller cell id), exact top-k
+    * inside their union — the standard IVF recall lever (a true
+    * neighbor assigned to the runner-up cell is missed at nprobe=1 and
+    * found at 2; [[graft.store.IvfIndex.search]] is the on-disk face of
+    * the same contract, where each probed cell is a pruned partition).
+    * Cell ranking runs as a codebook-sized Spark job through the SAME
+    * cosine expression as the scan, so ranking and scoring can never
+    * disagree on arithmetic.
+    */
+  def ivfMultiProbeSearch(assigned: DataFrame, idCol: String, vecCol: String,
+      seeds: DataFrame, seedIdCol: String, seedVecCol: String,
+      query: Array[Float], nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1 && k >= 1, s"nprobe=$nprobe k=$k must be positive")
+    val cells = seeds
+      .withColumn("_mp_s", vectors.cosineSimilarity(col(seedVecCol), lit(query)))
+      .orderBy(col("_mp_s").desc, col(seedIdCol))
+      .limit(nprobe)
+      .select(col(seedIdCol).cast("long"))
+      .collect().map(_.getLong(0))
+    assigned
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("score", vectors.cosineSimilarity(col(vecCol), lit(query)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col("cell"), col(idCol), col("score"))
+  }
 }

@@ -162,6 +162,22 @@ object VectorQueries {
         "embedding", probeVec(s, d, 0L), k = 10, candidates = 50)
     },
 
+    // Multi-probe IVF ([[Similarity.ivfMultiProbeSearch]]): v05 scans
+    // one cell; this ranks the codebook by probe-to-centroid cosine and
+    // scans the top-2 cells' union — the recall lever, oracle-pinned so
+    // the cell ranking's tie-breaks and the union top-k are exact, not
+    // just "more cells = more recall" hand-waving.
+    "v12_ivf_multiprobe" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding",
+        seeds, "seed_id", "seed_vec")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      Similarity.ivfMultiProbeSearch(assigned, "vec_id", "embedding",
+        seeds, "seed_id", "seed_vec", probeVec(s, d, 42L), nprobe = 2, k = 5)
+    },
+
     // IVF ANN: assign all vectors to nearest of 8 seed centroids (shuffle-
     // free argmax projection), then search only the probe's cell. The probe
     // row is a driver-side point lookup (tiny action); the search itself is
@@ -378,6 +394,35 @@ object VectorQueries {
         |SELECT vec_id, qscore,
         | list_cosine_similarity(v, (SELECT pv FROM probe)) AS score
         |FROM coarse ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    // v05's assignment CTEs; the probed set becomes the top-2 centroid
+    // ranks instead of the probe's own assigned cell.
+    "v12_ivf_multiprobe" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, s.cell,
+        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) AS cs
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |   SELECT vec_id, embedding, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+        |   FROM scored) r WHERE rn = 1),
+        |probe AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |          FROM embeddings WHERE vec_id = 42),
+        |cells AS (
+        |  SELECT cell FROM (
+        |   SELECT s.cell,
+        |    ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(s.cv, probe.qv) DESC,
+        |                       s.cell) AS rn
+        |   FROM seeds s, probe) t WHERE rn <= 2)
+        |SELECT a.cell, a.vec_id,
+        | list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  (SELECT qv FROM probe)) AS score
+        |FROM assigned a JOIN cells ON a.cell = cells.cell
+        |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin,
 
     "v05_ivf_search" ->
       """WITH seeds AS (
