@@ -194,6 +194,24 @@ object EventQueries {
         .orderBy(col("cohort_week"), col("week_offset"))
     },
 
+    // SCD2 dimension build from the changelog: every (user, type) event
+    // becomes a validity interval [valid_from, valid_to) closed by the
+    // NEXT change (null = current row) — e07 compacts to the latest
+    // state, this keeps full history queryable by as-of time. One
+    // (user, type)-keyed exchange; the lead window rides the same
+    // spillable sort the sessionization uses.
+    "e09_scd2_intervals" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("valid_from"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), tsUs.as("valid_from"),
+          col("event_id"), col("value"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy(col("user_id"), col("event_type"), col("valid_from"),
+          col("event_id"))
+    },
+
     // Per-type stats with JSON props extraction in the scan projection.
     "e03_type_stats" -> { (s, d) =>
       Tables.events(s, d)
@@ -302,6 +320,15 @@ object EventQueries {
          | CAST(cell.n_active AS DOUBLE) / sz.cohort_size AS retention
          |FROM cell JOIN sz ON cell.cohort_week = sz.cohort_week
          |ORDER BY 1, 2""".stripMargin,
+
+    "e09_scd2_intervals" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS valid_from, event_id, value,
+        | LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id, event_type
+        |  ORDER BY epoch_us(ts), event_id) AS valid_to,
+        | LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id, event_type
+        |  ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
+        |FROM events
+        |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin,
 
     "e03_type_stats" ->
       """SELECT event_type, COUNT(*) AS n,
