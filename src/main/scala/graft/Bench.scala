@@ -64,8 +64,13 @@ object Bench {
       }
     }
     // Self-heal pass: retry flagged queries after the sweep (quiet tail).
+    // "healed" records only queries whose contaminated runs were actually
+    // REPLACED by a clean retry — a retry that throws or stays noisy must
+    // not read as a heal. Each retry re-warms first: by the sweep's tail
+    // the query's footer/JIT caches may have been evicted, and an unwarmed
+    // triple would re-inject exactly the cold-start spread being healed.
     val fnOf = selected.toMap
-    val retried = scala.collection.mutable.ListBuffer.empty[String]
+    val healedNames = scala.collection.mutable.ListBuffer.empty[String]
     val results = swept.map {
       case (name, Right(runs)) if noisySpread(runs) =>
         var cur = runs
@@ -74,12 +79,14 @@ object Bench {
           attempts += 1
           System.err.println(
             f"[bench] $name spread ${cur.last / cur.head}%.1fx — isolated retry $attempts")
-          try cur = Seq.fill(3)(timeOnce(fnOf(name))).sorted
-          catch { case e: Throwable => // keep the contaminated-but-real runs
+          try {
+            timeOnce(fnOf(name)) // re-warm before the timed triple
+            cur = Seq.fill(3)(timeOnce(fnOf(name))).sorted
+          } catch { case e: Throwable => // keep the contaminated-but-real runs
             System.err.println(s"[bench] $name retry failed: ${e.getMessage}")
           }
         }
-        retried += name
+        if (!noisySpread(cur) && (cur ne runs)) healedNames += name
         name -> Right(cur)
       case other => other
     }
@@ -112,7 +119,7 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SPREADS.json"),
       (s"""{"spreads":$spreads,"noisy":[${noisy.map(k => s"\"$k\"").mkString(",")}],""" +
-        s""""healed":[${retried.map(k => s"\"$k\"").mkString(",")}],"sf":"$sfDir"}""")
+        s""""healed":[${healedNames.map(k => s"\"$k\"").mkString(",")}],"sf":"$sfDir"}""")
         .getBytes("UTF-8"))
     catch { // the sidecar is best-effort; never fail the bench over it
       case e: java.io.IOException =>

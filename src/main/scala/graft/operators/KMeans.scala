@@ -37,15 +37,24 @@ object KMeans {
     * smallest-id vectors as seeds. Returns (seed_id, seed_vec, n_members)
     * — directly consumable by [[Similarity.ivfAssign]] /
     * [[graft.store.IvfIndex]].
+    *
+    * A corpus with fewer than k vectors fails fast by default (callers
+    * sizing cell pruning need exactly k cells); `allowFewerSeeds = true`
+    * clamps to one cell per vector instead — the right contract for
+    * pipeline stages whose input size is data-dependent
+    * ([[SemanticDedup]]: fewer docs than cells just means smaller
+    * cells, not a broken run). The seed collect itself already bounds
+    * the check — no extra job either way.
     */
   def lloyd(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, allowFewerSeeds: Boolean = false): DataFrame = {
     require(k > 0 && iters > 0, s"k=$k iters=$iters must be positive")
     val spark = df.sparkSession
     val seedRows = df.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
-    require(seedRows.length == k,
+    require(allowFewerSeeds || seedRows.length == k,
       s"need $k seed vectors, corpus has only ${seedRows.length}")
+    require(seedRows.nonEmpty, "cannot train a codebook on an empty corpus")
     var centroids: Seq[(Long, Array[Float])] =
       seedRows.zipWithIndex.map { case (r, i) =>
         (i.toLong, r.getSeq[Float](0).toArray)

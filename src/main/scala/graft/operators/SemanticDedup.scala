@@ -40,13 +40,17 @@ object SemanticDedup {
     * vectors sharing a k-means cell. Returns (cell, a_id, b_id, score).
     *
     * The codebook is trained fresh with [[KMeans.lloyd]] (k seeds = the
-    * k smallest-id vectors, `iters` Lloyd refinements); to reuse a
-    * pre-trained codebook, call [[withinCellPairs]] on an
+    * k smallest-id vectors, `iters` Lloyd refinements); a corpus
+    * smaller than k clamps to one cell per vector rather than failing —
+    * this stage's input size is data-dependent (it typically runs after
+    * other dedup gates), so a shrunken shard must degrade, not abort.
+    * To reuse a pre-trained codebook, call [[withinCellPairs]] on an
     * [[Similarity.ivfAssign]]-ed frame directly.
     */
   def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, threshold: Double): DataFrame = {
-    val codebook = KMeans.lloyd(df, idCol, vecCol, k, iters)
+    val codebook = KMeans.lloyd(df, idCol, vecCol, k, iters,
+      allowFewerSeeds = true)
     val assigned = Similarity.ivfAssign(df, idCol, vecCol,
       codebook, "seed_id", "seed_vec")
     withinCellPairs(assigned, idCol, vecCol, threshold)

@@ -24,12 +24,15 @@ object Sketches {
   /** SQL-surface registration (the UDAF path — typed Aggregators enter
     * the function registry through `spark.udf.register`, not the
     * expression-injection path GraftExtensions uses):
-    * `kmv_distinct(hash)` and `heavy_hitters(term)` become callable from
-    * SQL text with the given sketch sizes.
+    * `kmv_distinct(hash)`, `heavy_hitters(term)`,
+    * `bottomk_quantiles(hash, value)` and `topk_by_score(score, id)`
+    * become callable from SQL text, each with its OWN size knob —
+    * registered function names carry fixed parameters, so tuning one
+    * aggregate's k must never silently resize another's.
     */
   def registerSql(spark: org.apache.spark.sql.SparkSession,
       kmvK: Int = 256, hhK: Int = 32, quantileK: Int = 128,
-      quantilePs: Seq[Double] = Seq(0.5, 0.9)): Unit = {
+      quantilePs: Seq[Double] = Seq(0.5, 0.9), topK: Int = 16): Unit = {
     spark.udf.register("kmv_distinct",
       org.apache.spark.sql.functions.udaf(new KmvDistinct(kmvK), Encoders.LONG))
     spark.udf.register("heavy_hitters",
@@ -41,7 +44,7 @@ object Sketches {
           .ExpressionEncoder[(java.lang.Long, java.lang.Double)]()))
     spark.udf.register("topk_by_score",
       org.apache.spark.sql.functions.udaf(
-        new TopKByScore(quantileK),
+        new TopKByScore(topK),
         org.apache.spark.sql.catalyst.encoders
           .ExpressionEncoder[(java.lang.Double, java.lang.Long)]()))
   }

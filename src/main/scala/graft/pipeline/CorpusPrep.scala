@@ -37,7 +37,9 @@ object CorpusPrep {
     * diverged past the Jaccard gates but whose embeddings are
     * near-identical (translations, paraphrases, templated rewrites)
     * drop here. Runs last — it is the only stage that trains state (a
-    * `semanticK`-cell codebook), so it sees the smallest corpus.
+    * `semanticK`-cell codebook), so it sees the smallest corpus. A
+    * corpus the earlier gates shrink below `semanticK` clamps to one
+    * cell per document (the stage degrades, never aborts the pipeline).
     */
   final case class Config(
       minTokens: Int = 5,

@@ -174,24 +174,24 @@ object EventQueries {
     // are countDistinct over already-deduped pairs — partial+final, no
     // row-level state. Days are exact epoch-micros integer buckets.
     "e08_retention_cohorts" -> { (s, d) =>
-      val uw = Tables.events(s, d)
+      val ud = Tables.events(s, d)
         .select(col("user_id"),
-          expr(s"(ts_ns div 1000) div $DayUs").as("week"))
+          expr(s"(ts_ns div 1000) div $DayUs").as("day"))
         .distinct()
-      val cohort = uw.groupBy(col("user_id"))
-        .agg(min(col("week")).as("cohort_week"))
-      val sizes = cohort.groupBy(col("cohort_week"))
+      val cohort = ud.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      val sizes = cohort.groupBy(col("cohort_day"))
         .agg(countDistinct(col("user_id")).as("cohort_size"))
-      uw.join(cohort, "user_id")
-        .groupBy(col("cohort_week"),
-          (col("week") - col("cohort_week")).as("week_offset"))
+      ud.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_active"))
-        .join(sizes, "cohort_week")
-        .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        .join(sizes, "cohort_day")
+        .select(col("cohort_day"), col("day_offset"), col("cohort_size"),
           col("n_active"),
           (col("n_active").cast("double") / col("cohort_size"))
             .as("retention"))
-        .orderBy(col("cohort_week"), col("week_offset"))
+        .orderBy(col("cohort_day"), col("day_offset"))
     },
 
     // SCD2 dimension build from the changelog: every (user, type) event
@@ -305,20 +305,20 @@ object EventQueries {
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
     "e08_retention_cohorts" ->
-      s"""WITH uw AS (SELECT DISTINCT user_id,
-         |             epoch_us(ts) // $DayUs AS week FROM events),
-         |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1),
-         |sz AS (SELECT cohort_week,
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+         |             epoch_us(ts) // $DayUs AS day FROM events),
+         |c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1),
+         |sz AS (SELECT cohort_day,
          |        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_size
          |       FROM c GROUP BY 1),
-         |cell AS (SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
-         |          CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_active
-         |         FROM uw JOIN c ON uw.user_id = c.user_id
+         |cell AS (SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+         |          CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS n_active
+         |         FROM ud JOIN c ON ud.user_id = c.user_id
          |         GROUP BY 1, 2)
-         |SELECT cell.cohort_week, cell.week_offset, sz.cohort_size,
+         |SELECT cell.cohort_day, cell.day_offset, sz.cohort_size,
          | cell.n_active,
          | CAST(cell.n_active AS DOUBLE) / sz.cohort_size AS retention
-         |FROM cell JOIN sz ON cell.cohort_week = sz.cohort_week
+         |FROM cell JOIN sz ON cell.cohort_day = sz.cohort_day
          |ORDER BY 1, 2""".stripMargin,
 
     "e09_scd2_intervals" ->

@@ -286,12 +286,14 @@ object EventStreams {
     * pays an exact anti-join against the store before being admitted.
     * The filter is REBUILT from the store every `noveltyRebuildEvery`
     * batches (one corpus aggregation pass, re-sized to 2× the current
-    * corpus so growth never saturates it) and updated incrementally
-    * with each appended batch's fingerprints in between — the
-    * incremental put is what makes a duplicate of a RECENT batch
-    * (arrived since the last rebuild) still gate correctly. Driver cost
-    * per batch: one micro-batch-bounded fingerprint collect; a crash
-    * loses only the in-memory filter, which rebuilds from the store on
+    * corpus so growth never saturates it) and broadcast once per
+    * rebuild; between rebuilds, appended fingerprints accumulate in a
+    * small driver-side delta set that rides the probe closure — which
+    * is what makes a duplicate of a RECENT batch (arrived since the
+    * last rebuild) still gate correctly without re-broadcasting the
+    * corpus-sized filter every micro-batch. Driver cost per batch: one
+    * micro-batch-bounded fingerprint collect; a crash loses only the
+    * in-memory filter and delta, which rebuild from the store on
     * restart. In-batch duplicate chunks collapse through
     * [[graft.text.Dedup.dropExactDuplicates]] (smallest doc_id wins)
     * before the probe, so a batch can never self-duplicate either.
@@ -302,9 +304,23 @@ object EventStreams {
       noveltyGate: Boolean = false, noveltyFpp: Double = 0.01,
       noveltyRebuildEvery: Int = 16)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    // foreachBatch runs on the driver: the filter and rebuild counter are
-    // plain driver state, serialized access per micro-batch.
+    // foreachBatch runs on the driver: the filter, its broadcast handle,
+    // the recent-fingerprint delta, and the rebuild counter are plain
+    // driver state, serialized access per micro-batch.
+    //
+    // The corpus-sized Bloom filter is broadcast ONCE per rebuild, not
+    // per batch (at 100-TB corpus scale the filter is hundreds of MB —
+    // re-shipping it every micro-batch and leaving old broadcasts to
+    // ContextCleaner GC would dominate the stream). Fingerprints
+    // ingested since the rebuild ride a small driver-side delta SET
+    // captured in the probe closure instead of mutating the broadcast
+    // filter (executors would never see driver-side puts); the delta is
+    // bounded by rebuildEvery micro-batches and resets at each rebuild,
+    // which also destroys the superseded broadcast.
     var bloom: org.apache.spark.util.sketch.BloomFilter = null
+    var bloomBc: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter] = null
+    var recentFps: Set[String] = Set.empty
     var sinceRebuild = 0
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       import batch.sparkSession.implicits._
@@ -331,13 +347,18 @@ object EventStreams {
               else store.read(index)
                 .select(md5(col("page_content")).as("_fp"))
                 .stat.bloomFilter("_fp", expected, noveltyFpp)
+            if (bloomBc != null) bloomBc.destroy() // previous batch is done
+            bloomBc = batch.sparkSession.sparkContext.broadcast(bloom)
+            recentFps = Set.empty // rebuilt filter covers them now
             sinceRebuild = 0
           }
           sinceRebuild += 1
           val inBatch = graft.text.Dedup.dropExactDuplicates(
             chunks, "doc_id", "page_content")
-          val bc = batch.sparkSession.sparkContext.broadcast(bloom)
-          val probe = udf((fp: String) => bc.value.mightContainString(fp))
+          val bc = bloomBc
+          val recent = recentFps // immutable snapshot into the closure
+          val probe = udf((fp: String) =>
+            bc.value.mightContainString(fp) || recent.contains(fp))
           val probed = inBatch.withColumn("_fp", md5(col("page_content")))
             .withColumn("_maybe", probe(col("_fp")))
           val flagged = probed.filter(col("_maybe"))
@@ -359,8 +380,8 @@ object EventStreams {
         .toDF("doc_id", "page_content", "metadata", "headers", "embedding")
       store.append(index, out)
       if (noveltyGate) {
-        novel.select(md5(col("page_content")).as("_fp")).distinct()
-          .collect().foreach(r => bloom.putString(r.getString(0)))
+        recentFps ++= novel.select(md5(col("page_content")).as("_fp"))
+          .distinct().collect().map(_.getString(0))
         novel.unpersist()
         ()
       }

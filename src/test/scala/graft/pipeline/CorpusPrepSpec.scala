@@ -79,6 +79,15 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(without == Seq(10L, 11L, 12L), s"text gates must keep all: $without")
     assert(withSem == Seq(10L, 12L),
       s"semantic stage must drop the embedding-twin 11: $withSem")
+    // a corpus far smaller than semanticK (default 64) must clamp to
+    // one cell per doc and run through, not abort the pipeline — with
+    // every doc its own cell no pairs form, so everything survives
+    // (the documented degraded-recall trade, NOT an error)
+    val clamped = CorpusPrep.prepare(docs, "doc_id", "text",
+      CorpusPrep.Config(semanticVecCol = Some("emb")))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(clamped == Seq(10L, 11L, 12L),
+      s"under-k corpus must degrade gracefully, not crash: $clamped")
   }
 
   test("prepare runs on the real documents table and keeps most docs") {
