@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic weighted sampling for corpus mixing.
+  *
+  * [[ppsSystematic]] is systematic probability-proportional-to-size
+  * sampling: per group, lay `budget` equally-spaced selection points
+  * over the cumulative weight axis (offset by half a step — no RNG
+  * anywhere) and select every row whose weight interval contains a
+  * point. A row's expected hit count is exactly `budget · w / W`, rows
+  * heavier than one step select multiply (`n_hits` > 1 — the caller
+  * repeats or upweights them), and the whole decision is INTEGER
+  * arithmetic on (2·budget·cum) vs (2·W), so the sample is
+  * bit-reproducible in any engine (oracle d39) — unlike
+  * Efraimidis–Spirakis keys, whose pow() differs across libm builds.
+  *
+  * The deterministic-hash samplers (d28's stratified rates, d38's
+  * budget smallest hashes) pick UNIFORMLY within a group; this is the
+  * weighted complement — sample documents proportional to token count
+  * (or any quality weight) so the mixed corpus hits a token budget,
+  * not a document budget.
+  *
+  * Scale shape: one group-keyed exchange; the running-sum window and
+  * the group-total window share its partitioning (same single-exchange
+  * contract as sessionization, spillable sort). Weights must be
+  * nonneg integers with 2·budget·W < 2⁶³ — at 10¹² tokens per group
+  * and budget 10⁶ that bound still holds with 2⁹ to spare.
+  */
+object Sampling {
+
+  /** Returns the selected rows: input columns plus `n_hits` (>= 1). */
+  def ppsSystematic(df: DataFrame, groupCols: Seq[String], idCol: String,
+      weightCol: String, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be positive, got $budget")
+    val wOrder = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    // f(x) = #selection points at or below x = ((2m·x div W) + 1) div 2
+    // (points sit at odd multiples of W/(2m)); hits = f(cum) − f(prev).
+    // Operands stay nonnegative, so div's truncation IS floor in every
+    // engine.
+    def f(x: String) =
+      s"((((2 * $budget) * $x) div _pps_w) + 1) div 2"
+    df
+      .withColumn("_pps_cum", sum(col(weightCol)).over(wOrder).cast("long"))
+      .withColumn("_pps_w", sum(col(weightCol)).over(wAll).cast("long"))
+      .withColumn("n_hits",
+        expr(s"${f("_pps_cum")} - ${f(s"(_pps_cum - $weightCol)")}"))
+      .filter(col("n_hits") > 0)
+      .drop("_pps_cum", "_pps_w")
+  }
+}

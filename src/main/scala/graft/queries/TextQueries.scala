@@ -41,6 +41,7 @@ object TextQueries {
   private val HybridTopK = 50
   private val PackBudget = 300 // d26 tokens per training sequence
   private val LangBudget = 70 // d38 docs kept per language
+  private val PpsBudget = 10 // d39 selection points per source
   private val PackGroups = 4 // d26 parallel packing groups
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -619,6 +620,23 @@ object TextQueries {
         .orderBy(col("lang"), col("rank"))
     },
 
+    // Systematic PPS sampling ([[graft.operators.Sampling]]): per
+    // source, sample documents PROPORTIONAL TO TOKEN COUNT with a fixed
+    // per-source budget — the weighted complement of d28's uniform
+    // stratified rates and d38's uniform budget (mixing to a TOKEN
+    // budget, not a doc budget). No RNG: equally-spaced selection
+    // points over the cumulative-weight axis, all-integer decision —
+    // the oracle replays the identical cumsum and floor-division.
+    "d39_pps_sample" -> { (s, d) =>
+      graft.operators.Sampling.ppsSystematic(
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(TF.tokens(col("text"))).cast("long").as("weight")),
+        groupCols = Seq("source"), idCol = "doc_id",
+        weightCol = "weight", budget = PpsBudget)
+        .orderBy(col("source"), col("doc_id"))
+    },
+
     // Repetition-quality stats (the Gopher-style repetition filter, the
     // gate d08's length/punct ratios cannot express): type-token ratio
     // and the most-frequent-term share of each document, flagging
@@ -1055,6 +1073,26 @@ object TextQueries {
          |             CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS h
          |            FROM documents) x) t
          |WHERE rn <= $LangBudget ORDER BY lang, rank""".stripMargin,
+
+    // The same all-integer decision: cum/W from a window cumsum, hits
+    // as a difference of floor-divisions (operands nonnegative, so //
+    // and Spark's div agree).
+    "d39_pps_sample" ->
+      s"""WITH w AS (SELECT source, doc_id,
+         |        CAST(len(string_split(text,' ')) AS BIGINT) AS weight
+         |       FROM documents),
+         |b AS (SELECT source, doc_id, weight,
+         |       CAST(SUM(weight) OVER (PARTITION BY source ORDER BY doc_id
+         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |       CAST(SUM(weight) OVER (PARTITION BY source) AS BIGINT) AS tw
+         |      FROM w)
+         |SELECT source, doc_id, weight,
+         | (((2 * $PpsBudget * cum) // tw) + 1) // 2
+         |  - (((2 * $PpsBudget * (cum - weight)) // tw) + 1) // 2 AS n_hits
+         |FROM b
+         |WHERE (((2 * $PpsBudget * cum) // tw) + 1) // 2
+         |  - (((2 * $PpsBudget * (cum - weight)) // tw) + 1) // 2 > 0
+         |ORDER BY source, doc_id""".stripMargin,
 
     // RRF fusion of the dense and lexical top-K rankings; ROW_NUMBER
     // before LIMIT ranks identically to Spark's rank-after-top-K (same
