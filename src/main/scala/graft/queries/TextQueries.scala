@@ -42,6 +42,7 @@ object TextQueries {
   private val PackBudget = 300 // d26 tokens per training sequence
   private val LangBudget = 70 // d38 docs kept per language
   private val PpsBudget = 10 // d39 selection points per source
+  private val LmFloor = -3.43 // d40 avg-logprob flag threshold (~5th pct)
   private val PackGroups = 4 // d26 parallel packing groups
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -637,6 +638,19 @@ object TextQueries {
         .orderBy(col("source"), col("doc_id"))
     },
 
+    // Unigram LM quality gate ([[graft.text.UnigramLm]]): mean per-token
+    // log-likelihood under the corpus's own add-one unigram model, with
+    // the low tail flagged — the perplexity-style filter d08/d32's
+    // surface stats cannot express. Per-term log-probs are 1e-6
+    // floor-quantized BIGINTs so the per-doc sums are exact integer
+    // arithmetic (order-independent; the d24 ln-rounding rule applied
+    // per term instead of per score).
+    "d40_unigram_logprob" -> { (s, d) =>
+      graft.text.UnigramLm.scoreDocs(Tables.documents(s, d), "doc_id", "text")
+        .withColumn("flagged", col("avg_lp") < lit(LmFloor))
+        .orderBy(col("doc_id"))
+    },
+
     // Repetition-quality stats (the Gopher-style repetition filter, the
     // gate d08's length/punct ratios cannot express): type-token ratio
     // and the most-frequent-term share of each document, flagging
@@ -1093,6 +1107,27 @@ object TextQueries {
          |WHERE (((2 * $PpsBudget * cum) // tw) + 1) // 2
          |  - (((2 * $PpsBudget * (cum - weight)) // tw) + 1) // 2 > 0
          |ORDER BY source, doc_id""".stripMargin,
+
+    // Same model, same quantization: term counts, add-one probabilities
+    // over (total + vocab), per-term floor(ln(p)*1e6) BIGINT, exact
+    // integer doc sums.
+    "d40_unigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+         |           FROM documents),
+         |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+         |         CAST(COUNT(*) AS BIGINT) AS vocab FROM c),
+         |p AS (SELECT tok,
+         |       CAST(FLOOR(ln(CAST(c + 1 AS DOUBLE)
+         |         / CAST(total + vocab AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS lp
+         |      FROM c, tot),
+         |s AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+         |       CAST(SUM(p.lp) AS BIGINT) AS lp_sum
+         |      FROM t JOIN p ON t.tok = p.tok GROUP BY t.doc_id)
+         |SELECT doc_id, n_tokens, lp_sum,
+         | CAST(lp_sum AS DOUBLE) / n_tokens / 1000000.0e0 AS avg_lp,
+         | CAST(lp_sum AS DOUBLE) / n_tokens / 1000000.0e0 < $LmFloor AS flagged
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     // RRF fusion of the dense and lexical top-K rankings; ROW_NUMBER
     // before LIMIT ranks identically to Spark's rank-after-top-K (same
