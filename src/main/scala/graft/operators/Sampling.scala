@@ -31,7 +31,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Returns the selected rows: input columns plus `n_hits` (>= 1). */
+  /** Returns the selected rows: input columns plus `n_hits` (>= 1).
+    *
+    * Preconditions, enforced or handled: a NEGATIVE weight fails the
+    * job loudly (truncating div is only floor on nonnegative operands —
+    * a signed weight would corrupt the sample silently otherwise); a
+    * group whose total weight is ZERO simply selects nothing (no
+    * selection axis to lay points on — and no ANSI divide-by-zero).
+    * `idCol` must be unique within each group: the cumulative axis is
+    * ordered by it, so tied ids would make the running sum — and
+    * therefore the selection — partition-order dependent.
+    */
   def ppsSystematic(df: DataFrame, groupCols: Seq[String], idCol: String,
       weightCol: String, budget: Int): DataFrame = {
     require(budget >= 1, s"budget must be positive, got $budget")
@@ -39,6 +49,12 @@ object Sampling {
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(groupCols.map(col): _*)
+    // The guard rides the cum computation itself so no optimizer phase
+    // can prune it (a bare assert_true column would be dead code).
+    val checkedW = when(col(weightCol) < 0,
+      raise_error(concat(lit("ppsSystematic: negative weight in "),
+        col(weightCol).cast("string"))).cast("long"))
+      .otherwise(col(weightCol).cast("long"))
     // f(x) = #selection points at or below x = ((2m·x div W) + 1) div 2
     // (points sit at odd multiples of W/(2m)); hits = f(cum) − f(prev).
     // Operands stay nonnegative, so div's truncation IS floor in every
@@ -46,8 +62,9 @@ object Sampling {
     def f(x: String) =
       s"((((2 * $budget) * $x) div _pps_w) + 1) div 2"
     df
-      .withColumn("_pps_cum", sum(col(weightCol)).over(wOrder).cast("long"))
+      .withColumn("_pps_cum", sum(checkedW).over(wOrder).cast("long"))
       .withColumn("_pps_w", sum(col(weightCol)).over(wAll).cast("long"))
+      .filter(col("_pps_w") > 0) // zero-total group: nothing to select
       .withColumn("n_hits",
         expr(s"${f("_pps_cum")} - ${f(s"(_pps_cum - $weightCol)")}"))
       .filter(col("n_hits") > 0)

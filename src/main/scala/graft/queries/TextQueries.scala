@@ -1126,7 +1126,7 @@ object TextQueries {
          |      FROM t JOIN p ON t.tok = p.tok GROUP BY t.doc_id)
          |SELECT doc_id, n_tokens, lp_sum,
          | CAST(lp_sum AS DOUBLE) / n_tokens / 1000000.0e0 AS avg_lp,
-         | CAST(lp_sum AS DOUBLE) / n_tokens / 1000000.0e0 < $LmFloor AS flagged
+         | CAST(lp_sum AS DOUBLE) / n_tokens / 1000000.0e0 < ${LmFloor}e0 AS flagged
          |FROM s ORDER BY doc_id""".stripMargin,
 
     // RRF fusion of the dense and lexical top-K rankings; ROW_NUMBER

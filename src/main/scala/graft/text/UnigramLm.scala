@@ -25,8 +25,15 @@ import graft.text.{TextFunctions => TF}
   * each term's log-probability is FLOOR-QUANTIZED to 1e-6 into a BIGINT
   * — per-doc sums become exact integer arithmetic, order-independent
   * under any partitioning (the d24 rounding rule, moved per-term so the
-  * SUM itself is parity-safe). The quantum bounds the induced score
-  * error at 1e-6 per token — noise against the gate's thresholds.
+  * SUM itself is parity-safe). The quantization makes the SUM exact;
+  * the per-term floor is parity-safe to the extent the two engines'
+  * `ln` agree within the distance to the nearest 1e-6 boundary — a
+  * ≤1-ulp disagreement (~1e-16 relative; empirically ZERO on the test
+  * vocabularies, where libm and the JVM agree bit-for-bit and the
+  * closest boundary sits ~10⁶ ulps away) would need to land within
+  * ~1e-10 of a boundary to flip a single term. The quantum bounds the
+  * induced score error at 1e-6 per token — noise against the gate's
+  * thresholds.
   */
 object UnigramLm {
 

@@ -40,6 +40,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(dom.exists(_._4 >= 4), s"heavy row under-sampled: $dom")
   }
 
+  test("a zero-total group selects nothing; a negative weight fails loudly") {
+    val mixed = Seq(("live", 1L, 10L), ("live", 2L, 10L),
+      ("dead", 3L, 0L), ("dead", 4L, 0L)).toDF("g", "id", "w")
+    val out = Sampling.ppsSystematic(mixed, Seq("g"), "id", "w", 4)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(out.forall(_._1 == "live"), s"zero-total group selected rows: ${out.toSeq}")
+    assert(out.map(_._2).sum == 4L)
+    val bad = Seq(("g", 1L, 5L), ("g", 2L, -3L)).toDF("g", "id", "w")
+    val e = intercept[Exception] {
+      Sampling.ppsSystematic(bad, Seq("g"), "id", "w", 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("sample is identical under any input partitioning") {
     def run(parts: Int) = Sampling.ppsSystematic(
       rows.toDF("g", "id", "w").repartition(parts), Seq("g"), "id", "w", 7)
