@@ -297,12 +297,26 @@ object EventStreams {
     * restart. In-batch duplicate chunks collapse through
     * [[graft.text.Dedup.dropExactDuplicates]] (smallest doc_id wins)
     * before the probe, so a batch can never self-duplicate either.
+    *
+    * `nearDupGate = true` additionally drops chunks that are NEAR
+    * duplicates of anything already stored — the streaming face of
+    * [[graft.text.Dedup.crossNearDupPairs]] (banded-minhash candidates
+    * between the incoming batch and the stored corpus, exact shingle
+    * Jaccard >= `nearDupThreshold` rescore): a re-crawled page with a
+    * changed date line sails through the EXACT gate (different md5) and
+    * is caught here. Runs after the exact gate and before the embed
+    * step. The corpus side re-reads the store per batch (each read
+    * lists the index fresh, so chunks appended by PREVIOUS batches gate
+    * immediately); at corpus scale the signature side is the thing to
+    * cache on the bloom's rebuild cadence plus a recent-signature
+    * delta — the same pattern as the filter above, left simple here.
     */
   def documentIngestSink(docs: DataFrame, embedder: Embedder,
       store: ParquetVectorStore, index: String,
       chunkSize: Int = 2048, overlap: Int = 256,
       noveltyGate: Boolean = false, noveltyFpp: Double = 0.01,
-      noveltyRebuildEvery: Int = 16)
+      noveltyRebuildEvery: Int = 16,
+      nearDupGate: Boolean = false, nearDupThreshold: Double = 0.9)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // foreachBatch runs on the driver: the filter, its broadcast handle,
     // the recent-fingerprint delta, and the rebuild counter are plain
@@ -372,7 +386,23 @@ object EventStreams {
             .drop("_fp", "_maybe")
             .persist() // fingerprints are re-read after the append
         }
-      val out = novel
+      val admitted =
+        if (!nearDupGate || !store.exists(index)) novel
+        else {
+          val gl = novel.select(md5(col("page_content")).as("gid"),
+            col("page_content").as("gtext"))
+          val gr = store.read(index)
+            .select(md5(col("page_content")).as("gid"),
+              col("page_content").as("gtext"))
+            .distinct()
+          val doomed = graft.text.Dedup.crossNearDupPairs(
+            gl, gr, "gid", "gtext", nearDupThreshold)
+            .select(col("a_id").as("_nd_fp")).distinct()
+          novel.withColumn("_nd_key", md5(col("page_content")))
+            .join(doomed, col("_nd_key") === col("_nd_fp"), "left_anti")
+            .drop("_nd_key")
+        }
+      val out = admitted
         .as[(Long, String, Map[String, String], Map[String, String])]
         .map { case (id, piece, meta, hdrs) =>
           (id, piece, meta, hdrs, embedder.embed(piece))
@@ -380,7 +410,9 @@ object EventStreams {
         .toDF("doc_id", "page_content", "metadata", "headers", "embedding")
       store.append(index, out)
       if (noveltyGate) {
-        recentFps ++= novel.select(md5(col("page_content")).as("_fp"))
+        // admitted ⊆ novel: only fingerprints actually APPENDED enter
+        // the delta (a near-dup-dropped chunk must stay re-checkable).
+        recentFps ++= admitted.select(md5(col("page_content")).as("_fp"))
           .distinct().collect().map(_.getString(0))
         novel.unpersist()
         ()

@@ -391,6 +391,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("documentIngestSink near-dup gate: edited re-crawls drop, fresh content ingests") {
+    implicit val sq = spark.sqlContext
+    val store = new ParquetVectorStore(spark,
+      Files.createTempDirectory("graft-store").toString)
+    val in = MemoryStream[(Long, String)]
+    val base = "spark table scan query join filter agg window sort merge"
+    val q = EventStreams.documentIngestSink(
+      in.toDF.toDF("doc_id", "text"), HashingEmbedder(64), store, "nd_idx",
+      nearDupGate = true, nearDupThreshold = 0.5)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      in.addData((1L, base))
+      q.processAllAvailable()
+      assert(store.count("nd_idx") == 1)
+      // batch 2: an EDITED re-crawl of doc 1 (different md5 — the exact
+      // gate would admit it) plus genuinely fresh content
+      in.addData((2L, base + " extra"),
+        (3L, "entirely different words about streaming state stores"))
+      q.processAllAvailable()
+      val contents = store.read("nd_idx").collect().map(_.getString(0)).toSet
+      assert(contents.size == 2, s"edited re-crawl must drop: $contents")
+      assert(contents.contains(base))
+      assert(contents.exists(_.contains("streaming state stores")))
+    } finally q.stop()
+  }
+
   test("documentIngestSink novelty gate: duplicate batches add no rows, novel rows ingest") {
     implicit val sq = spark.sqlContext
     val store = new ParquetVectorStore(spark,
