@@ -412,6 +412,34 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // One-pass data-quality profile of the fact table's measure columns
+    // — the validation step every ingest pipeline runs before training
+    // jobs trust a drop: per column, row/null/distinct counts and
+    // min/max/sum. ONE scan computes all four columns' stats (the
+    // distinct counts share a single expand+aggregate pair); the wide
+    // result row unpivots to one row per column via stack(). Sums go
+    // through DECIMAL per the module rule.
+    "q25_table_profile" -> { (s, d) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          min(col(c)).cast("double").as(s"${c}_min"),
+          max(col(c)).cast("double").as(s"${c}_max"),
+          msum(col(c)).as(s"${c}_sum"))
+      }
+      val stackExpr = cols.map(c =>
+        s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max, ${c}_sum")
+        .mkString(s"stack(${cols.length}, ", ", ", ")")
+      Tables.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("n_rows"), expr(
+          s"$stackExpr AS (column_name, n_null, n_distinct, min_v, max_v, sum_v)"))
+        .select(col("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"), col("sum_v"))
+        .orderBy(col("column_name"))
+    },
+
     // Exact per-group top-k WITHOUT the window sort
     // ([[graft.operators.Sketches.TopKByScore]]): q08's row_number idiom
     // sorts every group row through the exchange; the mergeable top-k
@@ -654,6 +682,18 @@ object RelationalQueries {
          |n AS (SELECT o_orderstatus AS g, COUNT(*) AS n_rows FROM orders GROUP BY 1)
          |SELECT n.g AS o_orderstatus, n.n_rows, s.p50 AS p50_est, s.p90 AS p90_est
          |FROM n JOIN s ON n.g = s.g ORDER BY o_orderstatus""".stripMargin,
+
+    // Per-column stats re-derived as a UNION of per-column aggregates
+    // (DuckDB has no stack; row content is what is compared).
+    "q25_table_profile" -> Seq("l_quantity", "l_extendedprice",
+      "l_discount", "l_tax").map { c =>
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         | CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         | CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v,
+         | ${msumSql(c)} AS sum_v
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
 
     // The window idiom the aggregate replaces IS its oracle.
     "q24_group_topk" ->
