@@ -227,6 +227,30 @@ class PlanSpec extends AnyFunSuite {
       "the sample must not sort whole languages through a window")
   }
 
+  test("q25: the profile reads the fact table exactly once") {
+    val n = scans("q25_table_profile").length
+    assert(n == 1, s"profile must be one scan, found $n")
+    val p = plan("q25_table_profile")
+    assert(!p.contains("Join"), "profile must not join")
+  }
+
+  test("d39: PPS sampling runs on a single group-keyed exchange") {
+    val p = plan("d39_pps_sample")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"both windows must share one source-keyed exchange, found $n")
+    assert(!p.contains("Join"))
+  }
+
+  test("d40: LM scoring joins on equi keys only, no cross products") {
+    val p = plan("d40_unigram_logprob")
+    assert(!p.contains("CartesianProduct"),
+      s"term join degenerated:\n${p.take(600)}")
+    // the 1-row totals frame may ride a broadcast nested loop (it is a
+    // scalar); the term-prob join itself must stay an equi join
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), "expected an equi join on the term key")
+  }
+
   test("d18: distinct-doc term stats use the two-phase partial aggregate") {
     // countDistinct must plan as partial_count(distinct ...) under ONE
     // (term)-keyed exchange pair, not an expand + extra shuffle per
