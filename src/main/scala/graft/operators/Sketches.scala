@@ -34,7 +34,7 @@ object Sketches {
       kmvK: Int = 256, hhK: Int = 32, quantileK: Int = 128,
       quantilePs: Seq[Double] = Seq(0.5, 0.9), topK: Int = 16): Unit = {
     spark.udf.register("kmv_distinct",
-      org.apache.spark.sql.functions.udaf(new KmvDistinct(kmvK), Encoders.LONG))
+      org.apache.spark.sql.functions.udaf(new KmvDistinctBoxed(kmvK), Encoders.LONG))
     spark.udf.register("heavy_hitters",
       org.apache.spark.sql.functions.udaf(new HeavyHitters(hhK)))
     spark.udf.register("bottomk_quantiles",
@@ -60,13 +60,19 @@ object Sketches {
     *
     * Input contract, ENFORCED: hashes must lie in [0, 2³²) — anything
     * else (a full-64-bit or negative hash) would corrupt the density
-    * estimator silently, so reduce throws instead. NULL inputs are
-    * ignored (the boxed input type exists precisely so a null — e.g.
-    * hash32 of a null text — is visible here rather than decoded as a
-    * spurious 0 by a primitive encoder).
+    * estimator silently, so reduce throws instead. NULL inputs carry as
+    * [[Sketches.KmvNull]] (= Long.MinValue, unreachable by any 32-bit
+    * hash) and are ignored: the input type is PRIMITIVE Long so the
+    * per-row path stays unboxed through codegen, and null visibility —
+    * e.g. hash32 of a null text, which a primitive encoder would decode
+    * as a spurious 0 — is preserved by the caller's `coalesce(h,
+    * KmvNull)` projection instead (see [[Sketches.kmvInput]]). The
+    * SQL-registered face wraps this class in [[KmvDistinctBoxed]], which
+    * keeps the original null-in = no-element semantics for SQL callers
+    * who can't add the projection.
     */
   class KmvDistinct(k: Int)
-      extends Aggregator[java.lang.Long, Array[Long], Double]
+      extends Aggregator[Long, Array[Long], Double]
       with Serializable {
     require(k >= 2, s"KMV needs k >= 2, got $k")
 
@@ -75,9 +81,8 @@ object Sketches {
     /** Sorted-insert keeping the k smallest distinct values. O(log k)
       * reject for the common full-buffer case (h >= current max).
       */
-    def reduce(buf: Array[Long], boxed: java.lang.Long): Array[Long] = {
-      if (boxed == null) return buf // null hash = null input: no element
-      val h = boxed.longValue()
+    def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      if (h == Sketches.KmvNull) return buf // null-sentinel input: no element
       require(h >= 0L && h < 4294967296L,
         s"KMV input hash $h outside [0, 2^32) — feed it 32-bit-range hashes")
       if (buf.length == k && h >= buf(buf.length - 1)) return buf
@@ -113,6 +118,40 @@ object Sketches {
     def bufferEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Null-sentinel for [[KmvDistinct]]'s primitive input: Long.MinValue
+    * is unreachable by any hash in [0, 2³²), so `coalesce(h, KmvNull)`
+    * keeps null inputs visible (skipped, not counted) without boxing
+    * the hot path.
+    */
+  val KmvNull: Long = Long.MinValue
+
+  /** The caller-side null guard for [[KmvDistinct]]: a primitive input
+    * encoder decodes SQL NULL as 0 — a valid hash — so every Scala-side
+    * caller must route the column through this projection.
+    */
+  def kmvInput(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.coalesce(
+      h, org.apache.spark.sql.functions.lit(KmvNull))
+
+  /** Boxed adapter for the SQL registry, where callers can't add the
+    * [[kmvInput]] projection: SQL NULL arrives as a null box and is
+    * skipped, matching `kmv_distinct`'s documented null-in = no-element
+    * contract. Delegates every state transition to the primitive
+    * [[KmvDistinct]] so the two faces cannot drift.
+    */
+  class KmvDistinctBoxed(k: Int)
+      extends Aggregator[java.lang.Long, Array[Long], Double]
+      with Serializable {
+    private val inner = new KmvDistinct(k)
+    def zero: Array[Long] = inner.zero
+    def reduce(buf: Array[Long], boxed: java.lang.Long): Array[Long] =
+      if (boxed == null) buf else inner.reduce(buf, boxed.longValue())
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+    def finish(buf: Array[Long]): Double = inner.finish(buf)
+    def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+    def outputEncoder: Encoder[Double] = inner.outputEncoder
   }
 
   /** Mergeable quantile sketch via bounded uniform-hash bottom-k

@@ -372,10 +372,11 @@ object RelationalQueries {
     // sketch's accuracy witness in CORRECTNESS, not just a comparison.
     "q22_kmv_distinct" -> { (s, d) =>
       val kmv = udaf(new graft.operators.Sketches.KmvDistinct(KmvK),
-        org.apache.spark.sql.Encoders.LONG)
+        org.apache.spark.sql.Encoders.scalaLong)
       Tables.lineitem(s, d)
         .select(col("l_returnflag"),
-          graft.text.TextFunctions.hash32(col("l_partkey").cast("string"))
+          graft.operators.Sketches.kmvInput(
+            graft.text.TextFunctions.hash32(col("l_partkey").cast("string")))
             .as("h"),
           col("l_partkey"))
         .groupBy(col("l_returnflag"))

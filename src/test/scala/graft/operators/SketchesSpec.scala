@@ -11,7 +11,7 @@ class SketchesSpec extends AnyFunSuite {
 
   private def kmvEst(values: Seq[Long], k: Int, parts: Int): Double = {
     val f = udaf(new Sketches.KmvDistinct(k),
-      org.apache.spark.sql.Encoders.LONG)
+      org.apache.spark.sql.Encoders.scalaLong)
     values.toDF("h").repartition(parts)
       .agg(f(col("h")))
       .head().getDouble(0)
@@ -56,21 +56,29 @@ class SketchesSpec extends AnyFunSuite {
 
   test("KMV ignores nulls and rejects out-of-range hashes") {
     val agg = new Sketches.KmvDistinct(16)
-    // null = no element: folding nulls in leaves the state untouched.
-    val withNulls: Seq[java.lang.Long] =
-      Seq[java.lang.Long](5L, null, 9L, null, 5L)
-    val state = withNulls.foldLeft(agg.zero)(agg.reduce)
+    // null = no element: sentinel inputs leave the state untouched, and
+    // the boxed SQL face maps a null box to the same no-op.
+    val state = Seq(5L, Sketches.KmvNull, 9L, Sketches.KmvNull, 5L)
+      .foldLeft(agg.zero)(agg.reduce)
     assert(state.toSeq == Seq(5L, 9L))
     assert(agg.finish(state) == 2.0)
+    val boxed = new Sketches.KmvDistinctBoxed(16)
+    val boxedState = Seq[java.lang.Long](5L, null, 9L, null, 5L)
+      .foldLeft(boxed.zero)(boxed.reduce)
+    assert(boxedState.toSeq == Seq(5L, 9L))
+    assert(boxed.finish(boxedState) == 2.0)
     // out-of-contract hashes fail loudly instead of corrupting the
-    // estimator: negative and >= 2^32 both throw.
+    // estimator: negative and >= 2^32 both throw, on both faces.
     intercept[IllegalArgumentException](agg.reduce(agg.zero, -1L))
     intercept[IllegalArgumentException](agg.reduce(agg.zero, 1L << 32))
-    // end-to-end: a null-producing hash (hash32 of NULL text) is skipped.
+    intercept[IllegalArgumentException](boxed.reduce(boxed.zero, -1L))
+    // end-to-end: a null-producing hash (hash32 of NULL text) is skipped —
+    // the primitive path needs the kmvInput coalesce (a bare primitive
+    // encoder would decode NULL as hash 0 and count it).
     val f = udaf(new Sketches.KmvDistinct(16),
-      org.apache.spark.sql.Encoders.LONG)
+      org.apache.spark.sql.Encoders.scalaLong)
     val est = Seq(Some("a"), None, Some("b"), Some("a")).toDF("t")
-      .agg(f(graft.text.TextFunctions.hash32(col("t"))))
+      .agg(f(Sketches.kmvInput(graft.text.TextFunctions.hash32(col("t")))))
       .head().getDouble(0)
     assert(est == 2.0, s"null text must not count as a distinct hash: $est")
   }

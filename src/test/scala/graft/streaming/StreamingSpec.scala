@@ -359,7 +359,7 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.{col, udaf}
     val kmv = udaf(new graft.operators.Sketches.KmvDistinct(64),
-      org.apache.spark.sql.Encoders.LONG)
+      org.apache.spark.sql.Encoders.scalaLong)
     val topk = udaf(new graft.operators.Sketches.TopKByScore(3),
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[(java.lang.Double, java.lang.Long)]())
