@@ -43,6 +43,7 @@ object TextQueries {
   private val LangBudget = 70 // d38 docs kept per language
   private val PpsBudget = 10 // d39 selection points per source
   private val LmFloor = -3.43 // d40 avg-logprob flag threshold (~5th pct)
+  private val LmVocabCap = 16 // d41 serving vocab (bites: corpus vocab 31)
   private val PackGroups = 4 // d26 parallel packing groups
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -651,6 +652,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // d40's serving shape at 100 TB: the same add-one model capped to
+    // the top-V terms (V=16 < vocab 31, so the cap BITES — every doc
+    // has OOV tokens priced at the unseen-term floor), broadcast into
+    // the scoring join. The oracle re-derives the identical capped
+    // table with a window rank and replays iv_sum + n_oov·floor.
+    "d41_unigram_capped" -> { (s, d) =>
+      graft.text.UnigramLm.scoreDocs(Tables.documents(s, d), "doc_id",
+        "text", vocabCap = LmVocabCap)
+        .withColumn("flagged", col("avg_lp") < lit(LmFloor))
+        .orderBy(col("doc_id"))
+    },
+
     // Repetition-quality stats (the Gopher-style repetition filter, the
     // gate d08's length/punct ratios cannot express): type-token ratio
     // and the most-frequent-term share of each document, flagging
@@ -1128,6 +1141,39 @@ object TextQueries {
          | CAST(lp_sum AS DOUBLE) / n_tokens / 1000000.0e0 AS avg_lp,
          | CAST(lp_sum AS DOUBLE) / n_tokens / 1000000.0e0 < ${LmFloor}e0 AS flagged
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Capped serving model: same counts/totals, vocab capped by a
+    // window rank over (count DESC, term), LEFT join + the constant
+    // unseen-term floor for OOV tokens. SUM(BIGINT) is HUGEINT in
+    // DuckDB — cast the sums back before the compare.
+    "d41_unigram_capped" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+         |           FROM documents),
+         |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+         |         CAST(COUNT(*) AS BIGINT) AS vocab FROM c),
+         |v AS (SELECT tok, c FROM
+         |       (SELECT tok, c,
+         |         ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn FROM c) r
+         |      WHERE rn <= $LmVocabCap),
+         |p AS (SELECT tok,
+         |       CAST(FLOOR(ln(CAST(c + 1 AS DOUBLE)
+         |         / CAST(total + vocab AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS lp
+         |      FROM v, tot),
+         |f AS (SELECT CAST(FLOOR(ln(CAST(1 AS DOUBLE)
+         |        / CAST(total + vocab AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS flp
+         |      FROM tot),
+         |s AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+         |       CAST(SUM(COALESCE(p.lp, 0)) AS BIGINT) AS iv,
+         |       CAST(SUM(CASE WHEN p.lp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_oov
+         |      FROM t LEFT JOIN p ON t.tok = p.tok GROUP BY t.doc_id)
+         |SELECT doc_id, n_tokens, CAST(iv + n_oov * flp AS BIGINT) AS lp_sum,
+         | n_oov,
+         | CAST(iv + n_oov * flp AS DOUBLE) / n_tokens / 1000000.0e0 AS avg_lp,
+         | CAST(iv + n_oov * flp AS DOUBLE) / n_tokens / 1000000.0e0
+         |   < ${LmFloor}e0 AS flagged
+         |FROM s, f ORDER BY doc_id""".stripMargin,
 
     // RRF fusion of the dense and lexical top-K rankings; ROW_NUMBER
     // before LIMIT ranks identically to Spark's rank-after-top-K (same

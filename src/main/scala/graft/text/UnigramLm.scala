@@ -14,11 +14,17 @@ import graft.text.{TextFunctions => TF}
   *
   * Scale shape: the model is one term-keyed count aggregate (d18's
   * shape); scoring is one explode + term-keyed join + doc-keyed sum —
-  * the exchanges a 100-TB corpus pays anyway for term stats. At that
-  * scale the vocabulary is capped to the top-V terms BEFORE the scoring
-  * join (cap → broadcast join), with out-of-vocab tokens falling back
-  * to the smoothing floor — same probability the add-one model gives an
-  * unseen term; uncapped here where the whole vocab fits.
+  * the exchanges a 100-TB corpus pays anyway for term stats. At scale
+  * pass `vocabCap > 0`: the vocabulary is capped to the top-V terms
+  * BEFORE the scoring join (top-V by count, ties by term — a
+  * TakeOrderedAndProject, per-partition heaps, never a full sort), the
+  * capped model is BROADCAST so scoring pays no shuffle on the token
+  * side beyond the doc-keyed sum, and out-of-vocab tokens fall back to
+  * the smoothing floor — the same probability the add-one model gives
+  * an unseen term, ln(1/(total+vocab)) with total/vocab still from the
+  * FULL training counts (the cap changes serving, not the model).
+  * Since the floor is one constant, the per-doc sum needs only the
+  * in-vocab sum and the OOV count: lp_sum = iv_sum + n_oov · floor.
   *
   * Determinism / oracle parity: `ln` is transcendental, and unlike
   * BM25's few query terms its values cannot be inlined driver-side, so
@@ -40,11 +46,16 @@ object UnigramLm {
   /** Micro-units per log-prob unit (1e-6 quantization). */
   val LpScale = 1000000L
 
-  /** (id, n_tokens, lp_sum, avg_lp): `lp_sum` is the exact integer sum
-    * of quantized per-token log-probs (micro-units); `avg_lp` the mean
-    * per-token log-prob in natural units.
+  /** (id, n_tokens, lp_sum, avg_lp) — plus `n_oov` when `vocabCap > 0`:
+    * `lp_sum` is the exact integer sum of quantized per-token log-probs
+    * (micro-units); `avg_lp` the mean per-token log-prob in natural
+    * units. `vocabCap = 0` scores against the full vocabulary (every
+    * token hits the model, an inner term join); `vocabCap = V > 0`
+    * serves only the top-V terms by (count DESC, term ASC), broadcast,
+    * with OOV tokens priced at the unseen-term smoothing floor.
     */
-  def scoreDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+      vocabCap: Int = 0): DataFrame = {
     val toks = docs.select(col(idCol).as("_lm_id"),
       explode(TF.tokens(col(textCol))).as("_lm_t"))
     val counts = toks.groupBy(col("_lm_t")).agg(count(lit(1)).as("_lm_c"))
@@ -52,16 +63,42 @@ object UnigramLm {
       count(lit(1)).as("_lm_vocab"))
     // lp(t) = floor(ln((c+1)/(total+vocab)) * 1e6): BIGINT → DOUBLE
     // promotions and the quantization mirror the oracle token for token.
-    val probs = counts.crossJoin(totals)
-      .select(col("_lm_t"),
-        floor(log((col("_lm_c") + 1).cast("double")
-          / (col("_lm_total") + col("_lm_vocab")).cast("double"))
-          * lit(LpScale.toDouble)).cast("long").as("_lm_lp"))
-    toks.join(probs, "_lm_t")
-      .groupBy(col("_lm_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("_lm_lp")).as("lp_sum"))
-      .select(col("_lm_id").as(idCol), col("n_tokens"), col("lp_sum"),
-        (col("lp_sum").cast("double") / col("n_tokens")
-          / lit(LpScale.toDouble)).as("avg_lp"))
+    def lpOf(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")
+        / (col("_lm_total") + col("_lm_vocab")).cast("double"))
+        * lit(LpScale.toDouble)).cast("long")
+    if (vocabCap <= 0) {
+      val probs = counts.crossJoin(totals)
+        .select(col("_lm_t"), lpOf(col("_lm_c") + 1).as("_lm_lp"))
+      toks.join(probs, "_lm_t")
+        .groupBy(col("_lm_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("_lm_lp")).as("lp_sum"))
+        .select(col("_lm_id").as(idCol), col("n_tokens"), col("lp_sum"),
+          (col("lp_sum").cast("double") / col("n_tokens")
+            / lit(LpScale.toDouble)).as("avg_lp"))
+    } else {
+      // Serving cap: top-V terms (TakeOrderedAndProject — k rows per
+      // partition cross to the driver-side take, no full sort), model
+      // arithmetic unchanged. The scoring join is FORCED broadcast:
+      // ≤ V rows by construction, so the token side never shuffles on
+      // the term key. OOV tokens need only a count — the constant
+      // floor multiplies in after the doc aggregate.
+      val capped = counts.sort(col("_lm_c").desc, col("_lm_t"))
+        .limit(vocabCap)
+      val probs = capped.crossJoin(totals)
+        .select(col("_lm_t"), lpOf(col("_lm_c") + 1).as("_lm_lp"))
+      val floorRow = totals.select(lpOf(lit(1)).as("_lm_floor"))
+      toks.join(broadcast(probs), Seq("_lm_t"), "left")
+        .groupBy(col("_lm_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("_lm_lp"), lit(0L))).as("_lm_iv"),
+          sum(when(col("_lm_lp").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .crossJoin(floorRow)
+        .select(col("_lm_id").as(idCol), col("n_tokens"),
+          (col("_lm_iv") + col("n_oov") * col("_lm_floor")).as("lp_sum"),
+          col("n_oov"))
+        .withColumn("avg_lp", col("lp_sum").cast("double")
+          / col("n_tokens") / lit(LpScale.toDouble))
+    }
   }
 }

@@ -251,6 +251,16 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), "expected an equi join on the term key")
   }
 
+  test("d41: capped LM serving broadcasts the model; the cap is a top-k, not a full sort") {
+    val p = plan("d41_unigram_capped")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤V-row capped model must broadcast into the scoring join:\n${p.take(600)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the vocab cap must plan as per-partition top-k heaps, not a global sort")
+    assert(!p.contains("SortMergeJoin"),
+      "the token side must never shuffle on the term key under the cap")
+  }
+
   test("d18: distinct-doc term stats use the two-phase partial aggregate") {
     // countDistinct must plan as partial_count(distinct ...) under ONE
     // (term)-keyed exchange pair, not an expand + extra shuffle per
