@@ -58,9 +58,12 @@ object Sampling {
     // f(x) = #selection points at or below x = ((2m·x div W) + 1) div 2
     // (points sit at odd multiples of W/(2m)); hits = f(cum) − f(prev).
     // Operands stay nonnegative, so div's truncation IS floor in every
-    // engine.
+    // engine. 2·budget is emitted as a LONG literal (computed in Scala,
+    // where Int.MaxValue-range budgets can't wrap): spelled `2 * budget`
+    // in SQL text it would fold in 32-bit int arithmetic and a budget
+    // past 2³⁰ would silently corrupt every selection point.
     def f(x: String) =
-      s"((((2 * $budget) * $x) div _pps_w) + 1) div 2"
+      s"(((${2L * budget} * $x) div _pps_w) + 1) div 2"
     df
       .withColumn("_pps_cum", sum(checkedW).over(wOrder).cast("long"))
       .withColumn("_pps_w", sum(col(weightCol)).over(wAll).cast("long"))

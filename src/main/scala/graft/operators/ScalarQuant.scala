@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
 object ScalarQuant {
 
   /** Adds `scale` (double) and `codes` (array<tinyint>) next to the
-    * vector column.
+    * vector column. The output names are fixed, so a frame already
+    * carrying either column is rejected loudly — withColumn would
+    * silently overwrite it (the IntervalJoin rightPayload rule).
     */
-  def quantize(df: DataFrame, vecCol: String): DataFrame = df
+  def quantize(df: DataFrame, vecCol: String): DataFrame = {
+    Seq("scale", "codes").foreach(c => require(!df.columns.contains(c),
+      s"quantize emits a '$c' column but the input already has one — " +
+        "rename it first"))
+    df
     .withColumn("scale",
       array_max(transform(col(vecCol), x => abs(x.cast("double")))) / lit(127.0))
     .withColumn("codes",
@@ -32,6 +38,7 @@ object ScalarQuant {
         when(col("scale") === lit(0.0), lit(0.0))
           .otherwise(floor(x.cast("double") / col("scale") + lit(0.5)))
           .cast("byte")))
+  }
 
   /** Reconstructs a double-array approximation (`outCol`) from codes +
     * scale; each component is within scale/2 of the original.

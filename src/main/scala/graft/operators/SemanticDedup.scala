@@ -49,11 +49,21 @@ object SemanticDedup {
     */
   def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, threshold: Double): DataFrame = {
-    val codebook = KMeans.lloyd(df, idCol, vecCol, k, iters,
-      allowFewerSeeds = true)
-    val assigned = Similarity.ivfAssign(df, idCol, vecCol,
-      codebook, "seed_id", "seed_vec")
-    withinCellPairs(assigned, idCol, vecCol, threshold)
+    // A shard fully EMPTIED by the earlier gates is the degenerate case
+    // of the same data-dependence: no codebook is trainable on zero
+    // rows and none is needed — there are no pairs. Short-circuit to
+    // the empty pair frame (same schema) instead of letting lloyd's
+    // empty-corpus require abort the pipeline; the fail-fast stays for
+    // the default allowFewerSeeds=false path callers use directly.
+    if (df.isEmpty)
+      withinCellPairs(df.withColumn("cell", lit(0L)), idCol, vecCol, threshold)
+    else {
+      val codebook = KMeans.lloyd(df, idCol, vecCol, k, iters,
+        allowFewerSeeds = true)
+      val assigned = Similarity.ivfAssign(df, idCol, vecCol,
+        codebook, "seed_id", "seed_vec")
+      withinCellPairs(assigned, idCol, vecCol, threshold)
+    }
   }
 
   /** The pair stage alone: `assigned` must carry a `cell` column

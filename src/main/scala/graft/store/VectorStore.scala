@@ -131,9 +131,19 @@ final class ParquetVectorStore(spark: SparkSession, root: String) {
     } finally if (Files.isDirectory(staging)) rm(staging)
   }
 
+  /** Scan-open metric: number of [[read]] calls this store instance has
+    * served. At corpus scale a stray per-micro-batch `read` is a silent
+    * O(corpus) cost, so the streaming ingest gates' caching contract —
+    * at most one corpus read per novelty-rebuild window — is pinned
+    * against this counter (StreamingSpec).
+    */
+  val readCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** S6: read an index back as a table scan. */
-  def read(index: String): DataFrame =
+  def read(index: String): DataFrame = {
+    readCount.incrementAndGet()
     spark.read.schema(chunkSchema).parquet(dir(index).toString)
+  }
 
   /** Q2: record count (Spark plans a partial+final count aggregate —
     * unlike the reference, which fetched every row to count them,

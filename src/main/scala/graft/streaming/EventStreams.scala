@@ -305,11 +305,21 @@ object EventStreams {
     * Jaccard >= `nearDupThreshold` rescore): a re-crawled page with a
     * changed date line sails through the EXACT gate (different md5) and
     * is caught here. Runs after the exact gate and before the embed
-    * step. The corpus side re-reads the store per batch (each read
-    * lists the index fresh, so chunks appended by PREVIOUS batches gate
-    * immediately); at corpus scale the signature side is the thing to
-    * cache on the bloom's rebuild cadence plus a recent-signature
-    * delta — the same pattern as the filter above, left simple here.
+    * step.
+    *
+    * BOTH gates' corpus sides ride one snapshot per rebuild window: the
+    * store is read ONCE every `noveltyRebuildEvery` batches (the same
+    * cadence as the Bloom rebuild, pinned by StreamingSpec against
+    * [[ParquetVectorStore.readCount]]), the snapshot's fingerprints and
+    * — under the near-dup gate — its minhash signatures and shingle
+    * sets are persisted, and chunks appended since the snapshot gate
+    * through small per-batch deltas (a driver fingerprint set for the
+    * exact gate; localCheckpointed signature/set frames for the
+    * near-dup gate, lineage-free so an evicted block can never
+    * recompute through a finished micro-batch source). Without the
+    * snapshot, each micro-batch would pay an O(corpus) store scan —
+    * and under the near-dup gate an O(corpus) shingle+minhash pass —
+    * for a batch-sized probe.
     */
   def documentIngestSink(docs: DataFrame, embedder: Embedder,
       store: ParquetVectorStore, index: String,
@@ -317,10 +327,24 @@ object EventStreams {
       noveltyGate: Boolean = false, noveltyFpp: Double = 0.01,
       noveltyRebuildEvery: Int = 16,
       nearDupGate: Boolean = false, nearDupThreshold: Double = 0.9)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    documentIngestSink(docs, embedder, store, index, chunkSize, overlap,
+      noveltyGate, noveltyFpp, noveltyRebuildEvery, nearDupGate,
+      nearDupThreshold, new IngestGateState)
+
+  /** Test face: the same sink with the driver-side gate state exposed,
+    * so StreamingSpec can pin the boundedness contracts (delta set
+    * resets at rebuild; size never exceeds the window's admissions).
+    */
+  private[streaming] def documentIngestSink(docs: DataFrame,
+      embedder: Embedder, store: ParquetVectorStore, index: String,
+      chunkSize: Int, overlap: Int, noveltyGate: Boolean,
+      noveltyFpp: Double, noveltyRebuildEvery: Int, nearDupGate: Boolean,
+      nearDupThreshold: Double, state: IngestGateState)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // foreachBatch runs on the driver: the filter, its broadcast handle,
-    // the recent-fingerprint delta, and the rebuild counter are plain
-    // driver state, serialized access per micro-batch.
+    // the snapshot caches, the recent-fingerprint delta, and the rebuild
+    // counter are plain driver state, serialized access per micro-batch.
     //
     // The corpus-sized Bloom filter is broadcast ONCE per rebuild, not
     // per batch (at 100-TB corpus scale the filter is hundreds of MB —
@@ -331,11 +355,7 @@ object EventStreams {
     // filter (executors would never see driver-side puts); the delta is
     // bounded by rebuildEvery micro-batches and resets at each rebuild,
     // which also destroys the superseded broadcast.
-    var bloom: org.apache.spark.util.sketch.BloomFilter = null
-    var bloomBc: org.apache.spark.broadcast.Broadcast[
-      org.apache.spark.util.sketch.BloomFilter] = null
-    var recentFps: Set[String] = Set.empty
-    var sinceRebuild = 0
+    val gated = noveltyGate || nearDupGate
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       import batch.sparkSession.implicits._
       val chunks = batch.select(col("doc_id").cast("long"), col("text"))
@@ -348,75 +368,172 @@ object EventStreams {
             }
         }
         .toDF("doc_id", "page_content", "metadata", "headers")
-      val novel =
-        if (!noveltyGate) chunks
-        else {
-          if (bloom == null || sinceRebuild >= noveltyRebuildEvery) {
-            val hasCorpus = store.exists(index)
-            val n = if (hasCorpus) store.count(index) else 0L
-            val expected = math.max(1024L, 2L * n)
-            bloom =
-              if (!hasCorpus)
-                org.apache.spark.util.sketch.BloomFilter.create(expected, noveltyFpp)
-              else store.read(index)
-                .select(md5(col("page_content")).as("_fp"))
-                .stat.bloomFilter("_fp", expected, noveltyFpp)
-            if (bloomBc != null) bloomBc.destroy() // previous batch is done
-            bloomBc = batch.sparkSession.sparkContext.broadcast(bloom)
-            recentFps = Set.empty // rebuilt filter covers them now
-            sinceRebuild = 0
+      if (gated &&
+          (state.corpusFps == null || state.sinceRebuild >= noveltyRebuildEvery)) {
+        // SNAPSHOT — the window's ONE store read. Distinct (fp, text)
+        // is persisted and materialized BEFORE this batch appends;
+        // fingerprints, the Bloom filter, and the near-dup artifacts
+        // all derive from it, so no gate path touches the store again
+        // until the next rebuild. (An evicted cache block recomputes
+        // through the read's snapshotted file listing, not a fresh
+        // one, so later appends can never leak into this window.)
+        state.dropCaches()
+        val corpus =
+          (if (store.exists(index))
+             store.read(index).select(md5(col("page_content")).as("gid"),
+               col("page_content").as("gtext"))
+           else Seq.empty[(String, String)].toDF("gid", "gtext"))
+            .distinct().persist()
+        state.cached += corpus
+        val n = corpus.count()
+        state.corpusFps = corpus.select(col("gid").as("_fp"))
+        if (noveltyGate) {
+          if (state.bloomBc != null) state.bloomBc.destroy() // prev batch done
+          state.bloom =
+            if (n == 0)
+              org.apache.spark.util.sketch.BloomFilter.create(1024L, noveltyFpp)
+            else state.corpusFps // sized 2× so growth never saturates it
+              .stat.bloomFilter("_fp", math.max(1024L, 2L * n), noveltyFpp)
+          state.bloomBc = batch.sparkSession.sparkContext.broadcast(state.bloom)
+        }
+        if (nearDupGate) {
+          val (sig, sets) = graft.text.Dedup.nearDupPrepare(corpus, "gid", "gtext")
+          state.corpusSig = sig.persist()
+          state.corpusSets = sets.persist()
+          state.cached += state.corpusSig
+          state.cached += state.corpusSets
+          state.corpusSig.count() // materialize pre-append, like the fps
+          state.corpusSets.count()
+          ()
+        }
+        state.recentFps = Set.empty // the snapshot covers them now
+        state.sinceRebuild = 0
+      }
+      if (gated) state.sinceRebuild += 1
+      // Frames persisted for THIS batch only — released in the finally
+      // even when the append or a gate throws, so a micro-batch retry
+      // cannot leak cached blocks.
+      val batchCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      try {
+        val novel =
+          if (!noveltyGate) chunks
+          else {
+            // In-batch dedup ties break on the chunk index: chunks of
+            // one doc share doc_id, and the survivor's metadata must
+            // not depend on partition order.
+            val inBatch = graft.text.Dedup.dropExactDuplicates(
+              chunks, "doc_id", "page_content",
+              tieBreak = Seq(element_at(col("metadata"), "chunk").cast("int")))
+            val bc = state.bloomBc
+            val recent = state.recentFps // immutable snapshot into the closure
+            val probe = udf((fp: String) =>
+              bc.value.mightContainString(fp) || recent.contains(fp))
+            val probed = inBatch.withColumn("_fp", md5(col("page_content")))
+              .withColumn("_maybe", probe(col("_fp")))
+            val flagged = probed.filter(col("_maybe"))
+            // Exact membership = snapshot ∪ appended-since-snapshot:
+            // the anti-join probes the CACHED snapshot fingerprints
+            // (no store read), the recent delta is the same driver set
+            // the Bloom probe consulted — only true false positives
+            // survive both.
+            val inRecent = udf((fp: String) => recent.contains(fp))
+            val cleared = flagged
+              .join(state.corpusFps, Seq("_fp"), "left_anti")
+              .filter(!inRecent(col("_fp")))
+            val out = probed.filter(!col("_maybe")).unionByName(cleared)
+              .drop("_fp", "_maybe")
+              .persist()
+            batchCaches += out
+            out
           }
-          sinceRebuild += 1
-          val inBatch = graft.text.Dedup.dropExactDuplicates(
-            chunks, "doc_id", "page_content")
-          val bc = bloomBc
-          val recent = recentFps // immutable snapshot into the closure
-          val probe = udf((fp: String) =>
-            bc.value.mightContainString(fp) || recent.contains(fp))
-          val probed = inBatch.withColumn("_fp", md5(col("page_content")))
-            .withColumn("_maybe", probe(col("_fp")))
-          val flagged = probed.filter(col("_maybe"))
-          val cleared = // false positives survive the exact check
-            if (!store.exists(index)) flagged
-            else flagged.join(
-              store.read(index).select(md5(col("page_content")).as("_fp"))
-                .distinct(),
-              Seq("_fp"), "left_anti")
-          probed.filter(!col("_maybe")).unionByName(cleared)
-            .drop("_fp", "_maybe")
-            .persist() // fingerprints are re-read after the append
+        val admitted =
+          if (!nearDupGate) novel
+          else {
+            val (bSig, bSets) = graft.text.Dedup.nearDupPrepare(
+              novel.select(md5(col("page_content")).as("gid"),
+                col("page_content").as("gtext")),
+              "gid", "gtext")
+            val rSig = state.ndDeltaSig.foldLeft(state.corpusSig)(_ unionByName _)
+            val rSets = state.ndDeltaSets.foldLeft(state.corpusSets)(_ unionByName _)
+            val doomed = graft.text.Dedup.crossNearDupPairsPrepared(
+              bSig, bSets, rSig, rSets, nearDupThreshold)
+              .select(col("a_id").as("_nd_fp")).distinct()
+            val out = novel.withColumn("_nd_key", md5(col("page_content")))
+              .join(doomed, col("_nd_key") === col("_nd_fp"), "left_anti")
+              .drop("_nd_key")
+              .persist() // consumed by append, the fp collect, the deltas
+            batchCaches += out
+            out
+          }
+        // Admitted fingerprints are collected BEFORE the append: nothing
+        // downstream may recompute the gate chain against a store the
+        // append has already grown.
+        val admittedFps: Array[String] =
+          if (noveltyGate)
+            admitted.select(md5(col("page_content")).as("_fp"))
+              .distinct().collect().map(_.getString(0))
+          else Array.empty
+        if (nearDupGate) {
+          // Delta artifacts for the chunks about to be appended, so the
+          // NEXT batches gate against them without a store read.
+          // localCheckpoint (eager) truncates lineage: an evicted
+          // persist block would recompute through this batch's already-
+          // finished micro-batch source, which is undefined.
+          val (aSig, aSets) = graft.text.Dedup.nearDupPrepare(
+            admitted.select(md5(col("page_content")).as("gid"),
+              col("page_content").as("gtext")),
+            "gid", "gtext")
+          state.ndDeltaSig += aSig.localCheckpoint(true)
+          state.ndDeltaSets += aSets.localCheckpoint(true)
+          ()
         }
-      val admitted =
-        if (!nearDupGate || !store.exists(index)) novel
-        else {
-          val gl = novel.select(md5(col("page_content")).as("gid"),
-            col("page_content").as("gtext"))
-          val gr = store.read(index)
-            .select(md5(col("page_content")).as("gid"),
-              col("page_content").as("gtext"))
-            .distinct()
-          val doomed = graft.text.Dedup.crossNearDupPairs(
-            gl, gr, "gid", "gtext", nearDupThreshold)
-            .select(col("a_id").as("_nd_fp")).distinct()
-          novel.withColumn("_nd_key", md5(col("page_content")))
-            .join(doomed, col("_nd_key") === col("_nd_fp"), "left_anti")
-            .drop("_nd_key")
+        val out = admitted
+          .as[(Long, String, Map[String, String], Map[String, String])]
+          .map { case (id, piece, meta, hdrs) =>
+            (id, piece, meta, hdrs, embedder.embed(piece))
+          }
+          .toDF("doc_id", "page_content", "metadata", "headers", "embedding")
+        store.append(index, out)
+        if (noveltyGate) {
+          // admitted ⊆ novel: only fingerprints actually APPENDED enter
+          // the delta (a near-dup-dropped chunk must stay re-checkable).
+          state.recentFps ++= admittedFps
+          ()
         }
-      val out = admitted
-        .as[(Long, String, Map[String, String], Map[String, String])]
-        .map { case (id, piece, meta, hdrs) =>
-          (id, piece, meta, hdrs, embedder.embed(piece))
-        }
-        .toDF("doc_id", "page_content", "metadata", "headers", "embedding")
-      store.append(index, out)
-      if (noveltyGate) {
-        // admitted ⊆ novel: only fingerprints actually APPENDED enter
-        // the delta (a near-dup-dropped chunk must stay re-checkable).
-        recentFps ++= admitted.select(md5(col("page_content")).as("_fp"))
-          .distinct().collect().map(_.getString(0))
-        novel.unpersist()
-        ()
+      } finally {
+        batchCaches.foreach(_.unpersist())
       }
     }
+  }
+}
+
+/** Driver-side state of [[EventStreams.documentIngestSink]]'s gates,
+  * package-visible so StreamingSpec can pin its contracts directly:
+  * `recentFps` holds only fingerprints appended since the last corpus
+  * snapshot (≤ rebuild-window admissions, reset to empty at every
+  * rebuild), and `ndDeltaSig`/`ndDeltaSets` hold one batch-sized frame
+  * per post-snapshot batch (≤ `noveltyRebuildEvery` each). `cached`
+  * tracks every window-lifetime persisted frame for release at the
+  * next rebuild.
+  */
+private[streaming] final class IngestGateState {
+  var bloom: org.apache.spark.util.sketch.BloomFilter = null
+  var bloomBc: org.apache.spark.broadcast.Broadcast[
+    org.apache.spark.util.sketch.BloomFilter] = null
+  var recentFps: Set[String] = Set.empty
+  var sinceRebuild = 0
+  var corpusFps: DataFrame = null // snapshot fingerprints (cache-backed)
+  var corpusSig: DataFrame = null // snapshot minhash band signatures
+  var corpusSets: DataFrame = null // snapshot distinct shingle sets
+  val ndDeltaSig = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  val ndDeltaSets = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  /** Release the window's persisted frames and deltas (rebuild time). */
+  def dropCaches(): Unit = {
+    cached.foreach(_.unpersist())
+    cached.clear()
+    ndDeltaSig.clear()
+    ndDeltaSets.clear()
   }
 }

@@ -56,9 +56,17 @@ object Dedup {
     incoming.withColumn("maybe_dup", probe(md5(col(textCol))))
   }
 
-  /** Keep one row per distinct `textCol` (smallest `idCol` wins). */
-  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+  /** Keep one row per distinct `textCol` (smallest `idCol` wins).
+    * `tieBreak` extends the keep-first order past `idCol` for callers
+    * whose id does not uniquely key rows — e.g. the streaming ingest
+    * sink dedups CHUNKS keyed by doc_id, where two identical-text
+    * chunks of one document tie on doc_id alone and the surviving
+    * row's metadata would be partition-order nondeterministic.
+    */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String,
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+      .orderBy(col(idCol) +: tieBreak: _*)
     df.withColumn("_dd_rn", row_number().over(w))
       .filter(col("_dd_rn") === 1)
       .drop("_dd_rn")
@@ -199,16 +207,42 @@ object Dedup {
   def crossNearDupPairs(left: DataFrame, right: DataFrame, idCol: String,
       textCol: String, threshold: Double, shingleLen: Int = 3,
       bands: Int = 4, maxBucket: Long = 0): DataFrame = {
-    def shingled(df: DataFrame) = df
+    val (ls, lsets) = nearDupPrepare(left, idCol, textCol, shingleLen, bands)
+    val (rs, rsets) = nearDupPrepare(right, idCol, textCol, shingleLen, bands)
+    crossNearDupPairsPrepared(ls, lsets, rs, rsets, threshold, maxBucket)
+  }
+
+  /** One side's derived artifacts for the banded cross-corpus join:
+    * `(signatures (_dd_id, band, mh), distinct shingle sets (_dd_id,
+    * _dd_ss))`. Exposed so a caller that probes MANY batches against
+    * one slowly-changing corpus (the streaming ingest near-dup gate)
+    * can compute the corpus side ONCE, persist both frames, and pay
+    * only the batch side per probe — re-deriving signatures from text
+    * every probe is an O(corpus) shingle+minhash pass per batch.
+    */
+  def nearDupPrepare(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, bands: Int = 4): (DataFrame, DataFrame) = {
+    val sh = df
       .select(col(idCol).as("_dd_id"), TF.tokens(col(textCol)).as("_dd_toks"))
       .select(col("_dd_id"), TF.shingles(col("_dd_toks"), shingleLen).as("_dd_sh"))
-    val ls = shingled(left)
-    val rs = shingled(right)
-    def sig(s: DataFrame, side: String) = s.select(col("_dd_id"),
+    val sig = sh.select(col("_dd_id"),
       posexplode(graft.functions.text.minhashSlices(col("_dd_sh"), bands))
         .as(Seq("band", "mh")))
-      .withColumn("_dd_side", lit(side))
-    val sig0 = sig(ls, "l").unionByName(sig(rs, "r"))
+    val sets = sh.select(col("_dd_id"), array_distinct(col("_dd_sh")).as("_dd_ss"))
+    (sig, sets)
+  }
+
+  /** [[crossNearDupPairs]] over pre-derived sides (see
+    * [[nearDupPrepare]]): band-bucket candidates between left and right
+    * signatures, exact shingle Jaccard >= threshold over the set
+    * frames. `maxBucket` still counts BOTH sides through one combined
+    * window so a degenerate bucket is judged by its total population.
+    */
+  def crossNearDupPairsPrepared(leftSig: DataFrame, leftSets: DataFrame,
+      rightSig: DataFrame, rightSets: DataFrame, threshold: Double,
+      maxBucket: Long = 0): DataFrame = {
+    val sig0 = leftSig.withColumn("_dd_side", lit("l"))
+      .unionByName(rightSig.withColumn("_dd_side", lit("r")))
     val sigs =
       if (maxBucket <= 0) sig0
       else sig0
@@ -222,10 +256,10 @@ object Dedup {
       .select(col("x._dd_id").as("a_id"), col("y._dd_id").as("b_id"))
       .distinct()
     cand
-      .join(ls.select(col("_dd_id").as("a_id"),
-        array_distinct(col("_dd_sh")).as("_dd_sa")), "a_id")
-      .join(rs.select(col("_dd_id").as("b_id"),
-        array_distinct(col("_dd_sh")).as("_dd_sb")), "b_id")
+      .join(leftSets.select(col("_dd_id").as("a_id"), col("_dd_ss").as("_dd_sa")),
+        "a_id")
+      .join(rightSets.select(col("_dd_id").as("b_id"), col("_dd_ss").as("_dd_sb")),
+        "b_id")
       .select(col("a_id"), col("b_id"),
         size(array_intersect(col("_dd_sa"), col("_dd_sb"))).as("ix"),
         (size(col("_dd_sa")) + size(col("_dd_sb"))).as("tot"))

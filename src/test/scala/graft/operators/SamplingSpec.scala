@@ -61,4 +61,18 @@ class SamplingSpec extends AnyFunSuite {
       .sortBy(t => (t._1, t._2)).toSeq
     assert(run(1) == run(13) && run(13) == run(32))
   }
+
+  test("budgets past 2^30 do not wrap: 2*budget is long arithmetic") {
+    // Spelled `2 * budget` in SQL text the doubling folds in 32-bit int
+    // arithmetic: budget = 2^30 makes it -2^31 and corrupts every
+    // selection point. The documented bound is 2·budget·W < 2^63, which
+    // comfortably admits budgets above 2^30 when W is small.
+    val big = 1 << 30
+    val out = Sampling.ppsSystematic(
+      Seq(("g", 1L, 1L), ("g", 2L, 1L)).toDF("g", "id", "w"),
+      Seq("g"), "id", "w", big)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, big / 2L), (2L, big / 2L)),
+      s"expected each unit-weight row to take budget/2 points: ${out.toSeq}")
+  }
 }

@@ -74,6 +74,17 @@ class ScalarQuantSpec extends AnyFunSuite {
     }
   }
 
+  test("quantize rejects input frames already carrying scale/codes columns") {
+    // withColumn replaces silently — an existing column of either name
+    // would be destroyed, and knnQuantizedRescore inherits the hazard on
+    // arbitrary corpus frames.
+    Seq("scale", "codes").foreach { c =>
+      val e = intercept[IllegalArgumentException](
+        ScalarQuant.quantize(corpus.withColumn(c, lit(1.0)), "vec"))
+      assert(e.getMessage.contains(c))
+    }
+  }
+
   test("quantization is a row-local projection — no shuffle, no UDF in the plan") {
     val p = ScalarQuant.quantize(corpus, "vec")
       .queryExecution.executedPlan.toString

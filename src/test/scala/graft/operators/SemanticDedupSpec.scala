@@ -98,4 +98,17 @@ class SemanticDedupSpec extends AnyFunSuite {
     val minId = pairs.map(_._1).min
     assert(kept.contains(minId), "the global minimum of all pairs must be kept")
   }
+
+  test("an input emptied by earlier gates degrades to a no-op, not an abort") {
+    // The semantic stage runs AFTER the quality/dedup gates, so an empty
+    // shard is a reachable input — it must yield zero pairs / the input
+    // unchanged rather than tripping lloyd's empty-corpus require.
+    val empty = corpus.filter(col("id") < 0)
+    val pairs = SemanticDedup.semanticDupPairs(
+      empty, "id", "vec", k = 3, iters = 3, threshold = T)
+    assert(pairs.columns.toSeq == Seq("cell", "a_id", "b_id", "score"))
+    assert(pairs.isEmpty)
+    assert(SemanticDedup.dropSemanticDuplicates(
+      empty, "id", "vec", k = 3, iters = 3, threshold = T).isEmpty)
+  }
 }

@@ -419,6 +419,93 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest gates read the store once per rebuild window, gating across batches intact") {
+    // The caching contract: BOTH gates' corpus sides derive from one
+    // snapshot per rebuild window — a per-batch store read would be an
+    // O(corpus) scan (and under the near-dup gate an O(corpus)
+    // shingle+minhash pass) for a batch-sized probe.
+    implicit val sq = spark.sqlContext
+    val store = new ParquetVectorStore(spark,
+      Files.createTempDirectory("graft-store").toString)
+    val in = MemoryStream[(Long, String)]
+    val base = "spark table scan query join filter agg window sort merge"
+    // Pre-seed so the batch-1 snapshot exercises a REAL corpus read (an
+    // absent index snapshots for free — exists() is not a read).
+    store.append("cadence_idx",
+      Seq((base, Map("doc_id" -> "0", "chunk" -> "0"),
+        Map.empty[String, String], Array.fill(64)(0f)))
+        .toDF("page_content", "metadata", "headers", "embedding"))
+    val q = EventStreams.documentIngestSink(
+      in.toDF.toDF("doc_id", "text"), HashingEmbedder(64), store, "cadence_idx",
+      noveltyGate = true, noveltyRebuildEvery = 3,
+      nearDupGate = true, nearDupThreshold = 0.5)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      val reads0 = store.readCount.get()
+      // 6 batches over rebuildEvery=3: snapshots at batch 1 and batch 4.
+      // Mixed novelty so every gate path runs in between.
+      val batches = Seq(
+        Seq(1L -> "entirely different words about state stores"),
+        Seq(2L -> base), // exact dup of the SEEDED corpus (bloom path)
+        Seq(3L -> (base + " extra")), // near dup (edited re-crawl)
+        Seq(4L -> "fresh content about columnar shuffle readers"),
+        Seq(5L -> "fresh content about adaptive query execution"),
+        Seq(6L -> "entirely different words about state stores")) // recent dup
+      batches.foreach { b =>
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+      val sinkReads = store.readCount.get() - reads0
+      assert(sinkReads == 2,
+        s"6 batches at rebuildEvery=3 must read the store exactly twice " +
+          s"(one snapshot per window), got $sinkReads")
+      // Gating behavior unchanged by the caching: dups and near-dups
+      // dropped (batches 2, 3, 6), everything novel admitted.
+      val contents = store.read("cadence_idx").collect()
+        .map(_.getString(0)).toSet
+      assert(contents == Set(base,
+        "entirely different words about state stores",
+        "fresh content about columnar shuffle readers",
+        "fresh content about adaptive query execution"), s"got $contents")
+    } finally q.stop()
+  }
+
+  test("ingest gate driver state stays bounded by the rebuild window") {
+    // recentFps and the near-dup deltas are the only per-batch driver
+    // growth; both must reset at the snapshot so a stream running for
+    // months holds O(window admissions), never O(corpus), on the driver.
+    implicit val sq = spark.sqlContext
+    val store = new ParquetVectorStore(spark,
+      Files.createTempDirectory("graft-store").toString)
+    val in = MemoryStream[(Long, String)]
+    val state = new IngestGateState
+    val q = EventStreams.documentIngestSink(
+      in.toDF.toDF("doc_id", "text"), HashingEmbedder(64), store, "bound_idx",
+      chunkSize = 2048, overlap = 256,
+      noveltyGate = true, noveltyFpp = 0.01, noveltyRebuildEvery = 3,
+      nearDupGate = true, nearDupThreshold = 0.9, state = state)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      for (i <- 1 to 7) { // batches 1-3 window one, 4-6 window two, 7 third
+        in.addData((i.toLong, s"unique document number $i about topic $i"))
+        q.processAllAvailable()
+        val inWindow = (i - 1) % 3 + 1 // batches since the last snapshot
+        assert(state.recentFps.size == inWindow,
+          s"batch $i: recentFps must hold exactly the window's admissions " +
+            s"($inWindow), got ${state.recentFps.size}")
+        assert(state.ndDeltaSig.length == inWindow &&
+          state.ndDeltaSets.length == inWindow,
+          s"batch $i: expected $inWindow delta frames, " +
+            s"got ${state.ndDeltaSig.length}/${state.ndDeltaSets.length}")
+        assert(state.sinceRebuild == inWindow)
+      }
+    } finally q.stop()
+  }
+
   test("documentIngestSink novelty gate: duplicate batches add no rows, novel rows ingest") {
     implicit val sq = spark.sqlContext
     val store = new ParquetVectorStore(spark,
