@@ -88,10 +88,40 @@ object IvfIndex {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(s"$path/vectors")
+    writeSeeds(seeds, seedIdCol, seedVecCol, path)
+  }
+
+  /** [[build]] with int8 scalar-quantized storage ([[graft.operators
+    * .ScalarQuant]]): each vector persists as (codes array<tinyint>,
+    * scale double) INSTEAD of the float32 array — ~4× fewer bytes on
+    * disk and, because [[searchQuantized]]'s scan reads only
+    * (id, codes, scale), ~4× fewer scan bytes per probe on top of the
+    * cell pruning. The price is the standard SQ8 trade: scores are
+    * computed on dequantized codes (per-component error ≤ scale/2), so
+    * ranking near the top-k boundary can differ from the float index —
+    * when exact order matters, over-fetch here and rescore the
+    * candidate set against a full-precision column kept elsewhere
+    * (v11's retrieve-then-rescore shape, [[graft.operators.Similarity
+    * .knnQuantizedRescore]]).
+    */
+  def buildQuantized(df: DataFrame, idCol: String, vecCol: String,
+      seeds: DataFrame, seedIdCol: String, seedVecCol: String,
+      path: String): Unit = {
+    graft.operators.ScalarQuant.quantize(
+      Similarity.ivfAssign(df, idCol, vecCol, seeds, seedIdCol, seedVecCol),
+      vecCol)
+      .drop(vecCol)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$path/vectors")
+    writeSeeds(seeds, seedIdCol, seedVecCol, path)
+  }
+
+  private def writeSeeds(seeds: DataFrame, seedIdCol: String,
+      seedVecCol: String, path: String): Unit =
     seeds.select(col(seedIdCol).as("cell"), col(seedVecCol).as("seed_vec"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/seeds")
-  }
 
   /** Search: score the query against the stored seeds (driver-side, the
     * codebook is tiny), then scan ONLY the nProbe nearest cells — the
@@ -106,6 +136,26 @@ object IvfIndex {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
       .select(col("cell"), col(idCol), col("score"))
+
+  /** Probe a [[buildQuantized]] index: same cell pruning as [[search]],
+    * scores on dequantized codes with v11's exact arithmetic
+    * (`codes · scale` cast back to float, then the same cosine), so a
+    * row here scores identically to knnQuantizedRescore's coarse stage
+    * over the same data. The scan reads ONLY (id, codes, scale) —
+    * asserted in IvfIndexSpec, not just claimed.
+    */
+  def searchQuantized(spark: SparkSession, path: String, idCol: String,
+      query: Array[Float], k: Int, nProbe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val deq = transform(col("codes"), c => c.cast("double") * col("scale"))
+      .cast(ArrayType(FloatType))
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probeCells(spark, path, query, nProbe): _*))
+      .withColumn("score", vectors.cosineSimilarity(deq, lit(query)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col("cell"), col(idCol), col("score"))
+  }
 
   /** The `nProbe` nearest seed cells for a query, scored driver-side
     * against the on-disk `<path>/seeds` codebook (tiny by contract).

@@ -1,6 +1,7 @@
 package graft.store
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -58,5 +59,74 @@ class IvfIndexSpec extends AnyFunSuite {
     val one = ids(1)
     val two = ids(2)
     assert(one.subsetOf(two) || two.size >= one.size)
+  }
+
+  private lazy val qpath = {
+    val p = Files.createTempDirectory("graft-ivfq").toString
+    val e = Tables.embeddings(spark, sf)
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+    IvfIndex.buildQuantized(e, "vec_id", "embedding", seeds,
+      "seed_id", "seed_vec", p)
+    p
+  }
+
+  private def dirBytes(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(java.nio.file.Files.size)
+      .sum
+  }
+
+  test("quantized index: no float column on disk, scan reads only (id, codes, scale)") {
+    val schema = spark.read.parquet(s"$qpath/vectors").schema
+    assert(!schema.fieldNames.contains("embedding"),
+      s"float32 vectors must not persist in the quantized index: $schema")
+    assert(schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType),
+      s"codes must store as array<tinyint>: ${schema("codes").dataType}")
+    val probe = IvfIndex.searchQuantized(spark, qpath, "vec_id", query, k = 5)
+    val Seq(scan) = probe.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.requiredSchema.fieldNames.sorted.toSeq ==
+      Seq("codes", "scale", "vec_id"),
+      s"probe must read exactly (codes, scale, vec_id): ${scan.requiredSchema}")
+    assert(scan.metadata.getOrElse("PartitionFilters", "").contains("cell"),
+      "quantized probe must keep the cell partition pruning")
+    // the scan-bytes claim, measured not asserted-by-doc: the quantized
+    // cells hold well under half the float index's bytes (codes are
+    // 1 byte/dim vs 4, minus parquet framing overhead)
+    val ratio = dirBytes(s"$qpath/vectors").toDouble / dirBytes(s"$path/vectors")
+    assert(ratio < 0.5, f"quantized/float on-disk ratio $ratio%.2f >= 0.5")
+  }
+
+  test("quantized probe: scores match v11's dequantized arithmetic; recall holds") {
+    val got = IvfIndex.searchQuantized(spark, qpath, "vec_id", query, k = 10)
+      .collect()
+    assert(got.length == 10)
+    val probedCell = got.head.getAs[Number]("cell").longValue
+    // brute-force the same cell on the QUANTIZED data with v11's exact
+    // dequantize-then-cosine arithmetic — must match bit for bit
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val deq = transform(col("codes"), c => c.cast("double") * col("scale"))
+      .cast(ArrayType(FloatType))
+    val brute = spark.read.parquet(s"$qpath/vectors")
+      .filter(col("cell") === probedCell)
+      .withColumn("score", vectors.cosineSimilarity(deq, lit(query)))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10).collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")),
+        r.getDouble(r.fieldIndex("score")))).toSeq
+    assert(got.map(r => (r.getLong(1), r.getDouble(2))).toSeq == brute)
+    // recall floor vs the float index over the same cell layout: SQ8
+    // perturbs near-boundary ranks only, so the top-10 sets must agree
+    // on at least 8 of 10 (deterministic fixture; observed 10/10)
+    val floatTop = IvfIndex.search(spark, path, "vec_id", "embedding",
+      query, k = 10).collect().map(_.getLong(1)).toSet
+    val overlap = got.map(_.getLong(1)).count(floatTop.contains)
+    assert(overlap >= 8, s"quantized top-10 recall $overlap/10 vs float index")
   }
 }
