@@ -94,4 +94,71 @@ object CorpusPrep {
           .when(bucket < cfg.trainPct + cfg.valPct, "val")
           .otherwise("test"))
   }
+
+  /** Knobs for [[mix]]: `langBudget` documents admitted per language
+    * (the d38 gate), `tokenPoints` PPS selection points per language
+    * over the token-count axis (the d39 gate — the expected tokens a
+    * row contributes is proportional to its length, so the mix hits a
+    * token budget, not a doc budget), `lmFloor` the mean per-token
+    * log-prob below which a sampled document is dropped, `lmVocabCap`
+    * the serving-vocabulary cap (0 = uncapped; see
+    * [[graft.text.UnigramLm.scoreDocs]]).
+    */
+  final case class MixConfig(
+      langBudget: Int = 70,
+      tokenPoints: Int = 25,
+      lmFloor: Double = -3.43,
+      lmVocabCap: Int = 0)
+
+  /** The composed training-MIX assembly pass (the complement of
+    * [[prepare]]'s cleaning): per-language document budget
+    * (deterministic smallest-hash pick, mergeable top-k — no window
+    * sort) → token-proportional systematic PPS sampling (all-integer,
+    * no RNG) → unigram-LM quality gate trained on the sampled mix
+    * itself. Every stage is the standalone operator behind its own
+    * oracle row (d38 / d39 / d40); the composition is oracle-pinned
+    * end-to-end as d42.
+    *
+    * Returns the sampled rows that clear the LM gate: the input columns
+    * plus `weight` (token count), `n_hits` (PPS multiplicity — repeat
+    * or upweight accordingly), `n_tokens` and `avg_lp` (the gate's
+    * evidence). Scale shape: one lang-keyed partial top-k, one
+    * lang-keyed window exchange, then the LM term join — each on the
+    * already-shrunk survivor set of the previous stage.
+    */
+  def mix(docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      cfg: MixConfig = MixConfig()): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    // 1. Language budget: keep the langBudget smallest id-hashes per
+    // language (d38's uniform deterministic subsample).
+    val topk = udaf(new graft.operators.Sketches.TopKByScore(cfg.langBudget),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(java.lang.Double, java.lang.Long)]())
+    val picked = docs
+      .select(col(langCol),
+        TF.hash32(col(idCol).cast("string")).as("_mx_h"),
+        col(idCol).cast("long").as("_mx_cand"))
+      .groupBy(col(langCol))
+      .agg(topk((-col("_mx_h")).cast("double"), col("_mx_cand")).as("_mx_pick"))
+      .select(explode(col("_mx_pick")).as("_mx_p"))
+      .select(col("_mx_p._2").as("_mx_id"))
+    val budgeted = docs
+      .join(picked, col(idCol) === col("_mx_id"))
+      .drop("_mx_id")
+    // 2. Token-proportional PPS sampling within each language's budget.
+    val sampled = graft.operators.Sampling.ppsSystematic(
+      budgeted.withColumn("weight", size(TF.tokens(col(textCol))).cast("long")),
+      groupCols = Seq(langCol), idCol = idCol,
+      weightCol = "weight", budget = cfg.tokenPoints)
+    // 3. LM gate over the mix: the model is trained on the SAMPLED set
+    // (self-scoring, d40's contract) — the gate asks "does this doc
+    // look like the mix it just joined", which is exactly the
+    // distribution the training run will see.
+    val scored = graft.text.UnigramLm.scoreDocs(
+      sampled, idCol, textCol, cfg.lmVocabCap)
+    sampled
+      .join(scored.select(col(idCol), col("n_tokens"), col("avg_lp")),
+        Seq(idCol))
+      .filter(col("avg_lp") >= cfg.lmFloor)
+  }
 }

@@ -441,6 +441,43 @@ object RelationalQueries {
         .orderBy(col("column_name"))
     },
 
+    // q25's serving shape at 100 TB: the same one-pass profile with the
+    // KMV sketch in place of exact countDistinct — q25's 4 distinct
+    // columns share one Expand that multiplies every scan row 5× into
+    // the first aggregate, while the sketch keeps the plan a plain
+    // partial+final agg with O(k) state per column (no Expand — pinned
+    // by PlanSpec). Values are quantized to cents BEFORE hashing
+    // (floor(x·100 + 0.5) — round-half-up, the v10 rule): the measure
+    // columns are 2-decimal by domain so the mapping is injective, and
+    // hashing an exact BIGINT sidesteps cross-engine double→string
+    // formatting, which is NOT portable. est exact below k (3 of the 4
+    // columns here), ~6% RSE above it (l_extendedprice).
+    "q26_profile_sketch" -> { (s, d) =>
+      val kmv = udaf(new graft.operators.Sketches.KmvDistinct(KmvK),
+        org.apache.spark.sql.Encoders.scalaLong)
+      def centsHash(c: String) = graft.operators.Sketches.kmvInput(
+        graft.text.TextFunctions.hash32(
+          floor(col(c) * lit(100.0) + lit(0.5)).cast("long").cast("string")))
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+          kmv(centsHash(c)).as(s"${c}_nd"),
+          min(col(c)).cast("double").as(s"${c}_min"),
+          max(col(c)).cast("double").as(s"${c}_max"),
+          msum(col(c)).as(s"${c}_sum"))
+      }
+      val stackExpr = cols.map(c =>
+        s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max, ${c}_sum")
+        .mkString(s"stack(${cols.length}, ", ", ", ")")
+      Tables.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("n_rows"), expr(s"$stackExpr AS " +
+          "(column_name, n_null, n_distinct_est, min_v, max_v, sum_v)"))
+        .select(col("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct_est"), col("min_v"), col("max_v"), col("sum_v"))
+        .orderBy(col("column_name"))
+    },
+
     // Exact per-group top-k WITHOUT the window sort
     // ([[graft.operators.Sketches.TopKByScore]]): q08's row_number idiom
     // sorts every group row through the exchange; the mergeable top-k
@@ -695,6 +732,41 @@ object RelationalQueries {
          | ${msumSql(c)} AS sum_v
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
+    // The sketch profile's oracle: unpivot the four columns, re-derive
+    // each column's KMV estimate with q22's window-rank derivation over
+    // distinct hashes of the cents-quantized values (injective on the
+    // 2-decimal domain; BIGINT→VARCHAR is portable where double→VARCHAR
+    // is not), and join back the plain per-column stats.
+    "q26_profile_sketch" -> {
+      val u = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(c => s"SELECT '$c' AS g, $c AS x FROM lineitem")
+        .mkString("\nUNION ALL ")
+      s"""WITH u AS ($u),
+         |h AS (SELECT DISTINCT g,
+         |       CAST(('0x'||substr(md5(CAST(CAST(FLOOR(x * 100 + 0.5e0)
+         |         AS BIGINT) AS VARCHAR)),1,8)) AS BIGINT) AS h
+         |      FROM u WHERE x IS NOT NULL),
+         |r AS (SELECT g, h,
+         |       ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn,
+         |       COUNT(*) OVER (PARTITION BY g) AS nd
+         |      FROM h),
+         |e AS (SELECT g,
+         |       CASE WHEN MAX(nd) < $KmvK THEN CAST(MAX(nd) AS DOUBLE)
+         |            ELSE ${KmvK - 1}e0 * 4294967296e0
+         |                 / MAX(CASE WHEN rn = $KmvK THEN h END) END AS est
+         |      FROM r GROUP BY g),
+         |s AS (SELECT g AS column_name, COUNT(*) AS n_rows,
+         |       CAST(SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_null,
+         |       CAST(MIN(x) AS DOUBLE) AS min_v, CAST(MAX(x) AS DOUBLE) AS max_v,
+         |       ${msumSql("x")} AS sum_v
+         |      FROM u GROUP BY g)
+         |SELECT s.column_name, s.n_rows, s.n_null, e.est AS n_distinct_est,
+         | s.min_v, s.max_v, s.sum_v
+         |FROM s JOIN e ON s.column_name = e.g
+         |ORDER BY column_name""".stripMargin
+    },
 
     // The window idiom the aggregate replaces IS its oracle.
     "q24_group_topk" ->

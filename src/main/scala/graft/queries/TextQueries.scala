@@ -44,6 +44,7 @@ object TextQueries {
   private val PpsBudget = 10 // d39 selection points per source
   private val LmFloor = -3.43 // d40 avg-logprob flag threshold (~5th pct)
   private val LmVocabCap = 16 // d41 serving vocab (bites: corpus vocab 31)
+  private val MixBudget = 25 // d42 PPS token-selection points per language
   private val PackGroups = 4 // d26 parallel packing groups
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -664,6 +665,23 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The end-to-end "assemble a training mix" composition
+    // ([[graft.pipeline.CorpusPrep.mix]]): d38's per-language budget →
+    // d39's token-proportional PPS sampling → d40's LM gate, trained on
+    // the sampled mix itself. Every stage bites at sf0.01: 70 < docs
+    // per language, 25 points < 70 budgeted docs, and the gate drops a
+    // handful of low-likelihood docs (kept < 25 per language).
+    "d42_corpus_mix" -> { (s, d) =>
+      graft.pipeline.CorpusPrep.mix(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "text", "lang",
+        graft.pipeline.CorpusPrep.MixConfig(
+          langBudget = LangBudget, tokenPoints = MixBudget, lmFloor = LmFloor))
+        .select(col("lang"), col("doc_id"), col("weight"), col("n_hits"),
+          col("n_tokens"), col("avg_lp"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
     // Repetition-quality stats (the Gopher-style repetition filter, the
     // gate d08's length/punct ratios cannot express): type-token ratio
     // and the most-frequent-term share of each document, flagging
@@ -1174,6 +1192,47 @@ object TextQueries {
          | CAST(iv + n_oov * flp AS DOUBLE) / n_tokens / 1000000.0e0
          |   < ${LmFloor}e0 AS flagged
          |FROM s, f ORDER BY doc_id""".stripMargin,
+
+    // The three stage oracles composed verbatim: d38's window-rank pick,
+    // d39's cumsum + floor-division hits (group key = lang), d40's
+    // quantized LM trained on the sampled rows only.
+    "d42_corpus_mix" ->
+      s"""WITH pick AS (SELECT doc_id FROM (
+         |       SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+         |         CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT),
+         |         doc_id) AS rn
+         |       FROM documents) x WHERE rn <= $LangBudget),
+         |w AS (SELECT d.lang, d.doc_id, d.text,
+         |       CAST(len(string_split(d.text,' ')) AS BIGINT) AS weight
+         |      FROM documents d JOIN pick p ON d.doc_id = p.doc_id),
+         |b AS (SELECT lang, doc_id, text, weight,
+         |       CAST(SUM(weight) OVER (PARTITION BY lang ORDER BY doc_id
+         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |       CAST(SUM(weight) OVER (PARTITION BY lang) AS BIGINT) AS tw
+         |      FROM w),
+         |smp AS (SELECT lang, doc_id, text, weight,
+         |        (((2 * $MixBudget * cum) // tw) + 1) // 2
+         |         - (((2 * $MixBudget * (cum - weight)) // tw) + 1) // 2 AS n_hits
+         |       FROM b WHERE tw > 0
+         |         AND (((2 * $MixBudget * cum) // tw) + 1) // 2
+         |          - (((2 * $MixBudget * (cum - weight)) // tw) + 1) // 2 > 0),
+         |t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM smp),
+         |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+         |         CAST(COUNT(*) AS BIGINT) AS vocab FROM c),
+         |p AS (SELECT tok,
+         |       CAST(FLOOR(ln(CAST(c + 1 AS DOUBLE)
+         |         / CAST(total + vocab AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS lp
+         |      FROM c, tot),
+         |sc AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+         |        CAST(SUM(p.lp) AS BIGINT) AS lp_sum
+         |       FROM t JOIN p ON t.tok = p.tok GROUP BY t.doc_id)
+         |SELECT smp.lang, smp.doc_id, smp.weight, smp.n_hits, sc.n_tokens,
+         | CAST(sc.lp_sum AS DOUBLE) / sc.n_tokens / 1000000.0e0 AS avg_lp
+         |FROM smp JOIN sc ON smp.doc_id = sc.doc_id
+         |WHERE CAST(sc.lp_sum AS DOUBLE) / sc.n_tokens / 1000000.0e0
+         |  >= ${LmFloor}e0
+         |ORDER BY lang, smp.doc_id""".stripMargin,
 
     // RRF fusion of the dense and lexical top-K rankings; ROW_NUMBER
     // before LIMIT ranks identically to Spark's rank-after-top-K (same

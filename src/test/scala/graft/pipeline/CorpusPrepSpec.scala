@@ -90,6 +90,58 @@ class CorpusPrepSpec extends AnyFunSuite {
       s"under-k corpus must degrade gracefully, not crash: $clamped")
   }
 
+  test("mix chains budget → PPS → LM gate, each stage biting in order") {
+    import org.apache.spark.sql.functions.col
+    // 2 languages × 12 docs of varied length; one junk doc whose tokens
+    // are all hapaxes (every count-1 under the mix model → lowest
+    // avg_lp) to give the LM gate a victim.
+    val docs = (0 until 12).flatMap { i =>
+      Seq((100L + i, "aa", ("common words repeat here " * (i + 1)).trim),
+        (200L + i, "bb", ("different shared tokens again " * (i + 1)).trim))
+    } :+ ((300L, "aa", "qq ww ee rr tt yy uu ii oo pp zz xx"))
+    val df = docs.toDF("doc_id", "lang", "text")
+    val cfg = CorpusPrep.MixConfig(
+      langBudget = 8, tokenPoints = 5, lmFloor = -6.0)
+    val out = CorpusPrep.mix(df, "doc_id", "text", "lang", cfg)
+      .select(col("lang"), col("doc_id"), col("n_hits"), col("avg_lp"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // stage 1+2: per language the hits sum to EXACTLY tokenPoints before
+    // the gate; the gate only removes rows, so after it ≤ tokenPoints —
+    // and nothing outside the 8-doc budget can appear.
+    val byLang = out.groupBy(_._1)
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sum <= cfg.tokenPoints,
+        s"$lang: hits exceed the token budget: $rows")
+      assert(rows.length <= cfg.langBudget)
+    }
+    // stage 3: with the floor disabled everything sampled survives and
+    // hits sum to exactly tokenPoints — proving the gate (not sampling)
+    // removed the difference; the junk doc is gated, commons survive.
+    val ungated = CorpusPrep.mix(df, "doc_id", "text", "lang",
+      cfg.copy(lmFloor = Double.NegativeInfinity))
+      .select(col("lang"), col("doc_id"), col("n_hits"), col("avg_lp"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    ungated.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sum == cfg.tokenPoints,
+        s"$lang: PPS must place exactly ${cfg.tokenPoints} points: $rows")
+    }
+    if (ungated.exists(r => r._2 == 300L)) { // junk doc sampled this run?
+      val junkLp = ungated.find(_._2 == 300L).get._4
+      assert(junkLp == ungated.map(_._4).min,
+        "the all-hapax doc must score lowest under the mix model")
+      assert(!out.exists(_._2 == 300L) || junkLp >= cfg.lmFloor,
+        "a junk doc below the floor must be gated")
+    }
+    // end-to-end determinism: same mix under any input layout
+    val relaid = CorpusPrep.mix(df.repartition(13), "doc_id", "text", "lang", cfg)
+      .select(col("lang"), col("doc_id"), col("n_hits"), col("avg_lp"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(relaid.toSet == out.toSet, "mix must be layout-invariant")
+  }
+
   test("prepare runs on the real documents table and keeps most docs") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()

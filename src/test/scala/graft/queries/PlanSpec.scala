@@ -234,6 +234,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "profile must not join")
   }
 
+  test("q26: sketch profile has no Expand — one scan, map-side-combined KMV") {
+    // q25's exact countDistinct columns share an Expand that multiplies
+    // every scan row 5× into the first aggregate; the sketch variant
+    // must plan as a plain partial+final aggregate over the single scan.
+    val p = plan("q26_profile_sketch")
+    assert(!p.contains("Expand"),
+      s"sketch profile must not expand scan rows:\n${p.take(600)}")
+    assert(p.contains("partial_kmvdistinct"),
+      "the KMV columns must combine map-side")
+    assert(!p.contains("Join"), "profile must not join")
+    assert(scans("q26_profile_sketch").length == 1,
+      "profile must be one scan")
+    // the contrast that motivates q26: the exact profile pays the Expand
+    assert(plan("q25_table_profile").contains("Expand"))
+  }
+
   test("d39: PPS sampling runs on a single group-keyed exchange") {
     val p = plan("d39_pps_sample")
     val n = "Exchange hashpartitioning".r.findAllIn(p).length
