@@ -277,6 +277,16 @@ class PlanSpec extends AnyFunSuite {
       "the token side must never shuffle on the term key under the cap")
   }
 
+  test("d42: mix composition — map-side budget pick broadcasts, no cross products") {
+    val p = plan("d42_corpus_mix")
+    assert(p.contains("partial_topkbyscore"),
+      s"the language budget must combine map-side:\n${p.take(600)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤budget-row pick must broadcast into the corpus join")
+    assert(!p.contains("CartesianProduct"),
+      "no stage of the mix may degenerate to a cross product")
+  }
+
   test("d18: distinct-doc term stats use the two-phase partial aggregate") {
     // countDistinct must plan as partial_count(distinct ...) under ONE
     // (term)-keyed exchange pair, not an expand + extra shuffle per
