@@ -50,11 +50,22 @@ object Bench {
     def noisySpread(runs: Seq[Double]): Boolean =
       runs.head > 0 && runs.last / runs.head > 2.0
 
+    // GC barrier before each query's block: by sweep position 80+ the
+    // JVM carries whatever heap state the preceding queries left, and
+    // round 10/11 isolated audits showed that inheritance alone moving
+    // a ~1.7 s query to ~2.5-3.2 s (q22). Collecting first means every
+    // query measures from a comparably quiet heap — the same state its
+    // isolated audit runs in — instead of paying an arbitrary
+    // predecessor's garbage. (A System.gc() is a hint, but on the
+    // default collector a full collection reliably follows.)
+    def quietHeap(): Unit = { System.gc(); Thread.sleep(50) }
+
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     require(selected.nonEmpty, s"SPARK_GRAFT_ONLY matched no queries: $only")
     val swept = selected.map { case (name, fn) =>
       try {
+        quietHeap()
         timeOnce(fn) // warmup: JIT, codegen cache, file-footer cache
         name -> Right(Seq.fill(3)(timeOnce(fn)).sorted) // [min, median, max]
       } catch {
@@ -80,6 +91,7 @@ object Bench {
           System.err.println(
             f"[bench] $name spread ${cur.last / cur.head}%.1fx — isolated retry $attempts")
           try {
+            quietHeap()
             timeOnce(fnOf(name)) // re-warm before the timed triple
             cur = Seq.fill(3)(timeOnce(fnOf(name))).sorted
           } catch { case e: Throwable => // keep the contaminated-but-real runs

@@ -45,6 +45,7 @@ object TextQueries {
   private val LmFloor = -3.43 // d40 avg-logprob flag threshold (~5th pct)
   private val LmVocabCap = 16 // d41 serving vocab (bites: corpus vocab 31)
   private val MixBudget = 25 // d42 PPS token-selection points per language
+  private val NgramKmvK = 256 // d43 sketch size (bites: >3k distinct/lang)
   private val PackGroups = 4 // d26 parallel packing groups
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -682,6 +683,31 @@ object TextQueries {
         .orderBy(col("lang"), col("doc_id"))
     },
 
+    // Per-language n-gram diversity profile — the corpus-level lexical
+    // stat (distinct trigram count ~ "how much unique text is here")
+    // that sizes dedup and mixing decisions before any pipeline runs.
+    // The KMV sketch ([[graft.operators.Sketches.KmvDistinct]], q22's
+    // text face) estimates distinct shingles with O(k) state per
+    // language where exact countDistinct ships every distinct shingle
+    // STRING through the exchange — on a 100-TB corpus that exact state
+    // is the corpus itself; here the exact column stays as the accuracy
+    // witness (every language's 3k–9k distinct shingles exceed k=256,
+    // so this row pins the ESTIMATOR path, where q22's groups pin
+    // below-k exactness).
+    "d43_ngram_profile" -> { (s, d) =>
+      val kmv = udaf(new graft.operators.Sketches.KmvDistinct(NgramKmvK),
+        org.apache.spark.sql.Encoders.scalaLong)
+      Tables.documents(s, d)
+        .select(col("lang"),
+          explode(TF.shingles(TF.tokens(col("text")), 3)).as("sh"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_shingles"),
+          countDistinct(col("sh")).as("n_exact"),
+          kmv(graft.operators.Sketches.kmvInput(TF.hash32(col("sh"))))
+            .as("est_distinct"))
+        .orderBy(col("lang"))
+    },
+
     // Repetition-quality stats (the Gopher-style repetition filter, the
     // gate d08's length/punct ratios cannot express): type-token ratio
     // and the most-frequent-term share of each document, flagging
@@ -1192,6 +1218,30 @@ object TextQueries {
          | CAST(iv + n_oov * flp AS DOUBLE) / n_tokens / 1000000.0e0
          |   < ${LmFloor}e0 AS flagged
          |FROM s, f ORDER BY doc_id""".stripMargin,
+
+    // d35's shingle derivation + q22's KMV window-rank re-derivation,
+    // keyed by language; the exact distinct count rides as the witness.
+    "d43_ngram_profile" ->
+      s"""WITH t AS (SELECT lang, string_split(text,' ') AS toks
+         |           FROM documents),
+         |p AS (SELECT lang, unnest(list_transform(range(1, len(toks)-1),
+         |       i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS sh FROM t),
+         |h AS (SELECT DISTINCT lang AS g,
+         |       CAST(('0x'||substr(md5(sh),1,8)) AS BIGINT) AS h FROM p),
+         |r AS (SELECT g, h,
+         |       ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn,
+         |       COUNT(*) OVER (PARTITION BY g) AS nd
+         |      FROM h),
+         |e AS (SELECT g,
+         |       CASE WHEN MAX(nd) < $NgramKmvK THEN CAST(MAX(nd) AS DOUBLE)
+         |            ELSE ${NgramKmvK - 1}e0 * 4294967296e0
+         |                 / MAX(CASE WHEN rn = $NgramKmvK THEN h END) END AS est
+         |      FROM r GROUP BY g),
+         |s AS (SELECT lang, COUNT(*) AS n_shingles,
+         |       CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_exact
+         |      FROM p GROUP BY lang)
+         |SELECT s.lang, s.n_shingles, s.n_exact, e.est AS est_distinct
+         |FROM s JOIN e ON s.lang = e.g ORDER BY lang""".stripMargin,
 
     // The three stage oracles composed verbatim: d38's window-rank pick,
     // d39's cumsum + floor-division hits (group key = lang), d40's

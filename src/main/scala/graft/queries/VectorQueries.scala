@@ -178,6 +178,24 @@ object VectorQueries {
         seeds, "seed_id", "seed_vec", probeVec(s, d, 42L), nprobe = 2, k = 5)
     },
 
+    // Quantized multi-probe IVF ([[Similarity.ivfQuantizedSearch]]):
+    // v12's cell ranking over v10's int8 storage — the operator behind
+    // the on-disk [[graft.store.IvfIndex.buildQuantized]] layout
+    // (searchQuantized delegates here). Scores on dequantized codes
+    // (v11 arithmetic), so the ~4×-cheaper probe stays oracle-exact.
+    "v13_ivfq_search" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+      val quantized = graft.operators.ScalarQuant.quantize(
+        Similarity.ivfAssign(e, "vec_id", "embedding",
+          seeds, "seed_id", "seed_vec")
+          .select(col("vec_id"), col("embedding"), col("cell")),
+        "embedding").drop("embedding")
+      Similarity.ivfQuantizedSearch(quantized, "vec_id",
+        seeds, "seed_id", "seed_vec", probeVec(s, d, 42L), nprobe = 2, k = 5)
+    },
+
     // IVF ANN: assign all vectors to nearest of 8 seed centroids (shuffle-
     // free argmax projection), then search only the probe's cell. The probe
     // row is a driver-side point lookup (tiny action); the search itself is
@@ -423,6 +441,44 @@ object VectorQueries {
         |  (SELECT qv FROM probe)) AS score
         |FROM assigned a JOIN cells ON a.cell = cells.cell
         |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin,
+
+    // v12's assignment + cell-ranking CTEs over v10/v11's quantization:
+    // scores on the quantize→dequantize round trip through the same
+    // REAL (f32) rounding Spark's array<float> cast applies.
+    "v13_ivfq_search" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, s.cell,
+        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) AS cs
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |   SELECT vec_id, embedding, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+        |   FROM scored) r WHERE rn = 1),
+        |q AS (SELECT vec_id, cell,
+        |       CAST(CAST(list_transform(v, x ->
+        |         (CASE WHEN scale = 0.0e0 THEN 0.0e0
+        |          ELSE FLOOR(x / scale + 0.5e0) END) * scale) AS REAL[])
+        |        AS DOUBLE[]) AS dv
+        |      FROM (SELECT vec_id, cell, CAST(embedding AS DOUBLE[]) AS v,
+        |             list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+        |               x -> abs(x)), 'max') / 127.0e0 AS scale
+        |            FROM assigned) s),
+        |probe AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |          FROM embeddings WHERE vec_id = 42),
+        |cells AS (
+        |  SELECT cell FROM (
+        |   SELECT s.cell,
+        |    ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(s.cv, probe.qv) DESC,
+        |                       s.cell) AS rn
+        |   FROM seeds s, probe) t WHERE rn <= 2)
+        |SELECT q.cell, q.vec_id,
+        | list_cosine_similarity(q.dv, (SELECT qv FROM probe)) AS score
+        |FROM q JOIN cells ON q.cell = cells.cell
+        |ORDER BY score DESC, q.vec_id LIMIT 5""".stripMargin,
 
     "v05_ivf_search" ->
       """WITH seeds AS (

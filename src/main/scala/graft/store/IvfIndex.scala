@@ -137,25 +137,19 @@ object IvfIndex {
       .limit(k)
       .select(col("cell"), col(idCol), col("score"))
 
-  /** Probe a [[buildQuantized]] index: same cell pruning as [[search]],
-    * scores on dequantized codes with v11's exact arithmetic
-    * (`codes · scale` cast back to float, then the same cosine), so a
-    * row here scores identically to knnQuantizedRescore's coarse stage
-    * over the same data. The scan reads ONLY (id, codes, scale) —
-    * asserted in IvfIndexSpec, not just claimed.
+  /** Probe a [[buildQuantized]] index: the on-disk face of
+    * [[Similarity.ivfQuantizedSearch]] (delegated, so the store and the
+    * oracle-pinned operator — v13 — can never drift): same cell pruning
+    * as [[search]], scores on dequantized codes with v11's exact
+    * arithmetic. The scan reads ONLY (id, codes, scale) — asserted in
+    * IvfIndexSpec, not just claimed.
     */
   def searchQuantized(spark: SparkSession, path: String, idCol: String,
-      query: Array[Float], k: Int, nProbe: Int = 1): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
-    val deq = transform(col("codes"), c => c.cast("double") * col("scale"))
-      .cast(ArrayType(FloatType))
-    spark.read.parquet(s"$path/vectors")
-      .filter(col("cell").isin(probeCells(spark, path, query, nProbe): _*))
-      .withColumn("score", vectors.cosineSimilarity(deq, lit(query)))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(k)
-      .select(col("cell"), col(idCol), col("score"))
-  }
+      query: Array[Float], k: Int, nProbe: Int = 1): DataFrame =
+    Similarity.ivfQuantizedSearch(
+      spark.read.parquet(s"$path/vectors"), idCol,
+      spark.read.parquet(s"$path/seeds"), "cell", "seed_vec",
+      query, nProbe, k)
 
   /** The `nProbe` nearest seed cells for a query, scored driver-side
     * against the on-disk `<path>/seeds` codebook (tiny by contract).

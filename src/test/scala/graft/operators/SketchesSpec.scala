@@ -85,7 +85,11 @@ class SketchesSpec extends AnyFunSuite {
 
   test("SQL surface: kmv_distinct / heavy_hitters / bottomk_quantiles callable from SQL text") {
     Sketches.registerSql(spark, kmvK = 64, hhK = 4, quantileK = 128)
-    (1 to 500).map(i => ((i % 30) * 7919L, s"t${i % 3}", (i % 100).toDouble))
+    // the None row carries a SQL NULL hash: the boxed registry face must
+    // skip it (null-in = no-element), not decode it as hash 0
+    ((1 to 500).map(i =>
+      (Some((i % 30) * 7919L), s"t${i % 3}", (i % 100).toDouble))
+      :+ ((Option.empty[Long], "t0", 0.0)))
       .toDF("h", "term", "v").createOrReplaceTempView("sketch_in")
     val row = spark.sql(
       "SELECT kmv_distinct(h) AS nd, heavy_hitters(term) AS hh, " +
