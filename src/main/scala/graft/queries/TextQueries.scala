@@ -46,6 +46,8 @@ object TextQueries {
   private val LmVocabCap = 16 // d41 serving vocab (bites: corpus vocab 31)
   private val MixBudget = 25 // d42 PPS token-selection points per language
   private val NgramKmvK = 256 // d43 sketch size (bites: >3k distinct/lang)
+  private val LineMaxDf = 2 // d44 boilerplate df gate (max df 6 at sf0.01)
+  private val LineTokens = 8 // d44 derived-line width (tokens per line)
   private val PackGroups = 4 // d26 parallel packing groups
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -683,6 +685,32 @@ object TextQueries {
         .orderBy(col("lang"), col("doc_id"))
     },
 
+    // CCNet-style line-frequency boilerplate removal
+    // ([[graft.text.Dedup.dropFrequentLines]]): lines appearing in more
+    // than maxDf distinct documents are site boilerplate and drop from
+    // EVERY document, survivors rejoining in order — the cross-doc
+    // complement of d32's within-doc repetition gate and d33's
+    // first-occurrence span keep (this removes ALL occurrences). The
+    // corpus is single-spaced, so the query derives deterministic
+    // 8-token lines first (the operator is generic over the separator);
+    // the gate bites at sf0.01 — 17 derived lines sit in >2 docs (max
+    // df 6), so near-dup clusters lose their shared spans on both
+    // sides of the compare.
+    "d44_line_boilerplate" -> { (s, d) =>
+      val toks = TF.tokens(col("text"))
+      val asLines = Tables.documents(s, d).select(col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0),
+              ceil(size(toks) / lit(LineTokens.toDouble)).cast("int") - 1),
+            i => array_join(
+              slice(toks, i * LineTokens + 1, lit(LineTokens)), " ")),
+          "\n").as("text"))
+      graft.text.Dedup.dropFrequentLines(asLines, "doc_id", "text",
+        maxDf = LineMaxDf)
+        .orderBy(col("doc_id"))
+    },
+
     // Per-language n-gram diversity profile — the corpus-level lexical
     // stat (distinct trigram count ~ "how much unique text is here")
     // that sizes dedup and mixing decisions before any pipeline runs.
@@ -1218,6 +1246,29 @@ object TextQueries {
          | CAST(iv + n_oov * flp AS DOUBLE) / n_tokens / 1000000.0e0
          |   < ${LmFloor}e0 AS flagged
          |FROM s, f ORDER BY doc_id""".stripMargin,
+
+    // The same 8-token line derivation, df as COUNT(DISTINCT doc), the
+    // rebuild as an ORDER BY pos string_agg; chr(10) = the Spark "\n".
+    "d44_line_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+         |           FROM documents),
+         |src AS (SELECT doc_id, list_transform(
+         |         range(0, CAST(ceil(len(toks) / ${LineTokens}.0e0) AS BIGINT)),
+         |         i -> array_to_string(
+         |           toks[i*$LineTokens+1 :
+         |                least(i*$LineTokens+$LineTokens, len(toks))], ' '))
+         |         AS ls FROM t),
+         |lx AS (SELECT doc_id, unnest(list_transform(range(1, len(ls)+1),
+         |        i -> {'pos': i, 'line': ls[i]}), recursive := true)
+         |       FROM src),
+         |d AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lx GROUP BY line),
+         |kept AS (SELECT lx.doc_id, lx.pos, lx.line
+         |         FROM lx JOIN d ON lx.line = d.line WHERE d.df <= $LineMaxDf),
+         |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, COALESCE(reb.text, '') AS text
+         |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     // d35's shingle derivation + q22's KMV window-rank re-derivation,
     // keyed by language; the exact distinct count rides as the witness.

@@ -72,6 +72,44 @@ object Dedup {
       .drop("_dd_rn")
   }
 
+  /** CCNet-style line-frequency boilerplate removal: a line occurring
+    * in MORE than `maxDf` distinct documents is boilerplate (headers,
+    * footers, navigation, cookie banners — text that repeats because of
+    * the SITE, not the document) and is removed from every document;
+    * surviving lines rejoin in their original order. A document whose
+    * every line is boilerplate keeps an empty text rather than
+    * vanishing — dropping the row is a different policy
+    * ([[dropExactDuplicates]] territory), and the caller may want the
+    * husk as evidence. Within-document repetition does not count toward
+    * df (that is d32's repetition gate); df is distinct-document
+    * frequency, exactly CCNet's definition.
+    *
+    * Scale shape: one line-keyed distinct+count (the df table), one
+    * line-keyed join back, one doc-keyed regroup — the same exchange
+    * budget as d33's span dedup, nothing all-pairs; the per-doc
+    * collect_list is bounded by document size.
+    */
+  def dropFrequentLines(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Long, sep: String = "\n"): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val lines = df.select(col(idCol).as("_lf_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("_lf_pos", "_lf_line")))
+    val docFreq = lines.select(col("_lf_line"), col("_lf_id")).distinct()
+      .groupBy(col("_lf_line")).agg(count(lit(1)).as("_lf_df"))
+    val rebuilt = lines.join(docFreq, "_lf_line")
+      .filter(col("_lf_df") <= maxDf)
+      .groupBy(col("_lf_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("_lf_pos"), col("_lf_line")))),
+          p => p.getField("_lf_line")),
+        sep).as("_lf_text"))
+    df.join(rebuilt, col(idCol) === col("_lf_id"), "left")
+      .withColumn(textCol, coalesce(col("_lf_text"), lit("")))
+      .drop("_lf_id", "_lf_text")
+  }
+
   /** Near-dup candidate pairs (a_id < b_id) with exact Jaccard >=
     * threshold over word `n`-shingles, via banded minhash — the d06
     * pipeline as a reusable operator.

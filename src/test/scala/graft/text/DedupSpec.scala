@@ -200,4 +200,30 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 4L))
   }
+
+  test("dropFrequentLines: cross-doc boilerplate drops, order holds, husks stay") {
+    val header = "COOKIE BANNER accept all cookies"
+    val footer = "copyright 2026 example corp"
+    val multi = Seq(
+      (1L, s"$header\nunique first body\n$footer"),
+      (2L, s"$header\nunique second body\nsecond extra line\n$footer"),
+      (3L, s"$header\n$footer"), // pure boilerplate → empty husk
+      // within-doc repetition must NOT count toward df: this line
+      // repeats 3 times in ONE doc (df = 1) and survives
+      (4L, "repeated inside\nrepeated inside\nrepeated inside"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropFrequentLines(multi, "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique first body",
+      s"header/footer (df=3) must drop everywhere: ${out(1L)}")
+    assert(out(2L) == "unique second body\nsecond extra line",
+      "surviving lines must keep their original order")
+    assert(out(3L) == "", "a fully-boilerplate doc keeps an empty husk")
+    assert(out(4L) == "repeated inside\nrepeated inside\nrepeated inside",
+      "within-doc repetition is df=1 and must survive")
+    // raising the gate past the max df disables it
+    val loose = Dedup.dropFrequentLines(multi, "doc_id", "text", maxDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(3L) == s"$header\n$footer")
+  }
 }
