@@ -41,6 +41,14 @@ object CorpusPrep {
     * corpus the earlier gates shrink below `semanticK` clamps to one
     * cell per document (the stage degrades, never aborts the pipeline).
     */
+  /** `lineBoilerplateMaxDf > 0` prepends [[Dedup.dropFrequentLines]]
+    * (lines in more than that many distinct documents removed from all
+    * of them, `lineSep`-delimited) BEFORE the quality gate — CCNet's
+    * order: strip what repeats because of the SITE first, so boilerplate
+    * neither pollutes the token/stopword ratios nor manufactures
+    * near-dup pairs between otherwise-unrelated pages. 0 = off (the
+    * default; corpora without line structure gain nothing).
+    */
   final case class Config(
       minTokens: Int = 5,
       maxStopRatio: Double = 0.9,
@@ -52,14 +60,21 @@ object CorpusPrep {
       semanticVecCol: Option[String] = None,
       semanticK: Int = 64,
       semanticIters: Int = 2,
-      semanticThreshold: Double = 0.97)
+      semanticThreshold: Double = 0.97,
+      lineBoilerplateMaxDf: Long = 0,
+      lineSep: String = "\n")
 
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
     require(cfg.trainPct + cfg.valPct < 100)
     val toks = TF.tokens(col(textCol))
+    // 0. Optional cross-doc boilerplate strip (see Config scaladoc).
+    val deboiler =
+      if (cfg.lineBoilerplateMaxDf <= 0) docs
+      else Dedup.dropFrequentLines(docs, idCol, textCol,
+        cfg.lineBoilerplateMaxDf, cfg.lineSep)
     // 1. Quality gate: row-local, runs in the scan.
-    val filtered = docs
+    val filtered = deboiler
       .withColumn("_cp_ntok", size(toks).cast("long"))
       .withColumn("_cp_nstop", TF.stopwordCount(toks, Seq("the", "a")))
       .filter(col("_cp_ntok") >= cfg.minTokens &&

@@ -141,12 +141,24 @@ object EventStreams {
     * ([[graft.operators.AsOfJoin]]) is the take-latest-only face of the
     * same relationship.
     *
+    * `joinType = "left_outer"` emits UNMATCHED left events too (right
+    * columns null) — "views that never converted" as a stream, the
+    * funnel-breakage feed an inner join silently drops. Outer results
+    * for an unmatched row are emitted only once the watermark proves no
+    * in-window partner can still arrive, so lateness never turns into
+    * a false "unconverted" row; the price is that unmatched rows trail
+    * live time by the watermark delay, which is the correctness-latency
+    * trade Structured Streaming forces on every outer stream join.
+    *
     * Inputs need columns (`key`, `ts`, payload…); right payload columns
     * are returned with the `rightPrefix`.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       rightPayload: Seq[String], lag: String = "30 minutes",
-      watermark: String = "2 hours", rightPrefix: String = "r_"): DataFrame = {
+      watermark: String = "2 hours", rightPrefix: String = "r_",
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer").contains(joinType),
+      s"interval join supports inner/left_outer, got $joinType")
     val l = left.withWatermark("ts", watermark)
     val r = right
       .select(col(key).as(s"$rightPrefix$key") +:
@@ -156,7 +168,8 @@ object EventStreams {
     l.join(r,
       col(key) === col(s"$rightPrefix$key") &&
         col(s"${rightPrefix}ts") >= col("ts") - expr(s"INTERVAL $lag") &&
-        col(s"${rightPrefix}ts") <= col("ts"))
+        col(s"${rightPrefix}ts") <= col("ts"),
+      joinType)
       .drop(s"$rightPrefix$key")
   }
 

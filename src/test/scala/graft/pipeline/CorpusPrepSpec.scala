@@ -90,6 +90,31 @@ class CorpusPrepSpec extends AnyFunSuite {
       s"under-k corpus must degrade gracefully, not crash: $clamped")
   }
 
+  test("boilerplate strip runs first: shared site chrome stops manufacturing near-dups") {
+    // Two pages of the same site: a large shared banner plus small
+    // distinct bodies. With the banner in place they are near-dups at
+    // 0.5 and one drops; stripping lines with df > 1 first removes the
+    // banner from BOTH, so both bodies survive the dedup gates.
+    // diverse tokens: a REPEATED phrase would collapse to 5 distinct
+    // shingles and never reach the 0.5 Jaccard the fixture needs
+    val banner = "please accept all cookies before you continue reading " +
+      "this site navigation menu home products pricing docs blog careers " +
+      "contact terms privacy settings language region sign in register help"
+    val docs = Seq(
+      (1L, s"$banner\nalpha body with its own words entirely"),
+      (2L, s"$banner\nbeta body speaking about different things"))
+      .toDF("doc_id", "text")
+    val without = CorpusPrep.prepare(docs, "doc_id", "text",
+      CorpusPrep.Config(nearDupJaccard = 0.5))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(without == Seq(1L), s"fixture degenerated — banner must near-dup: $without")
+    val withStrip = CorpusPrep.prepare(docs, "doc_id", "text",
+      CorpusPrep.Config(nearDupJaccard = 0.5, lineBoilerplateMaxDf = 1))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(withStrip == Seq(1L, 2L),
+      s"stripping site chrome first must keep both bodies: $withStrip")
+  }
+
   test("mix chains budget → PPS → LM gate, each stage biting in order") {
     import org.apache.spark.sql.functions.col
     // 2 languages × 12 docs of varied length; one junk doc whose tokens

@@ -118,6 +118,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left_outer intervalJoin emits unconverted rows only after the watermark proves them") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventStreams.intervalJoin(
+      clicks.toDF.toDF("user_id", "ts", "click_id"),
+      views.toDF.toDF("user_id", "ts", "view_id"),
+      key = "user_id", rightPayload = Seq("view_id"), lag = "30 minutes",
+      watermark = "10 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ij_outer")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      views.addData((1L, ts("2024-01-01 10:20:00"), 101L))
+      clicks.addData(
+        (1L, ts("2024-01-01 10:30:00"), 900L), // converts via view 101
+        (2L, ts("2024-01-01 10:30:00"), 901L)) // no view: unconverted
+      q.processAllAvailable()
+      def rows() = spark.table("ij_outer")
+        .select("click_id", "r_view_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      // the match emits immediately; the null row must NOT — a partner
+      // for click 901 could still arrive within watermark + lag
+      assert(rows() == Set((900L, Some(101L))), s"premature null row: ${rows()}")
+      // advance both watermarks far past 901's horizon: the unmatched
+      // click now emits exactly once, with a null view
+      views.addData((9L, ts("2024-01-01 13:00:00"), 999L))
+      clicks.addData((9L, ts("2024-01-01 13:00:00"), 998L))
+      q.processAllAvailable()
+      q.processAllAvailable() // outer-null emission needs the next trigger
+      assert(rows().contains((901L, None)),
+        s"unconverted click must surface after the watermark: ${rows()}")
+    } finally q.stop()
+  }
+
   test("statefulSessionize closes sessions on gap and on watermark timeout") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Long, String)] // (user_id, ts_us, type)
