@@ -287,6 +287,26 @@ class PlanSpec extends AnyFunSuite {
       "no stage of the mix may degenerate to a cross product")
   }
 
+  test("d43: n-gram profile — map-side KMV, two-phase distinct, no Expand, no join") {
+    val p = plan("d43_ngram_profile")
+    assert(p.contains("partial_kmvdistinct"),
+      s"the sketch must combine map-side:\n${p.take(600)}")
+    assert(!p.contains("Expand"),
+      "the single exact-distinct witness must use the two-phase path, not Expand")
+    assert(!p.contains("Join"))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"d43: expected <= 2 hash shuffles (lang, lang+sh), found $n")
+  }
+
+  test("d44: line boilerplate — line-keyed df + join + doc regroup, nothing all-pairs") {
+    val p = plan("d44_line_boilerplate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"line df gate degenerated to a cross product:\n${p.take(600)}")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 3,
+      s"d44: expected 3 hash shuffles (line df, line join, doc regroup), found $n")
+  }
+
   test("d18: distinct-doc term stats use the two-phase partial aggregate") {
     // countDistinct must plan as partial_count(distinct ...) under ONE
     // (term)-keyed exchange pair, not an expand + extra shuffle per
