@@ -135,6 +135,54 @@ object Sketches {
     org.apache.spark.sql.functions.coalesce(
       h, org.apache.spark.sql.functions.lit(KmvNull))
 
+  /** [[KmvDistinct]] with the STATE as the output: the k smallest
+    * distinct hashes, sorted ascending — a storable column. This is
+    * what makes the sketch incremental across RUNS, not just across
+    * partitions: persist one state row per shard/day/source as it is
+    * ingested, and any later job folds the states through [[KmvMerge]]
+    * for the estimate over any union of shards — no rescan of data
+    * that already paid its aggregation. Sound because KMV's state is a
+    * pure function of the input set (merge-of-states ≡
+    * state-of-union), and oracle-checkable for the same reason (q27
+    * re-derives the stored states and the merged estimate
+    * declaratively).
+    */
+  class KmvState(k: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]]
+      with Serializable {
+    private val inner = new KmvDistinct(k)
+    def zero: Array[Long] = inner.zero
+    def reduce(buf: Array[Long], h: Long): Array[Long] = inner.reduce(buf, h)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Fold stored [[KmvState]] columns into the distinct-count estimate:
+    * each input row IS a state (k smallest distinct hashes of its
+    * shard), reduce is the state merge, finish is [[KmvDistinct]]'s
+    * estimator — so `merge(states of shards)` is bit-identical to the
+    * sketch over the shards' union. NULL states (e.g. an outer join's
+    * missing shard) contribute nothing. Both classes delegate every
+    * transition to one [[KmvDistinct]] instance, so the three faces
+    * cannot drift.
+    */
+  class KmvMerge(k: Int)
+      extends Aggregator[Seq[java.lang.Long], Array[Long], Double]
+      with Serializable {
+    private val inner = new KmvDistinct(k)
+    def zero: Array[Long] = inner.zero
+    def reduce(buf: Array[Long], state: Seq[java.lang.Long]): Array[Long] =
+      if (state == null) buf
+      else inner.merge(buf, state.map(_.longValue()).toArray)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+    def finish(buf: Array[Long]): Double = inner.finish(buf)
+    def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   /** Boxed adapter for the SQL registry, where callers can't add the
     * [[kmvInput]] projection: SQL NULL arrives as a null box and is
     * skipped, matching `kmv_distinct`'s documented null-in = no-element

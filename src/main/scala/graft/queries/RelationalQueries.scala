@@ -478,6 +478,33 @@ object RelationalQueries {
         .orderBy(col("column_name"))
     },
 
+    // The sketch-SHARDING contract under the oracle: per-group KMV
+    // STATES materialized as storable columns ([[Sketches.KmvState]]),
+    // then folded to a global estimate ([[Sketches.KmvMerge]]) — the
+    // incremental pattern where each ingested shard persists one
+    // state row and later jobs estimate over any shard union WITHOUT
+    // rescanning data. est_merged must equal est_direct (the one-pass
+    // global sketch) because KMV's state is a set function: the oracle
+    // computes the global bottom-k ONCE and expects both columns to be
+    // that value, so a merge-path bug on either side hash-mismatches.
+    "q27_kmv_mergeable" -> { (s, d) =>
+      val st = udaf(new graft.operators.Sketches.KmvState(KmvK),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val mg = udaf(new graft.operators.Sketches.KmvMerge(KmvK),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Seq[java.lang.Long]]())
+      val kmv = udaf(new graft.operators.Sketches.KmvDistinct(KmvK),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val hashed = Tables.lineitem(s, d).select(col("l_returnflag"),
+        graft.operators.Sketches.kmvInput(
+          graft.text.TextFunctions.hash32(col("l_partkey").cast("string")))
+          .as("h"))
+      val states = hashed.groupBy(col("l_returnflag")).agg(st(col("h")).as("state"))
+      states
+        .agg(count(lit(1)).as("n_shards"), mg(col("state")).as("est_merged"))
+        .crossJoin(hashed.agg(kmv(col("h")).as("est_direct")))
+    },
+
     // Exact per-group top-k WITHOUT the window sort
     // ([[graft.operators.Sketches.TopKByScore]]): q08's row_number idiom
     // sorts every group row through the exchange; the mergeable top-k
@@ -767,6 +794,24 @@ object RelationalQueries {
          |FROM s JOIN e ON s.column_name = e.g
          |ORDER BY column_name""".stripMargin
     },
+
+    // ONE global bottom-k estimate, expected in BOTH columns: merging
+    // the per-group states must reproduce it exactly (set-function
+    // property), so the oracle never computes a "merged" path at all.
+    "q27_kmv_mergeable" ->
+      s"""WITH h AS (SELECT DISTINCT
+         |        CAST(('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,8)) AS BIGINT) AS h
+         |       FROM lineitem),
+         |r AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn,
+         |       COUNT(*) OVER () AS nd FROM h),
+         |e AS (SELECT CASE WHEN MAX(nd) < $KmvK THEN CAST(MAX(nd) AS DOUBLE)
+         |             ELSE ${KmvK - 1}e0 * 4294967296e0
+         |                  / MAX(CASE WHEN rn = $KmvK THEN h END) END AS est
+         |      FROM r),
+         |s AS (SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_shards
+         |      FROM lineitem)
+         |SELECT s.n_shards, e.est AS est_merged, e.est AS est_direct
+         |FROM s, e""".stripMargin,
 
     // The window idiom the aggregate replaces IS its oracle.
     "q24_group_topk" ->

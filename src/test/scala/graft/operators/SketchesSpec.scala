@@ -83,6 +83,46 @@ class SketchesSpec extends AnyFunSuite {
     assert(est == 2.0, s"null text must not count as a distinct hash: $est")
   }
 
+  test("KMV states are storable and mergeable: merge-of-shards == sketch-of-union") {
+    // the incremental-corpus pattern: each shard persists its KmvState
+    // row; KmvMerge over any subset must equal the direct sketch over
+    // that subset's union — fuzz over random shardings.
+    val rnd = new scala.util.Random(11)
+    val values = Seq.fill(5000)((rnd.nextInt(2000) * 0x9E3779B97F4A7C15L) >>> 32)
+    val st = new Sketches.KmvState(64)
+    val mg = new Sketches.KmvMerge(64)
+    val direct = values.foldLeft(st.zero)(st.reduce)
+    for (_ <- 1 to 20) {
+      val nShards = 1 + rnd.nextInt(7)
+      val states = values.groupBy(_ => rnd.nextInt(nShards)).values
+        .map(vs => vs.foldLeft(st.zero)(st.reduce))
+      val merged = states.foldLeft(mg.zero)((b, s) =>
+        mg.reduce(b, s.toSeq.map(Long.box)))
+      assert(merged.toSeq == direct.toSeq,
+        s"merge of $nShards shard states drifted from the union sketch")
+      assert(mg.finish(merged) == new Sketches.KmvDistinct(64).finish(direct),
+        "merged estimate must be the union sketch's estimate")
+    }
+    // a null state (outer join's missing shard) contributes nothing
+    assert(mg.reduce(direct.clone(), null).toSeq == direct.toSeq)
+    // end-to-end through Spark: per-group states -> merged estimate ==
+    // the one-pass estimate, under a multi-partition layout
+    val df = values.zipWithIndex
+      .map { case (h, i) => (s"g${i % 5}", h) }.toDF("g", "h")
+      .repartition(13)
+    val stU = udaf(new Sketches.KmvState(64),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val mgU = udaf(new Sketches.KmvMerge(64),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[java.lang.Long]]())
+    val kmvU = udaf(new Sketches.KmvDistinct(64),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val est = df.groupBy(col("g")).agg(stU(col("h")).as("state"))
+      .agg(mgU(col("state"))).head().getDouble(0)
+    val one = df.agg(kmvU(col("h"))).head().getDouble(0)
+    assert(est == one, s"sharded $est != one-pass $one")
+  }
+
   test("SQL surface: kmv_distinct / heavy_hitters / bottomk_quantiles callable from SQL text") {
     Sketches.registerSql(spark, kmvK = 64, hhK = 4, quantileK = 128)
     // the None row carries a SQL NULL hash: the boxed registry face must
