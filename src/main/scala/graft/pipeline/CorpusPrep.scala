@@ -144,6 +144,13 @@ object CorpusPrep {
   def mix(docs: DataFrame, idCol: String, textCol: String, langCol: String,
       cfg: MixConfig = MixConfig()): DataFrame = {
     import org.apache.spark.sql.functions.udaf
+    // The budget pick rides ids through a long-typed mergeable top-k: a
+    // non-numeric id would cast to null, the aggregate would skip every
+    // row, and the mix would be silently EMPTY — fail loudly instead.
+    require(docs.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"mix needs a numeric $idCol (long-castable ids); got " +
+        s"${docs.schema(idCol).dataType.simpleString}")
     // 1. Language budget: keep the langBudget smallest id-hashes per
     // language (d38's uniform deterministic subsample).
     val topk = udaf(new graft.operators.Sketches.TopKByScore(cfg.langBudget),

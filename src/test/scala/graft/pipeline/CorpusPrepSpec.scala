@@ -165,6 +165,12 @@ class CorpusPrepSpec extends AnyFunSuite {
       .collect().map(r =>
         (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(relaid.toSet == out.toSet, "mix must be layout-invariant")
+    // a non-numeric id would null-cast through the top-k and yield a
+    // silently empty mix — must fail loudly instead
+    val e = intercept[IllegalArgumentException](CorpusPrep.mix(
+      df.withColumn("doc_id", col("doc_id").cast("string")),
+      "doc_id", "text", "lang", cfg))
+    assert(e.getMessage.contains("numeric"))
   }
 
   test("prepare runs on the real documents table and keeps most docs") {
