@@ -8,17 +8,23 @@ import org.apache.spark.sql.functions._
   * `right.time <= left.time` in the same key group (the standard
   * event-to-most-recent-context join of training pipelines — click to
   * last view, trade to last quote, log line to last deploy).
+  * `direction = "forward"` flips the relationship: the EARLIEST right
+  * row with `right.time >= left.time` — the time-to-next-event join
+  * (view to first click after, campaign to first purchase after).
   *
   * Spark has no native as-of join; rather than a custom physical node,
   * this composes existing operators (preference (a) of the extension
   * ladder): tag both sides, union, and take a running `last(_,
-  * ignoreNulls)` of the right payload over one (keys, time) window.
+  * ignoreNulls)` (forward: `first` over the mirrored frame) of the
+  * right payload over one (keys, time) window.
   * ONE shuffle on the keys — same cost as the sessionization window;
   * both sides stream through a single sort, so at 100 TB this is a
   * sort-merge pass, not an n×m range probe.
   *
-  * Ties: right rows sort before left rows at equal time (<= semantics,
-  * matching DuckDB's ASOF), with `tieBreak` ordering rows beyond that.
+  * Ties: the qualifying right row must be frame-visible to the left row
+  * at equal time, so right rows sort before left rows backward
+  * (<= semantics) and after them forward (>= semantics) — both matching
+  * DuckDB's ASOF — with `tieBreak` ordering rows beyond that.
   */
 object AsOfJoin {
 
@@ -27,8 +33,10 @@ object AsOfJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       timeCol: String, rightPayload: Seq[String], prefix: String = "asof_",
-      tieBreak: Seq[Column] = Nil): DataFrame = {
+      tieBreak: Seq[Column] = Nil, direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty && rightPayload.nonEmpty)
+    require(Set("backward", "forward").contains(direction),
+      s"as-of direction must be backward/forward, got $direction")
     val side = "_asof_side"
     val payload = "_asof_payload"
     val l = left.withColumn(side, lit(1))
@@ -44,11 +52,21 @@ object AsOfJoin {
       .withColumn(payload,
         when(col(side) === 0,
           struct(rightPayload.map(c => col(prefix + c).as(c)): _*)))
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol) +: col(side) +: tieBreak: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Lexicographic order makes side the deciding key at equal time, so
+    // tieBreak can never reorder left ahead of/behind right across the
+    // frame boundary — it only breaks ties among right rows.
+    val forward = direction == "forward"
+    val sideOrder = if (forward) col(side).desc else col(side).asc
+    val w0 = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol) +: sideOrder +: tieBreak: _*)
+    val w =
+      if (forward) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fill =
+      if (forward) first(col(payload), ignoreNulls = true)
+      else last(col(payload), ignoreNulls = true)
     val filled = u
-      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
+      .withColumn(payload, fill.over(w))
       .filter(col(side) === 1)
     rightPayload.foldLeft(filled) { (df, c) =>
       df.withColumn(prefix + c, col(payload).getField(c))

@@ -96,6 +96,29 @@ object EventQueries {
         .orderBy(col("event_id"))
     },
 
+    // The FORWARD as-of join (e04's mirror): each view matched to the
+    // user's first click at or after it — the time-to-next-event
+    // primitive (time-to-conversion, campaign-to-first-purchase).
+    // Views that never convert keep nulls; gap_us is the conversion
+    // latency the outer streaming interval join surfaces continuously.
+    "e10_asof_view_click" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), tsUs.as("ts_us"),
+          col("event_type"))
+      val views = ev.filter(col("event_type") === "view")
+        .drop("event_type")
+      val clicks = ev.filter(col("event_type") === "click")
+        .drop("event_type")
+      graft.operators.AsOfJoin.asofJoin(
+        views, clicks, keys = Seq("user_id"), timeCol = "ts_us",
+        rightPayload = Seq("event_id", "ts_us"), prefix = "click_",
+        tieBreak = Seq(col("click_event_id")), direction = "forward")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("click_event_id"), col("click_ts_us"),
+          (col("click_ts_us") - col("ts_us")).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+
     // Conversion funnel view → click → purchase: per user, the first
     // view, the first click strictly after it, the first purchase
     // strictly after that — stage counts plus end-to-end conversion.
@@ -262,6 +285,19 @@ object EventQueries {
         |FROM c ASOF LEFT JOIN v
         | ON c.user_id = v.user_id AND v.ts_us <= c.ts_us
         |ORDER BY c.event_id""".stripMargin,
+
+    // DuckDB's ASOF takes >= for the nearest-following match directly.
+    "e10_asof_view_click" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events),
+        |v AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type='view'),
+        |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type='click')
+        |SELECT v.event_id, v.user_id, v.ts_us,
+        | c.event_id AS click_event_id, c.ts_us AS click_ts_us,
+        | c.ts_us - v.ts_us AS gap_us
+        |FROM v ASOF LEFT JOIN c
+        | ON v.user_id = c.user_id AND c.ts_us >= v.ts_us
+        |ORDER BY v.event_id""".stripMargin,
 
     "e05_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),

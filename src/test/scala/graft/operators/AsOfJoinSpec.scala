@@ -86,4 +86,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.count() == trades.count())
     assert(Seq("id", "sym", "t", "q_qid").forall(out.columns.contains))
   }
+
+  test("forward direction: earliest right at-or-after, ties to tieBreak, trailing nulls") {
+    val orders = Seq((1L, "a", 10L), (2L, "a", 15L), (3L, "a", 40L),
+      (4L, "b", 5L)).toDF("id", "sym", "t")
+    val fills = Seq((900L, "a", 10L), (901L, "a", 10L), (902L, "a", 30L))
+      .toDF("fid", "sym", "t")
+    val got = AsOfJoin.asofJoin(orders, fills, Seq("sym"), "t",
+      rightPayload = Seq("fid"), prefix = "f_",
+      tieBreak = Seq(col("f_fid")), direction = "forward")
+      .select(col("id"), col("f_fid"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // order 1 (t=10): fills 900/901 tie at t=10 (>= is inclusive) —
+    // tieBreak picks 900; order 2 (t=15): next fill is 902 at t=30;
+    // order 3 (t=40): nothing follows → null; order 4: other key → null
+    assert(got == Map(1L -> Some(900L), 2L -> Some(902L),
+      3L -> None, 4L -> None), s"got $got")
+    // backward on the same data stays the mirrored contract
+    val back = AsOfJoin.asofJoin(orders, fills, Seq("sym"), "t",
+      rightPayload = Seq("fid"), prefix = "f_",
+      tieBreak = Seq(col("f_fid").desc))
+      .select(col("id"), col("f_fid"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // last() takes the LATEST frame row, so the desc tieBreak puts the
+    // smallest fid last among the t=10 ties → 900 wins there too
+    assert(back == Map(1L -> Some(900L), 2L -> Some(900L),
+      3L -> Some(902L), 4L -> None), s"got $back")
+  }
 }
