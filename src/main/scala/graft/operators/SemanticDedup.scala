@@ -94,4 +94,36 @@ object SemanticDedup {
       .select(col("b_id")).distinct()
     df.join(doomed, col(idCol) === col("b_id"), "left_anti")
   }
+
+  /** Cross-corpus SEMANTIC leak detection — the embedding-space half of
+    * train/eval decontamination. [[graft.text.Dedup.crossNearDupPairs]]
+    * (d37) catches eval rows that leaked into training with token-level
+    * edits; this catches the leaks n-grams cannot see — paraphrases,
+    * translations, templated rewrites — by cosine against the eval
+    * set's embeddings. One decision record per flagged train doc: the
+    * worst-offending eval doc and its score (ties to the smaller eval
+    * id), ready for a drop join or an audit table.
+    *
+    * Scale shape (d30's): the eval side is benchmark-sized →
+    * BROADCAST; the train side scores row-locally inside the scan, so
+    * the only exchange is the per-train-doc argmax window over the
+    * (rare) pairs that cleared the threshold — the 100-TB train corpus
+    * never shuffles. A full-corpus × full-corpus semantic sweep is
+    * [[semanticDupPairs]]'s cell-bucketed job instead; this face is for
+    * eval sets small enough to ship to every executor.
+    */
+  def crossSemanticLeaks(train: DataFrame, eval: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = train.select(col(idCol).as("train_id"), col(vecCol).as("_sl_tv"))
+    val e = eval.select(col(idCol).as("eval_id"), col(vecCol).as("_sl_ev"))
+    val w = Window.partitionBy(col("train_id"))
+      .orderBy(col("score").desc, col("eval_id"))
+    t.join(broadcast(e))
+      .withColumn("score", vectors.cosineSimilarity(col("_sl_tv"), col("_sl_ev")))
+      .filter(col("score") >= threshold)
+      .withColumn("_sl_rn", row_number().over(w))
+      .filter(col("_sl_rn") === 1)
+      .select(col("train_id"), col("eval_id"), col("score"))
+  }
 }

@@ -48,6 +48,7 @@ object TextQueries {
   private val NgramKmvK = 256 // d43 sketch size (bites: >3k distinct/lang)
   private val LineMaxDf = 2 // d44 boilerplate df gate (max df 6 at sf0.01)
   private val LineTokens = 8 // d44 derived-line width (tokens per line)
+  private val ExportShards = 16 // d45 shard count (≈31 docs/shard at sf0.01)
   private val PackGroups = 4 // d26 parallel packing groups
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -711,6 +712,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic shard EXPORT address map — the audit face of
+    // [[graft.sources.ShardWriter]], the step after d42's mix assembles
+    // the corpus: every document's final (shard, pos) address in the
+    // N-shard training layout, derived without writing a byte. Pins the
+    // writer's membership (hash-mod shard) AND within-shard order
+    // cross-engine. One hash exchange on the shard key — the exact
+    // exchange writeShards shuffles on — then a shard-bounded sort; no
+    // global sort anywhere.
+    "d45_shard_export" -> { (s, d) =>
+      graft.sources.ShardWriter.addressMap(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", nShards = ExportShards)
+        .orderBy(col("shard"), col("pos"))
+    },
+
     // Per-language n-gram diversity profile — the corpus-level lexical
     // stat (distinct trigram count ~ "how much unique text is here")
     // that sizes dedup and mixing decisions before any pipeline runs.
@@ -1269,6 +1285,18 @@ object TextQueries {
          |SELECT t.doc_id, COALESCE(reb.text, '') AS text
          |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    // The full (shard, pos) address map from the same md5-slice hash:
+    // shard = h mod N (h is unsigned-32 in a long, so % == pmod), pos =
+    // dense rank within the shard under the writer's id sort order.
+    "d45_shard_export" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+         |    AS hk FROM documents)
+         |SELECT doc_id, lang, CAST(hk % $ExportShards AS BIGINT) AS shard,
+         | CAST(ROW_NUMBER() OVER (PARTITION BY hk % $ExportShards
+         |   ORDER BY doc_id) AS BIGINT) - 1 AS pos
+         |FROM h ORDER BY shard, pos""".stripMargin,
 
     // d35's shingle derivation + q22's KMV window-rank re-derivation,
     // keyed by language; the exact distinct count rides as the witness.

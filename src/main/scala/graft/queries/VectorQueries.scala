@@ -196,6 +196,23 @@ object VectorQueries {
         seeds, "seed_id", "seed_vec", probeVec(s, d, 42L), nprobe = 2, k = 5)
     },
 
+    // Semantic train/eval decontamination
+    // ([[graft.operators.SemanticDedup.crossSemanticLeaks]]) — the
+    // embedding-space half of the d37 leak sweep: flag every train
+    // vector whose cosine against ANY eval vector (vec_id % 50 = 0,
+    // d30's split) clears the threshold, with the worst-offending eval
+    // doc as the decision record. Eval side broadcasts; the train
+    // corpus never shuffles (PlanSpec-pinned). 0.35 bites on this
+    // corpus: 24 of 490 train vectors flag at sf0.01, none at 0.5.
+    "v14_semantic_decontaminate" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      graft.operators.SemanticDedup.crossSemanticLeaks(
+        train = e.filter(col("vec_id") % 50 =!= 0),
+        eval = e.filter(col("vec_id") % 50 === 0),
+        idCol = "vec_id", vecCol = "embedding", threshold = 0.35)
+        .orderBy(col("train_id"))
+    },
+
     // IVF ANN: assign all vectors to nearest of 8 seed centroids (shuffle-
     // free argmax projection), then search only the probe's cell. The probe
     // row is a driver-side point lookup (tiny action); the search itself is
@@ -479,6 +496,23 @@ object VectorQueries {
         | list_cosine_similarity(q.dv, (SELECT qv FROM probe)) AS score
         |FROM q JOIN cells ON q.cell = cells.cell
         |ORDER BY score DESC, q.vec_id LIMIT 5""".stripMargin,
+
+    // v02's pairwise-cosine shape across the d30 split, thresholded,
+    // then the per-train-doc argmax (ties to smaller eval id).
+    "v14_semantic_decontaminate" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |e AS (SELECT vec_id, v FROM t WHERE vec_id % 50 = 0),
+        |tr AS (SELECT vec_id, v FROM t WHERE vec_id % 50 <> 0),
+        |p AS (SELECT tr.vec_id AS train_id, e.vec_id AS eval_id,
+        |       list_cosine_similarity(tr.v, e.v) AS score
+        |      FROM tr CROSS JOIN e),
+        |f AS (SELECT train_id, eval_id, score,
+        |       ROW_NUMBER() OVER (PARTITION BY train_id
+        |         ORDER BY score DESC, eval_id) AS rn
+        |      FROM p WHERE score >= 0.35e0)
+        |SELECT train_id, eval_id, score FROM f WHERE rn = 1
+        |ORDER BY train_id""".stripMargin,
 
     "v05_ivf_search" ->
       """WITH seeds AS (

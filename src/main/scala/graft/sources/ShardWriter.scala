@@ -38,6 +38,33 @@ object ShardWriter {
     pmod(TF.hash32(key), lit(nShards.toLong))
   }
 
+  /** The `(shard, pos)` address map [[writeShards]] lays out, derived
+    * WITHOUT writing anything: `shard` = [[shardCol]] membership, `pos`
+    * = the dense 0-based rank of the row inside its shard under the
+    * write sort order (`idCol`, then the epoch column when present).
+    * This is the audit face of the writer — a resumable trainer or a
+    * shard-manifest builder gets every row's final address from the
+    * corpus frame alone, and oracle row d45 pins the whole map
+    * cross-engine (the hash is the md5-slice contract of
+    * [[graft.text.TextFunctions.hash32]]).
+    *
+    * Scale shape: ONE hash exchange, on the shard key the writer
+    * shuffles on anyway, then a per-shard sort bounded by shard size
+    * (the caller sizes shards via `nShards`). No global sort.
+    */
+  def addressMap(df: DataFrame, idCol: String, nShards: Int,
+      epochCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, "nShards must be positive")
+    Seq("shard", "pos").foreach(c => require(!df.columns.contains(c),
+      s"addressMap emits a '$c' column but the input already has one — " +
+        "rename it first"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col(idCol) +: epochCol.map(col).toSeq: _*)
+    df.withColumn("shard", shardCol(idCol, epochCol, nShards))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
   /** Write `df` into `nShards` shard directories (`shard=K/`) under
     * `path`. Returns the shard ids written (0 until nShards, minus any
     * empty ones).

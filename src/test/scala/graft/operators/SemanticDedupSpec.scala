@@ -99,6 +99,35 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(kept.contains(minId), "the global minimum of all pairs must be kept")
   }
 
+  test("cross-corpus leaks: flagged set matches brute force, argmax ties to smaller eval id") {
+    // eval = ids 0–29, train = 30–89; the planted twins (60+i ~ i) put
+    // train ids 60–89 semantically on top of eval ids 0–29.
+    val eval = corpus.filter(col("id") < 30)
+    val train = corpus.filter(col("id") >= 30)
+    val got = SemanticDedup.crossSemanticLeaks(train, eval, "id", "vec", T)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // brute-force reference: per train id, the max-score eval partner
+    val ref = train.select(col("id").as("tid"), col("vec").as("tv"))
+      .crossJoin(eval.select(col("id").as("eid"), col("vec").as("ev")))
+      .withColumn("score", vectors.cosineSimilarity(col("tv"), col("ev")))
+      .filter(col("score") >= T)
+      .collect().map(r => (r.getAs[Long]("tid"), r.getAs[Long]("eid"),
+        r.getAs[Double]("score")))
+      .groupBy(_._1).view.mapValues { rows =>
+        val best = rows.map(_._3).max
+        (rows.filter(_._3 == best).map(_._2).min, best)
+      }.toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // the fixture's clusters are axis-aligned, so every flagged train
+    // doc's worst offender must come from its OWN cluster (id % 3)
+    assert(got.nonEmpty, "fixture degenerated: nothing flagged")
+    got.foreach { case (tid, (eid, score)) =>
+      assert(tid % 3 == eid % 3,
+        s"train $tid argmax eval $eid crosses clusters")
+      assert(score >= T)
+    }
+  }
+
   test("an input emptied by earlier gates degrades to a no-op, not an abort") {
     // The semantic stage runs AFTER the quality/dedup gates, so an empty
     // shard is a reachable input — it must yield zero pairs / the input

@@ -257,6 +257,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("d45: shard export — one shard-keyed hash exchange, no join") {
+    // The operator's only exchange is the shard key the partitioned
+    // writer reuses; the trailing orderBy is the oracle's determinism
+    // sort (range exchange), not part of the operator.
+    val p = plan("d45_shard_export")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected the single shard exchange, found $n:\n${p.take(600)}")
+    assert(!p.contains("Join"))
+  }
+
+  test("v14: semantic decontamination broadcasts the eval side — the train corpus never hash-shuffles pre-filter") {
+    val p = plan("v14_semantic_decontaminate")
+    assert(p.contains("Broadcast"), s"eval side must broadcast:\n${p.take(600)}")
+    // the one hash exchange is the per-train-doc argmax window over the
+    // already-thresholded (rare) pairs, not the corpus
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected only the post-filter argmax exchange, found $n")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("d40: LM scoring joins on equi keys only, no cross products") {
     val p = plan("d40_unigram_logprob")
     assert(!p.contains("CartesianProduct"),

@@ -57,6 +57,38 @@ class ShardWriterSpec extends AnyFunSuite {
     assert(spread > 2.5, s"epoch repeats colocated: avg distinct shards $spread")
   }
 
+  test("addressMap is dense, layout-invariant, and matches the written layout") {
+    val out = ShardWriter.addressMap(corpus, "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 1000, "addressMap must keep every row")
+    // pos is dense 0..n_s-1 within each shard, in id order (the write
+    // sort order)
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      val byPos = rows.sortBy(_._3)
+      assert(byPos.map(_._3).toSeq == (0L until rows.length).toSeq,
+        s"shard $s positions not dense")
+      assert(byPos.map(_._1).toSeq == rows.map(_._1).sorted.toSeq,
+        s"shard $s pos order must be the id write order")
+    }
+    // the map is a pure function of ids — input layout moves nothing
+    val relaid = ShardWriter.addressMap(corpus.repartition(7), "doc_id", 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(relaid.toSet == out.toSet, "addressMap must be layout-invariant")
+    // and it is the WRITTEN layout: membership identical to the files
+    val p = Files.createTempDirectory("graft-shards").toString
+    ShardWriter.writeShards(corpus, p, "doc_id", nShards = 8)
+    val written = spark.read.parquet(p)
+      .select(col("doc_id"), col("shard").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(t => t._1 -> t._2).toMap == written)
+    // output-column collision fails loudly, not by silent overwrite
+    val e = intercept[IllegalArgumentException](ShardWriter.addressMap(
+      corpus.withColumn("shard", col("doc_id")), "doc_id", 8))
+    assert(e.getMessage.contains("shard"))
+  }
+
   test("maxRecordsPerFile bounds every data file") {
     val p = Files.createTempDirectory("graft-shards").toString
     ShardWriter.writeShards(corpus, p, "doc_id", nShards = 4,
