@@ -727,6 +727,28 @@ object TextQueries {
         .orderBy(col("shard"), col("pos"))
     },
 
+    // Cross-corpus overlap estimate
+    // ([[graft.operators.Sketches.kmvOverlap]]) — the contamination
+    // screen run BEFORE committing to a new data source: how much of
+    // corpus B's trigram set is already in corpus A, from one O(k) KMV
+    // state per corpus plus inclusion–exclusion arithmetic. Neither
+    // shingle set is ever shuffled or joined — the only exchange is
+    // the per-corpus bottom-k partial aggregation (d43's shape); at
+    // 100 TB the states can come straight from q27's persisted
+    // per-shard rows without rescanning either corpus.
+    "d46_corpus_overlap" -> { (s, d) =>
+      val st = udaf(new graft.operators.Sketches.KmvState(NgramKmvK),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val states = Tables.documents(s, d)
+        .select((col("doc_id") % 2).cast("long").as("corpus"),
+          explode(TF.shingles(TF.tokens(col("text")), 3)).as("sh"))
+        .select(col("corpus"),
+          graft.operators.Sketches.kmvInput(TF.hash32(col("sh"))).as("h"))
+        .groupBy(col("corpus")).agg(st(col("h")).as("state"))
+      graft.operators.Sketches.kmvOverlap(
+        states, "corpus", "state", NgramKmvK, 0L, 1L)
+    },
+
     // Per-language n-gram diversity profile — the corpus-level lexical
     // stat (distinct trigram count ~ "how much unique text is here")
     // that sizes dedup and mixing decisions before any pipeline runs.
@@ -1297,6 +1319,40 @@ object TextQueries {
          | CAST(ROW_NUMBER() OVER (PARTITION BY hk % $ExportShards
          |   ORDER BY doc_id) AS BIGINT) - 1 AS pos
          |FROM h ORDER BY shard, pos""".stripMargin,
+
+    // d43's window-rank KMV re-derivation, once per corpus and once
+    // over the union of distinct hashes (the bottom-k of a union IS
+    // the bottom-k of the merged bottom-k states), then the same
+    // inclusion–exclusion arithmetic.
+    "d46_corpus_overlap" ->
+      s"""WITH t AS (SELECT doc_id % 2 AS corpus, string_split(text,' ') AS toks
+         |           FROM documents),
+         |p AS (SELECT corpus, unnest(list_transform(range(1, len(toks)-1),
+         |       i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS sh FROM t),
+         |h AS (SELECT DISTINCT corpus,
+         |       CAST(('0x'||substr(md5(sh),1,8)) AS BIGINT) AS h FROM p),
+         |ra AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn,
+         |        COUNT(*) OVER () AS nd FROM h WHERE corpus = 0),
+         |ea AS (SELECT CASE WHEN MAX(nd) < $NgramKmvK THEN CAST(MAX(nd) AS DOUBLE)
+         |              ELSE ${NgramKmvK - 1}e0 * 4294967296e0
+         |                   / MAX(CASE WHEN rn = $NgramKmvK THEN h END) END AS est
+         |       FROM ra),
+         |rb AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn,
+         |        COUNT(*) OVER () AS nd FROM h WHERE corpus = 1),
+         |eb AS (SELECT CASE WHEN MAX(nd) < $NgramKmvK THEN CAST(MAX(nd) AS DOUBLE)
+         |              ELSE ${NgramKmvK - 1}e0 * 4294967296e0
+         |                   / MAX(CASE WHEN rn = $NgramKmvK THEN h END) END AS est
+         |       FROM rb),
+         |ru AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn,
+         |        COUNT(*) OVER () AS nd FROM (SELECT DISTINCT h FROM h) u),
+         |eu AS (SELECT CASE WHEN MAX(nd) < $NgramKmvK THEN CAST(MAX(nd) AS DOUBLE)
+         |              ELSE ${NgramKmvK - 1}e0 * 4294967296e0
+         |                   / MAX(CASE WHEN rn = $NgramKmvK THEN h END) END AS est
+         |       FROM ru)
+         |SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+         | greatest(0.0e0, ea.est + eb.est - eu.est) AS est_inter,
+         | greatest(0.0e0, ea.est + eb.est - eu.est) / eu.est AS jaccard
+         |FROM ea, eb, eu""".stripMargin,
 
     // d35's shingle derivation + q22's KMV window-rank re-derivation,
     // keyed by language; the exact distinct count rides as the witness.

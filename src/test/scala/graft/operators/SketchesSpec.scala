@@ -123,6 +123,31 @@ class SketchesSpec extends AnyFunSuite {
     assert(est == one, s"sharded $est != one-pass $one")
   }
 
+  test("kmvOverlap: exact inclusion-exclusion below k, layout-invariant, extra labels ignored") {
+    // below k the KMV estimates are exact counts, so the overlap row
+    // must be exactly right: |A|=60, |B|=50, |A∩B|=30, |A∪B|=80.
+    def h(x: Int): Long = (x * 0x9E3779B97F4A7C15L) >>> 32
+    val a = (0 until 60).map(x => (0L, h(x)))
+    val b = (30 until 80).map(x => (1L, h(x)))
+    val noise = (0 until 40).map(x => (2L, h(1000 + x))) // ignored label
+    val stU = udaf(new Sketches.KmvState(128),
+      org.apache.spark.sql.Encoders.scalaLong)
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val states = df.toDF("corpus", "h")
+        .groupBy(col("corpus")).agg(stU(col("h")).as("state"))
+      Sketches.kmvOverlap(states, "corpus", "state", 128, 0L, 1L)
+        .head()
+    }
+    val row = run((a ++ b ++ noise).toDF("corpus", "h"))
+    assert(row.getDouble(0) == 60.0 && row.getDouble(1) == 50.0 &&
+      row.getDouble(2) == 80.0 && row.getDouble(3) == 30.0,
+      s"exact overlap wrong: $row")
+    assert(math.abs(row.getDouble(4) - 30.0 / 80.0) < 1e-12)
+    // layout invariance: any partitioning yields the identical row
+    val relaid = run((a ++ b ++ noise).toDF("corpus", "h").repartition(17))
+    assert(relaid == row, s"layout changed the overlap row: $relaid vs $row")
+  }
+
   test("SQL surface: kmv_distinct / heavy_hitters / bottomk_quantiles callable from SQL text") {
     Sketches.registerSql(spark, kmvK = 64, hhK = 4, quantileK = 128)
     // the None row carries a SQL NULL hash: the boxed registry face must

@@ -277,6 +277,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("d46: corpus overlap — one corpus-keyed partial aggregation, no join of the shingle sets") {
+    val p = plan("d46_corpus_overlap")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected only the per-corpus state exchange, found $n")
+    assert(!p.contains("Join"), "the shingle sets must never be joined")
+    assert(p.contains("partial_"), "bottom-k states must combine map-side")
+  }
+
   test("d40: LM scoring joins on equi keys only, no cross products") {
     val p = plan("d40_unigram_logprob")
     assert(!p.contains("CartesianProduct"),
