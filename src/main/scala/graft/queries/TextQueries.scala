@@ -49,6 +49,7 @@ object TextQueries {
   private val LineMaxDf = 2 // d44 boilerplate df gate (max df 6 at sf0.01)
   private val LineTokens = 8 // d44 derived-line width (tokens per line)
   private val ExportShards = 16 // d45 shard count (≈31 docs/shard at sf0.01)
+  private val CurricK = 128 // d47 threshold sample (bites: 500 docs at sf0.01)
   private val PackGroups = 4 // d26 parallel packing groups
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -749,6 +750,52 @@ object TextQueries {
         states, "corpus", "state", NgramKmvK, 0L, 1L)
     },
 
+    // Curriculum quality binning WITHOUT a global sort — the scale
+    // replacement for the NTILE idiom. ntile(4) OVER (ORDER BY score)
+    // moves every row through one partition (the WindowExec
+    // single-partition sort that cannot exist at 100 TB); here the
+    // quartile thresholds come from the q23 bottom-k quantile sketch
+    // (one O(k)-state partial aggregation), are broadcast as ONE row,
+    // and bin assignment is a row-local comparison — so the whole
+    // query is two scans of the projection, no sort of data-scale
+    // rows anywhere. Sketch thresholds are rank-approximate
+    // (O(1/sqrt(k)) — the bins are ~quartiles, not exact quartiles),
+    // which is the accepted trade for curriculum schedules; the
+    // oracle replays the identical sample, so the row stays
+    // hash-checkable. Bin stats stay exact ints plus min/max
+    // selection — no order-dependent double sums.
+    "d47_curriculum_bins" -> { (s, d) =>
+      val toks = TF.tokens(col("text"))
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          (TF.tokenCharSum(toks).cast("double") / size(toks)).as("score"))
+      val bq = udaf(
+        new graft.operators.Sketches.BottomKQuantile(
+          CurricK, Seq(0.25, 0.5, 0.75)),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(java.lang.Long, java.lang.Double)]())
+      val thr = scored
+        .select(TF.hash32(col("doc_id").cast("string")).as("h"),
+          col("score"))
+        .agg(bq(col("h"), col("score")).as("q"))
+        .select(element_at(col("q"), 1).as("t1"),
+          element_at(col("q"), 2).as("t2"),
+          element_at(col("q"), 3).as("t3"))
+      scored.crossJoin(broadcast(thr)) // 1-row threshold frame
+        .withColumn("bin",
+          when(col("score") < col("t1"), 0L)
+            .when(col("score") < col("t2"), 1L)
+            .when(col("score") < col("t3"), 2L)
+            .otherwise(3L))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("bin"))
+    },
+
     // Per-language n-gram diversity profile — the corpus-level lexical
     // stat (distinct trigram count ~ "how much unique text is here")
     // that sizes dedup and mixing decisions before any pipeline runs.
@@ -1353,6 +1400,34 @@ object TextQueries {
          | greatest(0.0e0, ea.est + eb.est - eu.est) AS est_inter,
          | greatest(0.0e0, ea.est + eb.est - eu.est) / eu.est AS jaccard
          |FROM ea, eb, eu""".stripMargin,
+
+    // d08's score arithmetic + q23's window-rank bottom-k sample
+    // re-derivation (rn <= k over distinct (hash, score), then
+    // quantile_cont — the interpolation q20/q23 proved bit-compatible
+    // with finish()), then the same CASE binning and exact bin stats.
+    "d47_curriculum_bins" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |    CAST(list_aggregate(list_transform(string_split(text,' '),
+         |         t -> length(t)),'sum') AS DOUBLE)
+         |      / len(string_split(text,' ')) AS score
+         |  FROM documents),
+         |h AS (SELECT DISTINCT
+         |       CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS h,
+         |       score AS v FROM sc),
+         |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY h, v) AS rn FROM h),
+         |t AS (SELECT quantile_cont(v, 0.25) AS t1,
+         |       quantile_cont(v, 0.5) AS t2,
+         |       quantile_cont(v, 0.75) AS t3
+         |      FROM r WHERE rn <= $CurricK),
+         |b AS (SELECT CASE WHEN score < t1 THEN 0 WHEN score < t2 THEN 1
+         |             WHEN score < t3 THEN 2 ELSE 3 END AS bin,
+         |       n_tokens, score
+         |      FROM sc, t)
+         |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+         | CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         | MIN(score) AS min_score, MAX(score) AS max_score
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     // d35's shingle derivation + q22's KMV window-rank re-derivation,
     // keyed by language; the exact distinct count rides as the witness.

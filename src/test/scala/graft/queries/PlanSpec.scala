@@ -250,6 +250,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q25_table_profile").contains("Expand"))
   }
 
+  test("d47: curriculum binning — no window sort, 1-row broadcast thresholds") {
+    // The NTILE idiom this row replaces sorts every row on ONE
+    // partition; the sketch-threshold form must show no Window at all,
+    // a map-side-combined bottom-k aggregate, and the thresholds
+    // arriving as a broadcast nested-loop join of a 1-row frame.
+    val p = plan("d47_curriculum_bins")
+    assert(!p.contains("Window"),
+      s"binning must not sort data-scale rows through a window:\n${p.take(600)}")
+    assert(p.contains("partial_bottomkquantile"),
+      s"threshold sketch must combine map-side:\n${p.take(600)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "thresholds must broadcast, not shuffle")
+  }
+
   test("d39: PPS sampling runs on a single group-keyed exchange") {
     val p = plan("d39_pps_sample")
     val n = "Exchange hashpartitioning".r.findAllIn(p).length
