@@ -39,6 +39,18 @@ object AsOfJoin {
       s"as-of direction must be backward/forward, got $direction")
     val side = "_asof_side"
     val payload = "_asof_payload"
+    // The union-based fill would SILENTLY overwrite a left column that
+    // already carries an emitted name (e.g. the output of a previous
+    // asofJoin with the same prefix) — unionByName merges it and the
+    // final fill replaces it. Fail loudly instead (the ScalarQuant /
+    // IntervalJoin collision rule).
+    val clashes =
+      (rightPayload.map(prefix + _) :+ side :+ payload)
+        .filter(left.columns.contains)
+    require(clashes.isEmpty,
+      s"asofJoin emits ${clashes.mkString(", ")} but the left frame " +
+        "already has a column of that name — rename or drop it first, " +
+        "or use a different prefix")
     val l = left.withColumn(side, lit(1))
     val r = right.select(
       (keys :+ timeCol).map(col) ++

@@ -438,6 +438,10 @@ object Sketches {
         mg(col(stateCol)).as("est_union"))
       .withColumn("est_inter",
         greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
-      .withColumn("jaccard", col("est_inter") / col("est_union"))
+      // Two empty corpora estimate union 0; report overlap 0, not 0/0
+      // = NaN (data-dependent inputs degrade, they don't poison).
+      .withColumn("jaccard",
+        when(col("est_union") > lit(0.0),
+          col("est_inter") / col("est_union")).otherwise(lit(0.0)))
   }
 }

@@ -51,6 +51,13 @@ object ShardWriter {
     * Scale shape: ONE hash exchange, on the shard key the writer
     * shuffles on anyway, then a per-shard sort bounded by shard size
     * (the caller sizes shards via `nShards`). No global sort.
+    *
+    * Determinism contract: (`idCol`, epoch when present) must uniquely
+    * identify rows — `pos` between rows with EQUAL sort keys is
+    * partition-order-dependent, the same way any row_number over a
+    * non-total order is. The writer shares this precondition (equal
+    * keys make file CONTENTS order nondeterministic between reruns,
+    * though membership stays fixed).
     */
   def addressMap(df: DataFrame, idCol: String, nShards: Int,
       epochCol: Option[String] = None): DataFrame = {

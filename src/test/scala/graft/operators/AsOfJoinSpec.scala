@@ -117,4 +117,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(back == Map(1L -> Some(900L), 2L -> Some(900L),
       3L -> Some(902L), 4L -> None), s"got $back")
   }
+
+  test("a left column colliding with an emitted name fails loudly") {
+    // Without the guard the union-based fill would silently overwrite
+    // the pre-existing q_qid (e.g. the output of a previous asofJoin
+    // run with the same prefix).
+    val chained = trades.withColumn("q_qid",
+      org.apache.spark.sql.functions.lit(999L))
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(chained, quotes, Seq("sym"), "t",
+        rightPayload = Seq("qid"), prefix = "q_")
+    }
+    assert(ex.getMessage.contains("q_qid"))
+  }
 }

@@ -146,6 +146,11 @@ class SketchesSpec extends AnyFunSuite {
     // layout invariance: any partitioning yields the identical row
     val relaid = run((a ++ b ++ noise).toDF("corpus", "h").repartition(17))
     assert(relaid == row, s"layout changed the overlap row: $relaid vs $row")
+    // two empty corpora: every estimate 0 and jaccard 0.0, not 0/0=NaN
+    // (data-dependent inputs degrade, they don't poison downstream math)
+    val empty = run(Seq.empty[(Long, Long)].toDF("corpus", "h"))
+    assert(empty.getDouble(2) == 0.0 && empty.getDouble(4) == 0.0,
+      s"empty corpora must report zero overlap, got $empty")
   }
 
   test("SQL surface: kmv_distinct / heavy_hitters / bottomk_quantiles callable from SQL text") {
