@@ -444,4 +444,50 @@ object Sketches {
         when(col("est_union") > lit(0.0),
           col("est_inter") / col("est_union")).otherwise(lit(0.0)))
   }
+
+  /** EXACT relative-threshold heavy hitters in two passes — every item
+    * whose frequency is ≥ `phi`·n, with its exact count, without ever
+    * shuffling the full key space. Pass 1 is one aggregate over the
+    * scan: a [[HeavyHitters]] (Misra-Gries) sketch sized k = ⌈1/phi⌉
+    * plus the total row count n. MG's bound makes the sketch's survivor
+    * set a GUARANTEED superset of the answer (any item with true
+    * frequency > n/(k+1) survives, and phi·n > n/(k+1) by the choice of
+    * k), so pass 2 — an exact recount of the scan restricted to the
+    * ≤ k broadcast candidates, filtered to ≥ ⌈phi·n⌉ — is exact.
+    *
+    * This is why MG's merge-order-dependent counter VALUES (the reason
+    * it has no oracle row of its own — class doc above) don't matter
+    * here: only the survivor SET is used, and the bound that protects
+    * it holds across any merge tree, so the composed result is
+    * deterministic and oracle-checkable (d48).
+    *
+    * 100-TB shape vs the naive `GROUP BY item HAVING count >= phi*n`:
+    * the naive plan's exchange carries one partial count per DISTINCT
+    * key per task (the key space — for n-gram phrases, roughly the
+    * corpus itself); here pass 1 moves O(k) state per task, pass 2's
+    * exchange carries only keys that survive the broadcast semi-join —
+    * at most k = ⌈1/phi⌉ of them, a constant wired to the question
+    * rather than the data. Two scans instead of one is the price, the
+    * same trade d36 makes for the df cap.
+    */
+  def exactHeavyHitters(items: org.apache.spark.sql.DataFrame,
+      itemCol: String, phi: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(phi > 0.0 && phi <= 1.0, s"phi must lie in (0, 1], got $phi")
+    val k = math.ceil(1.0 / phi).toInt // k+1 > 1/phi => n/(k+1) < phi*n
+    val mg = udaf(new HeavyHitters(k), Encoders.STRING)
+    val it = items.select(col(itemCol).as("item"))
+      .filter(col("item").isNotNull)
+    // One shared scan for sketch + n: the threshold is data-derived, so
+    // it rides the same aggregate instead of a second count pass.
+    val cands = it.agg(mg(col("item")).as("hh"), count(lit(1)).as("n"))
+      .select(explode(col("hh")).as("c"),
+        ceil(lit(phi) * col("n")).cast("long").as("min_freq"))
+      .select(col("c._1").as("item"), col("min_freq"))
+    it.join(broadcast(cands), "item")
+      .groupBy(col("item"), col("min_freq"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= col("min_freq"))
+      .select(col("item"), col("freq"))
+  }
 }

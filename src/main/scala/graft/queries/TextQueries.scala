@@ -796,6 +796,27 @@ object TextQueries {
         .orderBy(col("bin"))
     },
 
+    // Boilerplate phrase mining — the corpus-curation question "which
+    // exact phrases dominate this corpus" (template headers, licence
+    // blurbs, navigation chrome — the stuff repetition filters and
+    // memorization audits key on), answered EXACTLY at a relative
+    // threshold by [[graft.operators.Sketches.exactHeavyHitters]]:
+    // a Misra-Gries candidate pass (O(⌈1/phi⌉) state per task, superset
+    // guaranteed by the MG bound) then an exact recount of only the
+    // broadcast candidates — no shuffle ever carries the full trigram
+    // key space, which at corpus scale IS the corpus. phi = 2e-4 bites
+    // on the test corpus: ~26k trigram tokens → threshold 6, and the
+    // MG sketch (k = 5000) must not drop any of the ~16k distinct
+    // phrases that qualify — the oracle recomputes the exact answer
+    // declaratively, so a dropped survivor shows up as a missing row.
+    "d48_heavy_phrases" -> { (s, d) =>
+      val tri = Tables.documents(s, d)
+        .select(explode(TF.shingles(TF.tokens(col("text")), 3)).as("phrase"))
+      graft.operators.Sketches.exactHeavyHitters(tri, "phrase", 2e-4)
+        .withColumnRenamed("item", "phrase")
+        .orderBy(col("freq").desc, col("phrase"))
+    },
+
     // Per-language n-gram diversity profile — the corpus-level lexical
     // stat (distinct trigram count ~ "how much unique text is here")
     // that sizes dedup and mixing decisions before any pipeline runs.
@@ -1428,6 +1449,21 @@ object TextQueries {
          | CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
          | MIN(score) AS min_score, MAX(score) AS max_score
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // The declarative exact answer d48's two-pass plan must reproduce:
+    // trigram explode, full group-by, relative-threshold HAVING. The
+    // threshold (⌈2e-4·n⌉) is recomputed from the same token count so
+    // both engines derive it from the data, not a hand-pinned literal.
+    "d48_heavy_phrases" ->
+      """WITH t AS (SELECT string_split(text,' ') AS toks FROM documents),
+        |tri AS (SELECT unnest(list_transform(range(1, len(toks)-1),
+        |         i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS phrase
+        |        FROM t),
+        |n AS (SELECT COUNT(*) AS n FROM tri)
+        |SELECT phrase, COUNT(*) AS freq FROM tri
+        |GROUP BY phrase
+        |HAVING COUNT(*) >= CEIL(2e-4 * (SELECT n FROM n))
+        |ORDER BY freq DESC, phrase""".stripMargin,
 
     // d35's shingle derivation + q22's KMV window-rank re-derivation,
     // keyed by language; the exact distinct count rides as the witness.

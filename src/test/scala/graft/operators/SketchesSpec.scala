@@ -290,4 +290,32 @@ class SketchesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("exactHeavyHitters == naive group-by HAVING, any layout (d48's contract)") {
+    // Zipf-ish corpus: rank-r term appears ~3000/r times over a long
+    // tail, so a relative threshold separates a handful of survivors
+    // from hundreds of tail terms the candidate pass must compress away.
+    val corpus = (1 to 30).flatMap(r => Seq.fill(3000 / r)(s"term_$r")) ++
+      (0 until 2000).map(i => s"tail_$i")
+    val n = corpus.size
+    val phi = 0.02 // threshold ceil(phi*n) ≈ 250 → ranks 1..~12 qualify
+    val want = corpus.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= math.ceil(phi * n).toLong).toMap
+    assert(want.size >= 5 && want.size < 30, s"fixture degenerated: $want")
+    for (parts <- Seq(1, 7, 32)) {
+      val items = scala.util.Random.shuffle(corpus).toDF("term")
+        .repartition(parts)
+      val got = Sketches.exactHeavyHitters(items, "term", phi)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, s"parts=$parts: got $got want $want")
+    }
+    // nulls are no-elements, not keys and not threshold mass
+    val withNulls = (corpus.map(Option(_)) ++ Seq.fill(500)(Option.empty[String]))
+      .toDF("term")
+    val gotN = Sketches.exactHeavyHitters(withNulls, "term", phi)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotN == want)
+    intercept[IllegalArgumentException](
+      Sketches.exactHeavyHitters(corpus.toDF("term"), "term", 0.0))
+  }
 }
