@@ -505,6 +505,29 @@ object RelationalQueries {
         .crossJoin(hashed.agg(kmv(col("h")).as("est_direct")))
     },
 
+    // Z-order clustering key + the box query it serves
+    // ([[graft.operators.ZOrder]]): the Morton key interleaves
+    // (l_partkey, l_suppkey) bits so one sort order makes parquet
+    // row-group stats tight on BOTH columns — the multi-dimensional
+    // scan-pruning layout behind Delta/Iceberg ZORDER. The key is pure
+    // codegen'd bit arithmetic (no UDF) and the oracle recomputes it
+    // bit-for-bit in SQL, so the clustering key a 100-TB table would
+    // be laid out by is itself hash-checked; the decoded-row pruning
+    // win of the on-disk layout is pinned by ZOrderSpec against a
+    // hash-scattered copy of the same rows.
+    "q28_zorder_box" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+        .withColumn("zkey",
+          graft.operators.ZOrder.zkey(col("l_partkey"), col("l_suppkey")))
+        // bounds inside every SF's key domain (sf0.001 tops out at
+        // partkey 199 / suppkey 9), so the row is non-empty at all scales
+        .filter(col("l_partkey").between(20, 130) &&
+          col("l_suppkey").between(2, 7))
+        .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+
     // Exact per-group top-k WITHOUT the window sort
     // ([[graft.operators.Sketches.TopKByScore]]): q08's row_number idiom
     // sorts every group row through the exchange; the mergeable top-k
@@ -812,6 +835,20 @@ object RelationalQueries {
          |      FROM lineitem)
          |SELECT s.n_shards, e.est AS est_merged, e.est AS est_direct
          |FROM s, e""".stripMargin,
+
+    // The Morton interleave spelled as 32 explicit bit terms — the
+    // exact arithmetic ZOrder.zkey generates, so the clustering key is
+    // cross-engine bit-reproducible, not an engine-private layout.
+    "q28_zorder_box" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((l_partkey >> $i) & 1) << ${2 * i})",
+        s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         | CAST($terms AS BIGINT) AS zkey
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 20 AND 130 AND l_suppkey BETWEEN 2 AND 7
+         |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin
+    },
 
     // The window idiom the aggregate replaces IS its oracle.
     "q24_group_topk" ->
