@@ -162,6 +162,17 @@ object VectorQueries {
         "embedding", probeVec(s, d, 0L), k = 10, candidates = 50)
     },
 
+    // Binary-signature two-stage search ([[graft.operators.BinaryQuant]]):
+    // v11's coarse/rescore shape at the 1-bit point of the compression
+    // curve — sign bits packed 32 per word, Hamming (popcount of XOR)
+    // coarse ranking, exact cosine rescore. The oracle re-derives the
+    // packing, the distance, and both ranked stages declaratively, so
+    // the whole bit-level layout is cross-engine pinned.
+    "v15_binary_knn" -> { (s, d) =>
+      graft.operators.BinaryQuant.knnRescore(Tables.embeddings(s, d),
+        "vec_id", "embedding", probeVec(s, d, 42L), k = 10, candidates = 50)
+    },
+
     // Multi-probe IVF ([[Similarity.ivfMultiProbeSearch]]): v05 scans
     // one cell; this ranks the codebook by probe-to-centroid cosine and
     // scans the top-2 cells' union — the recall lever, oracle-pinned so
@@ -428,6 +439,32 @@ object VectorQueries {
         |           ORDER BY qscore DESC, vec_id LIMIT 50)
         |SELECT vec_id, qscore,
         | list_cosine_similarity(v, (SELECT pv FROM probe)) AS score
+        |FROM coarse ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    // The 32-bits-per-word sign packing spelled declaratively: word w =
+    // Σ_i 2^i over strictly-positive components 32w+i, Hamming =
+    // Σ_w popcount(xor) — v11's coarse/rescore CTE shape on top.
+    "v15_binary_knn" ->
+      """WITH sig AS (
+        |  SELECT vec_id, embedding,
+        |   list_transform(range(0, 2), w ->
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |     CASE WHEN embedding[32*w + i + 1] > 0
+        |          THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+        |    AS BIGINT)) AS bsig
+        |  FROM embeddings),
+        |qsig AS (SELECT bsig AS qb, CAST(embedding AS DOUBLE[]) AS qv
+        |         FROM sig WHERE vec_id = 42),
+        |coarse AS (
+        |  SELECT s.vec_id, s.embedding,
+        |   CAST(list_sum(list_transform(range(0, 2), w ->
+        |    CAST(bit_count(xor(s.bsig[w + 1], qsig.qb[w + 1])) AS BIGINT)))
+        |    AS BIGINT) AS hamming
+        |  FROM sig s, qsig
+        |  ORDER BY hamming, s.vec_id LIMIT 50)
+        |SELECT vec_id, hamming,
+        | list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |  (SELECT qv FROM qsig)) AS score
         |FROM coarse ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     // v05's assignment CTEs; the probed set becomes the top-2 centroid
