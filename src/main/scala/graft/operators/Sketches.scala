@@ -445,6 +445,74 @@ object Sketches {
           col("est_inter") / col("est_union")).otherwise(lit(0.0)))
   }
 
+  /** Count-Min frequency sketch as a DECLARATIVE aggregation — the
+    * mergeable point-frequency summary (estimate any item's count from
+    * O(d·w) state, never undercounting) built without a UDAF: the
+    * matrix cell M[r][b] is just "how many items hash to bucket b
+    * under hash r", i.e. a grouped COUNT over (r = posexplode of the
+    * d=4 md5 slices, b = slice mod w). Pure sums ⇒ the state is
+    * layout- and merge-order-independent (unlike [[HeavyHitters]],
+    * whose counters depend on encounter order), shard-mergeable by
+    * adding matrices, streaming-capable, and oracle-checkable (d49) —
+    * the same determinism argument as KMV, for point frequencies.
+    *
+    * d is fixed at 4: the four independent 32-bit hashes are the four
+    * disjoint slices of ONE md5 digest per item
+    * ([[graft.functions.text.MinhashSlices]]'s trick — one digest, not
+    * four), with the DuckDB mirror
+    * `CAST(('0x'||substr(md5(s), 1+8r, 8)) AS BIGINT) % w`.
+    * Error bound: overcount ≤ 2n/w with probability ≥ 1 − (1/2)⁴ per
+    * probe; width w is the accuracy lever.
+    *
+    * 100-TB shape: the 4× posexplode feeds a map-side partial COUNT,
+    * so each task sends 4·w partial rows up the exchange no matter how
+    * many items flow through it; estimates join any probe set against
+    * the broadcast 4·w-row matrix.
+    */
+  def countMin(items: org.apache.spark.sql.DataFrame, itemCol: String,
+      w: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(w >= 1, s"count-min width must be >= 1, got $w")
+    items.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .select(posexplode(array((0 until 4).map(r =>
+        cmBucket(col("item"), r, w)): _*)).as(Seq("r", "b")))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Bucket of `item` under hash row `r`: md5 slice r, mod `w`. */
+  private def cmBucket(item: org.apache.spark.sql.Column, r: Int,
+      w: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    conv(substring(md5(item), 1 + 8 * r, 8), 16, 10).cast("long") % w
+  }
+
+  /** Point estimates from a [[countMin]] matrix: for each probe item,
+    * `cm_est` = min over the 4 rows of the item's bucket count —
+    * ≥ the true count always (CM never undercounts), within the class
+    * doc's bound above it. Probes join the matrix through 4 broadcast
+    * hash lookups (the matrix is 4·w rows — driver-safe at any corpus
+    * size); an empty bucket coalesces to 0, which is the exact answer
+    * for an item the corpus never hashed there.
+    */
+  def countMinEstimate(matrix: org.apache.spark.sql.DataFrame,
+      probes: org.apache.spark.sql.DataFrame, itemCol: String,
+      w: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(w >= 1, s"count-min width must be >= 1, got $w")
+    val withBuckets = (0 until 4).foldLeft(probes)((acc, r) =>
+      acc.withColumn(s"_cm_b$r", cmBucket(col(itemCol), r, w)))
+    val joined = (0 until 4).foldLeft(withBuckets)((acc, r) =>
+      acc.join(
+        broadcast(matrix.filter(col("r") === r)
+          .select(col("b").as(s"_cm_b$r"), col("c").as(s"_cm_c$r"))),
+        Seq(s"_cm_b$r"), "left"))
+    (0 until 4).foldLeft(
+      joined.withColumn("cm_est",
+        least((0 until 4).map(r => coalesce(col(s"_cm_c$r"), lit(0L))): _*)))(
+      (acc, r) => acc.drop(s"_cm_b$r", s"_cm_c$r"))
+  }
+
   /** EXACT relative-threshold heavy hitters in two passes — every item
     * whose frequency is ≥ `phi`·n, with its exact count, without ever
     * shuffling the full key space. Pass 1 is one aggregate over the

@@ -50,6 +50,7 @@ object TextQueries {
   private val LineTokens = 8 // d44 derived-line width (tokens per line)
   private val ExportShards = 16 // d45 shard count (≈31 docs/shard at sf0.01)
   private val CurricK = 128 // d47 threshold sample (bites: 500 docs at sf0.01)
+  private val CmW = 16 // d49 count-min width (< |vocab| = 31: collisions bite)
   private val PackGroups = 4 // d26 parallel packing groups
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -817,6 +818,24 @@ object TextQueries {
         .orderBy(col("freq").desc, col("phrase"))
     },
 
+    // Count-Min point-frequency sketch under the oracle
+    // ([[graft.operators.Sketches.countMin]]): the 4×16 bucket-sum
+    // matrix is pure grouped COUNTs — layout- and merge-order-
+    // independent where Misra-Gries counters are not — so the whole
+    // sketch, not just a bound, is hash-checkable. Every vocabulary
+    // term rides as a probe with its exact tf next to the estimate;
+    // w=16 < |vocab| forces real collisions, so the row pins BOTH the
+    // never-undercounts guarantee and the exact collision arithmetic.
+    "d49_countmin_tf" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("term"))
+      val m = graft.operators.Sketches.countMin(toks, "term", CmW)
+      val probes = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      graft.operators.Sketches.countMinEstimate(m, probes, "term", CmW)
+        .select(col("term"), col("tf"), col("cm_est"))
+        .orderBy(col("term"))
+    },
+
     // Per-language n-gram diversity profile — the corpus-level lexical
     // stat (distinct trigram count ~ "how much unique text is here")
     // that sizes dedup and mixing decisions before any pipeline runs.
@@ -1449,6 +1468,28 @@ object TextQueries {
          | CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
          | MIN(score) AS min_score, MAX(score) AS max_score
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // The CM matrix re-derived as 4 per-slice bucket GROUP BYs, the
+    // estimate as LEAST over the 4 bucket joins; tf rides exactly.
+    "d49_countmin_tf" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text,' ')) AS term
+         |             FROM documents),
+         |sl AS (SELECT term,
+         |        CAST(('0x'||substr(md5(term),1,8)) AS BIGINT) % $CmW AS b0,
+         |        CAST(('0x'||substr(md5(term),9,8)) AS BIGINT) % $CmW AS b1,
+         |        CAST(('0x'||substr(md5(term),17,8)) AS BIGINT) % $CmW AS b2,
+         |        CAST(('0x'||substr(md5(term),25,8)) AS BIGINT) % $CmW AS b3
+         |       FROM toks),
+         |m0 AS (SELECT b0, COUNT(*) AS c0 FROM sl GROUP BY b0),
+         |m1 AS (SELECT b1, COUNT(*) AS c1 FROM sl GROUP BY b1),
+         |m2 AS (SELECT b2, COUNT(*) AS c2 FROM sl GROUP BY b2),
+         |m3 AS (SELECT b3, COUNT(*) AS c3 FROM sl GROUP BY b3),
+         |p AS (SELECT term, COUNT(*) AS tf, b0, b1, b2, b3
+         |      FROM sl GROUP BY term, b0, b1, b2, b3)
+         |SELECT p.term, p.tf, LEAST(c0, c1, c2, c3) AS cm_est
+         |FROM p JOIN m0 USING (b0) JOIN m1 USING (b1)
+         |       JOIN m2 USING (b2) JOIN m3 USING (b3)
+         |ORDER BY term""".stripMargin,
 
     // The declarative exact answer d48's two-pass plan must reproduce:
     // trigram explode, full group-by, relative-threshold HAVING. The

@@ -291,6 +291,67 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  /** Reference count-min: md5-slice hashes, d=4 rows, width w. */
+  private def cmRef(items: Seq[String], w: Int): Map[(Int, Long), Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    items.flatMap { s =>
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until 4).map(r =>
+        (r, java.lang.Long.parseLong(hex.substring(8 * r, 8 * r + 8), 16) % w))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("count-min matrix is layout-invariant, pure sums, reference-exact") {
+    val rnd = new scala.util.Random(5)
+    val items = Seq.fill(3000)(s"item_${rnd.nextInt(200)}")
+    val w = 16
+    val want = cmRef(items, w)
+    def matrix(parts: Int) =
+      Sketches.countMin(items.toDF("item").repartition(parts), "item", w)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val m1 = matrix(1)
+    assert(m1 == want, "matrix must equal the reference sketch cell for cell")
+    assert(matrix(13) == m1, "layout changed the matrix")
+    // mergeable: matrix of a union is the cellwise sum of the halves
+    val (a, b) = items.splitAt(1300)
+    val (ma, mb) = (cmRef(a, w), cmRef(b, w))
+    val summed = (ma.keySet ++ mb.keySet).map(k =>
+      k -> (ma.getOrElse(k, 0L) + mb.getOrElse(k, 0L))).toMap
+    assert(summed == want)
+  }
+
+  test("count-min estimates never undercount and match the reference min") {
+    val rnd = new scala.util.Random(9)
+    val items = Seq.fill(5000)(s"t${rnd.nextInt(60)}")
+    val w = 16
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ref = cmRef(items, w)
+    val df = items.toDF("item")
+    val matrix = Sketches.countMin(df, "item", w)
+    val probes = df.groupBy(col("item")).agg(count(lit(1)).as("tf"))
+    val got = Sketches.countMinEstimate(matrix, probes, "item", w)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == truth.keySet)
+    got.foreach { case (t, (tf, est)) =>
+      assert(tf == truth(t))
+      assert(est >= tf, s"CM undercounted $t: $est < $tf")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val want = (0 until 4).map(r => ref(
+        (r, java.lang.Long.parseLong(hex.substring(8 * r, 8 * r + 8), 16) % w))).min
+      assert(est == want, s"estimate for $t: $est != reference $want")
+    }
+    // w < distinct count guarantees at least one real overcount here
+    assert(got.exists { case (t, (tf, est)) => est > tf },
+      "fixture degenerated: no collision bit")
+    // unknown probe: buckets may be empty -> estimate coalesces to >= 0
+    val unknown = Sketches.countMinEstimate(matrix,
+      Seq("never_seen_item").toDF("item"), "item", w)
+      .select(col("cm_est")).collect().head.getLong(0)
+    assert(unknown >= 0L)
+    intercept[IllegalArgumentException](Sketches.countMin(df, "item", 0))
+  }
+
   test("exactHeavyHitters == naive group-by HAVING, any layout (d48's contract)") {
     // Zipf-ish corpus: rank-r term appears ~3000/r times over a long
     // tail, so a relative threshold separates a handful of survivors
