@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point deterministic PageRank — iterative link-authority
+  * scoring (source weighting for corpus curation, product centrality
+  * over co-occurrence graphs) expressed as the standard
+  * join-contributions / re-aggregate loop, with one deliberate twist:
+  * rank mass lives in integer MICRO-UNITS and every redistribution is
+  * integer floor division, so each iteration is exact BIGINT
+  * arithmetic — bit-identical across engines, partition layouts, and
+  * merge orders (q29's oracle replays all three iterations
+  * declaratively), where a floating-point PageRank's sums drift with
+  * reduction order and can never be hash-checked. The quantization
+  * error is ≤ 1 micro-unit per edge per iteration — irrelevant for
+  * ranking, decisive for reproducibility (the d40 fixed-point-logprob
+  * argument, applied to graph propagation).
+  *
+  * 100-TB shape: one iteration = one equi-join of the edge list with
+  * the rank frame on `src` (plus the out-degree frame riding the same
+  * key) and one sum keyed by `dst` — both shuffles on node keys, the
+  * partitioning Catalyst/AQE reuses across iterations; nothing is
+  * ever collected and no adjacency is materialized per-node. The few
+  * fixed iterations used here keep lineage shallow; deeper runs
+  * should truncate lineage on a checkpoint cadence exactly like the
+  * connected-components loop (`text/Dedup.scala` dupComponents, d19).
+  *
+  * Dangling nodes (no out-edges) keep receiving rank but redistribute
+  * none — their mass leaves the system, the usual simplification; on
+  * a symmetric co-occurrence graph there are none.
+  */
+object GraphRank {
+
+  /** `iters` rounds over `edges`: rank' = base + (dampNum · Σ_{u→v}
+    * (rank_u div deg_u)) div dampDen, starting every node (either
+    * endpoint of any edge) at `initMicro`. Returns (node, rank).
+    *
+    * Parallel edges collapse (simple-graph semantics) so a noisy edge
+    * list can't inflate out-degrees; pass `assumeDistinct = true` when
+    * the caller already deduplicated (q29 does) to skip the extra
+    * exchange.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, initMicro: Long = 1000000L, baseMicro: Long = 150000L,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      assumeDistinct: Boolean = false): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"damping must satisfy 0 <= num <= den, got $dampNum/$dampDen")
+    val cast = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = if (assumeDistinct) cast else cast.distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var ranks = nodes.withColumn("rank", lit(initMicro))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank div deg")).as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(baseMicro) +
+            expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
+            .as("rank"))
+    }
+    ranks
+  }
+}

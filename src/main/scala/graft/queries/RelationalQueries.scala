@@ -528,6 +528,28 @@ object RelationalQueries {
         .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
     },
 
+    // Fixed-point deterministic PageRank over the part co-purchase
+    // graph ([[graft.operators.GraphRank]]): edges are distinct
+    // same-order part pairs (bounded per order by lines², never
+    // all-pairs over the catalog), three exact-integer iterations, so
+    // an ITERATIVE graph computation — the class d19's connected
+    // components opened — is hash-checked end to end: the oracle
+    // unrolls all three rounds declaratively and every redistribution
+    // is BIGINT floor division on both engines.
+    "q29_copurchase_rank" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.operators.GraphRank.pageRank(edges, "src", "dst", iters = 3,
+          assumeDistinct = true)
+        .select(col("node").as("l_partkey"), col("rank"))
+        .orderBy(col("rank").desc, col("l_partkey"))
+    },
+
     // Exact per-group top-k WITHOUT the window sort
     // ([[graft.operators.Sketches.TopKByScore]]): q08's row_number idiom
     // sorts every group row through the exchange; the mergeable top-k
@@ -848,6 +870,35 @@ object RelationalQueries {
          |FROM lineitem
          |WHERE l_partkey BETWEEN 20 AND 130 AND l_suppkey BETWEEN 2 AND 7
          |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin
+    },
+
+    // All three PageRank iterations unrolled as CTEs — every
+    // redistribution is integer floor division on positive BIGINTs, so
+    // DuckDB replays graft.operators.GraphRank's arithmetic exactly
+    // (micro-unit ranks; DuckDB's `//` = Spark's `div` for positive
+    // operands). SUM over BIGINT is HUGEINT in DuckDB, so each
+    // iteration casts the damped rank back to BIGINT.
+    "q29_copurchase_rank" -> {
+      val iterCtes = (1 to 3).map { i =>
+        val prev = s"r${i - 1}"
+        s"""c$i AS (SELECT e.dst AS node, SUM($prev.rank // deg.deg) AS s
+           |  FROM e JOIN $prev ON e.src = $prev.node
+           |  JOIN deg ON e.src = deg.src GROUP BY e.dst),
+           |r$i AS (SELECT n.node,
+           |  CAST(150000 + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) AS rank
+           |  FROM n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
+         |       CAST(b.l_partkey AS BIGINT) AS dst
+         |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |       AND a.l_partkey <> b.l_partkey),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n),
+         |$iterCtes
+         |SELECT node AS l_partkey, rank
+         |FROM r3 ORDER BY rank DESC, l_partkey""".stripMargin
     },
 
     // The window idiom the aggregate replaces IS its oracle.
