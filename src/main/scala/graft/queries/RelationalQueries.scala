@@ -550,6 +550,25 @@ object RelationalQueries {
         .orderBy(col("rank").desc, col("l_partkey"))
     },
 
+    // Pivot — wide-form reshaping with EXPLICIT pivot values, so the
+    // output schema is static (no pre-pass distinct scan over the pivot
+    // column, the two-job trap of values-less pivot) and Catalyst plans
+    // ONE partial+final aggregate keyed by l_shipmode with the
+    // per-flag cells as conditional aggregates. Empty cells are
+    // coalesced to 0 on both engines (Spark's PivotFirst yields null,
+    // DuckDB's COUNT FILTER yields 0 — parity demands the coalesce).
+    "q30_pivot" -> { (s, d) =>
+      val flags = Seq("A", "N", "R")
+      val p = Tables.lineitem(s, d)
+        .groupBy(col("l_shipmode"))
+        .pivot("l_returnflag", flags)
+        .agg(count(lit(1)).as("n"), msum(col("l_quantity")).as("qty"))
+      p.select(col("l_shipmode") +: flags.flatMap(v => Seq(
+          coalesce(col(s"${v}_n"), lit(0L)).as(s"${v}_n"),
+          coalesce(col(s"${v}_qty"), lit(0.0)).as(s"${v}_qty"))): _*)
+        .orderBy(col("l_shipmode"))
+    },
+
     // Exact per-group top-k WITHOUT the window sort
     // ([[graft.operators.Sketches.TopKByScore]]): q08's row_number idiom
     // sorts every group row through the exchange; the mergeable top-k
@@ -899,6 +918,22 @@ object RelationalQueries {
          |$iterCtes
          |SELECT node AS l_partkey, rank
          |FROM r3 ORDER BY rank DESC, l_partkey""".stripMargin
+    },
+
+    // The pivot unrolled as conditional aggregates — exactly the plan
+    // Spark's explicit-values pivot lowers to. COUNT FILTER is never
+    // null; SUM FILTER is, hence the one-sided COALESCE.
+    "q30_pivot" -> {
+      val cells = Seq("A", "N", "R").map { v =>
+        s"""CAST(COUNT(*) FILTER (WHERE l_returnflag = '$v') AS BIGINT)
+           |  AS "${v}_n",
+           | COALESCE(CAST(SUM(CAST(l_quantity AS $M))
+           |   FILTER (WHERE l_returnflag = '$v') AS DOUBLE), 0.0e0)
+           |  AS "${v}_qty"""".stripMargin
+      }.mkString(",\n ")
+      s"""SELECT l_shipmode,
+         | $cells
+         |FROM lineitem GROUP BY l_shipmode ORDER BY l_shipmode""".stripMargin
     },
 
     // The window idiom the aggregate replaces IS its oracle.
