@@ -553,20 +553,24 @@ object RelationalQueries {
     // Pivot — wide-form reshaping with EXPLICIT pivot values, so the
     // output schema is static (no pre-pass distinct scan over the pivot
     // column, the two-job trap of values-less pivot) and Catalyst plans
-    // ONE partial+final aggregate keyed by l_shipmode with the
+    // ONE partial+final aggregate keyed by l_linestatus with the
     // per-flag cells as conditional aggregates. Empty cells are
     // coalesced to 0 on both engines (Spark's PivotFirst yields null,
     // DuckDB's COUNT FILTER yields 0 — parity demands the coalesce).
+    // Each pivot aggregate must be a BARE AggregateExpression (the
+    // analyzer rejects wrappers like Cast around multi-agg pivot
+    // cells), so the decimal sum stays exact inside the pivot and the
+    // double surface cast happens in the post-select.
     "q30_pivot" -> { (s, d) =>
       val flags = Seq("A", "N", "R")
       val p = Tables.lineitem(s, d)
-        .groupBy(col("l_shipmode"))
+        .groupBy(col("l_linestatus"))
         .pivot("l_returnflag", flags)
-        .agg(count(lit(1)).as("n"), msum(col("l_quantity")).as("qty"))
-      p.select(col("l_shipmode") +: flags.flatMap(v => Seq(
+        .agg(count(lit(1)).as("n"), sum(m(col("l_quantity"))).as("qty"))
+      p.select(col("l_linestatus") +: flags.flatMap(v => Seq(
           coalesce(col(s"${v}_n"), lit(0L)).as(s"${v}_n"),
-          coalesce(col(s"${v}_qty"), lit(0.0)).as(s"${v}_qty"))): _*)
-        .orderBy(col("l_shipmode"))
+          coalesce(col(s"${v}_qty").cast("double"), lit(0.0)).as(s"${v}_qty"))): _*)
+        .orderBy(col("l_linestatus"))
     },
 
     // Exact per-group top-k WITHOUT the window sort
@@ -931,9 +935,9 @@ object RelationalQueries {
            |   FILTER (WHERE l_returnflag = '$v') AS DOUBLE), 0.0e0)
            |  AS "${v}_qty"""".stripMargin
       }.mkString(",\n ")
-      s"""SELECT l_shipmode,
+      s"""SELECT l_linestatus,
          | $cells
-         |FROM lineitem GROUP BY l_shipmode ORDER BY l_shipmode""".stripMargin
+         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
     },
 
     // The window idiom the aggregate replaces IS its oracle.
