@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Fixed-point deterministic PageRank — iterative link-authority
   * scoring (source weighting for corpus curation, product centrality
@@ -50,22 +51,43 @@ object GraphRank {
       s"damping must satisfy 0 <= num <= den, got $dampNum/$dampDen")
     val cast = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val e = if (assumeDistinct) cast else cast.distinct()
+    // The edge, degree, and node frames are read by EVERY iteration.
+    // Left lazy, each iteration's action would re-derive them — for
+    // q29 that is the lineitem self-join + distinct recomputed up to
+    // 2·iters+1 times. Persist all three (disk-spillable: the edge
+    // list of a 100-TB corpus graph outgrows executor memory), and
+    // eagerly localCheckpoint each iteration's rank frame — the same
+    // lineage-truncation cadence as the connected-components loop
+    // (`text/Dedup.scala` dupComponents): the plan stays one join deep
+    // instead of unrolling all iterations, and the final frame no
+    // longer references the persisted inputs, so releasing them on
+    // exit is safe. Fault-tolerant cluster runs that need to survive
+    // executor loss should swap in reliable `checkpoint()` against a
+    // configured dir exactly as dupComponents offers.
+    val e = (if (assumeDistinct) cast else cast.distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.withColumn("rank", lit(initMicro))
-    for (_ <- 1 to iters) {
-      val contrib = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(expr("rank div deg")).as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(baseMicro) +
-            expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
-            .as("rank"))
+    try {
+      for (_ <- 1 to iters) {
+        val contrib = e
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(deg, "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("rank div deg")).as("s"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(baseMicro) +
+              expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
+              .as("rank"))
+          .localCheckpoint() // eager: materialized before the next round
+      }
+    } finally {
+      e.unpersist(); deg.unpersist(); nodes.unpersist()
     }
     ranks
   }

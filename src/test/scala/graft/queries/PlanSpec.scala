@@ -358,4 +358,41 @@ class PlanSpec extends AnyFunSuite {
     assert(n <= 2, s"d18: expected <= 2 hash shuffles (term, term+doc), found $n")
     assert(p.contains("partial"), "aggregation must be map-side partial first")
   }
+
+  test("d48: heavy hitters recount only broadcast candidates — no full-key-space exchange") {
+    // The component's entire reason to exist (Sketches.exactHeavyHitters
+    // class doc): pass 1 moves O(k) Misra-Gries state per task, the ≤ k
+    // survivors broadcast back, and the ONLY phrase-keyed hash exchange
+    // is the recount AFTER the broadcast semi-join has filtered the
+    // scan — a hash exchange keyed on the raw phrase column before that
+    // join would ship the full trigram key space, which at corpus scale
+    // IS the corpus.
+    val p = plan("d48_heavy_phrases")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidates must come back as a broadcast join:\n${p.take(600)}")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1,
+      s"d48: expected exactly 1 hash exchange (the post-join recount), found $n")
+    // The candidate pass itself is a global (single-partition) aggregate
+    // of O(k) partial state, not a keyed shuffle.
+    assert(p.contains("Exchange SinglePartition"),
+      "the MG candidate pass must reduce to a single-partition aggregate")
+  }
+
+  test("q29: PageRank iterations checkpoint — the final plan is a rank scan, not an unrolled loop") {
+    // GraphRank persists the edge/degree/node frames and eagerly
+    // localCheckpoints each iteration's ranks, so the frame q29 returns
+    // must read the LAST iteration's materialized result: no Join and
+    // no lineitem scan may survive into the final plan. An unrolled
+    // plan here would mean every downstream action re-derives the
+    // lineitem self-join once per iteration — the exact recompute the
+    // persist/checkpoint cadence exists to prevent.
+    val p = plan("q29_copurchase_rank")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"q29 must scan the checkpointed rank frame:\n${p.take(600)}")
+    assert(!p.contains("Join"),
+      s"iterative joins must not unroll into the final plan:\n${p.take(600)}")
+    assert(scans("q29_copurchase_rank").isEmpty,
+      "no parquet scan may survive the checkpoint — the self-join ran inside pageRank")
+  }
 }
