@@ -573,6 +573,73 @@ object RelationalQueries {
         .orderBy(col("l_linestatus"))
     },
 
+    // Values-less pivot — the DYNAMIC-schema path q30 deliberately
+    // avoids: with no explicit value list, Spark runs a pre-pass
+    // distinct job over the pivot column (capped by
+    // spark.sql.pivotMaxValues) and derives the output columns from
+    // the DATA. Two jobs instead of one is the documented price; the
+    // right call when the category set is not known at authoring time
+    // and small (here: the 5 order priorities). The presentation
+    // select is derived from the pivoted schema, not a hardcoded
+    // list — the dynamic path end to end. The oracle can enumerate the
+    // cells because the driver's generator draws from a fixed
+    // priority vocabulary at every sf.
+    "q31_pivot_dynamic" -> { (s, d) =>
+      val p = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(m(col("o_totalprice"))).as("total"))
+      val cells = p.columns.filter(_ != "o_orderstatus").sorted.toSeq.map { c =>
+        if (c.endsWith("_n")) coalesce(col(s"`$c`"), lit(0L)).as(c)
+        else coalesce(col(s"`$c`").cast("double"), lit(0.0)).as(c)
+      }
+      p.select(col("o_orderstatus") +: cells: _*)
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // GROUPING SETS proper — aggregation lattices rollup (q10) and
+    // cube (q19) cannot spell: exactly {(l_returnflag),
+    // (l_linestatus), ()} — the two one-dimension margins plus the
+    // grand total, WITHOUT the (rf, ls) pair cube would force. Plans
+    // as the same single Expand + partial/final aggregate as
+    // rollup/cube (one scan, rows multiplied only 3× instead of 4×),
+    // so the lattice choice is purely declarative.
+    "q32_grouping_sets" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(m(col("l_quantity"))).cast("double").as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy(col("rf"), col("ls"))
+    },
+
+    // Unpivot/melt — the inverse reshaping of q30/q31: four wide
+    // measure columns become (measure, value) long rows. Spark's
+    // native unpivot is a row-local Expand (4 output rows per scan
+    // row, no shuffle, no UNION-ALL re-scan of the table — the naive
+    // spelling reads the parquet once per measure); the aggregate
+    // downstream is the usual partial+final pair. The melt itself is
+    // what's exercised; the per-measure totals keep the oracle row
+    // count fixed while hash-checking every melted cell.
+    "q33_unpivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), msum(col("value")).as("total"))
+        .orderBy(col("measure"))
+    },
+
     // Exact per-group top-k WITHOUT the window sort
     // ([[graft.operators.Sketches.TopKByScore]]): q08's row_number idiom
     // sorts every group row through the exchange; the mergeable top-k
@@ -939,6 +1006,45 @@ object RelationalQueries {
          | $cells
          |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
     },
+
+    // The dynamic pivot's discovered value set, enumerated: the
+    // driver's generator draws o_orderpriority from this fixed
+    // 5-value vocabulary at every sf, so the data-derived schema is
+    // reproducible here. COUNT FILTER yields 0 (not NULL) in DuckDB,
+    // matching the Spark side's coalesce.
+    "q31_pivot_dynamic" -> {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val cells = prios.map { v =>
+        s"""CAST(COUNT(*) FILTER (WHERE o_orderpriority = '$v') AS BIGINT)
+           |  AS "${v}_n",
+           | COALESCE(CAST(SUM(CAST(o_totalprice AS $M))
+           |   FILTER (WHERE o_orderpriority = '$v') AS DOUBLE), 0.0e0)
+           |  AS "${v}_total"""".stripMargin
+      }.mkString(",\n ")
+      s"""SELECT o_orderstatus,
+         | $cells
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
+
+    "q32_grouping_sets" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         | COALESCE(l_linestatus, 'ALL') AS ls,
+         | COUNT(*) AS n,
+         | CAST(SUM(CAST(l_quantity AS $M)) AS DOUBLE) AS qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY rf, ls""".stripMargin,
+
+    "q33_unpivot" ->
+      s"""WITH u AS (
+         | SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+         | UNION ALL SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+         | UNION ALL SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+         | UNION ALL SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
+         |SELECT measure, COUNT(*) AS n,
+         | CAST(SUM(CAST(value AS $M)) AS DOUBLE) AS total
+         |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
 
     // The window idiom the aggregate replaces IS its oracle.
     "q24_group_topk" ->
