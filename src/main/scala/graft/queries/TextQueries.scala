@@ -836,6 +836,27 @@ object TextQueries {
         .orderBy(col("term"))
     },
 
+    // DSIR-style target-domain selection
+    // ([[graft.text.UnigramLm.importanceWeights]]): every document
+    // scored by its mean per-token log importance ratio between the
+    // English-subset unigram model and the full-corpus model —
+    // "how much does this doc look like the target domain", the
+    // principled form of the quality question d08/d40 answer with
+    // absolute thresholds. The driver's synthetic languages share most
+    // of their vocabulary, so the margin is small — but the MEANS
+    // separate with the right sign (en positive, every other language
+    // negative at sf0.01) and the oracle pins every per-doc sum
+    // exactly, which is what the row is for. `selected` keeps the
+    // target lookalikes. Both ln's quantize to 1e-6 BIGINTs per term
+    // BEFORE subtracting, so the subtraction can't let the engines'
+    // ln disagreements cancel differently.
+    "d50_dsir_weights" -> { (s, d) =>
+      graft.text.UnigramLm.importanceWeights(
+        Tables.documents(s, d), "doc_id", "text", col("lang") === "en")
+        .withColumn("selected", col("avg_lr") > lit(0.0))
+        .orderBy(col("doc_id"))
+    },
+
     // Per-language n-gram diversity profile — the corpus-level lexical
     // stat (distinct trigram count ~ "how much unique text is here")
     // that sizes dedup and mixing decisions before any pipeline runs.
@@ -1490,6 +1511,34 @@ object TextQueries {
          |FROM p JOIN m0 USING (b0) JOIN m1 USING (b1)
          |       JOIN m2 USING (b2) JOIN m3 USING (b3)
          |ORDER BY term""".stripMargin,
+
+    // d40's CTE shape with a second (target-filtered) count column off
+    // the same token table; both quantized ln's replayed per term, the
+    // subtraction AFTER quantization exactly as the Spark side.
+    // SUM(BIGINT) is HUGEINT in DuckDB — cast back before comparing.
+    "d50_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+        |            unnest(string_split(text,' ')) AS tok
+        |           FROM documents),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cs,
+        |       CAST(COUNT(*) FILTER (WHERE tgt) AS BIGINT) AS ct
+        |      FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS ts,
+        |         COALESCE(CAST(SUM(ct) AS BIGINT), 0) AS tt,
+        |         CAST(COUNT(*) AS BIGINT) AS v FROM c),
+        |p AS (SELECT tok,
+        |       CAST(FLOOR(ln(CAST(ct + 1 AS DOUBLE)
+        |         / CAST(tt + v AS DOUBLE)) * 1000000.0e0) AS BIGINT)
+        |       - CAST(FLOOR(ln(CAST(cs + 1 AS DOUBLE)
+        |         / CAST(ts + v AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS lr
+        |      FROM c, tot),
+        |s AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(p.lr) AS BIGINT) AS lr_sum
+        |      FROM t JOIN p ON t.tok = p.tok GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, lr_sum,
+        | CAST(lr_sum AS DOUBLE) / n_tokens / 1000000.0e0 AS avg_lr,
+        | CAST(lr_sum AS DOUBLE) / n_tokens / 1000000.0e0 > 0.0e0 AS selected
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // The declarative exact answer d48's two-pass plan must reproduce:
     // trigram explode, full group-by, relative-threshold HAVING. The

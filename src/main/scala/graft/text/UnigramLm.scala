@@ -101,4 +101,63 @@ object UnigramLm {
           / col("n_tokens") / lit(LpScale.toDouble))
     }
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by Σ_token (ln p_target − ln p_source), the log
+    * importance ratio between a TARGET-domain unigram model and the
+    * model of the full corpus. Documents whose token distribution
+    * looks like the target domain score positive; the ratio is the
+    * principled replacement for hand-tuned quality thresholds when
+    * "quality" means "resembles this reference corpus".
+    *
+    * `targetCol` is a boolean marking the target-domain rows (a
+    * language, a curated subset, a trusted source). Both models are
+    * add-one smoothed over the SHARED corpus vocabulary — the target
+    * model prices tokens it never saw as (0+1)/(total_T + V), so the
+    * ratio is defined for every corpus token and needs no fallback
+    * hashing. An EMPTY target degrades to total_T = 0 (every target
+    * probability the same 1/V-ish floor) rather than aborting — this
+    * stage, like semantic dedup, may legitimately see its target
+    * emptied by upstream gates.
+    *
+    * Returns (id, n_tokens, lr_sum, avg_lr): `lr_sum` the exact
+    * integer sum of per-token quantized log-ratios (micro-units),
+    * `avg_lr` the mean in natural units.
+    *
+    * Scale shape: d40's exactly — two term-keyed count aggregates off
+    * one token explode (the target counts are a filtered second
+    * aggregate of the same frame, not a second scan), 1/2-row totals
+    * broadcast by construction, one term-keyed scoring join, one
+    * doc-keyed sum. At 100 TB the ratio table caps/broadcasts the
+    * same way scoreDocs' vocabCap path does. Parity: BOTH ln's are
+    * floor-quantized to 1e-6 BIGINTs before the subtraction (the d40
+    * rule applied per side — quantizing the ratio instead would let
+    * the two engines' ln disagreements cancel differently).
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetCol: org.apache.spark.sql.Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("_lm_id"), targetCol.as("_lm_tgt"),
+      explode(TF.tokens(col(textCol))).as("_lm_t"))
+    val counts = toks.groupBy(col("_lm_t"))
+      .agg(count(lit(1)).as("_lm_cs"),
+        sum(when(col("_lm_tgt"), 1L).otherwise(0L)).as("_lm_ct"))
+    val totals = counts.agg(sum(col("_lm_cs")).as("_lm_ts"),
+      coalesce(sum(col("_lm_ct")), lit(0L)).as("_lm_tt"),
+      count(lit(1)).as("_lm_v"))
+    def lp(c: org.apache.spark.sql.Column,
+        total: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double") / (total + col("_lm_v")).cast("double"))
+        * lit(LpScale.toDouble)).cast("long")
+    val ratios = counts.crossJoin(totals)
+      .select(col("_lm_t"),
+        (lp(col("_lm_ct") + 1, col("_lm_tt"))
+          - lp(col("_lm_cs") + 1, col("_lm_ts"))).as("_lm_lr"))
+    toks.join(ratios, "_lm_t")
+      .groupBy(col("_lm_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_lm_lr")).as("lr_sum"))
+      .select(col("_lm_id").as(idCol), col("n_tokens"), col("lr_sum"),
+        (col("lr_sum").cast("double") / col("n_tokens")
+          / lit(LpScale.toDouble)).as("avg_lr"))
+  }
 }
