@@ -315,6 +315,60 @@ object Similarity {
       .select(col("cell"), col(idCol), col("score"))
   }
 
+  /** Batch ANN: exact top-k inside the probed cells for EVERY probe
+    * row in ONE pass — the serving shape for query BATCHES, where the
+    * single-probe faces ([[ivfSearch]]/[[ivfMultiProbeSearch]], whose
+    * probe is a driver-side literal) would launch one job per query.
+    *
+    * Scale shape: probe cells rank per probe against the BROADCAST
+    * codebook through the same cosine expression the scan scores with
+    * (the per-probe rank window runs over |probes|·|cells| rows — both
+    * query/codebook-sized); the corpus then joins the broadcast
+    * (probe, cell) pairs on its own cell key, so the corpus side
+    * NEVER shuffles — candidates score row-locally inside the scan
+    * (nprobe·|corpus|/|cells| pairs per probe on balanced cells, never
+    * all-pairs), and the per-probe top-k is the mergeable heap
+    * aggregate ([[Sketches.TopKByScore]], q24's no-window-sort
+    * argument): the only data-scale exchange carries ≤ k rows per
+    * probe per task. nprobe = |cells| degenerates to exact brute
+    * force — which makes recall@k evaluation (v16) a two-call
+    * comparison through identical arithmetic.
+    *
+    * Output: (probeIdCol, rank, idCol, score), rank 1..k per probe by
+    * (score DESC, id ASC).
+    */
+  def ivfSearchBatch(assigned: DataFrame, idCol: String, vecCol: String,
+      seeds: DataFrame, seedIdCol: String, seedVecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1 && k >= 1, s"nprobe=$nprobe k=$k must be positive")
+    val ranked = probes
+      .select(col(probeIdCol).as("_ann_pid"), col(probeVecCol).as("_ann_pv"))
+      .crossJoin(broadcast(seeds.select(col(seedIdCol).as("_ann_cell"),
+        col(seedVecCol).as("_ann_cv"))))
+      .withColumn("_ann_cs",
+        vectors.cosineSimilarity(col("_ann_pv"), col("_ann_cv")))
+    val w = Window.partitionBy(col("_ann_pid"))
+      .orderBy(col("_ann_cs").desc, col("_ann_cell"))
+    val probeCellPairs = ranked
+      .withColumn("_ann_rn", row_number().over(w))
+      .filter(col("_ann_rn") <= nprobe)
+      .select(col("_ann_pid"), col("_ann_pv"), col("_ann_cell"))
+    val topk = udaf(new Sketches.TopKByScore(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(java.lang.Double, java.lang.Long)]())
+    assigned
+      .join(broadcast(probeCellPairs), col("cell") === col("_ann_cell"))
+      .withColumn("_ann_score",
+        vectors.cosineSimilarity(col(vecCol), col("_ann_pv")))
+      .groupBy(col("_ann_pid"))
+      .agg(topk(col("_ann_score"), col(idCol)).as("_ann_top"))
+      .select(col("_ann_pid").as(probeIdCol),
+        posexplode(col("_ann_top")).as(Seq("_ann_r0", "_ann_p")))
+      .select(col(probeIdCol), (col("_ann_r0") + 1).cast("long").as("rank"),
+        col("_ann_p._2").as(idCol), col("_ann_p._1").as("score"))
+  }
+
   /** The `nprobe` cells whose centroids are most cosine-similar to the
     * query (ties to the smaller cell id), ranked through the SAME
     * cosine expression the scans score with — ranking and scoring can

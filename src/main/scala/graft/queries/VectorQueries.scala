@@ -240,6 +240,39 @@ object VectorQueries {
         .select(col("cell"), col("embedding")).head()
       Similarity.ivfSearch(assigned, "vec_id", "embedding",
         probe.getSeq[Float](1).toArray, probe.getLong(0), k = 5)
+    },
+
+    // Recall@k evaluation of the IVF index — THE tuning query for the
+    // nprobe/recall trade every ANN deployment runs before serving:
+    // both arms go through [[Similarity.ivfSearchBatch]] (the batch
+    // serving shape: probe cells ranked against the broadcast
+    // codebook, corpus joined on its own cell key without shuffling,
+    // per-probe top-k as the q24 heap aggregate), with nprobe=1 as
+    // the approximate arm and nprobe=8 — every cell — degenerating to
+    // exact brute force through IDENTICAL arithmetic. Recall is then
+    // pure set arithmetic per probe, and the oracle replays both arms
+    // declaratively.
+    "v16_ann_recall" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding",
+        seeds, "seed_id", "seed_vec")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val probes = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      def arm(np: Int) = Similarity.ivfSearchBatch(
+        assigned, "vec_id", "embedding", seeds, "seed_id", "seed_vec",
+        probes, "probe_id", "embedding", nprobe = np, k = 5)
+      val approx = arm(1).select(col("probe_id"), col("vec_id"))
+        .withColumn("_hit", lit(1L))
+      arm(8)
+        .join(approx, Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+        .select(col("probe_id"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(5.0)).as("recall"))
+        .orderBy(col("probe_id"))
     }
   )
 
@@ -570,6 +603,56 @@ object VectorQueries {
         |SELECT a.cell, a.vec_id,
         | list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), p.qv) AS score
         |FROM assigned a JOIN probe p ON a.cell = p.probe_cell
-        |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin
+        |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin,
+
+    // Both arms replayed declaratively: v05's assignment CTE, the
+    // probe-side cell rank (ties to the smaller cell), the nprobe=1
+    // arm restricted to the probe's top cell, the exhaustive arm over
+    // the whole corpus (= nprobe=8, every cell), overlap counted per
+    // probe. All ranks break ties on vec_id exactly as TopKByScore.
+    "v16_ann_recall" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, s.cell,
+        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) AS cs
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |   SELECT vec_id, embedding, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+        |   FROM scored) r WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 500),
+        |pcell AS (
+        |  SELECT probe_id, qv, cell FROM (
+        |   SELECT p.probe_id, p.qv, s.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+        |     ORDER BY list_cosine_similarity(p.qv, s.cv) DESC, s.cell) AS rn
+        |   FROM probes p CROSS JOIN seeds s) r WHERE rn = 1),
+        |ivf AS (
+        |  SELECT probe_id, vec_id FROM (
+        |   SELECT pc.probe_id, a.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY pc.probe_id
+        |     ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |       pc.qv) DESC, a.vec_id) AS rn
+        |   FROM assigned a JOIN pcell pc ON a.cell = pc.cell) r WHERE rn <= 5),
+        |ex AS (
+        |  SELECT probe_id, vec_id FROM (
+        |   SELECT p.probe_id, e.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+        |     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |       p.qv) DESC, e.vec_id) AS rn
+        |   FROM embeddings e CROSS JOIN probes p) r WHERE rn <= 5)
+        |SELECT ex.probe_id,
+        | CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_hit,
+        | CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / 5.0e0 AS recall
+        |FROM ex LEFT JOIN ivf i
+        | ON ex.probe_id = i.probe_id AND ex.vec_id = i.vec_id
+        |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin
   )
 }

@@ -93,4 +93,37 @@ class SimilarityScaleSpec extends AnyFunSuite {
     assert(Similarity.similarityJoin(
       lonely, corpus, "id", "vec", k = 3).count() == 3)
   }
+
+  test("ivfSearchBatch: exhaustive nprobe equals exact; only probe-keyed exchanges") {
+    val seeds = corpus.filter(col("id") < 3)
+      .select(col("id").as("cell_id"), col("vec").as("seed_vec"))
+    val assigned = Similarity.ivfAssign(
+      corpus, "id", "vec", seeds, "cell_id", "seed_vec")
+    val probes = corpus.filter(col("id") % 7 === 0)
+      .select(col("id").as("probe_id"), col("vec"))
+    val batch = Similarity.ivfSearchBatch(assigned, "id", "vec",
+      seeds, "cell_id", "seed_vec", probes, "probe_id", "vec",
+      nprobe = 3, k = 4)
+    // nprobe = |cells| is brute force: rank-for-rank identical to the
+    // exact broadcast join (both tie on neighbor id).
+    val got = batch.select(col("probe_id"), col("rank"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Similarity.similarityJoin(
+        probes.withColumnRenamed("probe_id", "id"), corpus, "id", "vec", k = 4)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exact)
+    // The scale contract: the corpus side joins the broadcast probe-cell
+    // pairs and aggregates map-side — every hash exchange in the plan
+    // is keyed on the probe id (the probe-side rank window and the
+    // final ≤ k-rows-per-probe-per-task combine), never on a corpus
+    // column.
+    val p = batch.queryExecution.executedPlan.toString
+    val keys = "hashpartitioning\\(([^,)]+)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_.startsWith("_ann_pid")),
+      s"corpus-keyed exchange leaked into the batch search: $keys")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe-cell pairs must broadcast to the corpus:\n${p.take(600)}")
+  }
 }
