@@ -640,6 +640,51 @@ object RelationalQueries {
         .orderBy(col("measure"))
     },
 
+    // Second-moment statistics (variance / covariance / correlation)
+    // the PARITY-SAFE way: Spark's corr/stddev/covar_samp accumulate
+    // doubles in partition order — merge-order-dependent, so never
+    // hash-checkable and subtly nondeterministic under AQE / retries
+    // even in production. Here the five raw moments (Σx, Σy, Σx²,
+    // Σy², Σxy) are EXACT decimal sums (one partial+final aggregate,
+    // same cost shape as q01) and the statistics derive from them in
+    // double with the identical expression sequence on both engines —
+    // deterministic under any partitioning, at any scale, because the
+    // only order-sensitive step was made exact. The same five-moment
+    // frame also serves mean/stddev/z-score normalization downstream
+    // (one scan, reusable).
+    "q34_moments_profile" -> { (s, d) =>
+      val x = m(col("l_quantity"))
+      val y = m(col("l_extendedprice"))
+      val a = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"),
+          sum(x * y).as("sxy"))
+      val nD = col("n").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      // One rounding caveat survives the exact sums: a scaled decimal
+      // past 2^53 (Σ price² here) converts to double with engine-
+      // dependent last-ulp rounding (one correctly-rounded conversion
+      // from the rational vs convert-the-integer-then-divide). The
+      // derived statistics therefore present ROUNDED to 9 digits —
+      // 1e-9 is ~1e8 ulps wide for corr ∈ [-1,1], so a last-ulp input
+      // wobble cannot move the rounded value.
+      def r9(c: Column) = round(c, 9)
+      a.select(col("l_returnflag"), col("n"),
+          r9(dbl("sx") / nD).as("mean_qty"),
+          r9(dbl("sy") / nD).as("mean_price"),
+          r9((dbl("sxy") - dbl("sx") * dbl("sy") / nD) / (nD - 1))
+            .as("covar_qty_price"),
+          r9((nD * dbl("sxy") - dbl("sx") * dbl("sy"))
+            / (sqrt(nD * dbl("sxx") - dbl("sx") * dbl("sx"))
+              * sqrt(nD * dbl("syy") - dbl("sy") * dbl("sy"))))
+            .as("corr_qty_price"),
+          r9(sqrt((dbl("sxx") - dbl("sx") * dbl("sx") / nD) / (nD - 1)))
+            .as("stddev_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Exact per-group top-k WITHOUT the window sort
     // ([[graft.operators.Sketches.TopKByScore]]): q08's row_number idiom
     // sorts every group row through the exchange; the mergeable top-k
@@ -1035,6 +1080,34 @@ object RelationalQueries {
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          |ORDER BY rf, ls""".stripMargin,
+
+    // The five exact decimal moments, then the SAME double expression
+    // sequence — determinism comes from making the only
+    // order-sensitive step (the sums) exact; the double arithmetic
+    // after it is a fixed sequence of IEEE-754 ops on identical
+    // inputs. DuckDB's own corr() would NOT be a valid oracle here
+    // (same merge-order caveat as Spark's).
+    "q34_moments_profile" ->
+      s"""WITH a AS (
+         | SELECT l_returnflag, COUNT(*) AS n,
+         |  SUM(CAST(l_quantity AS $M)) AS sx,
+         |  SUM(CAST(l_extendedprice AS $M)) AS sy,
+         |  SUM(CAST(l_quantity AS $M) * CAST(l_quantity AS $M)) AS sxx,
+         |  SUM(CAST(l_extendedprice AS $M) * CAST(l_extendedprice AS $M)) AS syy,
+         |  SUM(CAST(l_quantity AS $M) * CAST(l_extendedprice AS $M)) AS sxy
+         | FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         | ROUND(CAST(sx AS DOUBLE) / n, 9) AS mean_qty,
+         | ROUND(CAST(sy AS DOUBLE) / n, 9) AS mean_price,
+         | ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         |   / (n - 1), 9) AS covar_qty_price,
+         | ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |   / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |     * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+         |   9) AS corr_qty_price,
+         | ROUND(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+         |   / (n - 1)), 9) AS stddev_qty
+         |FROM a ORDER BY l_returnflag""".stripMargin,
 
     "q33_unpivot" ->
       s"""WITH u AS (
