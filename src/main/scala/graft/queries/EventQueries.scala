@@ -33,6 +33,7 @@ object EventQueries {
   private val HourUs = 3600L * 1000 * 1000
   private val AttributionUs = 60L * 60 * 1000 * 1000 // e06 look-ahead
   private val DayUs = 24L * 3600 * 1000 * 1000 // e08 cohort bucket
+  private val HourlyKmvK = 16 // e11 sketch size (bites: busiest hours reach 28 users)
 
   private def dsum(c: Column) = sum(c.cast(DecimalType(12, 2))).cast("double")
 
@@ -54,6 +55,29 @@ object EventQueries {
         .groupBy(hourStart(tsUs).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy(col("hour"), col("event_type"))
+    },
+
+    // Windowed cardinality, exact AND sketched: distinct users per
+    // hour with the KMV estimate next to the exact count. The sketch
+    // column is the one that survives scale — O(k) state per window
+    // through partial aggregation where exact distinct expands every
+    // key through the exchange — and k=16 < the busiest hours' 28
+    // users, so the ESTIMATOR path (not below-k exactness) is what
+    // the oracle replays here. [[graft.streaming.EventStreams
+    // .hourlyDistinctUsers]] is this aggregate's streaming face;
+    // StreamingSpec pins that closed windows agree exactly.
+    "e11_hourly_users" -> { (s, d) =>
+      val kmv = udaf(new graft.operators.Sketches.KmvDistinct(HourlyKmvK),
+        org.apache.spark.sql.Encoders.scalaLong)
+      Tables.events(s, d)
+        .select(hourStart(tsUs).as("hour"), col("user_id"))
+        .groupBy(col("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          kmv(graft.operators.Sketches.kmvInput(
+            graft.text.TextFunctions.hash32(col("user_id").cast("string"))))
+            .as("est_users"))
+        .orderBy(col("hour"))
     },
 
     // Gap-based sessionization: a session breaks after >30 min idle.
@@ -256,6 +280,33 @@ object EventQueries {
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // q22's KMV re-derivation partitioned by hour: the k-th smallest
+    // md5-based hash per window, the same (k−1)·2³²/h(k) estimator,
+    // below-k hours degrading to the exact count.
+    "e11_hourly_users" ->
+      s"""WITH b AS (SELECT
+         |  make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS hour,
+         |  user_id FROM events),
+         |ex AS (SELECT hour, COUNT(*) AS n_events,
+         |        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |       FROM b GROUP BY hour),
+         |h AS (SELECT DISTINCT hour,
+         |       CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8)) AS BIGINT) AS h
+         |      FROM b),
+         |r AS (SELECT hour, h,
+         |       ROW_NUMBER() OVER (PARTITION BY hour ORDER BY h) AS rn,
+         |       COUNT(*) OVER (PARTITION BY hour) AS nd
+         |      FROM h),
+         |e AS (SELECT hour,
+         |       CASE WHEN MAX(nd) < $HourlyKmvK THEN CAST(MAX(nd) AS DOUBLE)
+         |            ELSE ${HourlyKmvK - 1}e0 * 4294967296e0
+         |                 / MAX(CASE WHEN rn = $HourlyKmvK THEN h END) END
+         |        AS est_users
+         |      FROM r GROUP BY hour)
+         |SELECT ex.hour, ex.n_events, ex.n_users, e.est_users
+         |FROM ex JOIN e ON ex.hour = e.hour
+         |ORDER BY ex.hour""".stripMargin,
 
     "e02_sessionization" ->
       """WITH o AS (

@@ -52,6 +52,34 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Streaming windowed cardinality: distinct users per tumbling hour
+    * via the mergeable KMV bottom-k sketch
+    * ([[graft.operators.Sketches.KmvDistinct]], q22's, here running
+    * incrementally). The state per open window is O(k) hashes —
+    * streaming countDistinct would instead hold EVERY distinct key in
+    * the state store, the state that never stops growing on an
+    * unbounded high-cardinality stream; this is the only safe shape
+    * for "unique visitors per window" at firehose scale. KMV's state
+    * is a function of the input SET, not arrival order or micro-batch
+    * boundaries, so closed windows agree EXACTLY with the same
+    * aggregate run in batch (e11's estimator arithmetic) — pinned by
+    * StreamingSpec.
+    */
+  def hourlyDistinctUsers(events: DataFrame, k: Int = 256,
+      watermark: String = "2 hours"): DataFrame = {
+    val kmv = udaf(new graft.operators.Sketches.KmvDistinct(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        kmv(graft.operators.Sketches.kmvInput(
+          graft.text.TextFunctions.hash32(col("user_id").cast("string"))))
+          .as("est_users"))
+      .select(col("window.start").as("hour"),
+        col("n_events"), col("est_users"))
+  }
+
   /** Open-session state carried between micro-batches by
     * [[statefulSessionize]]: bounded per open session (counters + the
     * capped path), keyed by user — the state store holds one entry per

@@ -52,6 +52,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hourlyDistinctUsers: stream equals batch exactly on closed windows") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    // 6 events, 5 distinct users inside hour 10 — ABOVE k=4, so the
+    // estimator path (k-th smallest hash), not below-k exactness, is
+    // what the parity assertion exercises; arrival is split across two
+    // micro-batches so the sketch state actually merges incrementally.
+    val hour10 = Seq(
+      (ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      (ts("2024-01-01 10:10:00"), 2L, "click", 1.0),
+      (ts("2024-01-01 10:15:00"), 3L, "view", 1.0),
+      (ts("2024-01-01 10:20:00"), 4L, "view", 1.0),
+      (ts("2024-01-01 10:25:00"), 5L, "click", 1.0),
+      (ts("2024-01-01 10:30:00"), 3L, "click", 1.0))
+    val agg = EventStreams.hourlyDistinctUsers(
+      in.toDF.toDF("ts", "user_id", "event_type", "value"),
+      k = 4, watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("hourly_users")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      in.addData(hour10.take(3): _*)
+      q.processAllAvailable()
+      in.addData(hour10.drop(3): _*)
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 12:30:00"), 9L, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("hourly_users").orderBy("hour").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+      // KMV state is a function of the input SET: the closed window
+      // must match the SAME aggregate run in one batch pass,
+      // micro-batch boundaries and all.
+      val expected = EventStreams.hourlyDistinctUsers(
+          hour10.toDF("ts", "user_id", "event_type", "value"), k = 4)
+        .orderBy("hour").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq == expected.toSeq)
+      assert(got.head._2 == 6L) // all six events counted
+      assert(got.head._3 > 0.0) // estimator engaged (k=4 < 5 users)
+    } finally q.stop()
+  }
+
   test("sessionize groups by 30-minute gaps (batch mode sanity)") {
     // session_window works identically on batch frames — pin the
     // gap-merge semantics without a streaming harness.
