@@ -41,11 +41,26 @@ object GraphRank {
     * list can't inflate out-degrees; pass `assumeDistinct = true` when
     * the caller already deduplicated (q29 does) to skip the extra
     * exchange.
+    *
+    * `teleport = Some(frame)` makes the walk PERSONALIZED (topic-
+    * sensitive PageRank, Haveliwala 2002): only the nodes in the
+    * frame's `teleportCol` column receive the initial mass and the
+    * per-iteration base — rank then measures authority AS SEEN FROM
+    * the seed set (a brand's neighborhood, a trusted source list)
+    * instead of globally; nodes the seeds never reach stay at exactly
+    * 0. The seed indicator rides the persisted node frame as one
+    * extra long column, so the personalized walk costs the same
+    * joins/exchanges as the global one, and the arithmetic stays
+    * exact integer (seed·base is a product of longs) — with
+    * `teleport = None` every indicator is 1 and the computation is
+    * bit-identical to the unpersonalized form.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, initMicro: Long = 1000000L, baseMicro: Long = 150000L,
       dampNum: Long = 85L, dampDen: Long = 100L,
-      assumeDistinct: Boolean = false): DataFrame = {
+      assumeDistinct: Boolean = false,
+      teleport: Option[DataFrame] = None,
+      teleportCol: String = "node"): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"damping must satisfy 0 <= num <= den, got $dampNum/$dampDen")
@@ -68,10 +83,18 @@ object GraphRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
+    val bare = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = nodes.withColumn("rank", lit(initMicro))
+    val nodes = (teleport match {
+      case Some(t) =>
+        val tn = t.select(col(teleportCol).cast("long").as("node"))
+          .distinct().withColumn("_gr_in", lit(1L))
+        bare.join(tn, Seq("node"), "left")
+          .select(col("node"), coalesce(col("_gr_in"), lit(0L)).as("_gr_seed"))
+      case None => bare.withColumn("_gr_seed", lit(1L))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes
+      .select(col("node"), (lit(initMicro) * col("_gr_seed")).as("rank"))
     try {
       for (_ <- 1 to iters) {
         val contrib = e
@@ -81,7 +104,7 @@ object GraphRank {
           .agg(sum(expr("rank div deg")).as("s"))
         ranks = nodes.join(contrib, Seq("node"), "left")
           .select(col("node"),
-            (lit(baseMicro) +
+            (lit(baseMicro) * col("_gr_seed") +
               expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
               .as("rank"))
           .localCheckpoint() // eager: materialized before the next round

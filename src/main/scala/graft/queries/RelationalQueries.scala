@@ -550,6 +550,33 @@ object RelationalQueries {
         .orderBy(col("rank").desc, col("l_partkey"))
     },
 
+    // PERSONALIZED PageRank over the same co-purchase graph: teleport
+    // mass restricted to one brand's parts, so rank measures
+    // authority as seen from that brand's neighborhood — "what sells
+    // WITH Brand#1" rather than "what sells" (topic-sensitive
+    // PageRank; the corpus-curation use is source authority seeded by
+    // a trusted list). Parts the seeds never reach stay at exactly 0
+    // — meaningful output, not noise. Same exact-integer iterations,
+    // same persisted/checkpointed loop, one extra long column of
+    // seed indicators riding the node frame; the oracle unrolls all
+    // three rounds with the seed CASE inline.
+    "q35_personalized_rank" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val seeds = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey").as("node"))
+      graft.operators.GraphRank.pageRank(edges, "src", "dst", iters = 3,
+          assumeDistinct = true, teleport = Some(seeds))
+        .select(col("node").as("l_partkey"), col("rank"))
+        .orderBy(col("rank").desc, col("l_partkey"))
+    },
+
     // Pivot — wide-form reshaping with EXPLICIT pivot values, so the
     // output schema is static (no pre-pass distinct scan over the pivot
     // column, the two-job trap of values-less pivot) and Catalyst plans
@@ -1031,6 +1058,38 @@ object RelationalQueries {
          |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n),
+         |$iterCtes
+         |SELECT node AS l_partkey, rank
+         |FROM r3 ORDER BY rank DESC, l_partkey""".stripMargin
+    },
+
+    // q29's unrolled replay with the teleport indicator inline: seed
+    // nodes get init + per-round base, everything else starts (and
+    // teleports) at 0.
+    "q35_personalized_rank" -> {
+      val iterCtes = (1 to 3).map { i =>
+        val prev = s"r${i - 1}"
+        s"""c$i AS (SELECT e.dst AS node, SUM($prev.rank // deg.deg) AS s
+           |  FROM e JOIN $prev ON e.src = $prev.node
+           |  JOIN deg ON e.src = deg.src GROUP BY e.dst),
+           |r$i AS (SELECT n.node,
+           |  CAST(150000 * n.seed + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT)
+           |    AS rank
+           |  FROM n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
+         |       CAST(b.l_partkey AS BIGINT) AS dst
+         |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |       AND a.l_partkey <> b.l_partkey),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |sd AS (SELECT CAST(p_partkey AS BIGINT) AS node FROM part
+         |       WHERE p_brand = 'Brand#1'),
+         |n AS (SELECT nn.node,
+         |       CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS seed
+         |      FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) nn
+         |      LEFT JOIN sd ON nn.node = sd.node),
+         |r0 AS (SELECT node, CAST(1000000 * seed AS BIGINT) AS rank FROM n),
          |$iterCtes
          |SELECT node AS l_partkey, rank
          |FROM r3 ORDER BY rank DESC, l_partkey""".stripMargin

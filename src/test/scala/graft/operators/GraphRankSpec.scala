@@ -60,6 +60,29 @@ class GraphRankSpec extends AnyFunSuite {
     assert(ranksOf(dup, iters = 1) === ranksOf(Seq((1L, 2L), (2L, 1L)), 1))
   }
 
+  test("personalized teleport: unreachable nodes stay exactly 0; seeds carry base") {
+    // Two disconnected components: {1,2} (seeded via 1) and {10,11}.
+    // Mass can only flow from seeds, so the whole second component
+    // must sit at EXACTLY 0 after any number of rounds, and the seed
+    // keeps its per-round base.
+    val edges = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L))
+    val seeds = Seq(1L).toDF("node")
+    val got = GraphRank.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iters = 3, assumeDistinct = true, teleport = Some(seeds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) == 0L && got(11L) == 0L,
+      s"unreached component must be exactly 0: $got")
+    // Replay: r0 = (1e6, 0); deg = 1 for both.
+    // i1: c(2)=1e6, c(1)=0   → r1 = (150000, 850000)
+    // i2: c(2)=150000, c(1)=850000 → r2 = (150000+722500, 127500)
+    // i3: c(2)=872500, c(1)=127500 → r3 = (150000+108375, 741625)
+    assert(got(1L) == 258375L && got(2L) == 741625L, s"got $got")
+    // teleport = None stays bit-identical to the unpersonalized form.
+    assert(ranksOf(edges, 3) == GraphRank.pageRank(edges.toDF("src", "dst"),
+      "src", "dst", 3, teleport = None)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("rejects nonsensical parameters loudly") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](GraphRank.pageRank(e, "src", "dst", 0))
