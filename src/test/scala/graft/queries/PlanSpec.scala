@@ -379,6 +379,56 @@ class PlanSpec extends AnyFunSuite {
       "the MG candidate pass must reduce to a single-partition aggregate")
   }
 
+  test("q33: unpivot melts row-locally — one Expand, one scan, no union re-scan") {
+    // The naive melt spelling reads the parquet once per measure
+    // column through a UNION ALL; native unpivot is a row-local
+    // Expand over ONE scan, and the only keyed exchange is the
+    // per-measure aggregate downstream.
+    val p = plan("q33_unpivot")
+    assert(p.contains("Expand"), s"unpivot must plan as Expand:\n${p.take(600)}")
+    assert(!p.contains("Union"), "melt must not union-all re-scan the table")
+    assert(scans("q33_unpivot").length == 1, "melt must read the table once")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 measure-keyed exchange, found $n")
+  }
+
+  test("q34: moments profile is one scan, one partial+final aggregate, no join") {
+    val p = plan("q34_moments_profile")
+    assert(scans("q34_moments_profile").length == 1)
+    assert(!p.contains("Join"), "the five moments ride one aggregate")
+    assert(p.contains("partial"), "moment sums must combine map-side")
+  }
+
+  test("q31: dynamic pivot's final plan is one aggregate over one scan — no join") {
+    // The values pre-pass is a SEPARATE job at plan time (the
+    // documented two-job price of values-less pivot). The final plan
+    // is Spark's two-level lowering for multi-aggregate pivots: a
+    // (status, priority) pre-aggregate — which collapses data-scale
+    // rows to |status|·|priorities| before anything else moves — then
+    // PivotFirst keyed on status. Two exchanges, both over already-
+    // tiny frames; never a join, never a second scan.
+    val p = plan("q31_pivot_dynamic")
+    assert(scans("q31_pivot_dynamic").length == 1)
+    assert(!p.contains("Join"))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"expected the two-level pivot lowering, found $n exchanges")
+    assert(p.contains("partial"), "the pre-aggregate must combine map-side")
+  }
+
+  test("e11: sketch cardinality — hour-keyed exchanges only, map-side partial KMV") {
+    // The exact-count witness column forces the two-phase distinct
+    // plan (one (hour,user) exchange before the hour exchange); the
+    // KMV column itself combines map-side as O(k) partial state —
+    // production drops the witness and keeps the single-exchange
+    // sketch. Nothing here may expand rows or join.
+    val p = plan("e11_hourly_users")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"expected <= 2 hour-keyed exchanges, found $n")
+    assert(p.contains("partial_kmvdistinct"),
+      "the sketch must combine map-side")
+    assert(!p.contains("Join"), "windowed cardinality must not join")
+  }
+
   test("q29: PageRank iterations checkpoint — the final plan is a rank scan, not an unrolled loop") {
     // GraphRank persists the edge/degree/node frames and eagerly
     // localCheckpoints each iteration's ranks, so the frame q29 returns
