@@ -505,6 +505,59 @@ object RelationalQueries {
         .crossJoin(hashed.agg(kmv(col("h")).as("est_direct")))
     },
 
+    // q27's sharding contract applied to the WHOLE q26 profile — the
+    // statistics-catalog maintenance shape at 100 TB: each ingest
+    // batch computes one partial-profile row (counts, null counts,
+    // exact DECIMAL sums, min/max, one KMV state per column) and the
+    // catalog folds shard rows WITHOUT rescanning data — counts and
+    // decimal sums add, min/max fold, states merge via KmvMerge. The
+    // oracle computes the DIRECT global profile once; hash-equality
+    // proves merge-path == direct-path for every statistic (the
+    // decimal sums stay decimal until the final fold, so re-summing
+    // loses nothing). Shards here are l_orderkey mod 4 — four
+    // simulated ingest batches.
+    "q36_profile_merge" -> { (s, d) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val st = udaf(new graft.operators.Sketches.KmvState(KmvK),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val mg = udaf(new graft.operators.Sketches.KmvMerge(KmvK),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Seq[java.lang.Long]]())
+      def centsHash(c: String) = graft.operators.Sketches.kmvInput(
+        graft.text.TextFunctions.hash32(
+          floor(col(c) * lit(100.0) + lit(0.5)).cast("long").cast("string")))
+      val shardAggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+          st(centsHash(c)).as(s"${c}_st"),
+          min(col(c)).cast("double").as(s"${c}_min"),
+          max(col(c)).cast("double").as(s"${c}_max"),
+          sum(m(col(c))).as(s"${c}_sumd")) // decimal until the final fold
+      }
+      val perShard = Tables.lineitem(s, d)
+        .withColumn("_shard", pmod(col("l_orderkey"), lit(4)))
+        .groupBy(col("_shard"))
+        .agg(shardAggs.head, shardAggs.tail: _*)
+      val foldAggs = Seq(count(lit(1)).as("n_shards"),
+        sum(col("n_rows")).cast("long").as("n_rows")) ++ cols.flatMap { c =>
+        Seq(sum(col(s"${c}_nn")).cast("long").as(s"${c}_nn"),
+          mg(col(s"${c}_st")).as(s"${c}_nd"),
+          min(col(s"${c}_min")).as(s"${c}_min"),
+          max(col(s"${c}_max")).as(s"${c}_max"),
+          sum(col(s"${c}_sumd")).cast("double").as(s"${c}_sum"))
+      }
+      val stackExpr = cols.map(c =>
+        s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max, ${c}_sum")
+        .mkString(s"stack(${cols.length}, ", ", ", ")")
+      perShard
+        .agg(foldAggs.head, foldAggs.tail: _*)
+        .select(col("n_shards"), col("n_rows"), expr(s"$stackExpr AS " +
+          "(column_name, n_null, n_distinct_est, min_v, max_v, sum_v)"))
+        .select(col("column_name"), col("n_shards"), col("n_rows"),
+          col("n_null"), col("n_distinct_est"), col("min_v"), col("max_v"),
+          col("sum_v"))
+        .orderBy(col("column_name"))
+    },
+
     // Z-order clustering key + the box query it serves
     // ([[graft.operators.ZOrder]]): the Morton key interleaves
     // (l_partkey, l_suppkey) bits so one sort order makes parquet
@@ -999,6 +1052,42 @@ object RelationalQueries {
          |SELECT s.column_name, s.n_rows, s.n_null, e.est AS n_distinct_est,
          | s.min_v, s.max_v, s.sum_v
          |FROM s JOIN e ON s.column_name = e.g
+         |ORDER BY column_name""".stripMargin
+    },
+
+    // The DIRECT global profile (q26's oracle shape) with the shard
+    // count alongside: the merged path must reproduce it exactly —
+    // the oracle never computes a "merged" path at all (the q27
+    // set-function argument, per column).
+    "q36_profile_merge" -> {
+      val u = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(c => s"SELECT '$c' AS g, $c AS x FROM lineitem")
+        .mkString("\nUNION ALL ")
+      s"""WITH u AS ($u),
+         |h AS (SELECT DISTINCT g,
+         |       CAST(('0x'||substr(md5(CAST(CAST(FLOOR(x * 100 + 0.5e0)
+         |         AS BIGINT) AS VARCHAR)),1,8)) AS BIGINT) AS h
+         |      FROM u WHERE x IS NOT NULL),
+         |r AS (SELECT g, h,
+         |       ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn,
+         |       COUNT(*) OVER (PARTITION BY g) AS nd
+         |      FROM h),
+         |e AS (SELECT g,
+         |       CASE WHEN MAX(nd) < $KmvK THEN CAST(MAX(nd) AS DOUBLE)
+         |            ELSE ${KmvK - 1}e0 * 4294967296e0
+         |                 / MAX(CASE WHEN rn = $KmvK THEN h END) END AS est
+         |      FROM r GROUP BY g),
+         |ns AS (SELECT CAST(COUNT(DISTINCT l_orderkey % 4) AS BIGINT)
+         |        AS n_shards FROM lineitem),
+         |s AS (SELECT g AS column_name, COUNT(*) AS n_rows,
+         |       CAST(SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_null,
+         |       CAST(MIN(x) AS DOUBLE) AS min_v, CAST(MAX(x) AS DOUBLE) AS max_v,
+         |       ${msumSql("x")} AS sum_v
+         |      FROM u GROUP BY g)
+         |SELECT s.column_name, ns.n_shards, s.n_rows, s.n_null,
+         | e.est AS n_distinct_est, s.min_v, s.max_v, s.sum_v
+         |FROM s JOIN e ON s.column_name = e.g CROSS JOIN ns
          |ORDER BY column_name""".stripMargin
     },
 
