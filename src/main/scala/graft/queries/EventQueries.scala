@@ -48,6 +48,10 @@ object EventQueries {
   private def hourStart(us: Column): Column =
     timestamp_micros(us - us % HourUs)
 
+  /** Start of the UTC day containing the event, as a timestamp. */
+  private def dayStart(us: Column): Column =
+    timestamp_micros(us - us % DayUs)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour windows per event type.
     "e01_hourly_rollup" -> { (s, d) =>
@@ -78,6 +82,34 @@ object EventQueries {
             graft.text.TextFunctions.hash32(col("user_id").cast("string"))))
             .as("est_users"))
         .orderBy(col("hour"))
+    },
+
+    // e11's sketch composed with a ROLLUP lattice: distinct users at
+    // hour, day, and global granularity from ONE scan — the OLAP-cube
+    // maintenance shape. The point being pinned: KMV partial states
+    // ride Spark's Expand like any algebraic aggregate, so one pass
+    // serves every granularity with O(k) state per group where three
+    // separate exact-distinct passes would each ship their key space.
+    // The exact count stays as the per-row accuracy witness; k=16 is
+    // below the daily and global cardinalities, so the estimator path
+    // is exercised at the coarser levels, below-k exactness at quiet
+    // hours.
+    "e12_rollup_users" -> { (s, d) =>
+      val kmv = udaf(new graft.operators.Sketches.KmvDistinct(HourlyKmvK),
+        org.apache.spark.sql.Encoders.scalaLong)
+      Tables.events(s, d)
+        .select(dayStart(tsUs).as("day"), hourStart(tsUs).as("hour"),
+          col("user_id"))
+        .rollup(col("day"), col("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          kmv(graft.operators.Sketches.kmvInput(
+            graft.text.TextFunctions.hash32(col("user_id").cast("string"))))
+            .as("est_users"))
+        .select(coalesce(col("day").cast("string"), lit("ALL")).as("day"),
+          coalesce(col("hour").cast("string"), lit("ALL")).as("hour"),
+          col("n_events"), col("n_users"), col("est_users"))
+        .orderBy(col("day"), col("hour"))
     },
 
     // Gap-based sessionization: a session breaks after >30 min idle.
@@ -307,6 +339,40 @@ object EventQueries {
          |SELECT ex.hour, ex.n_events, ex.n_users, e.est_users
          |FROM ex JOIN e ON ex.hour = e.hour
          |ORDER BY ex.hour""".stripMargin,
+
+    // The rollup expansion spelled as a UNION ALL of the three
+    // granularities, each estimated with the q22 KMV re-derivation
+    // partitioned by the (label, label) pair.
+    "e12_rollup_users" ->
+      s"""WITH b AS (SELECT
+         |  CAST(make_timestamp((epoch_us(ts)//86400000000)*86400000000)
+         |    AS VARCHAR) AS day,
+         |  CAST(make_timestamp((epoch_us(ts)//3600000000)*3600000000)
+         |    AS VARCHAR) AS hour,
+         |  user_id FROM events),
+         |u AS (
+         | SELECT day, hour, user_id FROM b
+         | UNION ALL SELECT day, 'ALL', user_id FROM b
+         | UNION ALL SELECT 'ALL', 'ALL', user_id FROM b),
+         |ex AS (SELECT day, hour, COUNT(*) AS n_events,
+         |        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |       FROM u GROUP BY day, hour),
+         |h AS (SELECT DISTINCT day, hour,
+         |       CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8)) AS BIGINT) AS h
+         |      FROM u),
+         |r AS (SELECT day, hour, h,
+         |       ROW_NUMBER() OVER (PARTITION BY day, hour ORDER BY h) AS rn,
+         |       COUNT(*) OVER (PARTITION BY day, hour) AS nd
+         |      FROM h),
+         |e AS (SELECT day, hour,
+         |       CASE WHEN MAX(nd) < $HourlyKmvK THEN CAST(MAX(nd) AS DOUBLE)
+         |            ELSE ${HourlyKmvK - 1}e0 * 4294967296e0
+         |                 / MAX(CASE WHEN rn = $HourlyKmvK THEN h END) END
+         |        AS est_users
+         |      FROM r GROUP BY day, hour)
+         |SELECT ex.day, ex.hour, ex.n_events, ex.n_users, e.est_users
+         |FROM ex JOIN e ON ex.day = e.day AND ex.hour = e.hour
+         |ORDER BY ex.day, ex.hour""".stripMargin,
 
     "e02_sessionization" ->
       """WITH o AS (
