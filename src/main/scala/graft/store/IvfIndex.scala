@@ -137,6 +137,27 @@ object IvfIndex {
       .limit(k)
       .select(col("cell"), col(idCol), col("score"))
 
+  /** Batch search: the on-disk face of [[Similarity.ivfSearchBatch]]
+    * (delegated, so the store and the spec-pinned operator can never
+    * drift) — top-k for a whole probe FRAME in one pass over the
+    * partitioned index. The probe-cell pairs broadcast into the join
+    * against the cell-partitioned scan, which makes the cell filter a
+    * DYNAMIC partition-pruning subquery: the files of unprobed cells
+    * are skipped before IO exactly as [[search]]'s static `isin` prunes
+    * for one query, but derived at runtime from the whole batch —
+    * asserted against the physical plan in IvfIndexSpec, not just
+    * claimed. This is how an ANN serving job answers a query batch
+    * against a 1000-cell 100-TB index while reading only the probed
+    * cells' bytes once, shared across all queries that probe them.
+    */
+  def searchBatch(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, probes: DataFrame, probeIdCol: String,
+      probeVecCol: String, k: Int, nProbe: Int = 1): DataFrame =
+    Similarity.ivfSearchBatch(
+      spark.read.parquet(s"$path/vectors"), idCol, vecCol,
+      spark.read.parquet(s"$path/seeds"), "cell", "seed_vec",
+      probes, probeIdCol, probeVecCol, nProbe, k)
+
   /** Probe a [[buildQuantized]] index: the on-disk face of
     * [[Similarity.ivfQuantizedSearch]] (delegated, so the store and the
     * oracle-pinned operator — v13 — can never drift): same cell pruning

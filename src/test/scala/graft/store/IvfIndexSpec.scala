@@ -52,6 +52,32 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("searchBatch matches per-probe search and prunes partitions dynamically") {
+    val probes = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") < 300)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val batch = IvfIndex.searchBatch(spark, path, "vec_id", "embedding",
+      probes, "probe_id", "embedding", k = 5)
+    // Equality per probe against the single-query face (same cells,
+    // same arithmetic, same ties).
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = probes.collect().flatMap { p =>
+      val q = p.getSeq[Float](1).toArray
+      IvfIndex.search(spark, path, "vec_id", "embedding", q, k = 5)
+        .collect().zipWithIndex
+        .map { case (r, i) => (p.getLong(0), (i + 1).toLong, r.getLong(1)) }
+    }.toSet
+    assert(got == expected)
+    // The scale pin: the cell filter must reach the partitioned scan
+    // as a DYNAMIC pruning subquery (derived from the broadcast
+    // probe-cell pairs at runtime), so unprobed cells' files are
+    // skipped before IO for the whole batch at once.
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "expected dynamic partition pruning on cell in:\n" + plan.take(1200))
+  }
+
   test("nProbe widens the searched cells monotonically") {
     def ids(nProbe: Int) =
       IvfIndex.search(spark, path, "vec_id", "embedding", query, 50, nProbe)
