@@ -112,6 +112,29 @@ object EventQueries {
         .orderBy(col("day"), col("hour"))
     },
 
+    // RANGE-frame moving aggregates: trailing 1-hour event count and
+    // value sum AT EVERY EVENT — rate limiting, burst detection,
+    // rolling spend. The frame is bounded by the TIME AXIS
+    // (rangeBetween on exact epoch micros), not a row count, so
+    // events sharing a timestamp enter the frame together and the
+    // result is deterministic under any within-tie order. One
+    // user-keyed exchange carries the sort and every frame (e02's
+    // single-shuffle claim, applied to sliding windows); the decimal
+    // cast keeps the windowed sums exact on both engines.
+    "e13_moving_window" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-HourUs, 0)
+      Tables.events(s, d)
+        .withColumn("ts_us", tsUs)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_trailing_1h"),
+          // .over must bind the SUM itself; dsum's outer double-cast
+          // would orphan the aggregate from the window spec.
+          sum(col("value").cast(DecimalType(12, 2))).over(w)
+            .cast("double").as("v_trailing_1h"))
+        .orderBy(col("event_id"))
+    },
+
     // Gap-based sessionization: a session breaks after >30 min idle.
     "e02_sessionization" -> { (s, d) =>
       val w = Window.partitionBy(col("user_id"))
@@ -373,6 +396,16 @@ object EventQueries {
          |SELECT ex.day, ex.hour, ex.n_events, ex.n_users, e.est_users
          |FROM ex JOIN e ON ex.day = e.day AND ex.hour = e.hour
          |ORDER BY ex.day, ex.hour""".stripMargin,
+
+    "e13_moving_window" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         | COUNT(*) OVER w AS n_trailing_1h,
+         | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+         |   AS v_trailing_1h
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         | RANGE BETWEEN $HourUs PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
 
     "e02_sessionization" ->
       """WITH o AS (
