@@ -836,6 +836,27 @@ object TextQueries {
         .orderBy(col("term"))
     },
 
+    // Asymmetric (containment) near-dup
+    // ([[graft.text.Dedup.ngramContainmentPairs]]): intersection over
+    // the SMALLER shingle set — the gate for the duplication mode
+    // Jaccard structurally misses, a short document quoted inside a
+    // long one. The corpus's synthetic near-dups are all same-size
+    // (symmetric), so the query derives the asymmetric side the way
+    // d30/d37 derive their splits: the leading third of every 10th
+    // document rides along as an "excerpt" under an offset id. At
+    // threshold 0.8, 55 of the 80 sf0.01 pairs have jaccard < 0.5 —
+    // exactly the pairs the symmetric gate (d35) cannot see; the
+    // jaccard witness column pins that contrast in the hash.
+    "d51_containment_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val excerpts = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substring(text, 1, cast(length(text)/3 as int))").as("text"))
+      graft.text.Dedup.ngramContainmentPairs(
+        docs.unionByName(excerpts), "doc_id", "text", threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // DSIR-style target-domain selection
     // ([[graft.text.UnigramLm.importanceWeights]]): every document
     // scored by its mean per-token log importance ratio between the
@@ -1512,10 +1533,32 @@ object TextQueries {
          |       JOIN m2 USING (b2) JOIN m3 USING (b3)
          |ORDER BY term""".stripMargin,
 
+    // d35's CTEs over the corpus ∪ derived excerpts, with the LEAST
+    // denominator and the jaccard witness alongside.
+    "d51_containment_dedup" ->
+      """WITH u AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000, substr(text, 1, CAST(len(text)//3 AS INT))
+        | FROM documents WHERE doc_id % 10 = 0),
+        |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM u),
+        |ss AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS ss FROM t),
+        |p AS (SELECT doc_id, unnest(ss) AS sh FROM ss),
+        |ix AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS ix
+        |       FROM p x JOIN p y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |       GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(ss) AS n FROM ss)
+        |SELECT a_id, b_id,
+        | CAST(ix AS DOUBLE) / LEAST(sa.n, sb.n) AS containment,
+        | CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) AS jaccard
+        |FROM ix JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        |WHERE CAST(ix AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8e0
+        |ORDER BY a_id, b_id""".stripMargin,
+
     // d40's CTE shape with a second (target-filtered) count column off
     // the same token table; both quantized ln's replayed per term, the
     // subtraction AFTER quantization exactly as the Spark side.
-    // SUM(BIGINT) is HUGEINT in DuckDB — cast back before comparing.
     "d50_dsir_weights" ->
       """WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
         |            unnest(string_split(text,' ')) AS tok

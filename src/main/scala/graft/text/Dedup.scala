@@ -199,7 +199,43 @@ object Dedup {
     * ignore anyway). `maxDf = 0` = uncapped exact contract (d35).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleLen: Int = 3, maxDf: Long = 0): DataFrame = {
+      threshold: Double, shingleLen: Int = 3, maxDf: Long = 0): DataFrame =
+    shinglePairStats(df, idCol, textCol, shingleLen, maxDf)
+      .select(col("a_id"), col("b_id"),
+        (col("_nj_ix").cast("double")
+          / (col("_nj_na") + col("_nj_nb") - col("_nj_ix"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Asymmetric near-dup: CONTAINMENT — intersection over the SMALLER
+    * shingle set, C = |A∩B| / min(|A|,|B|). Catches the duplications
+    * Jaccard structurally cannot: a short document quoted or excerpted
+    * inside a much longer one scores near 1.0 here while its Jaccard
+    * (intersection over the UNION, dominated by the long doc's size)
+    * stays arbitrarily low. The standard second gate in training-data
+    * dedup, where quote/excerpt containment is a top duplication mode.
+    * Jaccard rides along as a witness column: rows where it falls
+    * under the containment threshold are exactly the asymmetric
+    * catches. Same inverted-index join, same df-cap skew lever, same
+    * scale shape as [[ngramJaccardPairs]] (the cap makes capped
+    * containment a lower bound, as with d36).
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleLen: Int = 3, maxDf: Long = 0): DataFrame =
+    shinglePairStats(df, idCol, textCol, shingleLen, maxDf)
+      .select(col("a_id"), col("b_id"),
+        (col("_nj_ix").cast("double")
+          / least(col("_nj_na"), col("_nj_nb"))).as("containment"),
+        (col("_nj_ix").cast("double")
+          / (col("_nj_na") + col("_nj_nb") - col("_nj_ix"))).as("jaccard"))
+      .filter(col("containment") >= threshold)
+
+  /** Shared candidate machinery for the exact set-similarity faces:
+    * (a_id, b_id, |A∩B|, |A|, |B|) for every doc pair sharing at least
+    * one (df-capped) shingle. Set sizes are always UNCAPPED — the cap
+    * shrinks intersections only, keeping capped scores lower bounds.
+    */
+  private def shinglePairStats(df: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int, maxDf: Long): DataFrame = {
     val sets = df.select(col(idCol).as("_nj_id"),
       array_distinct(TF.shingles(TF.tokens(col(textCol)), shingleLen))
         .as("_nj_ss"))
@@ -221,10 +257,6 @@ object Dedup {
     inter
       .join(sizes.select(col("_nj_id").as("a_id"), col("_nj_n").as("_nj_na")), "a_id")
       .join(sizes.select(col("_nj_id").as("b_id"), col("_nj_n").as("_nj_nb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        (col("_nj_ix").cast("double")
-          / (col("_nj_na") + col("_nj_nb") - col("_nj_ix"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** CROSS-corpus near-dup candidates: (left doc, right doc) pairs
