@@ -268,6 +268,44 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // INCREMENTAL state maintenance — e07's compaction maintained the
+    // way a 100-TB table actually is: a persisted SNAPSHOT (the
+    // compacted state of all history before a cutoff) plus ONLY the
+    // changelog tail since, folded by the same max_by. The oracle
+    // computes the full-history compaction and never sees the
+    // incremental path (q36's merge≡direct argument, applied to state
+    // maintenance): hash-equality proves applying the tail to the
+    // snapshot reproduces the full recompute exactly, because max_by
+    // over (snapshot ∪ tail) = max_by over all events — the snapshot
+    // row IS the pre-cutoff maximum. The cutoff derives from the data
+    // (day 20 after the first event's day) with exact integer
+    // arithmetic in both engines.
+    "e14_incremental_state" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        tsUs.as("ts_us"), col("event_id"), col("value"))
+      val t0 = ev.agg(
+        ((floor(min(col("ts_us")).cast("double") / lit(DayUs.toDouble))
+          .cast("long")) * lit(DayUs) + lit(20L * DayUs)).as("t0"))
+      val stamped = ev.crossJoin(broadcast(t0))
+      def compact(df: DataFrame) = df
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max_by(struct(col("ts_us"), col("event_id"), col("value")),
+          struct(col("ts_us"), col("event_id"))).as("last"))
+      val snapshot = compact(stamped.filter(col("ts_us") < col("t0")))
+        .select(col("user_id"), col("event_type"),
+          col("last.ts_us").as("ts_us"), col("last.event_id").as("event_id"),
+          col("last.value").as("value"))
+      val tail = stamped.filter(col("ts_us") >= col("t0"))
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"), col("value"))
+      compact(snapshot.unionByName(tail))
+        .select(col("user_id"), col("event_type"),
+          col("last.ts_us").as("last_ts_us"),
+          col("last.event_id").as("last_event_id"),
+          col("last.value").as("last_value"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
     // Daily retention cohorts — the classic activity-analytics matrix:
     // users grouped by first-seen day, then for each later day the
     // fraction of the cohort still active. Shapes for 100 TB: distinct
@@ -482,6 +520,17 @@ object EventQueries {
     // Identical winner to max_by((ts_us, event_id)): event_id is unique,
     // so the DESC row_number has no ties to break differently.
     "e07_last_state" ->
+      """SELECT user_id, event_type, ts_us AS last_ts_us,
+        | event_id AS last_event_id, value AS last_value
+        |FROM (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |       ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // The FULL-history compaction only (e07's oracle verbatim): the
+    // incremental snapshot+tail path must hash-match it exactly.
+    "e14_incremental_state" ->
       """SELECT user_id, event_type, ts_us AS last_ts_us,
         | event_id AS last_event_id, value AS last_value
         |FROM (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
