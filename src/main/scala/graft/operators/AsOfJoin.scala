@@ -30,13 +30,23 @@ object AsOfJoin {
 
   /** @param rightPayload right columns carried to the matched left row,
     *                     emitted as `prefix+name` (null when no match).
+    * @param tolerance    maximum allowed |left.time − right.time| in the
+    *                     time column's own units; a match further away
+    *                     nulls out exactly like no-match (the staleness
+    *                     guard: a click should not attribute to a view
+    *                     from last month). 0 = unbounded. Applied AFTER
+    *                     the window fill, so it adds no exchange — the
+    *                     nearest-in-direction row either qualifies or
+    *                     nothing does (any other candidate is farther).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       timeCol: String, rightPayload: Seq[String], prefix: String = "asof_",
-      tieBreak: Seq[Column] = Nil, direction: String = "backward"): DataFrame = {
+      tieBreak: Seq[Column] = Nil, direction: String = "backward",
+      tolerance: Long = 0L): DataFrame = {
     require(keys.nonEmpty && rightPayload.nonEmpty)
     require(Set("backward", "forward").contains(direction),
       s"as-of direction must be backward/forward, got $direction")
+    require(tolerance >= 0L, s"tolerance must be >= 0, got $tolerance")
     val side = "_asof_side"
     val payload = "_asof_payload"
     // The union-based fill would SILENTLY overwrite a left column that
@@ -60,10 +70,14 @@ object AsOfJoin {
     // fill picks a right row atomically: per-column last() would mix
     // columns from different right rows whenever a payload value is null,
     // and an all-null payload row would be indistinguishable from no match.
+    // The right row's own time rides inside the payload struct so the
+    // tolerance check reads the MATCHED row's time, not a column that
+    // may be absent from the payload list.
     val u = l.unionByName(r, allowMissingColumns = true)
       .withColumn(payload,
         when(col(side) === 0,
-          struct(rightPayload.map(c => col(prefix + c).as(c)): _*)))
+          struct((rightPayload.map(c => col(prefix + c).as(c)) :+
+            col(timeCol).as("_asof_t")): _*)))
     // Lexicographic order makes side the deciding key at equal time, so
     // tieBreak can never reorder left ahead of/behind right across the
     // frame boundary — it only breaks ties among right rows.
@@ -79,6 +93,10 @@ object AsOfJoin {
       else last(col(payload), ignoreNulls = true)
     val filled = u
       .withColumn(payload, fill.over(w))
+      .withColumn(payload,
+        if (tolerance <= 0L) col(payload)
+        else when(abs(col(timeCol) - col(payload).getField("_asof_t"))
+          <= tolerance, col(payload)))
       .filter(col(side) === 1)
     rightPayload.foldLeft(filled) { (df, c) =>
       df.withColumn(prefix + c, col(payload).getField(c))

@@ -175,6 +175,33 @@ object EventQueries {
         .orderBy(col("event_id"))
     },
 
+    // e04 with a TOLERANCE: a click only attributes to a view at most
+    // 30 minutes older — the staleness guard every attribution model
+    // carries (an hours-old view is not the cause of this click).
+    // Matches beyond the bound null out exactly like no-match; the
+    // check runs AFTER the window fill (no extra exchange), which is
+    // sufficient because the nearest-in-direction row either
+    // qualifies or nothing does. The bound bites at sf0.01: most
+    // nearest views sit hours back, so this row pins both the
+    // kept-within-bound and nulled-beyond-bound paths.
+    "e15_asof_tolerance" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), tsUs.as("ts_us"),
+          col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .drop("event_type")
+      val views = ev.filter(col("event_type") === "view")
+        .drop("event_type")
+      graft.operators.AsOfJoin.asofJoin(
+        clicks, views, keys = Seq("user_id"), timeCol = "ts_us",
+        rightPayload = Seq("event_id", "ts_us"), prefix = "view_",
+        tieBreak = Seq(col("view_event_id")), tolerance = SessionGapUs)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("view_event_id"), col("view_ts_us"),
+          (col("ts_us") - col("view_ts_us")).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+
     // The FORWARD as-of join (e04's mirror): each view matched to the
     // user's first click at or after it — the time-to-next-event
     // primitive (time-to-conversion, campaign-to-first-purchase).
@@ -473,6 +500,26 @@ object EventQueries {
         |FROM c ASOF LEFT JOIN v
         | ON c.user_id = v.user_id AND v.ts_us <= c.ts_us
         |ORDER BY c.event_id""".stripMargin,
+
+    // e04's ASOF with the tolerance as post-join CASE-nulls: DuckDB
+    // still picks the nearest prior view; the CASE nulls it (and the
+    // derived columns) when it is too old — a no-match row's NULL
+    // ts_us makes every CASE condition NULL → NULL, the same output.
+    "e15_asof_tolerance" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+         |           FROM events),
+         |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type='click'),
+         |v AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type='view')
+         |SELECT c.event_id, c.user_id, c.ts_us,
+         | CASE WHEN c.ts_us - v.ts_us <= $SessionGapUs
+         |      THEN v.event_id END AS view_event_id,
+         | CASE WHEN c.ts_us - v.ts_us <= $SessionGapUs
+         |      THEN v.ts_us END AS view_ts_us,
+         | CASE WHEN c.ts_us - v.ts_us <= $SessionGapUs
+         |      THEN c.ts_us - v.ts_us END AS gap_us
+         |FROM c ASOF LEFT JOIN v
+         | ON c.user_id = v.user_id AND v.ts_us <= c.ts_us
+         |ORDER BY c.event_id""".stripMargin,
 
     // DuckDB's ASOF takes >= for the nearest-following match directly.
     "e10_asof_view_click" ->

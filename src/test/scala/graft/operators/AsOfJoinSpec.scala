@@ -118,6 +118,32 @@ class AsOfJoinSpec extends AnyFunSuite {
       3L -> Some(902L), 4L -> None), s"got $back")
   }
 
+  test("tolerance nulls matches beyond the bound, keeps those within, both directions") {
+    def run(tol: Long, dir: String) = AsOfJoin.asofJoin(trades, quotes,
+      keys = Seq("sym"), timeCol = "t", rightPayload = Seq("qid"),
+      prefix = "q_", tieBreak = Seq(col("q_qid")), direction = dir,
+      tolerance = tol)
+      .select("id", "q_qid").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1).toSeq
+    // Backward, tol=5: trade t=10 → quote t=5 (gap 5, kept); t=20 →
+    // t=20 (gap 0); t=30 → t=25 (gap 5). Same as unbounded here.
+    assert(run(5L, "backward") == Seq(
+      (1L, Some(100L)), (2L, Some(101L)), (3L, Some(102L)), (4L, None)))
+    // Backward, tol=4: the two gap-5 matches null out; the exact-time
+    // match survives.
+    assert(run(4L, "backward") == Seq(
+      (1L, None), (2L, Some(101L)), (3L, None), (4L, None)))
+    // Forward, tol=4: t=10 → next quote t=20 (gap 10) nulls; t=20 →
+    // t=20 (gap 0) kept; t=30 has no following quote either way.
+    assert(run(4L, "forward") == Seq(
+      (1L, None), (2L, Some(101L)), (3L, None), (4L, None)))
+    // tolerance = 0 means unbounded (the default contract).
+    assert(run(0L, "backward") == Seq(
+      (1L, Some(100L)), (2L, Some(101L)), (3L, Some(102L)), (4L, None)))
+  }
+
   test("a left column colliding with an emitted name fails loudly") {
     // Without the guard the union-based fill would silently overwrite
     // the pre-existing q_qid (e.g. the output of a previous asofJoin
