@@ -765,6 +765,32 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // Equi-width histogram — the optimizer-statistics face q25/q26
+    // don't cover: 16 buckets over the price domain with counts and
+    // mass shares, the input to selectivity estimation and skew
+    // diagnosis. Two passes by necessity (the domain is data-derived):
+    // a 1-row min/max/count aggregate broadcasts (d47's threshold
+    // pattern), then bucketing is row-local arithmetic inside the
+    // scan and ONE bucket-keyed aggregate. The bucket expression is
+    // the identical double sequence on both engines; the top edge
+    // folds into the last bucket via least().
+    "q37_histogram" -> { (s, d) =>
+      val B = 16
+      val bounds = Tables.lineitem(s, d).agg(
+        min(col("l_extendedprice")).cast("double").as("lo"),
+        max(col("l_extendedprice")).cast("double").as("hi"),
+        count(lit(1)).as("cnt"))
+      Tables.lineitem(s, d).crossJoin(broadcast(bounds))
+        .select(least(lit((B - 1).toLong),
+          floor((col("l_extendedprice") - col("lo")) * lit(B.toDouble)
+            / (col("hi") - col("lo"))).cast("long")).as("bucket"),
+          col("cnt"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (count(lit(1)).cast("double") / max(col("cnt"))).as("share"))
+        .orderBy(col("bucket"))
+    },
+
     // Exact per-group top-k WITHOUT the window sort
     // ([[graft.operators.Sketches.TopKByScore]]): q08's row_number idiom
     // sorts every group row through the exchange; the mergeable top-k
@@ -1256,6 +1282,18 @@ object RelationalQueries {
          | ROUND(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
          |   / (n - 1)), 9) AS stddev_qty
          |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    "q37_histogram" ->
+      """WITH b AS (SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+        |            CAST(MAX(l_extendedprice) AS DOUBLE) AS hi,
+        |            COUNT(*) AS cnt
+        |           FROM lineitem)
+        |SELECT LEAST(15, CAST(FLOOR((l_extendedprice - lo) * 16e0 / (hi - lo))
+        |         AS BIGINT)) AS bucket,
+        | COUNT(*) AS n,
+        | CAST(COUNT(*) AS DOUBLE) / MAX(cnt) AS share
+        |FROM lineitem, b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q33_unpivot" ->
       s"""WITH u AS (

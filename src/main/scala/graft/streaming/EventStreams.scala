@@ -37,6 +37,25 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Sliding-window rollup: overlapping 1-hour windows advancing every
+    * `slide` — the smoothed trend view (rate dashboards, rolling SLO
+    * counters) where [[hourlyRollup]]'s tumbling windows jump in steps.
+    * Each event belongs to window/slide windows (4 here), which is the
+    * documented state/throughput price of the overlap; watermark
+    * eviction bounds open state exactly as in the tumbling case. Works
+    * identically on batch frames (the per-event window membership is
+    * pinned batch-side in StreamingSpec).
+    */
+  def slidingRollup(events: DataFrame, window_ : String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** e02's streaming face: session windows (30-minute gap) per user via
     * the built-in session_window — Spark merges/extends window state and
     * the watermark closes sessions. Works identically on batch frames.

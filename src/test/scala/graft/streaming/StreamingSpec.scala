@@ -96,6 +96,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("slidingRollup: each event lands in window/slide overlapping windows") {
+    val df = Seq(
+      (ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      (ts("2024-01-01 10:50:00"), 2L, "view", 2.0))
+      .toDF("ts", "user_id", "event_type", "value")
+    val got = EventStreams.slidingRollup(df)
+      .orderBy("event_type", "win_start").collect()
+      .map(r => (r.getString(2), r.getTimestamp(0).toString, r.getLong(3)))
+    // 1h window, 15m slide → every event belongs to exactly 4 windows.
+    assert(got.count(_._1 == "click") == 4)
+    assert(got.count(_._1 == "view") == 4)
+    // The 10:05 click's earliest covering window starts 09:15; the
+    // latest starts 10:00.
+    val clickStarts = got.filter(_._1 == "click").map(_._2).sorted
+    assert(clickStarts.head == "2024-01-01 09:15:00.0" &&
+      clickStarts.last == "2024-01-01 10:00:00.0", clickStarts.toSeq)
+    // Both events share the [10:00, 11:00) window.
+    assert(got.exists(g => g._1 == "click" && g._2 == "2024-01-01 10:00:00.0")
+      && got.exists(g => g._1 == "view" && g._2 == "2024-01-01 10:00:00.0"))
+  }
+
   test("sessionize groups by 30-minute gaps (batch mode sanity)") {
     // session_window works identically on batch frames — pin the
     // gap-merge semantics without a streaming harness.
