@@ -429,6 +429,55 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "windowed cardinality must not join")
   }
 
+  test("q36: shard-merge profile — one scan, no join, shard then global aggregate") {
+    // The incremental-statistics claim: partial profiles fold WITHOUT
+    // rescanning. One lineitem scan feeds the shard aggregate; the
+    // fold is a second (global) aggregate over 4 shard rows — never a
+    // join, never a second scan.
+    val p = plan("q36_profile_merge")
+    assert(scans("q36_profile_merge").length == 1, "merge must not rescan")
+    assert(!p.contains("Join"))
+  }
+
+  test("e12: rollup lattice rides one Expand with map-side partial sketch state") {
+    val p = plan("e12_rollup_users")
+    assert(p.contains("Expand"), "rollup must plan as Expand")
+    assert(p.contains("partial_kmvdistinct"),
+      "KMV must combine map-side through the lattice")
+    assert(!p.contains("Join"))
+    assert(scans("e12_rollup_users").length == 1,
+      "all three granularities must come from one scan")
+  }
+
+  test("e13: moving window is a single user-keyed exchange") {
+    val p = plan("e13_moving_window")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 user_id exchange carrying sort+frames, found $n")
+    assert(p.contains("Window"), "range frames plan as a Window node")
+    assert(!p.contains("Join"))
+  }
+
+  test("e14: incremental state joins nothing but the 1-row cutoff broadcast") {
+    // Snapshot and tail both derive from the events scan (a persisted
+    // snapshot table replaces one at production); the only join-like
+    // node allowed is the broadcast nested loop stamping the 1-row
+    // cutoff frame.
+    val p = plan("e14_incremental_state")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin"),
+      s"state maintenance must not plan keyed joins:\n${p.take(600)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row cutoff must arrive as a broadcast")
+  }
+
+  test("q37: histogram buckets row-locally after a broadcast bounds row") {
+    val p = plan("q37_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row min/max/count frame must broadcast")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected only the bucket-keyed exchange, found $n")
+  }
+
   test("q29: PageRank iterations checkpoint — the final plan is a rank scan, not an unrolled loop") {
     // GraphRank persists the edge/degree/node frames and eagerly
     // localCheckpoints each iteration's ranks, so the frame q29 returns
