@@ -342,6 +342,42 @@ object Similarity {
       probes: DataFrame, probeIdCol: String, probeVecCol: String,
       nprobe: Int, k: Int): DataFrame = {
     require(nprobe >= 1 && k >= 1, s"nprobe=$nprobe k=$k must be positive")
+    batchTopK(
+      assigned, vectors.cosineSimilarity(col(vecCol), col("_ann_pv")),
+      idCol, batchProbeCells(probes, probeIdCol, probeVecCol,
+        seeds, seedIdCol, seedVecCol, nprobe), probeIdCol, k)
+  }
+
+  /** [[ivfSearchBatch]] over int8-quantized storage: the corpus side
+    * carries (codes, scale, cell) — [[ScalarQuant.quantize]]'s output,
+    * [[graft.store.IvfIndex.buildQuantized]]'s on-disk layout — so the
+    * batch's coarse scan reads ~4× fewer bytes per probed cell, and
+    * candidates score on dequantized codes with v11/v13's exact
+    * arithmetic. Identical probe-cell ranking, join shape, and
+    * per-probe heap as the float batch; only the score input differs.
+    */
+  def ivfSearchBatchQuantized(quantized: DataFrame, idCol: String,
+      seeds: DataFrame, seedIdCol: String, seedVecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1 && k >= 1, s"nprobe=$nprobe k=$k must be positive")
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val deq = transform(col("codes"), c => c.cast("double") * col("scale"))
+      .cast(ArrayType(FloatType))
+    batchTopK(
+      quantized, vectors.cosineSimilarity(deq, col("_ann_pv")),
+      idCol, batchProbeCells(probes, probeIdCol, probeVecCol,
+        seeds, seedIdCol, seedVecCol, nprobe), probeIdCol, k)
+  }
+
+  /** Per-probe top-nprobe cells against the broadcast codebook —
+    * (probe id, probe vec, cell), the broadcast side of every batch
+    * search. The rank window runs over |probes|·|cells| rows, both
+    * query/codebook-sized by contract.
+    */
+  private def batchProbeCells(probes: DataFrame, probeIdCol: String,
+      probeVecCol: String, seeds: DataFrame, seedIdCol: String,
+      seedVecCol: String, nprobe: Int): DataFrame = {
     val ranked = probes
       .select(col(probeIdCol).as("_ann_pid"), col(probeVecCol).as("_ann_pv"))
       .crossJoin(broadcast(seeds.select(col(seedIdCol).as("_ann_cell"),
@@ -350,17 +386,27 @@ object Similarity {
         vectors.cosineSimilarity(col("_ann_pv"), col("_ann_cv")))
     val w = Window.partitionBy(col("_ann_pid"))
       .orderBy(col("_ann_cs").desc, col("_ann_cell"))
-    val probeCellPairs = ranked
+    ranked
       .withColumn("_ann_rn", row_number().over(w))
       .filter(col("_ann_rn") <= nprobe)
       .select(col("_ann_pid"), col("_ann_pv"), col("_ann_cell"))
+  }
+
+  /** The shared tail of every batch search: broadcast-join the
+    * (probe, cell) pairs to the corpus on its own cell key, score
+    * row-locally with `scoreExpr` (which may reference `_ann_pv`),
+    * and heap-aggregate per probe — the only data-scale exchange
+    * carries ≤ k rows per probe per task.
+    */
+  private def batchTopK(corpus: DataFrame, scoreExpr: Column,
+      idCol: String, probeCellPairs: DataFrame, probeIdCol: String,
+      k: Int): DataFrame = {
     val topk = udaf(new Sketches.TopKByScore(k),
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[(java.lang.Double, java.lang.Long)]())
-    assigned
+    corpus
       .join(broadcast(probeCellPairs), col("cell") === col("_ann_cell"))
-      .withColumn("_ann_score",
-        vectors.cosineSimilarity(col(vecCol), col("_ann_pv")))
+      .withColumn("_ann_score", scoreExpr)
       .groupBy(col("_ann_pid"))
       .agg(topk(col("_ann_score"), col(idCol)).as("_ann_top"))
       .select(col("_ann_pid").as(probeIdCol),

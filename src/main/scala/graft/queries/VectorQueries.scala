@@ -273,6 +273,31 @@ object VectorQueries {
         .select(col("probe_id"), col("n_hit"),
           (col("n_hit").cast("double") / lit(5.0)).as("recall"))
         .orderBy(col("probe_id"))
+    },
+
+    // The quantized BATCH face ([[Similarity.ivfSearchBatchQuantized]])
+    // — v13's int8 serving configuration answering a probe FRAME per
+    // pass: the coarse scan reads codes+scale (~4× fewer bytes per
+    // probed cell), candidates score on dequantized codes with v11's
+    // exact arithmetic, and the per-probe top-k is the same mergeable
+    // heap as v16's float arms. At 100 TB this is THE serving shape:
+    // quantized storage × batch probes × cell pruning, all in one
+    // declarative pass.
+    "v17_ivfq_batch" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+      val quantized = graft.operators.ScalarQuant.quantize(
+        Similarity.ivfAssign(e, "vec_id", "embedding",
+          seeds, "seed_id", "seed_vec")
+          .select(col("vec_id"), col("embedding"), col("cell")),
+        "embedding").drop("embedding")
+      val probes = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      Similarity.ivfSearchBatchQuantized(quantized, "vec_id",
+        seeds, "seed_id", "seed_vec", probes, "probe_id", "embedding",
+        nprobe = 2, k = 5)
+        .orderBy(col("probe_id"), col("rank"))
     }
   )
 
@@ -653,6 +678,47 @@ object VectorQueries {
         |   AS DOUBLE) / 5.0e0 AS recall
         |FROM ex LEFT JOIN ivf i
         | ON ex.probe_id = i.probe_id AND ex.vec_id = i.vec_id
-        |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin
+        |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin,
+
+    // v13's replay (assignment → int8 quantize/dequantize → cell rank
+    // → in-cell top-k) generalized to the probe set: every window
+    // partitions by probe_id.
+    "v17_ivfq_batch" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, s.cell,
+        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) AS cs
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |   SELECT vec_id, embedding, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+        |   FROM scored) r WHERE rn = 1),
+        |q AS (SELECT vec_id, cell,
+        |       CAST(CAST(list_transform(v, x ->
+        |         (CASE WHEN scale = 0.0e0 THEN 0.0e0
+        |          ELSE FLOOR(x / scale + 0.5e0) END) * scale) AS REAL[])
+        |        AS DOUBLE[]) AS dv
+        |      FROM (SELECT vec_id, cell, CAST(embedding AS DOUBLE[]) AS v,
+        |             list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+        |               x -> abs(x)), 'max') / 127.0e0 AS scale
+        |            FROM assigned) s),
+        |probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 500),
+        |cells AS (
+        |  SELECT probe_id, qv, cell FROM (
+        |   SELECT p.probe_id, p.qv, s.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+        |     ORDER BY list_cosine_similarity(s.cv, p.qv) DESC, s.cell) AS rn
+        |   FROM probes p CROSS JOIN seeds s) t WHERE rn <= 2)
+        |SELECT probe_id, CAST(rn AS BIGINT) AS rank, vec_id, score FROM (
+        | SELECT c.probe_id, q.vec_id,
+        |  list_cosine_similarity(q.dv, c.qv) AS score,
+        |  ROW_NUMBER() OVER (PARTITION BY c.probe_id
+        |   ORDER BY list_cosine_similarity(q.dv, c.qv) DESC, q.vec_id) AS rn
+        | FROM q JOIN cells c ON q.cell = c.cell) t
+        |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin
   )
 }
