@@ -857,6 +857,20 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Vocabulary-drift report ([[graft.text.UnigramLm.termDrift]]):
+    // WHICH tokens drive the en-vs-corpus divergence — the monitoring
+    // face of d50's importance weights (drift between crawl
+    // snapshots/domains/time windows, reported per term instead of
+    // scored per doc). contrib_micro = c_target·lr is each term's
+    // exact integer contribution to the scaled KL sum, so the top-20
+    // |contribution| ranking replays exactly; ties break on the term.
+    "d52_vocab_drift" -> { (s, d) =>
+      graft.text.UnigramLm.termDrift(
+        Tables.documents(s, d), "doc_id", "text", col("lang") === "en")
+        .orderBy(abs(col("contrib_micro")).desc, col("term"))
+        .limit(20)
+    },
+
     // DSIR-style target-domain selection
     // ([[graft.text.UnigramLm.importanceWeights]]): every document
     // scored by its mean per-token log importance ratio between the
@@ -1555,6 +1569,29 @@ object TextQueries {
         |FROM ix JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
         |WHERE CAST(ix AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8e0
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // d50's count/ratio CTEs surfaced per term; the contribution is
+    // an exact BIGINT product so the |contrib| ranking is total.
+    "d52_vocab_drift" ->
+      """WITH t AS (SELECT lang = 'en' AS tgt,
+        |            unnest(string_split(text,' ')) AS tok
+        |           FROM documents),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cs,
+        |       CAST(COUNT(*) FILTER (WHERE tgt) AS BIGINT) AS ct
+        |      FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS ts,
+        |         COALESCE(CAST(SUM(ct) AS BIGINT), 0) AS tt,
+        |         CAST(COUNT(*) AS BIGINT) AS v FROM c),
+        |p AS (SELECT tok AS term, ct AS c_target, cs AS c_source,
+        |       CAST(FLOOR(ln(CAST(ct + 1 AS DOUBLE)
+        |         / CAST(tt + v AS DOUBLE)) * 1000000.0e0) AS BIGINT)
+        |       - CAST(FLOOR(ln(CAST(cs + 1 AS DOUBLE)
+        |         / CAST(ts + v AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS lr_micro
+        |      FROM c, tot)
+        |SELECT term, c_target, c_source, lr_micro,
+        | CAST(c_target * lr_micro AS BIGINT) AS contrib_micro
+        |FROM p
+        |ORDER BY abs(c_target * lr_micro) DESC, term LIMIT 20""".stripMargin,
 
     // d40's CTE shape with a second (target-filtered) count column off
     // the same token table; both quantized ln's replayed per term, the

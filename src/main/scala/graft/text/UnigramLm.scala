@@ -139,6 +139,44 @@ object UnigramLm {
       targetCol: org.apache.spark.sql.Column): DataFrame = {
     val toks = docs.select(col(idCol).as("_lm_id"), targetCol.as("_lm_tgt"),
       explode(TF.tokens(col(textCol))).as("_lm_t"))
+    val ratios = termLogRatios(toks).select(col("_lm_t"), col("_lm_lr"))
+    toks.join(ratios, "_lm_t")
+      .groupBy(col("_lm_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_lm_lr")).as("lr_sum"))
+      .select(col("_lm_id").as(idCol), col("n_tokens"), col("lr_sum"),
+        (col("lr_sum").cast("double") / col("n_tokens")
+          / lit(LpScale.toDouble)).as("avg_lr"))
+  }
+
+  /** Per-TERM drift report between the target slice and the full
+    * corpus — the vocabulary-drift face of [[importanceWeights]]
+    * (same two LMs, same quantized ratios, aggregated per term
+    * instead of per document): which tokens drive the divergence
+    * between two corpus slices (crawl snapshots, domains, time
+    * windows). `contrib_micro = c_target(t) · lr(t)` is term t's
+    * exact integer contribution to the (scaled, unnormalized)
+    * KL(target ‖ source) sum — positive for tokens over-represented
+    * in the target, negative for under-represented; the report is
+    * the |contribution| ranking. Returns (term, c_target, c_source,
+    * lr_micro, contrib_micro) — all exact integers, so any
+    * downstream top-k or sum replays in an oracle.
+    */
+  def termDrift(docs: DataFrame, idCol: String, textCol: String,
+      targetCol: org.apache.spark.sql.Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("_lm_id"), targetCol.as("_lm_tgt"),
+      explode(TF.tokens(col(textCol))).as("_lm_t"))
+    termLogRatios(toks)
+      .select(col("_lm_t").as("term"), col("_lm_ct").as("c_target"),
+        col("_lm_cs").as("c_source"), col("_lm_lr").as("lr_micro"),
+        (col("_lm_ct") * col("_lm_lr")).as("contrib_micro"))
+  }
+
+  /** Shared ratio table for the DSIR faces: per term, source count,
+    * target count, and the quantized log importance ratio (both ln's
+    * floor-quantized to 1e-6 BIGINTs BEFORE the subtraction — the
+    * d40 parity rule per side).
+    */
+  private def termLogRatios(toks: DataFrame): DataFrame = {
     val counts = toks.groupBy(col("_lm_t"))
       .agg(count(lit(1)).as("_lm_cs"),
         sum(when(col("_lm_tgt"), 1L).otherwise(0L)).as("_lm_ct"))
@@ -149,15 +187,9 @@ object UnigramLm {
         total: org.apache.spark.sql.Column) =
       floor(log(c.cast("double") / (total + col("_lm_v")).cast("double"))
         * lit(LpScale.toDouble)).cast("long")
-    val ratios = counts.crossJoin(totals)
-      .select(col("_lm_t"),
+    counts.crossJoin(totals)
+      .select(col("_lm_t"), col("_lm_cs"), col("_lm_ct"),
         (lp(col("_lm_ct") + 1, col("_lm_tt"))
           - lp(col("_lm_cs") + 1, col("_lm_ts"))).as("_lm_lr"))
-    toks.join(ratios, "_lm_t")
-      .groupBy(col("_lm_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("_lm_lr")).as("lr_sum"))
-      .select(col("_lm_id").as(idCol), col("n_tokens"), col("lr_sum"),
-        (col("lr_sum").cast("double") / col("n_tokens")
-          / lit(LpScale.toDouble)).as("avg_lr"))
   }
 }
