@@ -251,6 +251,37 @@ object EventQueries {
             .as("conversion"))
     },
 
+    // e05's funnel TIME-BOXED: each step must land within 24 hours of
+    // the previous one — the realistic attribution form (a purchase a
+    // week after the click is not this funnel's conversion). Same
+    // min-per-step shape and exchanges as e05; only the step filter
+    // gains the upper bound, and the bound BITES at sf0.01 (fewer
+    // users clear each boxed step than e05's unbounded ones), so the
+    // row pins the windowed semantics, not just a re-run.
+    "e16_funnel_windowed" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), tsUs.as("ts_us"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts_us") > col("t1") &&
+          col("ts_us") <= col("t1") + lit(DayUs))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts_us") > col("t2") &&
+          col("ts_us") <= col("t2") + lit(DayUs))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+        .select(col("n_view"), col("n_view_click"),
+          col("n_view_click_purchase"),
+          (col("n_view_click_purchase").cast("double") / col("n_view"))
+            .as("conversion"))
+    },
+
     // Bounded look-ahead interval join ([[graft.operators.IntervalJoin]]):
     // every (view, click) pair where the click lands within one hour
     // AFTER the view, per user — the attribution-window join. The naive
@@ -551,6 +582,27 @@ object EventQueries {
         | (SELECT COUNT(*) FROM p) AS n_view_click_purchase,
         | CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
         |  / (SELECT COUNT(*) FROM v) AS conversion""".stripMargin,
+
+    // e05's oracle with the per-step upper bound inline.
+    "e16_funnel_windowed" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         |v AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+         |      WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, MIN(e.ts_us) AS t2 FROM e
+         |      JOIN v ON e.user_id = v.user_id
+         |      WHERE e.event_type = 'click' AND e.ts_us > v.t1
+         |       AND e.ts_us <= v.t1 + $DayUs
+         |      GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, MIN(e.ts_us) AS t3 FROM e
+         |      JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type = 'purchase' AND e.ts_us > c.t2
+         |       AND e.ts_us <= c.t2 + $DayUs
+         |      GROUP BY e.user_id)
+         |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+         | (SELECT COUNT(*) FROM c) AS n_view_click,
+         | (SELECT COUNT(*) FROM p) AS n_view_click_purchase,
+         | CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+         |  / (SELECT COUNT(*) FROM v) AS conversion""".stripMargin,
 
     "e06_interval_join" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
