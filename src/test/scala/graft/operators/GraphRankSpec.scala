@@ -54,6 +54,34 @@ class GraphRankSpec extends AnyFunSuite {
       "partition layout changed the fixed-point ranks")
   }
 
+  test("personalized replay: matches the driver-side recurrence with seeds, any layout") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val seedSet = (0L until 40L).filter(_ % 5 == 0).toSet
+    // Driver replay of the seeded recurrence: r0 = seed·init,
+    // rank' = seed·base + damp·Σ(rank_u div deg_u).
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var want = nodes.map(n =>
+      n -> (if (seedSet(n)) 1000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => want(s) / deg(s) }.sum
+      }
+      want = nodes.map(n =>
+        n -> ((if (seedSet(n)) 150000L else 0L) +
+          85L * contrib.getOrElse(n, 0L) / 100L)).toMap
+    }
+    def got(parts: Int) = GraphRank.pageRank(
+        edges.toDF("src", "dst").repartition(parts), "src", "dst", 3,
+        teleport = Some(seedSet.toSeq.toDF("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1) === want)
+    assert(got(13) === want, "partition layout changed the seeded ranks")
+  }
+
   test("duplicate input edges collapse before degree counting") {
     // Same edge listed three times must not triple the out-degree.
     val dup = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L))
