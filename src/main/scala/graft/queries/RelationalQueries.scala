@@ -518,44 +518,11 @@ object RelationalQueries {
     // simulated ingest batches.
     "q36_profile_merge" -> { (s, d) =>
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val st = udaf(new graft.operators.Sketches.KmvState(KmvK),
-        org.apache.spark.sql.Encoders.scalaLong)
-      val mg = udaf(new graft.operators.Sketches.KmvMerge(KmvK),
-        org.apache.spark.sql.catalyst.encoders
-          .ExpressionEncoder[Seq[java.lang.Long]]())
-      def centsHash(c: String) = graft.operators.Sketches.kmvInput(
-        graft.text.TextFunctions.hash32(
-          floor(col(c) * lit(100.0) + lit(0.5)).cast("long").cast("string")))
-      val shardAggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
-          st(centsHash(c)).as(s"${c}_st"),
-          min(col(c)).cast("double").as(s"${c}_min"),
-          max(col(c)).cast("double").as(s"${c}_max"),
-          sum(m(col(c))).as(s"${c}_sumd")) // decimal until the final fold
-      }
-      val perShard = Tables.lineitem(s, d)
-        .withColumn("_shard", pmod(col("l_orderkey"), lit(4)))
-        .groupBy(col("_shard"))
-        .agg(shardAggs.head, shardAggs.tail: _*)
-      val foldAggs = Seq(count(lit(1)).as("n_shards"),
-        sum(col("n_rows")).cast("long").as("n_rows")) ++ cols.flatMap { c =>
-        Seq(sum(col(s"${c}_nn")).cast("long").as(s"${c}_nn"),
-          mg(col(s"${c}_st")).as(s"${c}_nd"),
-          min(col(s"${c}_min")).as(s"${c}_min"),
-          max(col(s"${c}_max")).as(s"${c}_max"),
-          sum(col(s"${c}_sumd")).cast("double").as(s"${c}_sum"))
-      }
-      val stackExpr = cols.map(c =>
-        s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max, ${c}_sum")
-        .mkString(s"stack(${cols.length}, ", ", ", ")")
-      perShard
-        .agg(foldAggs.head, foldAggs.tail: _*)
-        .select(col("n_shards"), col("n_rows"), expr(s"$stackExpr AS " +
-          "(column_name, n_null, n_distinct_est, min_v, max_v, sum_v)"))
-        .select(col("column_name"), col("n_shards"), col("n_rows"),
-          col("n_null"), col("n_distinct_est"), col("min_v"), col("max_v"),
-          col("sum_v"))
-        .orderBy(col("column_name"))
+      graft.operators.TableProfile.fold(
+        graft.operators.TableProfile.partialBy(
+          Tables.lineitem(s, d), pmod(col("l_orderkey"), lit(4)),
+          cols, KmvK),
+        cols, KmvK)
     },
 
     // Z-order clustering key + the box query it serves

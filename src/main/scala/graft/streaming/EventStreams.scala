@@ -99,6 +99,45 @@ object EventStreams {
         col("n_events"), col("est_users"))
   }
 
+  /** Driver-held ledger for [[EventStreams.profileSink]]: one tiny
+    * partial-profile row per micro-batch (bounded by k longs per
+    * column — the sketch state, not the data), folded to the exact
+    * global profile on demand. This is q36's merge≡direct contract
+    * run CONTINUOUSLY: the catalog row for a table stays current as
+    * the stream ingests, and no fold ever rescans history.
+    */
+  final class ProfileLedger(val cols: Seq[String], val k: Int = 256) {
+    private[streaming] var partials: Vector[org.apache.spark.sql.Row] =
+      Vector.empty
+    private[streaming] var schema: org.apache.spark.sql.types.StructType = _
+
+    /** The exact global profile over everything ingested so far. */
+    def current(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      require(schema != null, "profile ledger has seen no batches yet")
+      graft.operators.TableProfile.fold(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(partials).asJava),
+          schema),
+        cols, k)
+    }
+  }
+
+  /** Streaming incremental table profile: each micro-batch reduces to
+    * one [[graft.operators.TableProfile.partial]] row appended to the
+    * ledger. The per-batch driver traffic is one catalog-sized row;
+    * KMV's set-function state makes the folded profile EXACTLY equal
+    * to a one-pass batch profile of the same rows regardless of how
+    * the stream was micro-batched — pinned in StreamingSpec.
+    */
+  def profileSink(rows: DataFrame, ledger: ProfileLedger)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val p = graft.operators.TableProfile.partial(batch, ledger.cols, ledger.k)
+      ledger.schema = p.schema
+      ledger.partials = ledger.partials ++ p.collect()
+    }
+
   /** Open-session state carried between micro-batches by
     * [[statefulSessionize]]: bounded per open session (counters + the
     * capped path), keyed by user — the state store holds one entry per

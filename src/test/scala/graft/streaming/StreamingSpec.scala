@@ -117,6 +117,38 @@ class StreamingSpec extends AnyFunSuite {
       && got.exists(g => g._1 == "view" && g._2 == "2024-01-01 10:00:00.0"))
   }
 
+  test("profileSink: folded micro-batch partials equal the one-pass batch profile") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Double, Double)]
+    val cols = Seq("x", "y")
+    val ledger = new EventStreams.ProfileLedger(cols, k = 8)
+    val q = EventStreams.profileSink(
+      in.toDF.toDF("id", "x", "y"), ledger)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    // 30 rows across three micro-batches; 15 distinct cent-values per
+    // column — ABOVE k=8, so the fold exercises the estimator path,
+    // not below-k exactness.
+    val rows = Seq.tabulate(30)(i =>
+      (i.toLong, (i % 15) * 1.25, 100.0 - (i % 15) * 2.5))
+    try {
+      in.addData(rows.take(10): _*); q.processAllAvailable()
+      in.addData(rows.slice(10, 20): _*); q.processAllAvailable()
+      in.addData(rows.drop(20): _*); q.processAllAvailable()
+      def strip(df: org.apache.spark.sql.DataFrame) =
+        df.drop("n_shards").collect().map(_.toSeq).toSeq
+      val streamed = strip(ledger.current(spark))
+      val direct = strip(graft.operators.TableProfile.fold(
+        graft.operators.TableProfile.partial(
+          rows.toDF("id", "x", "y"), cols, 8), cols, 8))
+      assert(streamed == direct,
+        s"incremental profile drifted from the one-pass profile:\n" +
+          s"stream: $streamed\ndirect: $direct")
+      assert(ledger.partials.size == 3, "one partial row per micro-batch")
+    } finally q.stop()
+  }
+
   test("sessionize groups by 30-minute gaps (batch mode sanity)") {
     // session_window works identically on batch frames — pin the
     // gap-merge semantics without a streaming harness.
