@@ -251,6 +251,43 @@ object EventQueries {
             .as("conversion"))
     },
 
+    // Inter-event gap quantiles — the behavioral-latency profile
+    // (how often do users click? what's the p90 lull between
+    // purchases?): per-user-and-type gaps from ONE lag window, then
+    // q20's exact interpolated quantiles per type over the derived
+    // gaps. Two keyed exchanges total ((user,type) for the lag,
+    // type for the rank); gaps are exact integer micros, and equal
+    // gap values make the rank-tie order irrelevant to the
+    // interpolation, so the result is deterministic under any
+    // layout — hash-checked against quantile_cont.
+    "e17_gap_quantiles" -> { (s, d) =>
+      val wSeq = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), tsUs.as("ts_us"),
+          col("event_id"))
+        .withColumn("gap", (col("ts_us") - lag(col("ts_us"), 1).over(wSeq))
+          .cast("double"))
+        .filter(col("gap").isNotNull)
+        .select(col("event_type"), col("gap"))
+      val wRank = Window.partitionBy(col("event_type")).orderBy(col("gap"))
+      val ranked = gaps.withColumn("rn", row_number().over(wRank).cast("long"))
+      val counts = ranked.groupBy(col("event_type")).agg(max(col("rn")).as("n"))
+      def contrib(p: Double): Column = {
+        val h = (col("n") - 1).cast("double") * lit(p)
+        val loRank = floor(h).cast("long") + 1
+        when(col("rn") === loRank, (loRank.cast("double") - h) * col("gap"))
+          .when(col("rn") === loRank + 1, (h - floor(h)) * col("gap"))
+          .otherwise(lit(0.0))
+      }
+      ranked.join(broadcast(counts), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          sum(contrib(0.5)).as("p50_gap_us"),
+          sum(contrib(0.9)).as("p90_gap_us"))
+        .orderBy(col("event_type"))
+    },
+
     // e05's funnel TIME-BOXED: each step must land within 24 hours of
     // the previous one — the realistic attribution form (a purchase a
     // week after the click is not this funnel's conversion). Same
@@ -582,6 +619,21 @@ object EventQueries {
         | (SELECT COUNT(*) FROM p) AS n_view_click_purchase,
         | CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
         |  / (SELECT COUNT(*) FROM v) AS conversion""".stripMargin,
+
+    // The lag gaps re-derived, then DuckDB's own quantile_cont — the
+    // q20-proved interpolation parity applied to a derived column.
+    "e17_gap_quantiles" ->
+      """WITH g AS (
+        | SELECT event_type,
+        |  CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |   PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |   AS DOUBLE) AS gap
+        | FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        | quantile_cont(gap, 0.5) AS p50_gap_us,
+        | quantile_cont(gap, 0.9) AS p90_gap_us
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // e05's oracle with the per-step upper bound inline.
     "e16_funnel_windowed" ->
