@@ -857,6 +857,25 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Checksum-gated PII ([[graft.text.Pii.luhnValid]]): a 16-digit
+    // run only redacts as a payment card if its Luhn check digit
+    // verifies — pattern-only redaction (d34) would also destroy
+    // order ids and hashes that merely LOOK like cards. The planted
+    // number derives from doc_id (d34's planting idiom), so validity
+    // is data-determined (~1 in 10 verify) and both the kept and the
+    // redacted paths pin; the mod-10 doubling arithmetic replays
+    // digit for digit in the oracle's list primitives.
+    "d53_luhn_pii" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          lpad((col("doc_id") * 7919L % 10000000000000000L).cast("string"),
+            16, "0").as("card"))
+        .withColumn("luhn_valid", graft.text.Pii.luhnValid("card", 16))
+        .withColumn("clean",
+          when(col("luhn_valid"), lit("<CARD>")).otherwise(col("card")))
+        .orderBy(col("doc_id"))
+    },
+
     // Vocabulary-drift report ([[graft.text.UnigramLm.termDrift]]):
     // WHICH tokens drive the en-vs-corpus divergence — the monitoring
     // face of d50's importance weights (drift between crawl
@@ -1569,6 +1588,26 @@ object TextQueries {
         |FROM ix JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
         |WHERE CAST(ix AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8e0
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // The same plant and the same mod-10 doubling, digit for digit,
+    // in DuckDB's list primitives.
+    "d53_luhn_pii" ->
+      """WITH c AS (SELECT doc_id,
+        |        lpad(CAST(doc_id * 7919 % 10000000000000000 AS VARCHAR),
+        |          16, '0') AS card
+        |       FROM documents),
+        |v AS (SELECT doc_id, card,
+        |       list_sum(list_transform(range(1, 17), i ->
+        |        CASE WHEN (16 - i) % 2 = 1
+        |         THEN CASE WHEN CAST(substr(card, CAST(i AS INT), 1) AS INT) * 2 > 9
+        |              THEN CAST(substr(card, CAST(i AS INT), 1) AS INT) * 2 - 9
+        |              ELSE CAST(substr(card, CAST(i AS INT), 1) AS INT) * 2 END
+        |         ELSE CAST(substr(card, CAST(i AS INT), 1) AS INT) END))
+        |        % 10 = 0 AS luhn_valid
+        |      FROM c)
+        |SELECT doc_id, card, luhn_valid,
+        | CASE WHEN luhn_valid THEN '<CARD>' ELSE card END AS clean
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     // d50's count/ratio CTEs surfaced per term; the contribution is
     // an exact BIGINT product so the |contrib| ranking is total.

@@ -50,4 +50,31 @@ object Pii {
   /** Occurrences of `pattern` in the ORIGINAL text (audit counters). */
   def countMatches(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Luhn (mod-10) checksum validity of a fixed-length digit string —
+    * the CHECKSUM-gated PII class: a 16-digit run is only a payment
+    * card if its check digit verifies, and redacting every 16-digit
+    * number would destroy order ids and hashes that merely look like
+    * cards. Pattern-only redaction (d34's classes) cannot make that
+    * distinction; this can, with zero false redactions on random
+    * digit runs in 9 of 10 cases. Spelled as a pure higher-order
+    * expression (aggregate over transform — row-local, codegen-free
+    * but shuffle-free), with the identical arithmetic replayable in
+    * any engine's list primitives: double every second digit from the
+    * right, subtract 9 when the double exceeds 9, sum ≡ 0 (mod 10).
+    * The column is named (not a Column) because the digit positions
+    * are read inside a lambda, where only a resolvable name composes;
+    * the value must be exactly `len` digits (the caller's extractor
+    * guarantees shape).
+    */
+  def luhnValid(colName: String, len: Int): Column = {
+    val d = s"CAST(substring($colName, i, 1) AS INT)"
+    val sum = expr(
+      s"""aggregate(transform(sequence(1, $len), i ->
+         | CASE WHEN ($len - i) % 2 = 1
+         |  THEN IF($d * 2 > 9, $d * 2 - 9, $d * 2)
+         |  ELSE $d END),
+         | 0, (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", " "))
+    sum % 10 === 0
+  }
 }
