@@ -7,14 +7,26 @@ import org.apache.spark.sql.SparkSession
   * (byte-identical code swung individual queries ~3×): warmup absorbs JVM
   * JIT + parquet-footer caching, the median absorbs GC/scheduler jitter.
   *
-  * Contamination handling is two-stage. DIAGNOSE: a query whose 3
-  * post-warmup runs spread past 2× max/min was measured under external
-  * load (round 9 proved the flag works — it caught its own contaminated
-  * sweep). HEAL: each flagged query is re-run (up to 2 fresh
-  * median-of-3 attempts) AFTER the whole sweep, when the box has gone
-  * quiet, and the first clean attempt replaces the contaminated runs;
-  * a query still spreading after retries keeps its flag, so a noisy
-  * headline total can never silently masquerade as clean.
+  * Contamination handling is two-stage. DIAGNOSE, on two independent
+  * triggers: (a) a query whose 3 post-warmup runs spread past 2×
+  * max/min was measured under external load (round 9 proved the flag
+  * works — it caught its own contaminated sweep); (b) a query whose
+  * median exceeds 2.5× its historical floor (the per-query min across
+  * committed sweeps, carried in `BENCH_FLOORS.json`) was measured
+  * under SUSTAINED load — round 13 proved a uniformly inflated triple
+  * keeps a tight spread (q35: 34.7 s median, ratio 1.86×, isolated
+  * floor 5.8 s) and sails past a pure ratio trigger. HEAL: each
+  * flagged query is re-run (up to 2 fresh median-of-3 attempts) AFTER
+  * the whole sweep, when the box has gone quiet, and the first clean
+  * attempt replaces the contaminated runs; a query still flagged after
+  * retries keeps its flag, so a noisy headline total can never
+  * silently masquerade as clean. A genuine >2.5× regression therefore
+  * flags as noisy for one round (reviewable, never hidden); committing
+  * the new sweep raises nothing — floors only ratchet DOWN — so an
+  * intentional re-costing is acknowledged by editing its entry out of
+  * `BENCH_FLOORS.json`. Floors are read and rewritten only when the
+  * run's SF dir matches the floors file's, so a local sf0.01 audit
+  * can neither borrow nor clobber the committed sf0.1 floors.
   *
   * `SPARK_GRAFT_ONLY=q1,q2` restricts the sweep to named queries — the
   * isolated-rerun mode used to audit individual timings on a quiet box.
@@ -50,6 +62,33 @@ object Bench {
     def noisySpread(runs: Seq[Double]): Boolean =
       runs.head > 0 && runs.last / runs.head > 2.0
 
+    // Historical per-query floors (min median-of-3 across committed
+    // sweeps at the same SF). Jackson ships with Spark, so parsing needs
+    // no extra dependency; a missing/foreign-SF file just means no
+    // floor trigger this run (new queries rely on the ratio trigger
+    // until their first committed sweep).
+    val floorsPath = java.nio.file.Paths.get("BENCH_FLOORS.json")
+    val floors: Map[String, Double] =
+      if (!java.nio.file.Files.exists(floorsPath)) Map.empty
+      else try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(floorsPath.toFile)
+        if (root.path("sf").asText() != sfDir) Map.empty
+        else {
+          val it = root.path("floors").fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          b.result()
+        }
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not read BENCH_FLOORS.json: $e")
+        Map.empty
+      }
+    def floorInflated(name: String, runs: Seq[Double]): Boolean =
+      floors.get(name).exists(f => f > 0 && runs(1) > 2.5 * f)
+    def flagged(name: String, runs: Seq[Double]): Boolean =
+      noisySpread(runs) || floorInflated(name, runs)
+
     // GC barrier before each query's block: by sweep position 80+ the
     // JVM carries whatever heap state the preceding queries left, and
     // round 10/11 isolated audits showed that inheritance alone moving
@@ -83,13 +122,15 @@ object Bench {
     val fnOf = selected.toMap
     val healedNames = scala.collection.mutable.ListBuffer.empty[String]
     val results = swept.map {
-      case (name, Right(runs)) if noisySpread(runs) =>
+      case (name, Right(runs)) if flagged(name, runs) =>
         var cur = runs
         var attempts = 0
-        while (attempts < 2 && noisySpread(cur)) {
+        while (attempts < 2 && flagged(name, cur)) {
           attempts += 1
-          System.err.println(
-            f"[bench] $name spread ${cur.last / cur.head}%.1fx — isolated retry $attempts")
+          val why =
+            if (noisySpread(cur)) f"spread ${cur.last / cur.head}%.1fx"
+            else f"median ${cur(1)}%.2fs > 2.5x floor ${floors(name)}%.2fs"
+          System.err.println(s"[bench] $name $why — isolated retry $attempts")
           try {
             quietHeap()
             timeOnce(fnOf(name)) // re-warm before the timed triple
@@ -98,7 +139,7 @@ object Bench {
             System.err.println(s"[bench] $name retry failed: ${e.getMessage}")
           }
         }
-        if (!noisySpread(cur) && (cur ne runs)) healedNames += name
+        if (!flagged(name, cur) && (cur ne runs)) healedNames += name
         name -> Right(cur)
       case other => other
     }
@@ -117,14 +158,17 @@ object Bench {
     val spreads = results.collect { case (k, Right(runs)) =>
       s""""$k":[${runs.mkString(",")}]"""
     }.mkString("{", ",", "}")
-    // Queries still spreading after the heal pass: the box never went
-    // quiet (or the query is intrinsically variable) — flag them.
+    // Queries still flagged after the heal pass: the box never went
+    // quiet, the query is intrinsically variable, or (floor trigger)
+    // the cost genuinely moved — flag them either way.
     val noisy = results.collect {
-      case (k, Right(runs)) if noisySpread(runs) => k
+      case (k, Right(runs)) if flagged(k, runs) => k
     }
     noisy.foreach { k =>
-      System.err.println(s"[bench] WARNING: $k spread max/min > 2x even " +
-        "after isolated retries — rerun on a quiet box")
+      System.err.println(s"[bench] WARNING: $k still flagged " +
+        "(spread > 2x or median > 2.5x historical floor) after isolated " +
+        "retries — rerun on a quiet box, or acknowledge a real re-costing " +
+        "by dropping its BENCH_FLOORS.json entry")
     }
     val failed = results.collect { case (k, Left(_)) => s"\"$k\"" }
     val total = results.collect { case (_, Right(runs)) => runs(1) }.sum
@@ -136,6 +180,26 @@ object Bench {
     catch { // the sidecar is best-effort; never fail the bench over it
       case e: java.io.IOException =>
         System.err.println(s"[bench] could not write BENCH_SPREADS.json: $e")
+    }
+    // Ratchet the floors: per-query min(previous floor, this run's min),
+    // preserving floors for queries not in this run (an ONLY-subset audit
+    // must not drop the rest of the map). Created fresh when absent;
+    // never touched when it belongs to a different SF.
+    val floorsOwnSf = !java.nio.file.Files.exists(floorsPath) || floors.nonEmpty ||
+      (try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(floorsPath.toFile).path("sf").asText() == sfDir
+      catch { case _: Exception => false })
+    if (floorsOwnSf) try {
+      val mins = results.collect { case (k, Right(runs)) => k -> runs.head }.toMap
+      val merged = (floors.keySet ++ mins.keySet).toSeq.sorted.map { k =>
+        val v = math.min(floors.getOrElse(k, Double.MaxValue),
+          mins.getOrElse(k, Double.MaxValue))
+        f""""$k":$v%.4f"""
+      }.mkString(",")
+      java.nio.file.Files.write(floorsPath,
+        s"""{"sf":"$sfDir","floors":{$merged}}""".getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_FLOORS.json: $e")
     }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"noisy":[${noisy.map(k => s"\"$k\"").mkString(",")}],"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()

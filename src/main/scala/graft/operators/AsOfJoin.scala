@@ -49,6 +49,12 @@ object AsOfJoin {
     require(tolerance >= 0L, s"tolerance must be >= 0, got $tolerance")
     val side = "_asof_side"
     val payload = "_asof_payload"
+    // The matched row's time rides inside the payload struct under this
+    // name (see below); a payload column with the same literal name would
+    // duplicate the struct field and getField would read the wrong one.
+    require(!rightPayload.contains("_asof_t"),
+      "asofJoin reserves the payload field name _asof_t for the matched " +
+        "row's own time — rename that right column before joining")
     // The union-based fill would SILENTLY overwrite a left column that
     // already carries an emitted name (e.g. the output of a previous
     // asofJoin with the same prefix) — unionByName merges it and the

@@ -28,8 +28,10 @@ object TableProfile {
     * columns; values hashed at cent precision for the distinct
     * sketch, matching q22/q26's canonical cents-hash).
     */
-  def partial(df: DataFrame, cols: Seq[String], k: Int): DataFrame =
-    df.agg(partialAggs(cols, k).head, partialAggs(cols, k).tail: _*)
+  def partial(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    val a = partialAggs(cols, k)
+    df.agg(a.head, a.tail: _*)
+  }
 
   /** [[partial]] per slice: one partial row per distinct value of
     * `sliceCol` (q36's shard key). The slice column itself is dropped

@@ -740,7 +740,9 @@ object RelationalQueries {
     // pattern), then bucketing is row-local arithmetic inside the
     // scan and ONE bucket-keyed aggregate. The bucket expression is
     // the identical double sequence on both engines; the top edge
-    // folds into the last bucket via least().
+    // folds into the last bucket via least(), and a degenerate
+    // single-valued domain (hi = lo, 0/0 → NaN, whose long-cast
+    // diverges between engines) collapses to bucket 0 explicitly.
     "q37_histogram" -> { (s, d) =>
       val B = 16
       val bounds = Tables.lineitem(s, d).agg(
@@ -748,9 +750,10 @@ object RelationalQueries {
         max(col("l_extendedprice")).cast("double").as("hi"),
         count(lit(1)).as("cnt"))
       Tables.lineitem(s, d).crossJoin(broadcast(bounds))
-        .select(least(lit((B - 1).toLong),
-          floor((col("l_extendedprice") - col("lo")) * lit(B.toDouble)
-            / (col("hi") - col("lo"))).cast("long")).as("bucket"),
+        .select(when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit((B - 1).toLong),
+            floor((col("l_extendedprice") - col("lo")) * lit(B.toDouble)
+              / (col("hi") - col("lo"))).cast("long"))).as("bucket"),
           col("cnt"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
@@ -1255,8 +1258,9 @@ object RelationalQueries {
         |            CAST(MAX(l_extendedprice) AS DOUBLE) AS hi,
         |            COUNT(*) AS cnt
         |           FROM lineitem)
-        |SELECT LEAST(15, CAST(FLOOR((l_extendedprice - lo) * 16e0 / (hi - lo))
-        |         AS BIGINT)) AS bucket,
+        |SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+        |        ELSE LEAST(15, CAST(FLOOR((l_extendedprice - lo) * 16e0 / (hi - lo))
+        |         AS BIGINT)) END AS bucket,
         | COUNT(*) AS n,
         | CAST(COUNT(*) AS DOUBLE) / MAX(cnt) AS share
         |FROM lineitem, b

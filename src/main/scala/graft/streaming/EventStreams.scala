@@ -110,6 +110,25 @@ object EventStreams {
     private[streaming] var partials: Vector[org.apache.spark.sql.Row] =
       Vector.empty
     private[streaming] var schema: org.apache.spark.sql.types.StructType = _
+    // Highest batchId already folded in. foreachBatch is at-least-once:
+    // a failed/retried micro-batch re-presents the SAME batchId, and a
+    // second unconditional append would double-count its rows/sums —
+    // breaking the ledger's merge≡direct exactness contract. Tracking
+    // the id makes the append idempotent (see [[EventStreams.profileSink]]).
+    private[streaming] var lastBatchId: Long = -1L
+
+    /** Folds one micro-batch into the ledger; idempotent per batchId
+      * (a replay of an already-folded id is a no-op — see
+      * [[EventStreams.profileSink]] for why at-least-once delivery
+      * makes this necessary).
+      */
+    def ingest(batch: DataFrame, batchId: Long): Unit =
+      if (batchId > lastBatchId) {
+        val p = graft.operators.TableProfile.partial(batch, cols, k)
+        schema = p.schema
+        partials = partials ++ p.collect()
+        lastBatchId = batchId
+      }
 
     /** The exact global profile over everything ingested so far. */
     def current(spark: org.apache.spark.sql.SparkSession): DataFrame = {
@@ -129,13 +148,18 @@ object EventStreams {
     * KMV's set-function state makes the folded profile EXACTLY equal
     * to a one-pass batch profile of the same rows regardless of how
     * the stream was micro-batched — pinned in StreamingSpec.
+    *
+    * The append is IDEMPOTENT per batchId: foreachBatch's at-least-once
+    * semantics mean a failed/retried micro-batch runs the lambda again
+    * with the same id, and only the first successful append for an id
+    * lands (a replay of an already-folded batch is skipped). Ids from a
+    * restarted query resume past the checkpointed high-water mark, so
+    * strictly-increasing ids is the correct acceptance test.
     */
   def profileSink(rows: DataFrame, ledger: ProfileLedger)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    rows.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val p = graft.operators.TableProfile.partial(batch, ledger.cols, ledger.k)
-      ledger.schema = p.schema
-      ledger.partials = ledger.partials ++ p.collect()
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ledger.ingest(batch, batchId)
     }
 
   /** Open-session state carried between micro-batches by

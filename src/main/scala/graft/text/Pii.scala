@@ -65,10 +65,15 @@ object Pii {
     * The column is named (not a Column) because the digit positions
     * are read inside a lambda, where only a resolvable name composes;
     * the value must be exactly `len` digits (the caller's extractor
-    * guarantees shape).
+    * guarantees shape). The name is spliced backtick-quoted, so dots,
+    * spaces, and hyphens resolve as the literal TOP-LEVEL column (not
+    * a struct path); a name containing a backtick is rejected rather
+    * than escaped.
     */
   def luhnValid(colName: String, len: Int): Column = {
-    val d = s"CAST(substring($colName, i, 1) AS INT)"
+    require(!colName.contains("`"),
+      s"luhnValid cannot reference a column name containing a backtick: $colName")
+    val d = s"CAST(substring(`$colName`, i, 1) AS INT)"
     val sum = expr(
       s"""aggregate(transform(sequence(1, $len), i ->
          | CASE WHEN ($len - i) % 2 = 1

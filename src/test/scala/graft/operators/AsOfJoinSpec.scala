@@ -156,4 +156,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("q_qid"))
   }
+
+  test("a right payload column named _asof_t is rejected, not silently shadowed") {
+    // The matched row's own time rides in the payload struct as _asof_t
+    // for the tolerance check; a payload field with the same name would
+    // duplicate the struct field and getField would read the wrong one.
+    val poisoned = quotes.withColumn("_asof_t",
+      org.apache.spark.sql.functions.lit(-1L))
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(trades, poisoned, Seq("sym"), "t",
+        rightPayload = Seq("qid", "_asof_t"))
+    }
+    assert(ex.getMessage.contains("_asof_t"))
+  }
 }

@@ -149,6 +149,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("profileSink ledger: a replayed batchId is folded exactly once") {
+    // foreachBatch is at-least-once: a failed/retried micro-batch
+    // re-presents the SAME batchId. The ledger must not double-count it.
+    val cols = Seq("x")
+    val ledger = new EventStreams.ProfileLedger(cols, k = 8)
+    val b0 = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "x")
+    val b1 = Seq((3L, 3.0)).toDF("id", "x")
+    ledger.ingest(b0, 0L)
+    ledger.ingest(b0, 0L) // retry of an already-committed batch: no-op
+    ledger.ingest(b1, 1L)
+    ledger.ingest(b0, 0L) // late replay after progress: still a no-op
+    assert(ledger.partials.size == 2, "one partial per DISTINCT batchId")
+    val prof = ledger.current(spark).collect().head
+    assert(prof.getAs[Long]("n_rows") == 3L,
+      s"rows double-counted: $prof")
+    assert(prof.getAs[Double]("sum_v") == 6.0)
+  }
+
   test("sessionize groups by 30-minute gaps (batch mode sanity)") {
     // session_window works identically on batch frames — pin the
     // gap-merge semantics without a streaming harness.

@@ -51,4 +51,18 @@ class PiiSpec extends AnyFunSuite {
     // (recall-favoring), so only the phone case must stay intact.
     assert(scrubOne("id 5555-0042 kept") == "id 5555-0042 kept")
   }
+
+  test("luhnValid resolves names needing quoting; rejects backticks") {
+    // 4532015112830366 passes Luhn; 4532015112830367 fails. The column
+    // name carries a space and a dot — resolvable only because the
+    // splice is backtick-quoted (a bare dot would parse as a struct path).
+    val df = Seq("4532015112830366", "4532015112830367")
+      .toDF("card no.1")
+    val got = df.select(Pii.luhnValid("card no.1", 16)).as[Boolean].collect()
+    assert(got.toSeq == Seq(true, false))
+    val ex = intercept[IllegalArgumentException] {
+      Pii.luhnValid("bad`name", 16)
+    }
+    assert(ex.getMessage.contains("backtick"))
+  }
 }
