@@ -22,10 +22,10 @@ import org.apache.spark.storage.StorageLevel
   * the rank frame on `src` (plus the out-degree frame riding the same
   * key) and one sum keyed by `dst` — both shuffles on node keys, the
   * partitioning Catalyst/AQE reuses across iterations; nothing is
-  * ever collected and no adjacency is materialized per-node. The few
-  * fixed iterations used here keep lineage shallow; deeper runs
-  * should truncate lineage on a checkpoint cadence exactly like the
-  * connected-components loop (`text/Dedup.scala` dupComponents, d19).
+  * ever collected and no adjacency is materialized per-node. Each
+  * iteration truncates lineage on the same checkpoint cadence as the
+  * connected-components loop (`text/Dedup.scala` dupComponents, d19),
+  * with superseded iterations freed eagerly ([[LineageCheckpoint]]).
   *
   * Dangling nodes (no out-edges) keep receiving rank but redistribute
   * none — their mass leaves the system, the usual simplification; on
@@ -54,13 +54,21 @@ object GraphRank {
     * exact integer (seed·base is a product of longs) — with
     * `teleport = None` every indicator is 1 and the computation is
     * bit-identical to the unpersonalized form.
+    *
+    * `checkpointDir = Some(path)` switches the per-iteration lineage
+    * truncation from `localCheckpoint` to RELIABLE `checkpoint()`
+    * against that path (HDFS/object storage on a cluster) — the mode
+    * that survives executor loss on a long fault-tolerant run, exactly
+    * as [[graft.text.Dedup.dupComponents]] offers. Ranks are identical
+    * in both modes (pinned in GraphRankSpec).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, initMicro: Long = 1000000L, baseMicro: Long = 150000L,
       dampNum: Long = 85L, dampDen: Long = 100L,
       assumeDistinct: Boolean = false,
       teleport: Option[DataFrame] = None,
-      teleportCol: String = "node"): DataFrame = {
+      teleportCol: String = "node",
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"damping must satisfy 0 <= num <= den, got $dampNum/$dampDen")
@@ -71,14 +79,15 @@ object GraphRank {
     // q29 that is the lineitem self-join + distinct recomputed up to
     // 2·iters+1 times. Persist all three (disk-spillable: the edge
     // list of a 100-TB corpus graph outgrows executor memory), and
-    // eagerly localCheckpoint each iteration's rank frame — the same
+    // eagerly checkpoint each iteration's rank frame — the same
     // lineage-truncation cadence as the connected-components loop
     // (`text/Dedup.scala` dupComponents): the plan stays one join deep
     // instead of unrolling all iterations, and the final frame no
     // longer references the persisted inputs, so releasing them on
-    // exit is safe. Fault-tolerant cluster runs that need to survive
-    // executor loss should swap in reliable `checkpoint()` against a
-    // configured dir exactly as dupComponents offers.
+    // exit is safe. The rotation also frees each SUPERSEDED
+    // iteration's checkpoint as soon as the next one materializes
+    // ([[LineageCheckpoint]]) — without that, iters-1 dead rank frames
+    // sit in executor memory until the ContextCleaner gets to them.
     val e = (if (assumeDistinct) cast else cast.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -93,6 +102,8 @@ object GraphRank {
           .select(col("node"), coalesce(col("_gr_in"), lit(0L)).as("_gr_seed"))
       case None => bare.withColumn("_gr_seed", lit(1L))
     }).persist(StorageLevel.MEMORY_AND_DISK)
+    val checkpointed =
+      new LineageCheckpoint(edges.sparkSession, checkpointDir)
     var ranks = nodes
       .select(col("node"), (lit(initMicro) * col("_gr_seed")).as("rank"))
     try {
@@ -102,12 +113,12 @@ object GraphRank {
           .join(deg, "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(expr("rank div deg")).as("s"))
-        ranks = nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            (lit(baseMicro) * col("_gr_seed") +
-              expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
-              .as("rank"))
-          .localCheckpoint() // eager: materialized before the next round
+        ranks = checkpointed( // eager: materialized before the next round
+          nodes.join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              (lit(baseMicro) * col("_gr_seed") +
+                expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
+                .as("rank")))
       }
     } finally {
       e.unpersist(); deg.unpersist(); nodes.unpersist()

@@ -433,50 +433,13 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
-    // Respect a caller-configured checkpoint dir; only set it when the
-    // context has none (setCheckpointDir is application-global state).
-    checkpointDir.foreach { d =>
-      if (spark.sparkContext.getCheckpointDir.isEmpty)
-        spark.sparkContext.setCheckpointDir(d)
-    }
-    // Reliable checkpoints are files that outlive the frames referencing
-    // them; each round deletes the PREVIOUS round's checkpoint once the
-    // new one is materialized, so a long run holds at most two rounds of
-    // label state on storage instead of one per round.
-    //
-    // The new round's files are found by diffing the checkpoint root
-    // before/after the eager checkpoint — `Dataset.rdd.getCheckpointFile`
-    // is useless here (the Dataset wraps the checkpointed internal RDD in
-    // a fresh deserializing RDD, so it always returns None). The diff
-    // attributes any rdd-* dir created during the call to this round,
-    // which is exact as long as nothing else checkpoints concurrently in
-    // the same SparkContext (single-job usage, as here).
-    def listCheckpointed(): Set[String] =
-      spark.sparkContext.getCheckpointDir.toSet[String].flatMap { d =>
-        val path = new org.apache.hadoop.fs.Path(d)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(path)) fs.listStatus(path).map(_.getPath.toString).toSet
-        else Set.empty[String]
-      }
-    var prevCheckpoint: Set[String] = Set.empty
-    def checkpointed(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) {
-        val before = listCheckpointed()
-        val out = df.checkpoint() // eager: materialized before we delete the old one
-        val created = listCheckpointed() -- before
-        // Not an assert: -Xelide-below builds would silently skip the
-        // invariant, and deleting prevCheckpoint on a false success would
-        // drop the ONLY materialized copy of the labels.
-        if (created.isEmpty) throw new IllegalStateException(
-          "reliable checkpoint produced no files under the checkpoint dir")
-        prevCheckpoint.foreach { p =>
-          val path = new org.apache.hadoop.fs.Path(p)
-          path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(path, true)
-        }
-        prevCheckpoint = created
-        out
-      } else df.localCheckpoint()
+    // Each round's labels are eagerly checkpointed and the PREVIOUS
+    // round's checkpoint artifacts freed as soon as the new round is
+    // materialized (reliable files deleted / localCheckpoint blocks
+    // unpersisted) — see [[graft.operators.LineageCheckpoint]] for the
+    // rotation and its safety argument.
+    val checkpointed =
+      new graft.operators.LineageCheckpoint(spark, checkpointDir)
     // Undirected edges, both directions; reused every round, so cache
     // once (self-loops are implicit: `least(old, nbr_min)` keeps a
     // node's own label in play without doubling the edge list).

@@ -111,6 +111,50 @@ class GraphRankSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("reliable-checkpoint mode: identical ranks, previous rounds GC'd") {
+    // checkpointDir switches the per-iteration truncation to reliable
+    // checkpoint() (the fault-tolerant cluster mode). Ranks must be
+    // bit-identical to the localCheckpoint form, and the rotation must
+    // leave exactly the FINAL iteration's rdd-* dir on storage —
+    // iters-1 superseded checkpoints deleted as the loop advanced.
+    // Set the context dir explicitly: setCheckpointDir is application-
+    // global and another suite may have claimed it already (the helper
+    // only adopts the param when none is set).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gr-ckpt").toString
+    spark.sparkContext.setCheckpointDir(tmp)
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val got = GraphRank.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iters = 3, checkpointDir = Some(tmp))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === reference(edges, iters = 3))
+    assert(got === ranksOf(edges, iters = 3),
+      "reliable and local checkpoint modes must agree exactly")
+    val ckptRoot = new java.io.File(
+      new java.net.URI(spark.sparkContext.getCheckpointDir.get).getPath)
+    val rddDirs = Option(ckptRoot.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("rdd-"))
+    assert(rddDirs.length == 1,
+      s"expected only the final iteration's checkpoint, got: ${rddDirs.map(_.getName)}")
+  }
+
+  test("superseded local checkpoints are unpersisted as the loop advances") {
+    // The loop must leave exactly ONE new persisted RDD behind (the
+    // final rank frame): the edge/degree/node persists are released in
+    // the finally, and each superseded iteration's localCheckpoint
+    // blocks are freed by the LineageCheckpoint rotation — not left
+    // for the ContextCleaner (the round-13 mid-sweep-inflation suspect).
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    GraphRank.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 4)
+      .collect()
+    val leftover = sc.getPersistentRDDs.keySet -- before
+    assert(leftover.size == 1,
+      s"expected only the final rank frame persisted, found ${leftover.size}")
+  }
+
   test("rejects nonsensical parameters loudly") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](GraphRank.pageRank(e, "src", "dst", 0))
