@@ -34,6 +34,7 @@ object EventQueries {
   private val AttributionUs = 60L * 60 * 1000 * 1000 // e06 look-ahead
   private val DayUs = 24L * 3600 * 1000 * 1000 // e08 cohort bucket
   private val HourlyKmvK = 16 // e11 sketch size (bites: busiest hours reach 28 users)
+  private val GapQuantK = 128 // e18 rank-sketch size (≪ per-type gap counts at sf0.01)
 
   private def dsum(c: Column) = sum(c.cast(DecimalType(12, 2))).cast("double")
 
@@ -260,6 +261,13 @@ object EventQueries {
     // gap values make the rank-tie order irrelevant to the
     // interpolation, so the result is deterministic under any
     // layout — hash-checked against quantile_cont.
+    //
+    // EXACT face of a pinned pair (the q25/q26 contrast): the per-type
+    // rank window sorts each type's ENTIRE gap column in one task —
+    // the oracle-checkable contract, fine at test SF, a straggler at
+    // 100 TB with ~5 types. e18 is the serving face: the same gaps
+    // through the mergeable bottom-k rank sketch, no single-task sort
+    // (PlanSpec pins both shapes).
     "e17_gap_quantiles" -> { (s, d) =>
       val wSeq = Window.partitionBy(col("user_id"), col("event_type"))
         .orderBy(col("ts_us"), col("event_id"))
@@ -285,6 +293,45 @@ object EventQueries {
         .agg(max(col("n")).as("n"),
           sum(contrib(0.5)).as("p50_gap_us"),
           sum(contrib(0.9)).as("p90_gap_us"))
+        .orderBy(col("event_type"))
+    },
+
+    // e17's SERVING face: the same per-(user,type) lag gaps, but the
+    // per-type quantiles come from the mergeable bottom-k rank sketch
+    // ([[graft.operators.Sketches.BottomKQuantile]], q23's machinery)
+    // instead of a per-type rank window. The window form sorts each
+    // type's entire gap column in ONE task (~5 types ⇒ ~5 tasks own
+    // the whole table's gaps — the NTILE shape d47 banished); the
+    // sketch keeps O(k) state per type through map-side partial
+    // aggregation, so the only exchanges are the (user,type) lag
+    // shuffle and a k-bounded final-aggregate exchange. Hashing the
+    // unique event_id makes the bottom-k a uniform row sample the
+    // oracle re-derives identically (the q23 derivation over a lag
+    // CTE), so even the approximate face stays hash-exact. n is the
+    // exact per-type gap count — the witness that sampling (k=128 ≪ n
+    // at sf0.01) is what the estimate path exercised.
+    "e18_gap_quantiles_sketch" -> { (s, d) =>
+      val bq = udaf(
+        new graft.operators.Sketches.BottomKQuantile(GapQuantK, Seq(0.5, 0.9)),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(java.lang.Long, java.lang.Double)]())
+      val wSeq = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), tsUs.as("ts_us"),
+          col("event_id"))
+        .withColumn("gap", (col("ts_us") - lag(col("ts_us"), 1).over(wSeq))
+          .cast("double"))
+        .filter(col("gap").isNotNull)
+        .select(col("event_type"),
+          graft.text.TextFunctions.hash32(col("event_id").cast("string"))
+            .as("h"),
+          col("gap"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), bq(col("h"), col("gap")).as("q"))
+        .select(col("event_type"), col("n"),
+          element_at(col("q"), 1).as("p50_gap_est"),
+          element_at(col("q"), 2).as("p90_gap_est"))
         .orderBy(col("event_type"))
     },
 
@@ -634,6 +681,33 @@ object EventQueries {
         | quantile_cont(gap, 0.9) AS p90_gap_us
         |FROM g WHERE gap IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // e18: the bottom-k sample re-derived over the lag-gap CTE (q23's
+    // derivation): distinct (hash of the gap row's unique event_id,
+    // gap) pairs per type, window-ranked by (h, v), rn <= k, then
+    // quantile_cont over the sampled values — the q20-proved
+    // interpolation parity on the sketch's sample.
+    "e18_gap_quantiles_sketch" ->
+      """WITH g AS (
+        | SELECT event_type, event_id,
+        |  CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |   PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |   AS DOUBLE) AS gap
+        | FROM events),
+        |h AS (SELECT DISTINCT event_type AS grp,
+        |       CAST(('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8)) AS BIGINT) AS h,
+        |       gap AS v
+        |      FROM g WHERE gap IS NOT NULL),
+        |r AS (SELECT grp, v,
+        |       ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h, v) AS rn
+        |      FROM h),
+        |s AS (SELECT grp, quantile_cont(v, 0.5) AS p50, quantile_cont(v, 0.9) AS p90
+        |      FROM r WHERE rn <= 128 GROUP BY grp),
+        |n AS (SELECT event_type AS grp, COUNT(*) AS n FROM g
+        |      WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT n.grp AS event_type, n.n,
+        | s.p50 AS p50_gap_est, s.p90 AS p90_gap_est
+        |FROM n JOIN s ON n.grp = s.grp ORDER BY event_type""".stripMargin,
 
     // e05's oracle with the per-step upper bound inline.
     "e16_funnel_windowed" ->

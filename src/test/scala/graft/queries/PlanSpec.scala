@@ -470,6 +470,26 @@ class PlanSpec extends AnyFunSuite {
       "the 1-row cutoff must arrive as a broadcast")
   }
 
+  test("e17/e18: exact gap quantiles pin the rank window; the sketch face has no per-type sort") {
+    // e17 is the oracle-checkable EXACT contract: lag window plus a
+    // per-type rank window (each type's whole gap column sorts in one
+    // task — acceptable only because it is the exact face; the q25/q26
+    // pinned-contrast pattern).
+    val exact = plan("e17_gap_quantiles")
+    assert("Window".r.findAllIn(exact).length >= 2,
+      "e17 must carry both the lag window and the per-type rank window")
+    // e18 is the SERVING face: same gaps, mergeable bottom-k sketch.
+    // Exactly ONE Window (the fine-grained (user,type) lag) may
+    // survive — a second would be the per-type sort creeping back —
+    // and the sketch state must combine map-side.
+    val sketch = plan("e18_gap_quantiles_sketch")
+    assert("Window".r.findAllIn(sketch).length == 1,
+      s"e18 must plan only the (user,type) lag window:\n${sketch.take(600)}")
+    assert(sketch.contains("partial_bottomkquantile"),
+      "the rank sketch must partial-aggregate map-side")
+    assert(!sketch.contains("Join"))
+  }
+
   test("q37: histogram buckets row-locally after a broadcast bounds row") {
     val p = plan("q37_histogram")
     assert(p.contains("BroadcastNestedLoopJoin"),
