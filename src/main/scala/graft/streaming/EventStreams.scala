@@ -242,6 +242,124 @@ object EventStreams {
       }
   }
 
+  /** Buffered event carried between micro-batches by
+    * [[statefulAsOfEnrich]] — one (id, time, side) triple per not-yet-
+    * finalizable event; the buffer holds only events ABOVE the
+    * watermark, so its size is bounded by the key's arrival rate times
+    * the watermark delay, never by stream length.
+    */
+  final case class AsOfEvent(eventId: Long, tsUs: Long, isRight: Boolean)
+
+  final case class AsOfEnrichState(
+      lastRightId: Long,
+      lastRightTs: Long, // Long.MinValue = no right event seen yet
+      buffer: List[AsOfEvent])
+
+  final case class AsOfEnrichOut(
+      event_id: Long,
+      user_id: Long,
+      ts_us: Long,
+      right_event_id: Option[Long],
+      right_ts_us: Option[Long],
+      gap_us: Option[Long])
+
+  /** The STREAMING face of the backward as-of join (e04/e15): each
+    * `leftType` event enriched with the key's latest `rightType` event
+    * at or before it — enrich-with-latest-prior-view, the most common
+    * streaming join in event pipelines, which Spark's built-in
+    * stream-stream joins cannot express take-latest-only (the interval
+    * join above emits EVERY in-window partner).
+    *
+    * Semantics match [[graft.operators.AsOfJoin.asofJoin]] exactly on
+    * closed (watermark-passed) event times — pinned in StreamingSpec
+    * with arrivals split out-of-order across micro-batches: a right row
+    * at the same time as a left row is visible to it; among equal-time
+    * rights the largest event_id wins (the batch tieBreak); `toleranceUs`
+    * nulls a match whose gap exceeds the bound exactly like no-match;
+    * 0 = unbounded.
+    *
+    * Correctness under reordering comes from finalizing an event only
+    * once the watermark passes its time: arrivals buffer in state until
+    * `ts_us <= watermark`, then fold in (time, side, id) order — by the
+    * watermark contract no earlier event can still arrive, so the
+    * latest-right answer for each finalized left row is complete. A
+    * left event above the watermark waits (an event-time timeout set at
+    * the earliest buffered time flushes it when the watermark advances,
+    * data for the key or not).
+    *
+    * State per key: one (id, ts) latest-right record plus the
+    * in-horizon buffer. The latest-right record persists for the key's
+    * lifetime BY DESIGN (a click next week still attributes to the last
+    * view); on a churning unbounded key space, production runs should
+    * bound it with a TTL pass over the state store (the same trade
+    * every latest-value enrichment makes).
+    */
+  def statefulAsOfEnrich(
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long, String)], // (event_id, user_id, ts_us, event_type)
+      leftType: String = "click",
+      rightType: String = "view",
+      toleranceUs: Long = 0L,
+      watermark: String = "2 hours"): org.apache.spark.sql.Dataset[AsOfEnrichOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    require(toleranceUs >= 0L, s"tolerance must be >= 0, got $toleranceUs")
+    require(leftType != rightType, "left and right types must differ")
+
+    events
+      .filter(e => e._4 == leftType || e._4 == rightType)
+      .withColumn("ts", timestamp_micros(col("_3")))
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long,
+            rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[AsOfEnrichState]) =>
+          // Same code path for data batches and timeout firings: fold
+          // buffered + incoming events, finalize everything at or below
+          // the CURRENT watermark, keep the rest buffered.
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption
+            .getOrElse(AsOfEnrichState(-1L, Long.MinValue, Nil))
+          val incoming = rows
+            .map(r => AsOfEvent(r._1, r._3, r._4 == rightType)).toList
+          val (ready, pending) =
+            (st.buffer ++ incoming).partition(_.tsUs <= wmUs)
+          var lastId = st.lastRightId
+          var lastTs = st.lastRightTs
+          val out = List.newBuilder[AsOfEnrichOut]
+          // Rights sort before lefts at equal time (the batch join's
+          // frame-visibility rule); id order makes the equal-time
+          // right winner the LARGEST id, matching the batch tieBreak.
+          for (e <- ready.sortBy(e => (e.tsUs, if (e.isRight) 0 else 1,
+              e.eventId))) {
+            if (e.isRight) {
+              // Guard against a late straggler older than the stored
+              // latest-right (in-contract arrivals are already ordered).
+              if (e.tsUs > lastTs ||
+                  (e.tsUs == lastTs && e.eventId > lastId)) {
+                lastTs = e.tsUs; lastId = e.eventId
+              }
+            } else {
+              val matched = lastTs != Long.MinValue &&
+                (toleranceUs <= 0L || e.tsUs - lastTs <= toleranceUs)
+              out += (if (matched)
+                AsOfEnrichOut(e.eventId, userId, e.tsUs,
+                  Some(lastId), Some(lastTs), Some(e.tsUs - lastTs))
+              else AsOfEnrichOut(e.eventId, userId, e.tsUs, None, None, None))
+            }
+          }
+          state.update(AsOfEnrichState(lastId, lastTs, pending))
+          if (pending.nonEmpty) {
+            // Earliest buffered event, as ms STRICTLY above the
+            // watermark (ceil): fires as soon as the watermark passes
+            // it, whether or not this key sees more data.
+            state.setTimeoutTimestamp(pending.map(_.tsUs).min / 1000L + 1L)
+          }
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join: each left event joined to every right
     * event of the same key within the trailing `lag` window
     * (`l.ts - lag <= r.ts <= l.ts`). Both sides carry watermarks, so

@@ -6,6 +6,7 @@ import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSession
@@ -268,6 +269,69 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable() // outer-null emission needs the next trigger
       assert(rows().contains((901L, None)),
         s"unconverted click must surface after the watermark: ${rows()}")
+    } finally q.stop()
+  }
+
+  test("statefulAsOfEnrich equals the batch as-of join on closed event times") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String)] // (event_id, user_id, ts_us, type)
+    def us(s: String) = ts(s).getTime * 1000L
+    val tolUs = 30L * 60 * 1000 * 1000 // 30 min, e15's staleness bound
+    val q = EventStreams.statefulAsOfEnrich(in.toDS(),
+        toleranceUs = tolUs, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    // Event log, deliberately shuffled across micro-batches: view 3
+    // (10:04) arrives AFTER click 2 (10:05) already streamed in; user
+    // 2's click has no view at all; click 5's nearest view is 56 min
+    // back — beyond tolerance. "other" events must be ignored.
+    val batch1 = Seq((1L, 1L, us("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, us("2024-01-01 10:05:00"), "click"),
+      (6L, 1L, us("2024-01-01 10:01:00"), "other"))
+    val batch2 = Seq((3L, 1L, us("2024-01-01 10:04:00"), "view"), // late, out of order
+      (4L, 2L, us("2024-01-01 10:40:00"), "click"),
+      (5L, 1L, us("2024-01-01 11:00:00"), "click"))
+    val batch3 = Seq((9L, 9L, us("2024-01-01 11:40:00"), "view")) // watermark push only
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      assert(spark.table("asof_stream").count() == 0,
+        "nothing may finalize before the watermark passes it")
+      in.addData(batch2: _*); q.processAllAvailable()
+      in.addData(batch3: _*); q.processAllAvailable()
+      q.processAllAvailable() // timeout emissions need the next trigger
+      val got = spark.table("asof_stream").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))).sortBy(_._1).toSeq
+      // Batch truth: the SAME events through the batch as-of join with
+      // the same tolerance, restricted to closed clicks (ts <= final
+      // watermark 11:10) — stream must agree exactly.
+      val all = (batch1 ++ batch2 ++ batch3)
+        .toDF("event_id", "user_id", "ts_us", "event_type")
+      val clicks = all.filter(col("event_type") === "click")
+        .drop("event_type")
+      val views = all.filter(col("event_type") === "view")
+        .drop("event_type")
+      val wmUs = us("2024-01-01 11:40:00") - 30L * 60 * 1000 * 1000
+      val want = graft.operators.AsOfJoin.asofJoin(
+          clicks, views, keys = Seq("user_id"), timeCol = "ts_us",
+          rightPayload = Seq("event_id", "ts_us"), prefix = "view_",
+          tieBreak = Seq(col("view_event_id")), tolerance = tolUs)
+        .filter(col("ts_us") <= wmUs)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2),
+            Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Long])
+              .map(r.getLong(2) - _))).sortBy(_._1).toSeq
+      assert(got == want, s"stream drifted from batch:\n got: $got\nwant: $want")
+      // The fixture exercises all three paths: matched-within-bound
+      // (click 2 → the out-of-order view 3), no-view nulls (click 4),
+      // beyond-tolerance nulls (click 5).
+      assert(got.map(g => g._1 -> g._4).toMap ==
+        Map(2L -> Some(3L), 4L -> None, 5L -> None), got.toString)
     } finally q.stop()
   }
 
