@@ -61,6 +61,20 @@ object GraphRank {
     * that survives executor loss on a long fault-tolerant run, exactly
     * as [[graft.text.Dedup.dupComponents]] offers. Ranks are identical
     * in both modes (pinned in GraphRankSpec).
+    *
+    * `skewSalt = S > 1` salts the per-iteration contribution join for
+    * POWER-LAW OUT-DEGREE graphs (q21's pattern applied to the loop):
+    * on a web-scale graph a hub source's edges all land in one `src`
+    * join partition — a straggler task of out-degree(hub) rows every
+    * iteration. The salted form first attaches rank and degree to each
+    * source (node-keyed 1:1 join, hub-free), replicates that frame S
+    * ways, and keys the edge side by (src, hash(dst) mod S), spreading
+    * each hub's edges uniformly over S partitions at the cost of S×
+    * the (small) rank-frame shuffle. The dst-keyed SUM needs no salt:
+    * partial aggregation already combines hot destinations map-side.
+    * Arithmetic is unchanged — ranks are bit-identical for any S
+    * (pinned in GraphRankSpec), so salting is purely a physical
+    * straggler fix. Default 0 keeps the simpler two-join shape.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, initMicro: Long = 1000000L, baseMicro: Long = 150000L,
@@ -68,10 +82,12 @@ object GraphRank {
       assumeDistinct: Boolean = false,
       teleport: Option[DataFrame] = None,
       teleportCol: String = "node",
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      skewSalt: Int = 0): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"damping must satisfy 0 <= num <= den, got $dampNum/$dampDen")
+    require(skewSalt >= 0, s"skewSalt must be >= 0, got $skewSalt")
     val cast = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     // The edge, degree, and node frames are read by EVERY iteration.
@@ -106,11 +122,25 @@ object GraphRank {
       new LineageCheckpoint(edges.sparkSession, checkpointDir)
     var ranks = nodes
       .select(col("node"), (lit(initMicro) * col("_gr_seed")).as("rank"))
+    // Salted path only: edges pre-keyed by (src, hash(dst) mod S) once,
+    // outside the loop, riding the same persisted frame.
+    val eSalted =
+      if (skewSalt > 1)
+        e.withColumn("_gr_salt", pmod(hash(col("dst")), lit(skewSalt)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      else e
     try {
       for (_ <- 1 to iters) {
-        val contrib = e
-          .join(ranks.withColumnRenamed("node", "src"), "src")
-          .join(deg, "src")
+        val contrib = (if (skewSalt > 1) {
+          eSalted
+            .join(ranks.withColumnRenamed("node", "src").join(deg, "src")
+              .withColumn("_gr_salt",
+                explode(sequence(lit(0), lit(skewSalt - 1)))),
+              Seq("src", "_gr_salt"))
+        } else {
+          e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+        })
           .groupBy(col("dst").as("node"))
           .agg(sum(expr("rank div deg")).as("s"))
         ranks = checkpointed( // eager: materialized before the next round
@@ -122,6 +152,7 @@ object GraphRank {
       }
     } finally {
       e.unpersist(); deg.unpersist(); nodes.unpersist()
+      if (eSalted ne e) eSalted.unpersist()
     }
     ranks
   }

@@ -360,6 +360,92 @@ object EventStreams {
       }
   }
 
+  /** Per-user retention state carried by [[retentionIncrements]]:
+    * the user's (final, see below) cohort day, the days already
+    * emitted that the watermark has not yet closed, and the buffered
+    * above-watermark event times.
+    */
+  final case class RetentionState(
+      cohortDay: Long, // Long.MinValue = user not yet finalized
+      openDays: List[Long],
+      pendingTs: List[Long])
+
+  final case class RetentionInc(
+      user_id: Long,
+      cohort_day: Long,
+      day_offset: Long)
+
+  /** The STREAMING face of e08's retention cohorts: emits exactly one
+    * (user, cohort_day, day_offset) increment the first time a user is
+    * seen active on a day — a feed any downstream aggregation turns
+    * into the cohort retention matrix (`COUNT(*) GROUP BY cohort_day,
+    * day_offset` ≡ e08's n_active; offset-0 counts are the cohort
+    * sizes), with no rescan of history. Pinned in StreamingSpec:
+    * aggregated increments equal the batch e08 matrix on the same
+    * events, arrivals shuffled across micro-batches.
+    *
+    * Exactness under reordering uses the statefulAsOfEnrich discipline:
+    * events buffer per user until the watermark passes their time, then
+    * fold in time order. That makes the cohort day FINAL the moment the
+    * first event folds: any later arrival has event time above the
+    * watermark, which is at or past the folded event's time — no
+    * earlier first-day can still appear, so an emitted increment never
+    * needs retraction (what keeps the output Append-mode).
+    *
+    * State per user stays bounded: a day leaves `openDays` once the
+    * watermark passes its END (an arrival for it would be below the
+    * watermark — contract-excluded), so only days inside the lateness
+    * horizon are held; the buffer holds only above-watermark times; the
+    * cohort day is one long, persisted for the user's lifetime by
+    * design (the same latest-value trade statefulAsOfEnrich documents).
+    */
+  def retentionIncrements(
+      events: org.apache.spark.sql.Dataset[(Long, Long)], // (user_id, ts_us)
+      watermark: String = "2 hours")
+      : org.apache.spark.sql.Dataset[RetentionInc] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val dayUs = 24L * 3600 * 1000 * 1000
+
+    events
+      .withColumn("ts", timestamp_micros(col("_2")))
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[RetentionState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption
+            .getOrElse(RetentionState(Long.MinValue, Nil, Nil))
+          val (ready, pending) =
+            (st.pendingTs ++ rows.map(_._2)).partition(_ <= wmUs)
+          var cohort = st.cohortDay
+          var open = st.openDays
+          val out = List.newBuilder[RetentionInc]
+          for (tsU <- ready.sorted) {
+            val day = tsU / dayUs
+            if (cohort == Long.MinValue) cohort = day
+            // First sighting of this day: emit. A day absent from
+            // openDays was either never seen, or was emitted and then
+            // closed by an earlier watermark — and a closed day cannot
+            // recur, because an event for it would sit below the
+            // watermark that closed it and the late-row filter excludes
+            // it before the state function runs.
+            if (!open.contains(day)) {
+              out += RetentionInc(userId, cohort, day - cohort)
+              open ::= day
+            }
+          }
+          // Close (evict) days whose END the watermark has passed.
+          state.update(RetentionState(cohort,
+            open.filter(d => (d + 1) * dayUs > wmUs), pending))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(pending.min / 1000L + 1L)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join: each left event joined to every right
     * event of the same key within the trailing `lag` window
     * (`l.ts - lag <= r.ts <= l.ts`). Both sides carry watermarks, so

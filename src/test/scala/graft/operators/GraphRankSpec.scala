@@ -139,6 +139,24 @@ class GraphRankSpec extends AnyFunSuite {
       s"expected only the final iteration's checkpoint, got: ${rddDirs.map(_.getName)}")
   }
 
+  test("skew-salted contribution join: ranks bit-identical for any salt") {
+    // A hub source with out-degree 60 plus a random tail — the shape
+    // whose src-keyed join partition the salt exists to spread. The
+    // salt must be purely physical: any S gives the same exact ranks.
+    val rnd = new scala.util.Random(31)
+    val hub = (1L to 60L).map(d => (0L, d))
+    val tail = Seq.fill(200)((rnd.nextInt(60).toLong + 1L,
+      rnd.nextInt(60).toLong + 1L)).filter { case (a, b) => a != b }
+    val edges = hub ++ tail
+    val want = reference(edges, iters = 3)
+    def salted(s: Int) = GraphRank.pageRank(edges.toDF("src", "dst"),
+        "src", "dst", iters = 3, skewSalt = s)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted(0) === want)
+    assert(salted(4) === want, "salt 4 changed the exact ranks")
+    assert(salted(7) === want, "salt 7 changed the exact ranks")
+  }
+
   test("superseded local checkpoints are unpersisted as the loop advances") {
     // The loop must leave exactly ONE new persisted RDD behind (the
     // final rank frame): the edge/degree/node persists are released in

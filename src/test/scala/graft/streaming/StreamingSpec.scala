@@ -335,6 +335,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("retentionIncrements aggregate to the batch cohort matrix (e08 shape)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (user_id, ts_us)
+    def us(s: String) = ts(s).getTime * 1000L
+    val dayUs = 24L * 3600 * 1000 * 1000
+    // 3-day lateness horizon: the fixture reorders arrivals across
+    // days, and an event below the watermark is (correctly)
+    // late-dropped before the state function ever sees it.
+    val q = EventStreams.retentionIncrements(in.toDS(), watermark = "3 days")
+      .writeStream.format("memory").queryName("retention")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    // Users 1–3 across three days, arrivals shuffled across batches:
+    // user 1's day-1 event lands BEFORE its cohort-defining day-0 event
+    // (same batch, later position), a buffered second day-0 event for
+    // user 1 must not re-emit when the buffer flushes, and user 2's
+    // day-3 activity arrives two batches after its cohort day.
+    val evts = Seq(
+      (1L, us("2024-01-10 12:00:00")), // u1 day1 (arrives first in-batch)
+      (1L, us("2024-01-09 09:00:00")), // u1 day0 — the true cohort day
+      (1L, us("2024-01-09 15:00:00")), // u1 day0 repeat: no new increment
+      (2L, us("2024-01-10 08:00:00")), // u2 cohort day1
+      (3L, us("2024-01-11 10:00:00")), // u3 cohort day2
+      (2L, us("2024-01-12 23:00:00"))) // u2 day3 → offset 2
+    try {
+      in.addData(evts.take(3): _*); q.processAllAvailable()
+      in.addData(evts.slice(3, 4): _*); q.processAllAvailable()
+      in.addData(evts.drop(4): _*); q.processAllAvailable()
+      // push the watermark past every fixture event so all buffers
+      // flush; the pushing user itself stays above the final watermark
+      // and must emit nothing.
+      in.addData((9L, us("2024-01-20 00:00:00"))); q.processAllAvailable()
+      q.processAllAvailable() // timeout emissions need the next trigger
+      val agg = spark.table("retention")
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .count().collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // Batch truth, e08's exact shape on the CLOSED events (u9's
+      // watermark-push event is above the final watermark: excluded).
+      val all = evts
+        .toDF("user_id", "ts_us")
+        .selectExpr("user_id", s"ts_us div $dayUs AS day")
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      val cohortOf = all.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+      val want = all.groupBy { case (u, d) => (cohortOf(u), d - cohortOf(u)) }
+        .map { case (k, vs) => k -> vs.length.toLong }
+      assert(agg == want, s"stream matrix drifted:\n got: $agg\nwant: $want")
+      // exactly-once per (user, day): increments == distinct pairs
+      assert(spark.table("retention").count() == all.length)
+    } finally q.stop()
+  }
+
   test("statefulSessionize closes sessions on gap and on watermark timeout") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Long, String)] // (user_id, ts_us, type)
