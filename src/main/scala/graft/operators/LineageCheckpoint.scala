@@ -41,6 +41,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * concurrent registration would merely be adopted into this loop's
   * rotation, never double-freed.
   */
+object LineageCheckpoint {
+  /** Unpersisting a locally-checkpointed RDD makes Spark WARN that its
+    * truncated lineage "cannot be recomputed after unpersisting" — true
+    * in general, but here BY DESIGN: every unpersisted copy is a
+    * superseded round that is never read again, and the rotation emits
+    * the warning once per iteration per loop (hundreds of lines across
+    * a full sweep, drowning real warnings). Demote exactly that
+    * logger — the checkpointed internal RDD is always a
+    * MapPartitionsRDD — once, on first local-mode rotation.
+    */
+  private lazy val demoteUnpersistWarning: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // logging backend absent: keep the noise
+}
+
 final class LineageCheckpoint(spark: SparkSession,
     checkpointDir: Option[String]) {
   // Respect a caller-configured checkpoint dir; only set it when the
@@ -82,6 +99,7 @@ final class LineageCheckpoint(spark: SparkSession,
       prevFiles = created
       out
     } else {
+      LineageCheckpoint.demoteUnpersistWarning
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val out = df.localCheckpoint() // eager: blocks live before the old ones go
       val created = spark.sparkContext.getPersistentRDDs.keySet -- before

@@ -360,6 +360,106 @@ object EventStreams {
       }
   }
 
+  /** State for [[statefulAsOfEnrichForward]]: pending left events
+    * waiting for their time-to-next match, and the right events that
+    * may still serve a pending or future left. Both shrink with the
+    * watermark (see the method's eviction argument) — unlike the
+    * backward join, nothing persists past the horizon.
+    */
+  final case class AsOfFwdState(
+      lefts: List[AsOfEvent],
+      rights: List[AsOfEvent])
+
+  /** The STREAMING face of the FORWARD as-of join (e10:
+    * time-to-next-event): each `leftType` event enriched with the key's
+    * EARLIEST `rightType` event at or after it, within `toleranceUs` —
+    * view→first-click-after, campaign→first-purchase-after — matching
+    * [[graft.operators.AsOfJoin.asofJoin]] `direction = "forward"` on
+    * closed event times (pinned in StreamingSpec): equal-time rights
+    * are visible, the smallest event_id among equal-time earliest
+    * rights wins (the batch first()-with-tieBreak rule), and a left
+    * with no in-bound right nulls out.
+    *
+    * `toleranceUs` must be positive: it is what makes a no-match
+    * decidable on a stream (the answer "nothing followed within the
+    * bound" is final once the watermark passes `left.ts + tolerance`;
+    * an unbounded forward join could hold every unmatched left
+    * forever).
+    *
+    * Finalization: a left L matches its earliest in-bound candidate r
+    * as soon as the watermark passes r's time (any later arrival is
+    * above the watermark ≥ r.ts, so none can precede r); L nulls once
+    * the watermark passes L.ts + tolerance with no in-bound candidate.
+    * Eviction: after a pass, every right at or below the watermark is
+    * droppable — a pending left with an at-or-below-watermark in-bound
+    * candidate would have finalized, and future lefts arrive above the
+    * watermark — so state is bounded by the lateness horizon plus the
+    * tolerance, per key.
+    */
+  def statefulAsOfEnrichForward(
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long, String)], // (event_id, user_id, ts_us, event_type)
+      leftType: String = "view",
+      rightType: String = "click",
+      toleranceUs: Long,
+      watermark: String = "2 hours")
+      : org.apache.spark.sql.Dataset[AsOfEnrichOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    require(toleranceUs > 0L,
+      s"forward streaming as-of needs a positive tolerance, got $toleranceUs")
+    require(leftType != rightType, "left and right types must differ")
+
+    events
+      .filter(e => e._4 == leftType || e._4 == rightType)
+      .withColumn("ts", timestamp_micros(col("_3")))
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long,
+            rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[AsOfFwdState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(AsOfFwdState(Nil, Nil))
+          val in = rows.map(r => AsOfEvent(r._1, r._3, r._4 == rightType)).toList
+          val rights = (st.rights ++ in.filter(_.isRight))
+            .sortBy(e => (e.tsUs, e.eventId))
+          val lefts = (st.lefts ++ in.filterNot(_.isRight))
+            .sortBy(e => (e.tsUs, e.eventId))
+          val out = List.newBuilder[AsOfEnrichOut]
+          val stillPending = List.newBuilder[AsOfEvent]
+          for (l <- lefts) {
+            // earliest candidate in [l.ts, l.ts + tolerance]
+            val cand = rights.find(r =>
+              r.tsUs >= l.tsUs && r.tsUs - l.tsUs <= toleranceUs)
+            cand match {
+              case Some(r) if r.tsUs <= wmUs =>
+                out += AsOfEnrichOut(l.eventId, userId, l.tsUs,
+                  Some(r.eventId), Some(r.tsUs), Some(r.tsUs - l.tsUs))
+              case None if l.tsUs + toleranceUs <= wmUs =>
+                out += AsOfEnrichOut(l.eventId, userId, l.tsUs,
+                  None, None, None)
+              case _ => stillPending += l // candidate above watermark,
+                // or bound still open: a better/first right may come
+            }
+          }
+          val pendingLefts = stillPending.result()
+          val keptRights = rights.filter(_.tsUs > wmUs)
+          if (pendingLefts.isEmpty && keptRights.isEmpty) state.remove()
+          else {
+            state.update(AsOfFwdState(pendingLefts, keptRights))
+            // Earliest event-time whose watermark crossing can finalize
+            // something: a pending left's tolerance horizon, or a kept
+            // right that some pending left is waiting on.
+            val wake = (pendingLefts.map(_.tsUs + toleranceUs) ++
+              keptRights.map(_.tsUs)).min
+            state.setTimeoutTimestamp(math.max(wake / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+          }
+          out.result().iterator
+      }
+  }
+
   /** Per-user retention state carried by [[retentionIncrements]]:
     * the user's (final, see below) cohort day, the days already
     * emitted that the watermark has not yet closed, and the buffered

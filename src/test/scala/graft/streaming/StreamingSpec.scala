@@ -335,6 +335,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("statefulAsOfEnrichForward equals the batch forward as-of join on closed lefts") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String)]
+    def us(s: String) = ts(s).getTime * 1000L
+    val tolUs = 10L * 60 * 1000 * 1000 // 10 min
+    val q = EventStreams.statefulAsOfEnrichForward(in.toDS(),
+        leftType = "view", rightType = "click",
+        toleranceUs = tolUs, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("asof_fwd")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    // Clicks stream in BEFORE the views they answer; u3 pins the
+    // equal-time rule (click at the same instant is visible, smallest
+    // id among equal-time clicks wins); u2's only click is beyond the
+    // tolerance; view 3 never gets a click.
+    val batch1 = Seq((2L, 1L, us("2024-01-01 10:04:00"), "click"),
+      (5L, 2L, us("2024-01-01 10:20:00"), "click"))
+    val batch2 = Seq((1L, 1L, us("2024-01-01 10:00:00"), "view"),
+      (4L, 2L, us("2024-01-01 10:06:00"), "view"),
+      (6L, 3L, us("2024-01-01 10:10:00"), "view"),
+      (8L, 3L, us("2024-01-01 10:10:00"), "click"),
+      (7L, 3L, us("2024-01-01 10:10:00"), "click"),
+      (3L, 1L, us("2024-01-01 10:30:00"), "view"))
+    val batch3 = Seq((9L, 9L, us("2024-01-01 11:40:00"), "view"))
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      in.addData(batch3: _*); q.processAllAvailable()
+      q.processAllAvailable() // timeout emissions need the next trigger
+      val got = spark.table("asof_fwd").collect().map(r =>
+        (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))).sortBy(_._1).toSeq
+      val all = (batch1 ++ batch2 ++ batch3)
+        .toDF("event_id", "user_id", "ts_us", "event_type")
+      val views = all.filter(col("event_type") === "view").drop("event_type")
+      val clicks = all.filter(col("event_type") === "click").drop("event_type")
+      val wmUs = us("2024-01-01 11:40:00") - 30L * 60 * 1000 * 1000
+      val want = graft.operators.AsOfJoin.asofJoin(
+          views, clicks, keys = Seq("user_id"), timeCol = "ts_us",
+          rightPayload = Seq("event_id", "ts_us"), prefix = "click_",
+          tieBreak = Seq(col("click_event_id")), direction = "forward",
+          tolerance = tolUs)
+        .filter(col("ts_us") + tolUs <= wmUs) // closed lefts only
+        .collect().map(r =>
+          (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Long])
+              .map(_ - r.getLong(2)))).sortBy(_._1).toSeq
+      assert(got == want, s"stream drifted from batch:\n got: $got\nwant: $want")
+      assert(got.map(g => g._1 -> g._2).toMap ==
+        Map(1L -> Some(2L), 3L -> None, 4L -> None, 6L -> Some(7L)),
+        got.toString)
+    } finally q.stop()
+  }
+
   test("retentionIncrements aggregate to the batch cohort matrix (e08 shape)") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Long)] // (user_id, ts_us)
