@@ -335,6 +335,30 @@ object EventQueries {
         .orderBy(col("event_type"))
     },
 
+    // Windowed top-k "trending": the 3 highest-spending users per hour
+    // — the leaderboard/trending-items serving shape. Two keyed
+    // exchanges: (hour, user) for the exact DECIMAL spend sums, hour
+    // for the ranking — and the ranking is the MERGEABLE top-k
+    // aggregate (q24's machinery applied per window), so only k rows
+    // per hour per task cross the second wire where the window idiom
+    // would sort every user-hour row through it. Ties break (spend
+    // DESC, user_id ASC) on both engines, making the board total-
+    // ordered and hash-checkable.
+    "e19_hourly_top_users" -> { (s, d) =>
+      val topk = udaf(new graft.operators.Sketches.TopKByScore(3),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(java.lang.Double, java.lang.Long)]())
+      Tables.events(s, d)
+        .groupBy(hourStart(tsUs).as("hour"), col("user_id"))
+        .agg(dsum(col("value")).as("v"))
+        .groupBy(col("hour"))
+        .agg(topk(col("v"), col("user_id")).as("top"))
+        .select(col("hour"), posexplode(col("top")).as(Seq("r0", "p")))
+        .select(col("hour"), (col("r0") + 1).cast("long").as("rank"),
+          col("p._2").as("user_id"), col("p._1").as("total_value"))
+        .orderBy(col("hour"), col("rank"))
+    },
+
     // e05's funnel TIME-BOXED: each step must land within 24 hours of
     // the previous one — the realistic attribution form (a purchase a
     // week after the click is not this funnel's conversion). Same
@@ -708,6 +732,19 @@ object EventQueries {
         |SELECT n.grp AS event_type, n.n,
         | s.p50 AS p50_gap_est, s.p90 AS p90_gap_est
         |FROM n JOIN s ON n.grp = s.grp ORDER BY event_type""".stripMargin,
+
+    // e19: q24's window-form oracle per hour — the aggregate must
+    // reproduce the ranked board exactly, rank for rank.
+    "e19_hourly_top_users" ->
+      """WITH h AS (SELECT
+        |  make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS hour,
+        |  user_id, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        | FROM events GROUP BY 1, 2),
+        |r AS (SELECT hour, user_id, v,
+        |       ROW_NUMBER() OVER (PARTITION BY hour ORDER BY v DESC, user_id) AS rn
+        |      FROM h)
+        |SELECT hour, CAST(rn AS BIGINT) AS rank, user_id, v AS total_value
+        |FROM r WHERE rn <= 3 ORDER BY hour, rank""".stripMargin,
 
     // e05's oracle with the per-step upper bound inline.
     "e16_funnel_windowed" ->

@@ -490,6 +490,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!sketch.contains("Join"))
   }
 
+  test("e19: hourly leaderboard ranks via the mergeable top-k — no window sort") {
+    val p = plan("e19_hourly_top_users")
+    assert(!p.contains("Window"),
+      s"the per-hour ranking must not plan a window sort:\n${p.take(600)}")
+    assert(p.contains("partial_topkbyscore"),
+      "the top-k state must partial-aggregate map-side")
+  }
+
   test("q37: histogram buckets row-locally after a broadcast bounds row") {
     val p = plan("q37_histogram")
     assert(p.contains("BroadcastNestedLoopJoin"),
