@@ -335,6 +335,45 @@ object EventQueries {
         .orderBy(col("event_type"))
     },
 
+    // Session ENTRY-TYPE attribution over e02's sessionization: which
+    // event type opens a session, and what that entry is worth —
+    // sessions per entry type, average session length, total session
+    // value (the landing-page/campaign-entry analysis). The entry
+    // label is first_value over (user, session) ordered by (ts,
+    // event_id) — session_id is itself time-ordered within a user, so
+    // the label window rides the SAME user-keyed exchange as the
+    // lag/cumsum that built it (one shuffle end to end before the
+    // final catalog-sized entry-type aggregate). avg_events derives
+    // from exact integer counts; value sums through DECIMAL.
+    "e20_session_entry_stats" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prevTs = lag(col("ts_us"), 1).over(w)
+      val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("ts_us", tsUs)
+        .withColumn("is_new",
+          when(prevTs.isNull || col("ts_us") - prevTs > SessionGapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .withColumn("entry_type", first(col("event_type")).over(wSess))
+        .groupBy(col("user_id"), col("session_id"), col("entry_type"))
+        // value stays DECIMAL through BOTH aggregation levels — a
+        // session-level double would make the entry-level re-sum
+        // merge-order-dependent (the module-wide double-sum rule).
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(12, 2))).as("v"))
+        .groupBy(col("entry_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"),
+          (sum(col("n_events")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_events"),
+          sum(col("v")).cast("double").as("total_value"))
+        .orderBy(col("entry_type"))
+    },
+
     // Windowed top-k "trending": the 3 highest-spending users per hour
     // — the leaderboard/trending-items serving shape. Two keyed
     // exchanges: (hour, user) for the exact DECIMAL spend sums, hour
@@ -732,6 +771,34 @@ object EventQueries {
         |SELECT n.grp AS event_type, n.n,
         | s.p50 AS p50_gap_est, s.p90 AS p90_gap_est
         |FROM n JOIN s ON n.grp = s.grp ORDER BY event_type""".stripMargin,
+
+    // e20: e02's session CTEs + the entry-label window + the same
+    // two-level aggregation; DECIMAL until the final cast on both
+    // engines, counts exact.
+    "e20_session_entry_stats" ->
+      """WITH o AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM o),
+        |l AS (
+        | SELECT *, FIRST_VALUE(event_type) OVER (
+        |   PARTITION BY user_id, session_id ORDER BY ts_us, event_id) AS entry_type
+        | FROM s),
+        |g AS (
+        | SELECT user_id, session_id, entry_type, COUNT(*) AS n_events,
+        |  SUM(CAST(value AS DECIMAL(12,2))) AS v
+        | FROM l GROUP BY 1, 2, 3)
+        |SELECT entry_type, COUNT(*) AS n_sessions,
+        | CAST(SUM(n_events) AS BIGINT) AS n_events,
+        | CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_events,
+        | CAST(SUM(v) AS DOUBLE) AS total_value
+        |FROM g GROUP BY entry_type ORDER BY entry_type""".stripMargin,
 
     // e19: q24's window-form oracle per hour — the aggregate must
     // reproduce the ranked board exactly, rank for rank.

@@ -298,6 +298,34 @@ object VectorQueries {
         seeds, "seed_id", "seed_vec", probes, "probe_id", "embedding",
         nprobe = 2, k = 5)
         .orderBy(col("probe_id"), col("rank"))
+    },
+
+    // IVF index HEALTH profile — the maintenance query every ANN
+    // deployment runs before trusting its partition-pruning story:
+    // per-cell population, corpus share, and balance (population ÷
+    // perfectly-even size; 1.0 = even, ≫1 = a hot cell that turns
+    // pruned probes into stragglers and is the signal to re-train
+    // codebooks, v08's job). Assignment is the broadcast-codebook
+    // argmax (no corpus shuffle); the histogram is one cell-keyed
+    // aggregate to a codebook-sized frame; the totals row broadcasts
+    // back (q37's bounds pattern) — nothing here scans the corpus
+    // twice or shuffles it at all.
+    "v18_ivf_cell_profile" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+      val cells = Similarity.ivfAssign(e, "vec_id", "embedding",
+          seeds, "seed_id", "seed_vec")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      val totals = cells.agg(sum(col("n_vecs")).cast("long").as("total"),
+        count(lit(1)).as("n_cells"))
+      cells.crossJoin(broadcast(totals))
+        .select(col("cell"), col("n_vecs"),
+          (col("n_vecs").cast("double") / col("total").cast("double"))
+            .as("share"),
+          (col("n_vecs").cast("double") * col("n_cells").cast("double")
+            / col("total").cast("double")).as("balance"))
+        .orderBy(col("cell"))
     }
   )
 
@@ -719,6 +747,30 @@ object VectorQueries {
         |  ROW_NUMBER() OVER (PARTITION BY c.probe_id
         |   ORDER BY list_cosine_similarity(q.dv, c.qv) DESC, q.vec_id) AS rn
         | FROM q JOIN cells c ON q.cell = c.cell) t
-        |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin
+        |WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // v18: v05's assignment CTE + a plain cell histogram with the
+    // totals row joined back.
+    "v18_ivf_cell_profile" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, s.cell,
+        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) AS cs
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |   SELECT vec_id, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+        |   FROM scored) r WHERE rn = 1),
+        |c AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY cell),
+        |t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+        |       COUNT(*) AS n_cells FROM c)
+        |SELECT cell, n_vecs,
+        | CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        | CAST(n_vecs AS DOUBLE) * CAST(n_cells AS DOUBLE)
+        |  / CAST(total AS DOUBLE) AS balance
+        |FROM c, t ORDER BY cell""".stripMargin
   )
 }
