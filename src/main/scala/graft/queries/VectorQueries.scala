@@ -326,6 +326,24 @@ object VectorQueries {
           (col("n_vecs").cast("double") * col("n_cells").cast("double")
             / col("total").cast("double")).as("balance"))
         .orderBy(col("cell"))
+    },
+
+    // The pure-SQL user face: v01's exact kNN spelled as ANSI SQL text
+    // over a registered view, with the engine's native Catalyst
+    // [[graft.functions.CosineSimilarity]] resolved through the SQL
+    // function registry ([[graft.GraftExtensions]]) — proving a SQL-only
+    // client gets the identical plan AND the identical bits as the
+    // Column API (same codegen'd expression, same
+    // TakeOrderedAndProject top-k; the oracle is byte-for-byte v01's).
+    "v19_sql_knn" -> { (s, d) =>
+      graft.GraftExtensions.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("graft_embeddings")
+      s.sql(
+        """SELECT vec_id,
+          | cosine_similarity(embedding,
+          |  (SELECT embedding FROM graft_embeddings WHERE vec_id = 0)) AS score
+          |FROM graft_embeddings
+          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
     }
   )
 
@@ -771,6 +789,13 @@ object VectorQueries {
         | CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
         | CAST(n_vecs AS DOUBLE) * CAST(n_cells AS DOUBLE)
         |  / CAST(total AS DOUBLE) AS balance
-        |FROM c, t ORDER BY cell""".stripMargin
+        |FROM c, t ORDER BY cell""".stripMargin,
+
+    // v19 ≡ v01 by construction — same oracle.
+    "v19_sql_knn" ->
+      """SELECT vec_id,
+        | list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS score
+        |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   )
 }

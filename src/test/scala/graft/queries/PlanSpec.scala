@@ -39,6 +39,12 @@ class PlanSpec extends AnyFunSuite {
   test("q07/v01: top-k plans as TakeOrderedAndProject, not global sort") {
     assert(plan("q07_topk_orders").contains("TakeOrderedAndProject"))
     assert(plan("v01_knn_exact").contains("TakeOrderedAndProject"))
+    // The SQL-text face must get the same physical top-k AND the same
+    // codegen'd native expression as the Column API.
+    val sqlFace = plan("v19_sql_knn")
+    assert(sqlFace.contains("TakeOrderedAndProject"))
+    assert(sqlFace.contains("cosine_similarity"),
+      "the registry must resolve to the native Catalyst expression")
   }
 
   test("e02: sessionization uses exactly one hash shuffle (user_id)") {
