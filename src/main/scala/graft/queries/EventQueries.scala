@@ -335,6 +335,32 @@ object EventQueries {
         .orderBy(col("event_type"))
     },
 
+    // Behavioral ARCHETYPE segmentation: each user-day reduces to the
+    // sorted set of event types performed (the day's behavioral
+    // signature — browse-only, view>click, full-funnel, …), then
+    // user-days count per signature — the session-intent distribution
+    // a lifetime signature can't show (at sf0.01 every user does
+    // every type EVENTUALLY, but 31 distinct daily signatures
+    // partition 4006 user-days). The signature is array_sort over
+    // collect_set, which makes a nondeterministically-ordered
+    // aggregation state canonical and hash-checkable; one
+    // (user, day)-keyed exchange (the set state partial-aggregates
+    // map-side, bounded by #types) and a catalog-sized signature
+    // count. avg_events from exact integers.
+    "e21_type_archetypes" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), expr(s"(ts_ns div 1000) div $DayUs").as("day"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ">")
+            .as("signature"),
+          count(lit(1)).as("n_events"))
+        .groupBy(col("signature"))
+        .agg(count(lit(1)).as("n_user_days"),
+          sum(col("n_events")).cast("long").as("n_events"),
+          (sum(col("n_events")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_events"))
+        .orderBy(col("signature"))
+    },
+
     // Session ENTRY-TYPE attribution over e02's sessionization: which
     // event type opens a session, and what that entry is worth —
     // sessions per entry type, average session length, total session
@@ -771,6 +797,18 @@ object EventQueries {
         |SELECT n.grp AS event_type, n.n,
         | s.p50 AS p50_gap_est, s.p90 AS p90_gap_est
         |FROM n JOIN s ON n.grp = s.grp ORDER BY event_type""".stripMargin,
+
+    // e21: DISTINCT + ordered string_agg builds the same canonical
+    // signature declaratively.
+    "e21_type_archetypes" ->
+      """WITH u AS (SELECT user_id, epoch_us(ts)//86400000000 AS day,
+        |  string_agg(DISTINCT event_type, '>' ORDER BY event_type) AS signature,
+        |  COUNT(*) AS n_events
+        | FROM events GROUP BY 1, 2)
+        |SELECT signature, COUNT(*) AS n_user_days,
+        | CAST(SUM(n_events) AS BIGINT) AS n_events,
+        | CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_events
+        |FROM u GROUP BY signature ORDER BY signature""".stripMargin,
 
     // e20: e02's session CTEs + the entry-label window + the same
     // two-level aggregation; DECIMAL until the final cast on both

@@ -335,6 +335,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("statefulAsOfEnrich fuzz: randomized reordered stream equals batch") {
+    // 400 random events over 4 hours, delivered in 15-minute event-time
+    // buckets with arrival order SHUFFLED inside each bucket — maximal
+    // reordering that still honors the 30-minute watermark contract
+    // (when bucket k streams in, the watermark trails its start, so
+    // nothing is late-dropped and stream ≡ batch must hold exactly).
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(43)
+    val minUs = 60L * 1000 * 1000
+    val events = Seq.tabulate(400) { i =>
+      ((i + 1).toLong, rnd.nextInt(12).toLong,
+        math.abs(rnd.nextLong() % (240 * minUs)),
+        if (rnd.nextBoolean()) "view" else "click")
+    }
+    val tolUs = 45 * minUs
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = EventStreams.statefulAsOfEnrich(in.toDS(),
+        toleranceUs = tolUs, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("asof_fuzz")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      events.groupBy(_._3 / (15 * minUs)).toSeq.sortBy(_._1).foreach {
+        case (_, bucket) =>
+          in.addData(rnd.shuffle(bucket): _*); q.processAllAvailable()
+      }
+      in.addData((9999L, 999L, 480 * minUs, "view"))
+      q.processAllAvailable(); q.processAllAvailable()
+      val got = spark.table("asof_fuzz").collect().map(r =>
+        (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))).sortBy(_._1).toSeq
+      val all = events.toDF("event_id", "user_id", "ts_us", "event_type")
+      val wmUs = 480 * minUs - 30 * minUs
+      val want = graft.operators.AsOfJoin.asofJoin(
+          all.filter(col("event_type") === "click").drop("event_type"),
+          all.filter(col("event_type") === "view").drop("event_type"),
+          keys = Seq("user_id"), timeCol = "ts_us",
+          rightPayload = Seq("event_id", "ts_us"), prefix = "v_",
+          tieBreak = Seq(col("v_event_id")), tolerance = tolUs)
+        .filter(col("ts_us") <= wmUs)
+        .collect().map(r =>
+          (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Long])
+              .map(r.getLong(2) - _))).sortBy(_._1).toSeq
+      assert(got.size == want.size, s"row counts: ${got.size} vs ${want.size}")
+      assert(got == want)
+      // the fixture must exercise both match outcomes
+      assert(got.exists(_._2.isDefined) && got.exists(_._2.isEmpty))
+    } finally q.stop()
+  }
+
   test("statefulAsOfEnrichForward equals the batch forward as-of join on closed lefts") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long, String)]
