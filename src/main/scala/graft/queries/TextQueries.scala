@@ -884,14 +884,14 @@ object TextQueries {
     // recall-oriented threshold (any meaningful shingle overlap);
     // each pair is then rescored with full Levenshtein and kept only
     // at >= 0.8 normalized char similarity — at sf0.01 the gate BITES
-    // hard: 25 of 3404 candidates survive, exactly the true-dup set.
+    // hard: 25 of 312 candidates survive, exactly the true-dup set.
     // 100-TB shape: the O(len²) DP runs only on candidate PAIRS the
     // index bounded (never all-pairs; d36's df cap is the volume
     // lever), and the text join is two equi-joins on doc_id.
     "d54_edit_rescore" -> { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       graft.text.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          threshold = 0.01)
+          threshold = 0.02)
         .join(docs.select(col("doc_id").as("a_id"), col("text").as("a_text")),
           "a_id")
         .join(docs.select(col("doc_id").as("b_id"), col("text").as("b_text")),
@@ -1655,7 +1655,7 @@ object TextQueries {
         |       CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) AS jaccard
         |      FROM ix JOIN sz sa ON a_id = sa.doc_id
         |       JOIN sz sb ON b_id = sb.doc_id
-        |      WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.01e0)
+        |      WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.02e0)
         |SELECT j.a_id, j.b_id, j.jaccard,
         | CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
         | 1.0e0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
