@@ -423,15 +423,21 @@ object EventStreams {
           val st = state.getOption.getOrElse(AsOfFwdState(Nil, Nil))
           val in = rows.map(r => AsOfEvent(r._1, r._3, r._4 == rightType)).toList
           val rights = (st.rights ++ in.filter(_.isRight))
-            .sortBy(e => (e.tsUs, e.eventId))
+            .sortBy(e => (e.tsUs, e.eventId)).toIndexedSeq
           val lefts = (st.lefts ++ in.filterNot(_.isRight))
             .sortBy(e => (e.tsUs, e.eventId))
           val out = List.newBuilder[AsOfEnrichOut]
           val stillPending = List.newBuilder[AsOfEvent]
+          // Both sides sorted by time ⇒ each left's earliest at-or-after
+          // right is found by one monotone pointer: O(L + R) per
+          // invocation, not O(L·R) on a hot key.
+          var ri = 0
           for (l <- lefts) {
+            while (ri < rights.length && rights(ri).tsUs < l.tsUs) ri += 1
             // earliest candidate in [l.ts, l.ts + tolerance]
-            val cand = rights.find(r =>
-              r.tsUs >= l.tsUs && r.tsUs - l.tsUs <= toleranceUs)
+            val cand = if (ri < rights.length &&
+              rights(ri).tsUs - l.tsUs <= toleranceUs) Some(rights(ri))
+            else None
             cand match {
               case Some(r) if r.tsUs <= wmUs =>
                 out += AsOfEnrichOut(l.eventId, userId, l.tsUs,
@@ -444,7 +450,7 @@ object EventStreams {
             }
           }
           val pendingLefts = stillPending.result()
-          val keptRights = rights.filter(_.tsUs > wmUs)
+          val keptRights = rights.filter(_.tsUs > wmUs).toList
           if (pendingLefts.isEmpty && keptRights.isEmpty) state.remove()
           else {
             state.update(AsOfFwdState(pendingLefts, keptRights))

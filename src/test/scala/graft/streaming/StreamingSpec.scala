@@ -388,6 +388,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("statefulAsOfEnrichForward fuzz: randomized reordered stream equals batch") {
+    // The backward fuzz's discipline applied to the forward machine
+    // (and its two-pointer candidate scan): 15-minute event-time
+    // buckets, shuffled within, 30-minute watermark. The final push
+    // leaves every fixture left closed (max left ts + tolerance ≪
+    // final watermark), so stream must equal the UNfiltered batch
+    // join exactly.
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    val minUs = 60L * 1000 * 1000
+    val events = Seq.tabulate(400) { i =>
+      ((i + 1).toLong, rnd.nextInt(12).toLong,
+        math.abs(rnd.nextLong() % (240 * minUs)),
+        if (rnd.nextBoolean()) "view" else "click")
+    }
+    val tolUs = 20 * minUs
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = EventStreams.statefulAsOfEnrichForward(in.toDS(),
+        leftType = "view", rightType = "click",
+        toleranceUs = tolUs, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("asof_fwd_fuzz")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      events.groupBy(_._3 / (15 * minUs)).toSeq.sortBy(_._1).foreach {
+        case (_, bucket) =>
+          in.addData(rnd.shuffle(bucket): _*); q.processAllAvailable()
+      }
+      in.addData((9999L, 999L, 480 * minUs, "click"))
+      q.processAllAvailable(); q.processAllAvailable()
+      val got = spark.table("asof_fwd_fuzz").collect().map(r =>
+        (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))).sortBy(_._1).toSeq
+      val all = events.toDF("event_id", "user_id", "ts_us", "event_type")
+      val want = graft.operators.AsOfJoin.asofJoin(
+          all.filter(col("event_type") === "view").drop("event_type"),
+          all.filter(col("event_type") === "click").drop("event_type"),
+          keys = Seq("user_id"), timeCol = "ts_us",
+          rightPayload = Seq("event_id", "ts_us"), prefix = "c_",
+          tieBreak = Seq(col("c_event_id")), direction = "forward",
+          tolerance = tolUs)
+        .collect().map(r =>
+          (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Long])
+              .map(_ - r.getLong(2)))).sortBy(_._1).toSeq
+      assert(got.size == want.size, s"row counts: ${got.size} vs ${want.size}")
+      assert(got == want)
+      assert(got.exists(_._2.isDefined) && got.exists(_._2.isEmpty))
+    } finally q.stop()
+  }
+
   test("statefulAsOfEnrichForward equals the batch forward as-of join on closed lefts") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long, String)]
