@@ -148,9 +148,12 @@ object Bench {
     // grew the line past that window and the harness recorded parsed:null —
     // so the stdout line stays COMPACT (3-decimal medians, ~25 chars/query)
     // and the full-precision [min,median,max] spreads go to a sidecar file.
-    def fmt(d: Double): String =
-      if (d >= 100) f"$d%.0f" else if (d >= 10) f"$d%.1f"
-      else if (d >= 1) f"$d%.2f" else f"$d%.3f"
+    def fmt(d: Double): String = {
+      // Locale.ROOT for the same reason as the floors writer below.
+      val pat = if (d >= 100) "%.0f" else if (d >= 10) "%.1f"
+        else if (d >= 1) "%.2f" else "%.3f"
+      String.format(java.util.Locale.ROOT, pat, Double.box(d))
+    }
     val qs = results.map {
       case (k, Right(runs)) => s"\"$k\":${fmt(runs(1))}"
       case (k, Left(_)) => s"\"$k\":-1"
@@ -194,7 +197,9 @@ object Bench {
       val merged = (floors.keySet ++ mins.keySet).toSeq.sorted.map { k =>
         val v = math.min(floors.getOrElse(k, Double.MaxValue),
           mins.getOrElse(k, Double.MaxValue))
-        f""""$k":$v%.4f"""
+        // Locale.ROOT: the f-interpolator is locale-sensitive, and a
+        // comma-decimal locale would write unparseable JSON.
+        s""""$k":${String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))}"""
       }.mkString(",")
       java.nio.file.Files.write(floorsPath,
         s"""{"sf":"$sfDir","floors":{$merged}}""".getBytes("UTF-8"))
