@@ -876,6 +876,39 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Defense-in-depth DECONTAMINATION LEDGER: the three leak
+    // detectors — exact 8-gram overlap (d30), MinHash-LSH near-dup
+    // with edits (d37), embedding-space semantic similarity (v14,
+    // vec_id ≡ doc_id in the synthetic corpus) — full-outer-joined
+    // into one per-train-doc report, because real leaks evade any
+    // single detector: at sf0.01 the three DISAGREE (doc 89 is
+    // semantic-only, doc 30 is an LSH candidate every detector
+    // clears, doc 92 trips n-grams AND near-dup but not embeddings);
+    // `leaked` is the any-detector union a curation pipeline acts on.
+    // Composition reuses the three query definitions verbatim, so the
+    // ledger inherits their pinned scale shapes (broadcast eval
+    // fingerprints, banded LSH, broadcast eval embeddings) and adds
+    // only catalog-sized outer joins on doc_id.
+    "d55_decontamination_ledger" -> { (s, d) =>
+      val ex = queries("d30_decontaminate")(s, d)
+      val nd = queries("d37_neardup_decontaminate")(s, d)
+        .select(col("doc_id"), col("best_jaccard"),
+          col("contaminated").as("neardup_flag"))
+      val sem = VectorQueries.queries("v14_semantic_decontaminate")(s, d)
+        .select(col("train_id").as("doc_id"),
+          col("score").as("semantic_score"))
+      ex.join(nd, Seq("doc_id"), "full_outer")
+        .join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("exact_ngrams"),
+          coalesce(col("neardup_flag"), lit(false)).as("neardup_flag"),
+          col("best_jaccard"), col("semantic_score"),
+          (coalesce(col("n_shared"), lit(0L)) > 0 ||
+            coalesce(col("neardup_flag"), lit(false)) ||
+            col("semantic_score").isNotNull).as("leaked"))
+        .orderBy(col("doc_id"))
+    },
+
     // Edit-distance RESCORE of near-dup candidates: token-level
     // Jaccard and character-level similarity disagree exactly where
     // dedup decisions are hardest (small in-word edits shred shingles;
@@ -1638,6 +1671,62 @@ object TextQueries {
         |SELECT doc_id, card, luhn_valid,
         | CASE WHEN luhn_valid THEN '<CARD>' ELSE card END AS clean
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // d55: the three detector oracles as subquery blocks (each keeps
+    // its own WITH chain), outer-joined; semantic best-score via MAX
+    // over the thresholded pairs ≡ v14's rn=1 row.
+    "d55_decontamination_ledger" ->
+      """SELECT COALESCE(nd.doc_id, ex.doc_id, sem.doc_id) AS doc_id,
+        | COALESCE(ex.n_shared, 0) AS exact_ngrams,
+        | COALESCE(nd.contaminated, FALSE) AS neardup_flag,
+        | nd.best_jaccard, sem.semantic_score,
+        | (COALESCE(ex.n_shared, 0) > 0 OR COALESCE(nd.contaminated, FALSE)
+        |  OR sem.semantic_score IS NOT NULL) AS leaked
+        |FROM (
+        | WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        | sh AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
+        |         i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS sh FROM t),
+        | sig AS (SELECT doc_id, band,
+        |          list_aggregate(list_transform(sh,
+        |           s -> CAST(('0x'||substr(md5(s), 1+8*band, 8)) AS BIGINT)),'min') AS mh
+        |         FROM sh, (VALUES (0),(1),(2),(3)) b(band)),
+        | cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |          FROM sig x JOIN sig y ON x.band=y.band AND x.mh=y.mh
+        |          WHERE x.doc_id % 50 <> 0 AND y.doc_id % 50 = 0),
+        | sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh),
+        | j AS (SELECT a_id, b_id,
+        |        CAST(len(list_intersect(sa.ss,sb.ss)) AS DOUBLE)
+        |         /(len(sa.ss)+len(sb.ss)-len(list_intersect(sa.ss,sb.ss))) AS jac
+        |       FROM cand
+        |       JOIN sets sa ON a_id=sa.doc_id JOIN sets sb ON b_id=sb.doc_id),
+        | r AS (SELECT a_id, jac,
+        |        ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY jac DESC, b_id) AS rn
+        |       FROM j WHERE jac >= 0.0e0)
+        | SELECT a_id AS doc_id, jac AS best_jaccard,
+        |  jac >= 0.5e0 AS contaminated FROM r WHERE rn = 1) nd
+        |FULL JOIN (
+        | WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        | s8 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-6),
+        |         i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||
+        |              toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7])) AS sh8
+        |        FROM t),
+        | ev AS (SELECT DISTINCT md5(sh8) AS fp FROM s8 WHERE doc_id % 50 = 0),
+        | tr AS (SELECT doc_id, md5(sh8) AS fp FROM s8 WHERE doc_id % 50 <> 0)
+        | SELECT tr.doc_id, CAST(COUNT(DISTINCT tr.fp) AS BIGINT) AS n_shared
+        | FROM tr JOIN ev ON tr.fp = ev.fp GROUP BY tr.doc_id) ex
+        | ON nd.doc_id = ex.doc_id
+        |FULL JOIN (
+        | WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings),
+        | e AS (SELECT vec_id, v FROM t WHERE vec_id % 50 = 0),
+        | tr AS (SELECT vec_id, v FROM t WHERE vec_id % 50 <> 0),
+        | p AS (SELECT tr.vec_id AS train_id,
+        |        list_cosine_similarity(tr.v, e.v) AS score
+        |       FROM tr CROSS JOIN e)
+        | SELECT train_id AS doc_id, MAX(score) AS semantic_score
+        | FROM p WHERE score >= 0.35e0 GROUP BY 1) sem
+        | ON COALESCE(nd.doc_id, ex.doc_id) = sem.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // d35's candidate CTEs at the recall threshold, then DuckDB's own
     // levenshtein over the joined texts — identical unit-cost DP.
