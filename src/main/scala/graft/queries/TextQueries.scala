@@ -42,6 +42,7 @@ object TextQueries {
   private val PackBudget = 300 // d26 tokens per training sequence
   private val LangBudget = 70 // d38 docs kept per language
   private val PpsBudget = 10 // d39 selection points per source
+  private val EditBand = 112 // d54 banded-DP threshold; > 0.2 × max doc len
   private val LmFloor = -3.43 // d40 avg-logprob flag threshold (~5th pct)
   private val LmVocabCap = 16 // d41 serving vocab (bites: corpus vocab 31)
   private val MixBudget = 25 // d42 PPS token-selection points per language
@@ -915,12 +916,19 @@ object TextQueries {
     // reordered tokens keep them), so production pipelines gate on
     // BOTH. Candidates come from the d35 inverted index at a
     // recall-oriented threshold (any meaningful shingle overlap);
-    // each pair is then rescored with full Levenshtein and kept only
+    // each pair is then rescored with BANDED Levenshtein and kept only
     // at >= 0.8 normalized char similarity — at sf0.01 the gate BITES
     // hard: 25 of 312 candidates survive, exactly the true-dup set.
-    // 100-TB shape: the O(len²) DP runs only on candidate PAIRS the
-    // index bounded (never all-pairs; d36's df cap is the volume
-    // lever), and the text join is two equi-joins on doc_id.
+    // 100-TB shape: the DP runs only on candidate PAIRS the index
+    // bounded (never all-pairs; d36's df cap is the volume lever), the
+    // text join is two equi-joins on doc_id, and the DP itself is the
+    // threshold form — O(len·band) with distances beyond the band
+    // reported as -1 (sim null, never kept), because a clear non-dup's
+    // exact distance is information nobody pays O(len²) for. The band
+    // must dominate (1 − simThreshold)·maxDocLen for the keep decision
+    // to stay exact — 112 > 0.2 × 553 (the corpus max; re-derive when
+    // documents grow). The oracle caps DuckDB's full distance with the
+    // identical -1 rule, so the banded face stays hash-exact.
     "d54_edit_rescore" -> { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       graft.text.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -930,12 +938,15 @@ object TextQueries {
         .join(docs.select(col("doc_id").as("b_id"), col("text").as("b_text")),
           "b_id")
         .withColumn("edit_dist",
-          levenshtein(col("a_text"), col("b_text")).cast("long"))
-        .withColumn("edit_sim", lit(1.0) - col("edit_dist").cast("double")
-          / greatest(length(col("a_text")), length(col("b_text")))
-            .cast("double"))
+          levenshtein(col("a_text"), col("b_text"), EditBand).cast("long"))
+        .withColumn("edit_sim",
+          when(col("edit_dist") >= 0L,
+            lit(1.0) - col("edit_dist").cast("double")
+              / greatest(length(col("a_text")), length(col("b_text")))
+                .cast("double")))
         .select(col("a_id"), col("b_id"), col("jaccard"), col("edit_dist"),
-          col("edit_sim"), (col("edit_sim") >= lit(0.8)).as("kept"))
+          col("edit_sim"),
+          coalesce(col("edit_sim") >= lit(0.8), lit(false)).as("kept"))
         .orderBy(col("a_id"), col("b_id"))
     },
 
@@ -1745,15 +1756,19 @@ object TextQueries {
         |      FROM ix JOIN sz sa ON a_id = sa.doc_id
         |       JOIN sz sb ON b_id = sb.doc_id
         |      WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.02e0)
-        |SELECT j.a_id, j.b_id, j.jaccard,
-        | CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
-        | 1.0e0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
-        |  / CAST(GREATEST(length(ta.text), length(tb.text)) AS DOUBLE)
-        |  AS edit_sim,
-        | 1.0e0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
-        |  / CAST(GREATEST(length(ta.text), length(tb.text)) AS DOUBLE)
-        |  >= 0.8e0 AS kept
-        |FROM j JOIN t ta ON j.a_id = ta.doc_id JOIN t tb ON j.b_id = tb.doc_id
+        |SELECT a_id, b_id, jaccard, edit_dist,
+        | CASE WHEN edit_dist >= 0
+        |  THEN 1.0e0 - CAST(edit_dist AS DOUBLE) / CAST(maxlen AS DOUBLE)
+        | END AS edit_sim,
+        | COALESCE(edit_dist >= 0 AND
+        |  1.0e0 - CAST(edit_dist AS DOUBLE) / CAST(maxlen AS DOUBLE) >= 0.8e0,
+        |  FALSE) AS kept
+        |FROM (
+        | SELECT j.a_id, j.b_id, j.jaccard,
+        |  CASE WHEN levenshtein(ta.text, tb.text) > 112 THEN CAST(-1 AS BIGINT)
+        |   ELSE CAST(levenshtein(ta.text, tb.text) AS BIGINT) END AS edit_dist,
+        |  GREATEST(length(ta.text), length(tb.text)) AS maxlen
+        | FROM j JOIN t ta ON j.a_id = ta.doc_id JOIN t tb ON j.b_id = tb.doc_id) x
         |ORDER BY a_id, b_id""".stripMargin,
 
     // d50's count/ratio CTEs surfaced per term; the contribution is
