@@ -62,6 +62,19 @@ object GraphRank {
     * as [[graft.text.Dedup.dupComponents]] offers. Ranks are identical
     * in both modes (pinned in GraphRankSpec).
     *
+    * `convergeTol = Some(t)` turns `iters` into a MAXIMUM: the loop
+    * stops as soon as no node's rank moved by more than `t`
+    * micro-units in a round (checked on the just-checkpointed frame by
+    * carrying the previous rank alongside — dupComponents' one-job
+    * convergence idiom; the extra old-rank join is node-keyed, the
+    * partitioning every other per-iteration exchange already uses),
+    * and FAILS LOUDLY if `iters` rounds pass without convergence — a
+    * truncated unconverged walk must never silently read as a ranking.
+    * Exact integer dynamics can 2-cycle at the last micro-unit, so a
+    * small nonzero tolerance (default-worthy: ~1e-4 of the initial
+    * mass) is the robust choice; `None` preserves the fixed-iteration
+    * contract and plan shape exactly.
+    *
     * `skewSalt = S > 1` salts the per-iteration contribution join for
     * POWER-LAW OUT-DEGREE graphs (q21's pattern applied to the loop):
     * on a web-scale graph a hub source's edges all land in one `src`
@@ -83,7 +96,8 @@ object GraphRank {
       teleport: Option[DataFrame] = None,
       teleportCol: String = "node",
       checkpointDir: Option[String] = None,
-      skewSalt: Int = 0): DataFrame = {
+      skewSalt: Int = 0,
+      convergeTol: Option[Long] = None): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"damping must satisfy 0 <= num <= den, got $dampNum/$dampDen")
@@ -129,8 +143,10 @@ object GraphRank {
         e.withColumn("_gr_salt", pmod(hash(col("dst")), lit(skewSalt)))
           .persist(StorageLevel.MEMORY_AND_DISK)
       else e
+    var converged = false
     try {
-      for (_ <- 1 to iters) {
+      var i = 0
+      while (i < iters && !converged) {
         val contrib = (if (skewSalt > 1) {
           eSalted
             .join(ranks.withColumnRenamed("node", "src").join(deg, "src")
@@ -143,17 +159,37 @@ object GraphRank {
         })
           .groupBy(col("dst").as("node"))
           .agg(sum(expr("rank div deg")).as("s"))
-        ranks = checkpointed( // eager: materialized before the next round
-          nodes.join(contrib, Seq("node"), "left")
-            .select(col("node"),
-              (lit(baseMicro) * col("_gr_seed") +
-                expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
-                .as("rank")))
+        val newRank =
+          (lit(baseMicro) * col("_gr_seed") +
+            expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
+            .as("rank")
+        convergeTol match {
+          case None =>
+            ranks = checkpointed( // eager: materialized before the next round
+              nodes.join(contrib, Seq("node"), "left")
+                .select(col("node"), newRank))
+          case Some(tol) =>
+            // One frame carries old and new rank: the checkpoint
+            // materializes it (one job) and the convergence check is a
+            // cheap scan of the materialized result — no re-run of the
+            // iteration join (dupComponents' idiom).
+            val next = checkpointed(
+              nodes.join(contrib, Seq("node"), "left")
+                .join(ranks.select(col("node"),
+                  col("rank").as("_gr_old")), Seq("node"))
+                .select(col("node"), newRank, col("_gr_old")))
+            converged =
+              next.filter(abs(col("rank") - col("_gr_old")) > tol).isEmpty
+            ranks = next.select(col("node"), col("rank"))
+        }
+        i += 1
       }
     } finally {
       e.unpersist(); deg.unpersist(); nodes.unpersist()
       if (eSalted ne e) eSalted.unpersist()
     }
+    require(convergeTol.isEmpty || converged,
+      s"PageRank did not converge within $iters rounds (tol=${convergeTol.get})")
     ranks
   }
 }

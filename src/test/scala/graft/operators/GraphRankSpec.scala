@@ -173,6 +173,34 @@ class GraphRankSpec extends AnyFunSuite {
       s"expected only the final rank frame persisted, found ${leftover.size}")
   }
 
+  test("convergence mode stops at the fixed point and matches deep fixed-iteration runs") {
+    val rnd = new scala.util.Random(19)
+    val edges = Seq.fill(300)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    def fixed(n: Int) = ranksOf(edges, iters = n)
+    // The integer dynamics settle well before 40 rounds on this graph:
+    // deep fixed-iteration runs agree with each other...
+    assert(fixed(40) === fixed(45), "fixture did not reach a fixed point")
+    // ...and the converged run must land on the same point while being
+    // allowed far more rounds than it needs.
+    val conv = GraphRank.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iters = 200, convergeTol = Some(100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deep = fixed(40)
+    assert(conv.keySet == deep.keySet)
+    conv.foreach { case (n, r) =>
+      assert(math.abs(r - deep(n)) <= 100L,
+        s"node $n: converged $r vs fixed-point ${deep(n)}")
+    }
+    // An impossible budget fails loudly instead of returning a
+    // truncated walk.
+    val ex = intercept[IllegalArgumentException] {
+      GraphRank.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iters = 1, convergeTol = Some(0L))
+    }
+    assert(ex.getMessage.contains("converge"))
+  }
+
   test("rejects nonsensical parameters loudly") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](GraphRank.pageRank(e, "src", "dst", 0))
