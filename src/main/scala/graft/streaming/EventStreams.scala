@@ -99,6 +99,36 @@ object EventStreams {
         col("n_events"), col("est_users"))
   }
 
+  /** e19's STREAMING face: the top-k spenders per hour, finalized when
+    * the watermark closes the hour — two CHAINED stateful aggregations
+    * (Spark's multiple-stateful-operator support): exact per-(window,
+    * user) DECIMAL spend sums first, then the mergeable
+    * [[graft.operators.Sketches.TopKByScore]] per window over the
+    * closed per-user rows. The order matters for correctness: a user's
+    * spend splits across micro-batches, and a per-batch top-k folded
+    * later would rank PARTIAL sums — only summing first makes the
+    * board exact (pinned in StreamingSpec against the batch e19 logic
+    * with a late small purchase that flips the ranking). State: the
+    * first stage holds open windows × active users (evicted at the
+    * watermark), the second holds k rows per open window.
+    */
+  def hourlyLeaderboard(events: DataFrame, k: Int = 3,
+      watermark: String = "2 hours"): DataFrame = {
+    val topk = udaf(new graft.operators.Sketches.TopKByScore(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(java.lang.Double, java.lang.Long)]())
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(sum(col("value").cast(DecimalType(12, 2))).as("v"))
+      .groupBy(window(window_time(col("window")), "1 hour"))
+      .agg(topk(col("v").cast("double"), col("user_id")).as("top"))
+      .select(col("window.start").as("hour"),
+        posexplode(col("top")).as(Seq("r0", "p")))
+      .select(col("hour"), (col("r0") + 1).cast("long").as("rank"),
+        col("p._2").as("user_id"), col("p._1").as("total_value"))
+  }
+
   /** Driver-held ledger for [[EventStreams.profileSink]]: one tiny
     * partial-profile row per micro-batch (bounded by k longs per
     * column — the sketch state, not the data), folded to the exact

@@ -118,6 +118,44 @@ class StreamingSpec extends AnyFunSuite {
       && got.exists(g => g._1 == "view" && g._2 == "2024-01-01 10:00:00.0"))
   }
 
+  test("hourlyLeaderboard: cross-batch spend sums rank exactly on closed hours") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    // User 2 leads after batch 1 (5.0 vs 4.0); user 1's SECOND purchase
+    // arrives a batch later and flips the board (7.0 vs 5.0) — the
+    // interaction a per-batch top-k folded later would get wrong
+    // (it would rank the partial sums 4.0/5.0 and crown user 2).
+    val hour10 = Seq(
+      (ts("2024-01-01 10:05:00"), 1L, "purchase", 4.0),
+      (ts("2024-01-01 10:10:00"), 2L, "purchase", 5.0),
+      (ts("2024-01-01 10:15:00"), 3L, "purchase", 1.0),
+      (ts("2024-01-01 10:40:00"), 1L, "purchase", 3.0), // the flip
+      (ts("2024-01-01 10:50:00"), 4L, "purchase", 0.5))
+    val q = EventStreams.hourlyLeaderboard(
+        in.toDF.toDF("ts", "user_id", "event_type", "value"),
+        k = 2, watermark = "1 hour")
+      .writeStream.format("memory").queryName("leaderboard")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      in.addData(hour10.take(3): _*); q.processAllAvailable()
+      in.addData(hour10.drop(3): _*); q.processAllAvailable()
+      assert(spark.table("leaderboard").count() == 0,
+        "the board must not emit before the hour closes")
+      in.addData((ts("2024-01-01 13:00:00"), 9L, "purchase", 1.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // the chained stage needs the next trigger
+      val got = spark.table("leaderboard").orderBy("hour", "rank").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(got == Seq(
+        ("2024-01-01 10:00:00.0", 1L, 1L, 7.0), // user 1 after the flip
+        ("2024-01-01 10:00:00.0", 2L, 2L, 5.0)), got.toString)
+    } finally q.stop()
+  }
+
   test("profileSink: folded micro-batch partials equal the one-pass batch profile") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Double, Double)]
