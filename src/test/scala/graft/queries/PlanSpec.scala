@@ -512,6 +512,31 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 1, s"expected only the bucket-keyed exchange, found $n")
   }
 
+  test("e22: transition matrix — raw events cross one user-keyed window, no join") {
+    val p = plan("e22_type_transitions")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"the lag window must ride a user_id exchange:\n${p.take(600)}")
+    assert(!p.contains("Join"),
+      s"the matrix is lag + two aggregates — no join may appear:\n${p.take(600)}")
+  }
+
+  test("q38: bloom prefilter — 1-row bitset broadcast, row-local probe, semi join only sees candidates") {
+    val p = plan("q38_bloom_semi_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the packed bloom row must broadcast to the fact scan")
+    assert(p.contains("LeftSemi"),
+      "the exact residual must plan as a semi join")
+    // Column pruning per branch: the main branch reads exactly the
+    // three needed columns; the witness-count branch prunes all the
+    // way down to l_partkey (the only input of the bloom probe).
+    val liScans = scans("q38_bloom_semi_join")
+      .filter(_._1.contains("l_partkey")).map(_._1.sorted).sortBy(_.size)
+    assert(liScans ==
+      Seq(Seq("l_partkey"),
+        Seq("l_extendedprice", "l_partkey", "l_returnflag")),
+      s"lineitem branches must prune to 1 and 3 columns, got: $liScans")
+  }
+
   test("q29: PageRank iterations checkpoint — the final plan is a rank scan, not an unrolled loop") {
     // GraphRank persists the edge/degree/node frames and eagerly
     // localCheckpoints each iteration's ranks, so the frame q29 returns
