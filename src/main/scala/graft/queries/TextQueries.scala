@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -890,6 +890,84 @@ object TextQueries {
     // ledger inherits their pinned scale shapes (broadcast eval
     // fingerprints, banded LSH, broadcast eval embeddings) and adds
     // only catalog-sized outer joins on doc_id.
+    // fastText-shape HASHED LINEAR CLASSIFIER serving: bag-of-tokens →
+    // hash-bucketed feature ids (mod D=1024) → broadcast weight-table
+    // join → exact integer logit sum per doc → threshold label. This
+    // is the quality-classifier SERVING shape (the d40/d41 LM gate's
+    // discriminative sibling): the model is a D-row table, so at
+    // 100 TB the corpus explodes scan-side, the weight join is a
+    // BroadcastHashJoin (pinned), and the per-doc sum partial-
+    // aggregates map-side — one doc-keyed exchange end to end.
+    // Weights are micro-unit integers derived from md5 of the bucket
+    // id (a deterministic stand-in for trained parameters — the
+    // plumbing, not the training, is the claim), so logits are EXACT
+    // integer sums, order-independent and hash-checkable; both labels
+    // occur at sf0.01 (12 positive / 500).
+    "d57_hashed_classifier" -> { (s, d) =>
+      val D = 1024
+      import graft.text.TextFunctions.hash32
+      val weights = broadcast(s.range(D).toDF("bucket")
+        .select(col("bucket"),
+          (hash32(concat(lit("w#"), col("bucket").cast("string"))) % 2001
+            - 1000).as("w")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), (hash32(col("tok")) % D).as("bucket"))
+        .join(weights, "bucket")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("logit"))
+        .select(col("doc_id"), col("n_tokens"), col("logit"),
+          (col("logit") > 0).as("label"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Dolma/RedPajama-style QUALITY-FILTER CASCADE with per-rule
+    // attrition attribution: four row-local rules applied in a fixed
+    // order (token count, distinct-token diversity, mean word length,
+    // char length) and, per rule, three numbers — docs it fails AT ALL,
+    // docs whose FIRST failing rule it is (the attribution: each
+    // removed doc is charged to exactly one rule, so first-fail sums
+    // to total-removed), and docs remaining after rules 1..i (the
+    // attrition funnel). All four rules BITE at sf0.01 (169/240/40/146
+    // any-fails; 83/500 survive). Shape: every rule is a pure
+    // projection riding the scan (no explode — diversity uses
+    // array_distinct row-locally), ONE partial+final aggregate row of
+    // 9 counters, then a stack over that single row — at 100 TB the
+    // report costs exactly one scan and one 1-row exchange. Counts
+    // are exact integers; the two double thresholds compare per-row
+    // IEEE arithmetic, deterministic on both engines.
+    "d56_filter_cascade" -> { (s, d) =>
+      val toks = graft.text.TextFunctions.tokens(col("text"))
+      val nTok = size(toks)
+      val g = Tables.documents(s, d).select(
+        (nTok < 40).as("f1"),
+        (size(array_distinct(toks)).cast("double") / nTok.cast("double")
+          < 0.45).as("f2"),
+        (((col("n_chars") - (nTok - 1)).cast("double") / nTok.cast("double")
+          < 4.0) ||
+          ((col("n_chars") - (nTok - 1)).cast("double") / nTok.cast("double")
+            > 4.8)).as("f3"),
+        (col("n_chars") > 400).as("f4"))
+      def cnt(c: Column) = sum(c.cast("long"))
+      g.agg(
+        count(lit(1)).as("total"),
+        cnt(col("f1")).as("any1"), cnt(col("f2")).as("any2"),
+        cnt(col("f3")).as("any3"), cnt(col("f4")).as("any4"),
+        cnt(col("f1")).as("first1"),
+        cnt(!col("f1") && col("f2")).as("first2"),
+        cnt(!col("f1") && !col("f2") && col("f3")).as("first3"),
+        cnt(!col("f1") && !col("f2") && !col("f3") && col("f4")).as("first4"))
+        .select(expr(
+          """stack(4,
+            | 'r1_too_short',     any1, first1, total - first1,
+            | 'r2_low_diversity', any2, first2, total - first1 - first2,
+            | 'r3_word_length',   any3, first3, total - first1 - first2 - first3,
+            | 'r4_too_long',      any4, first4, total - first1 - first2 - first3 - first4
+            |) AS (rule, n_failed_any, n_failed_first, n_remaining)""".stripMargin))
+        .orderBy(col("rule"))
+    },
+
     "d55_decontamination_ledger" -> { (s, d) =>
       val ex = queries("d30_decontaminate")(s, d)
       val nd = queries("d37_neardup_decontaminate")(s, d)
@@ -1686,6 +1764,56 @@ object TextQueries {
     // d55: the three detector oracles as subquery blocks (each keeps
     // its own WITH chain), outer-joined; semantic best-score via MAX
     // over the thresholded pairs ≡ v14's rn=1 row.
+    // d57: same bucketing/weight derivation over DuckDB's range +
+    // unnest; the logit is an exact integer sum on both engines.
+    "d57_hashed_classifier" ->
+      """WITH wt AS (SELECT i.i AS bucket,
+        |   CAST(('0x'||substr(md5('w#'||CAST(i.i AS VARCHAR)),1,8)) AS BIGINT)
+        |     % 2001 - 1000 AS w
+        |  FROM (SELECT unnest(range(1024)) AS i) i),
+        |t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |b AS (SELECT doc_id,
+        |       CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) % 1024 AS bucket
+        |      FROM t)
+        |SELECT b.doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS logit,
+        | CAST(SUM(w) AS BIGINT) > 0 AS label
+        |FROM b JOIN wt USING (bucket)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    // d56: the same four rules + first-fail CASE as conditional sums;
+    // thresholds in e-notation so DuckDB compares in double like Spark.
+    "d56_filter_cascade" ->
+      """WITH f AS (SELECT
+        |  len(string_split(text,' ')) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS dr,
+        |  CAST(n_chars - (len(string_split(text,' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS awl,
+        |  n_chars
+        | FROM documents),
+        |g AS (SELECT n_tok < 40 AS f1, dr < 0.45e0 AS f2,
+        |       (awl < 4.0e0 OR awl > 4.8e0) AS f3, n_chars > 400 AS f4
+        |      FROM f),
+        |a AS (SELECT COUNT(*) AS total,
+        | CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS any1,
+        | CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS any2,
+        | CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS any3,
+        | CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS any4,
+        | CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS first1,
+        | CAST(SUM(CASE WHEN NOT f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS first2,
+        | CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS first3,
+        | CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS first4
+        |FROM g)
+        |SELECT 'r1_too_short' AS rule, any1 AS n_failed_any,
+        |       first1 AS n_failed_first, total - first1 AS n_remaining FROM a
+        |UNION ALL SELECT 'r2_low_diversity', any2, first2,
+        |       total - first1 - first2 FROM a
+        |UNION ALL SELECT 'r3_word_length', any3, first3,
+        |       total - first1 - first2 - first3 FROM a
+        |UNION ALL SELECT 'r4_too_long', any4, first4,
+        |       total - first1 - first2 - first3 - first4 FROM a
+        |ORDER BY rule""".stripMargin,
+
     "d55_decontamination_ledger" ->
       """SELECT COALESCE(nd.doc_id, ex.doc_id, sem.doc_id) AS doc_id,
         | COALESCE(ex.n_shared, 0) AS exact_ngrams,

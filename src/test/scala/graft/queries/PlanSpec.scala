@@ -537,6 +537,28 @@ class PlanSpec extends AnyFunSuite {
       s"lineitem branches must prune to 1 and 3 columns, got: $liScans")
   }
 
+  test("d56: filter cascade — one pruned scan, no join, no explode") {
+    val p = plan("d56_filter_cascade")
+    assert(!p.contains("Join"),
+      s"all four rules must ride the scan row-locally:\n${p.take(600)}")
+    // the only Generate is the stack over the single aggregate row —
+    // nothing explodes raw documents.
+    assert("Generate".r.findAllIn(p).length == 1 && p.contains("stack(4"),
+      s"expected exactly the 1-row stack Generate:\n${p.take(600)}")
+    val Seq((cols, _)) = scans("d56_filter_cascade")
+    assert(cols.sorted == Seq("n_chars", "text"),
+      s"cascade must read exactly (n_chars, text), got: $cols")
+  }
+
+  test("d57: hashed classifier — broadcast weight table, one doc-keyed exchange") {
+    val p = plan("d57_hashed_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      "the D-row weight model must broadcast")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1,
+      s"expected only the doc-keyed aggregation exchange, found $n:\n${p.take(800)}")
+  }
+
   test("q29: PageRank iterations checkpoint — the final plan is a rank scan, not an unrolled loop") {
     // GraphRank persists the edge/degree/node frames and eagerly
     // localCheckpoints each iteration's ranks, so the frame q29 returns
