@@ -310,6 +310,33 @@ object VectorQueries {
     // aggregate to a codebook-sized frame; the totals row broadcasts
     // back (q37's bounds pattern) — nothing here scans the corpus
     // twice or shuffles it at all.
+    // INCREMENTAL IVF maintenance identity ([[graft.store.IvfIndex
+    // .append]]'s semantics under the oracle): assigning a base half
+    // and a delta half SEPARATELY against the same frozen codebook and
+    // unioning equals the one-shot assignment of everything — per
+    // cell, row for row. The oracle computes ONLY the direct pass
+    // (v05's assignment CTE over all vectors); hash equality proves
+    // the maintenance identity (q36/e14's merge≡direct argument in
+    // vector space), which is exactly why append-only daily ingest
+    // into a cell-partitioned 100-TB index never needs a rebuild
+    // while the codebook stands. Per-cell stats are exact integers.
+    "v20_ivf_append" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+      def assign(part: DataFrame) =
+        Similarity.ivfAssign(part, "vec_id", "embedding",
+          seeds, "seed_id", "seed_vec").select(col("cell"), col("vec_id"))
+      assign(e.filter(col("vec_id") % 2 === 0))
+        .union(assign(e.filter(col("vec_id") % 2 === 1)))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("vec_id")).as("id_sum"),
+          min(col("vec_id")).as("id_min"),
+          max(col("vec_id")).as("id_max"))
+        .orderBy(col("cell"))
+    },
+
     "v18_ivf_cell_profile" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       val seeds = e.filter(col("vec_id") < 8)
@@ -769,6 +796,26 @@ object VectorQueries {
 
     // v18: v05's assignment CTE + a plain cell histogram with the
     // totals row joined back.
+    // v20: the oracle runs ONLY the direct one-shot assignment — hash
+    // equality against the engine's base∪delta union is the proof.
+    "v20_ivf_append" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, s.cell,
+        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) AS cs
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |   SELECT vec_id, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+        |   FROM scored) r WHERE rn = 1)
+        |SELECT cell, COUNT(*) AS n_vecs,
+        | CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+        | MIN(vec_id) AS id_min, MAX(vec_id) AS id_max
+        |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin,
+
     "v18_ivf_cell_profile" ->
       """WITH seeds AS (
         |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv

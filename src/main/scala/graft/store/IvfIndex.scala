@@ -117,6 +117,46 @@ object IvfIndex {
     writeSeeds(seeds, seedIdCol, seedVecCol, path)
   }
 
+  /** INCREMENTAL index maintenance: assign a delta batch against the
+    * index's OWN frozen on-disk seeds and append into the existing
+    * cell-partitioned layout. Because cell is the argmax against the
+    * same codebook the index was built with, appended files land
+    * inside existing `cell=N` directories, so every search face
+    * (static isin pruning, the DPP batch join, the quantized probe)
+    * serves base ∪ delta with no rebuild and no re-shuffle of data
+    * already on disk — the daily-ingest shape of a 100-TB ANN store.
+    * v20 pins the semantics (append ≡ one-shot rebuild, per cell);
+    * IvfIndexSpec pins the on-disk face (search over an appended
+    * index ≡ search over a rebuilt one, partition pruning intact).
+    * Retrain-and-rebuild remains a separate, rarer operation — the
+    * v18 cell-balance profile is the signal that it's due.
+    */
+  def append(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val seeds = df.sparkSession.read.parquet(s"$path/seeds")
+    Similarity.ivfAssign(df, idCol, vecCol, seeds, "cell", "seed_vec")
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(s"$path/vectors")
+  }
+
+  /** [[append]] for a [[buildQuantized]] index: the delta batch is
+    * int8-quantized with the same per-vector scale derivation as the
+    * base build, so appended rows are indistinguishable from built
+    * ones to [[searchQuantized]].
+    */
+  def appendQuantized(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val seeds = df.sparkSession.read.parquet(s"$path/seeds")
+    graft.operators.ScalarQuant.quantize(
+      Similarity.ivfAssign(df, idCol, vecCol, seeds, "cell", "seed_vec"),
+      vecCol)
+      .drop(vecCol)
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(s"$path/vectors")
+  }
+
   private def writeSeeds(seeds: DataFrame, seedIdCol: String,
       seedVecCol: String, path: String): Unit =
     seeds.select(col(seedIdCol).as("cell"), col(seedVecCol).as("seed_vec"))

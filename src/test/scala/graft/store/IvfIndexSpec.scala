@@ -155,4 +155,49 @@ class IvfIndexSpec extends AnyFunSuite {
     val overlap = got.map(_.getLong(1)).count(floatTop.contains)
     assert(overlap >= 8, s"quantized top-10 recall $overlap/10 vs float index")
   }
+
+  test("append: build(base) + append(delta) ≡ one-shot build; pruning intact") {
+    val e = Tables.embeddings(spark, sf)
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+    val p2 = Files.createTempDirectory("graft-ivf-append").toString
+    IvfIndex.build(e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      seeds, "seed_id", "seed_vec", p2)
+    IvfIndex.append(e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      p2)
+    // on-disk contents: (cell, vec_id) multiset identical to the
+    // one-shot index built in this suite's shared fixture
+    def cells(p: String) = spark.read.parquet(s"$p/vectors")
+      .select(col("cell"), col("vec_id")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1))).toSet
+    assert(cells(p2) == cells(path),
+      "appended layout must equal the rebuilt layout cell for cell")
+    // the search face over the appended index is bit-identical and
+    // still prunes partitions before IO
+    val a = IvfIndex.search(spark, p2, "vec_id", "embedding", query, k = 5)
+    assert(a.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    val got = a.collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val ref = IvfIndex.search(spark, path, "vec_id", "embedding", query, k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == ref)
+  }
+
+  test("appendQuantized: delta codes indistinguishable from built ones") {
+    val e = Tables.embeddings(spark, sf)
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+    val p2 = Files.createTempDirectory("graft-ivfq-append").toString
+    IvfIndex.buildQuantized(e.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", seeds, "seed_id", "seed_vec", p2)
+    IvfIndex.appendQuantized(e.filter(col("vec_id") % 2 === 1), "vec_id",
+      "embedding", p2)
+    val schema = spark.read.parquet(s"$p2/vectors").schema
+    assert(!schema.fieldNames.contains("embedding"),
+      "appended rows must not reintroduce the float column")
+    val got = IvfIndex.searchQuantized(spark, p2, "vec_id", query, k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val ref = IvfIndex.searchQuantized(spark, qpath, "vec_id", query, k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == ref, "quantized search over appended ≡ over rebuilt")
+  }
 }
