@@ -582,6 +582,80 @@ object EventStreams {
       }
   }
 
+  /** Per-user state for [[transitionIncrements]]: the last FINALIZED
+    * event (the transition predecessor) and the buffered
+    * above-watermark events.
+    */
+  final case class TransitionState(
+      lastTs: Long, // Long.MinValue = no event finalized yet
+      lastId: Long,
+      lastType: String, // "" while lastTs is MinValue
+      buffer: List[TransEvent])
+
+  final case class TransEvent(eventId: Long, tsUs: Long, eventType: String)
+
+  final case class TransitionInc(
+      user_id: Long,
+      from_type: String,
+      to_type: String)
+
+  /** The STREAMING face of e22's Markov transition matrix: emits one
+    * (user, from_type, to_type) increment per consecutive-event pair —
+    * `COUNT(*) GROUP BY from_type, to_type` downstream ≡ e22's exact
+    * counts with no history rescan, and a user's first event
+    * transitions from the synthetic '_start' state exactly as the
+    * batch lag's null does. The feed is what keeps a next-action
+    * model's transition counts current on a live stream.
+    *
+    * Exactness under reordering uses the statefulAsOfEnrich
+    * discipline: arrivals buffer per user until the watermark passes
+    * their time, then fold in (time, id) order — the batch window's
+    * exact ordering — so each finalized event's predecessor is
+    * complete and an emitted increment never needs retraction
+    * (Append-safe). State per user: one last-event record (persisted
+    * for the user's lifetime by design — the next event, whenever it
+    * comes, transitions FROM it) plus the in-horizon buffer, flushed
+    * by an event-time timeout when the data stops visiting the key.
+    */
+  def transitionIncrements(
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long, String)], // (event_id, user_id, ts_us, event_type)
+      watermark: String = "2 hours")
+      : org.apache.spark.sql.Dataset[TransitionInc] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+
+    events
+      .withColumn("ts", timestamp_micros(col("_3")))
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long,
+            rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[TransitionState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption
+            .getOrElse(TransitionState(Long.MinValue, -1L, "", Nil))
+          val incoming = rows.map(r => TransEvent(r._1, r._3, r._4)).toList
+          val (ready, pending) =
+            (st.buffer ++ incoming).partition(_.tsUs <= wmUs)
+          var lastTs = st.lastTs
+          var lastId = st.lastId
+          var lastType = st.lastType
+          val out = List.newBuilder[TransitionInc]
+          for (e <- ready.sortBy(e => (e.tsUs, e.eventId))) {
+            out += TransitionInc(userId,
+              if (lastTs == Long.MinValue) "_start" else lastType,
+              e.eventType)
+            lastTs = e.tsUs; lastId = e.eventId; lastType = e.eventType
+          }
+          state.update(TransitionState(lastTs, lastId, lastType, pending))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(pending.map(_.tsUs).min / 1000L + 1L)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join: each left event joined to every right
     * event of the same key within the trailing `lag` window
     * (`l.ts - lag <= r.ts <= l.ts`). Both sides carry watermarks, so

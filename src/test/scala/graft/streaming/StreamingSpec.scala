@@ -589,6 +589,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transitionIncrements aggregate to the batch e22 transition counts") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String)] // (event_id, user_id, ts_us, event_type)
+    def us(s: String) = ts(s).getTime * 1000L
+    val q = EventStreams.transitionIncrements(in.toDS(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    // u1's chain view → click → purchase arrives SCRAMBLED (the
+    // purchase lands first, the view a batch later, the click last),
+    // with click and purchase at the SAME time so the (ts, id) sort —
+    // the batch window's exact order — is what sequences them; u2 is
+    // a single event, pinning the '_start' entry transition.
+    val evts = Seq(
+      (1L, 1L, us("2024-01-09 09:00:00"), "view"),
+      (2L, 1L, us("2024-01-09 09:30:00"), "click"),
+      (3L, 1L, us("2024-01-09 09:30:00"), "purchase"),
+      (4L, 2L, us("2024-01-09 10:00:00"), "signup"))
+    try {
+      in.addData(evts(2)); q.processAllAvailable()
+      in.addData(evts(0), evts(3)); q.processAllAvailable()
+      in.addData(evts(1)); q.processAllAvailable()
+      // push the watermark past the fixture so all buffers flush
+      in.addData((9L, 9L, us("2024-01-10 00:00:00"), "view"))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout emissions need the next trigger
+      val got = spark.table("transitions")
+        .groupBy(col("from_type"), col("to_type")).count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // batch truth: per user, sort by (ts, id), lag with '_start'
+      val want = evts.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+        val ordered = es.sortBy(e => (e._3, e._1))
+        ("_start" +: ordered.map(_._4).init).zip(ordered.map(_._4))
+      }.groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+      assert(got == want, s"stream transitions drifted:\n got: $got\nwant: $want")
+    } finally q.stop()
+  }
+
   test("statefulSessionize closes sessions on gap and on watermark timeout") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Long, String)] // (user_id, ts_us, type)
