@@ -890,6 +890,37 @@ object TextQueries {
     // ledger inherits their pinned scale shapes (broadcast eval
     // fingerprints, banded LSH, broadcast eval embeddings) and adds
     // only catalog-sized outer joins on doc_id.
+    // DSIR-weighted RESAMPLING — the composition d50 and d39 exist
+    // for: target-domain importance weights (exact integer per-doc
+    // log-ratio sums against the 'en' slice) drive the deterministic
+    // systematic PPS sampler, yielding the target-matched subcorpus
+    // with per-doc multiplicities (n_hits > 1 = upsampled, the
+    // with-replacement semantics DSIR prescribes — multiplicity 2
+    // occurs at sf0.01). Weights shift positive by the broadcast
+    // global minimum (+1) so the sampler's integer arithmetic stays
+    // exact; every stage is the already-pinned machinery
+    // ([[graft.text.UnigramLm.importanceWeights]],
+    // [[graft.operators.Sampling.ppsSystematic]]), so the whole
+    // composition inherits their scale shapes: broadcast-model
+    // scoring, one group-keyed sampling exchange, no cross products.
+    "d58_dsir_resample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wts = graft.text.UnigramLm.importanceWeights(
+        docs, "doc_id", "text", col("lang") === "en")
+        .select(col("doc_id"), col("lr_sum"))
+      val shift = wts.agg(min(col("lr_sum")).as("mn"))
+      val weighted = docs.select(col("source"), col("doc_id"))
+        .join(wts, "doc_id")
+        .crossJoin(broadcast(shift))
+        .select(col("source"), col("doc_id"),
+          (col("lr_sum") - col("mn") + 1).as("w"))
+      graft.operators.Sampling.ppsSystematic(weighted,
+        groupCols = Seq("source"), idCol = "doc_id",
+        weightCol = "w", budget = 20)
+        .select(col("source"), col("doc_id"), col("w"), col("n_hits"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+
     // fastText-shape HASHED LINEAR CLASSIFIER serving: bag-of-tokens →
     // hash-bucketed feature ids (mod D=1024) → broadcast weight-table
     // join → exact integer logit sum per doc → threshold label. This
@@ -1764,6 +1795,42 @@ object TextQueries {
     // d55: the three detector oracles as subquery blocks (each keeps
     // its own WITH chain), outer-joined; semantic best-score via MAX
     // over the thresholded pairs ≡ v14's rn=1 row.
+    // d58: d50's weight CTEs + the global min shift + d39's systematic
+    // selection arithmetic (2·budget = 40 folded in 64-bit), end to end.
+    "d58_dsir_resample" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+        |            unnest(string_split(text,' ')) AS tok
+        |           FROM documents),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cs,
+        |       CAST(COUNT(*) FILTER (WHERE tgt) AS BIGINT) AS ct
+        |      FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS ts,
+        |         COALESCE(CAST(SUM(ct) AS BIGINT), 0) AS tt,
+        |         CAST(COUNT(*) AS BIGINT) AS v FROM c),
+        |p AS (SELECT tok,
+        |       CAST(FLOOR(ln(CAST(ct + 1 AS DOUBLE)
+        |         / CAST(tt + v AS DOUBLE)) * 1000000.0e0) AS BIGINT)
+        |       - CAST(FLOOR(ln(CAST(cs + 1 AS DOUBLE)
+        |         / CAST(ts + v AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS lr
+        |      FROM c, tot),
+        |s AS (SELECT t.doc_id, CAST(SUM(p.lr) AS BIGINT) AS lr_sum
+        |      FROM t JOIN p ON t.tok = p.tok GROUP BY t.doc_id),
+        |mn AS (SELECT MIN(lr_sum) AS mn FROM s),
+        |w AS (SELECT d.source, s.doc_id, s.lr_sum - mn.mn + 1 AS w
+        |      FROM s JOIN documents d ON s.doc_id = d.doc_id, mn),
+        |b AS (SELECT source, doc_id, w,
+        |       CAST(SUM(w) OVER (PARTITION BY source ORDER BY doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |       CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT) AS tw
+        |      FROM w)
+        |SELECT source, doc_id, w,
+        | (((40 * cum) // tw) + 1) // 2
+        |  - (((40 * (cum - w)) // tw) + 1) // 2 AS n_hits
+        |FROM b
+        |WHERE (((40 * cum) // tw) + 1) // 2
+        |  - (((40 * (cum - w)) // tw) + 1) // 2 > 0
+        |ORDER BY source, doc_id""".stripMargin,
+
     // d57: same bucketing/weight derivation over DuckDB's range +
     // unnest; the logit is an exact integer sum on both engines.
     "d57_hashed_classifier" ->
