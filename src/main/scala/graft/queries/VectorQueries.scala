@@ -310,6 +310,31 @@ object VectorQueries {
     // aggregate to a codebook-sized frame; the totals row broadcasts
     // back (q37's bounds pattern) — nothing here scans the corpus
     // twice or shuffles it at all.
+    // MATRYOSHKA-style truncated-prefix two-stage kNN: coarse-rank on
+    // the first 16 of 64 dimensions (¼ the multiply-adds per corpus
+    // row — the compute face of the storage cut v10/v15 make), keep
+    // 50 candidates, exact full-dimension rescore to the top 10. The
+    // nesting-trained-embedding serving pattern: both stages plan as
+    // TakeOrderedAndProject (per-partition heaps, no global sort —
+    // pinned), and the surviving coarse score rides along as the
+    // witness that prefix and full rankings genuinely disagree (the
+    // reorder is visible in the output). The oracle replays both
+    // stages with DuckDB list slicing, so the row is hash-exact even
+    // though stage 1 is approximate.
+    "v21_prefix_rerank" -> { (s, d) =>
+      val q = probeVec(s, d, 42L)
+      Tables.embeddings(s, d)
+        .withColumn("prefix_score", vectors.cosineSimilarity(
+          slice(col("embedding"), 1, 16), lit(q.take(16))))
+        .orderBy(col("prefix_score").desc, col("vec_id"))
+        .limit(50)
+        .withColumn("score",
+          vectors.cosineSimilarity(col("embedding"), lit(q)))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("prefix_score"), col("score"))
+    },
+
     // INCREMENTAL IVF maintenance identity ([[graft.store.IvfIndex
     // .append]]'s semantics under the oracle): assigning a base half
     // and a delta half SEPARATELY against the same frozen codebook and
@@ -796,6 +821,24 @@ object VectorQueries {
 
     // v18: v05's assignment CTE + a plain cell histogram with the
     // totals row joined back.
+    // v21: both stages replayed — DuckDB's 1-based inclusive slice
+    // [1:16] is Spark's slice(embedding, 1, 16); candidate ties and
+    // final ties break on vec_id in both engines.
+    "v21_prefix_rerank" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv,
+        |            CAST(embedding[1:16] AS DOUBLE[]) AS qp
+        |           FROM embeddings WHERE vec_id = 42),
+        |coarse AS (
+        |  SELECT e.vec_id, e.embedding,
+        |   list_cosine_similarity(CAST(e.embedding[1:16] AS DOUBLE[]), q.qp)
+        |    AS prefix_score
+        |  FROM embeddings e, q
+        |  ORDER BY prefix_score DESC, e.vec_id LIMIT 50)
+        |SELECT c.vec_id, c.prefix_score,
+        | list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qv) AS score
+        |FROM coarse c, q
+        |ORDER BY score DESC, c.vec_id LIMIT 10""".stripMargin,
+
     // v20: the oracle runs ONLY the direct one-shot assignment — hash
     // equality against the engine's base∪delta union is the proof.
     "v20_ivf_append" ->

@@ -537,6 +537,13 @@ class PlanSpec extends AnyFunSuite {
       s"lineitem branches must prune to 1 and 3 columns, got: $liScans")
   }
 
+  test("v21: prefix rerank — both stages are per-partition top-k heaps") {
+    val p = plan("v21_prefix_rerank")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length == 2,
+      s"coarse and rescore stages must both plan as top-k heaps:\n${p.take(600)}")
+    assert(!p.contains("Window") && !p.contains("Join"))
+  }
+
   test("e23: anomaly z-scores window over the catalog-sized hourly reduce, not raw events") {
     val p = plan("e23_hourly_anomaly")
     assert(!p.contains("Join"))
