@@ -157,6 +157,45 @@ object IvfIndex {
       .parquet(s"$path/vectors")
   }
 
+  /** Compact an appended index back to one file per cell. Each
+    * [[append]] adds at least one file to every touched `cell=N`
+    * directory, and a year of daily ingest turns a probe's one-
+    * partition scan into hundreds of file opens — the classic
+    * small-file tax. Compaction is one read + one hash repartition ON
+    * THE CELL KEY + one partitioned write: every cell lands wholly in
+    * one task, so the writer emits exactly one file per cell, rows and
+    * layout (and therefore partition pruning) unchanged. The directory
+    * swap is delete-then-rename — NOT atomic; production runs schedule
+    * it in the same maintenance window as any non-transactional
+    * rewrite (or wrap the layout in a manifest/table format). Returns
+    * (dataFilesBefore, dataFilesAfter).
+    */
+  def compact(spark: SparkSession, path: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val dir = s"$path/vectors"
+    val tmp = s"$path/vectors_compacting"
+    val fs = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def countFiles(p: String): Long = {
+      val it = fs.listFiles(new Path(p), true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val before = countFiles(dir)
+    spark.read.parquet(dir)
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(tmp)
+    fs.delete(new Path(dir), true)
+    require(fs.rename(new Path(tmp), new Path(dir)),
+      s"compaction swap failed: could not rename $tmp over $dir")
+    (before, countFiles(dir))
+  }
+
   private def writeSeeds(seeds: DataFrame, seedIdCol: String,
       seedVecCol: String, path: String): Unit =
     seeds.select(col(seedIdCol).as("cell"), col(seedVecCol).as("seed_vec"))

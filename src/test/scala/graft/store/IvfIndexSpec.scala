@@ -182,6 +182,37 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("compact: appended small files fold to one per cell; rows, search, pruning intact") {
+    val e = Tables.embeddings(spark, sf)
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+    val p2 = Files.createTempDirectory("graft-ivf-compact").toString
+    IvfIndex.build(e.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+      seeds, "seed_id", "seed_vec", p2)
+    for (r <- 1L to 3L)
+      IvfIndex.append(e.filter(col("vec_id") % 4 === r), "vec_id",
+        "embedding", p2)
+    def rows(p: String) = spark.read.parquet(s"$p/vectors")
+      .select(col("cell"), col("vec_id")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1))).toSet
+    val preRows = rows(p2)
+    val preSearch = IvfIndex.search(spark, p2, "vec_id", "embedding",
+      query, k = 5).collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val (before, after) = IvfIndex.compact(spark, p2)
+    val nCells = spark.read.parquet(s"$p2/vectors")
+      .select(col("cell")).distinct().count()
+    assert(before > nCells,
+      s"fixture must start fragmented: $before files over $nCells cells")
+    assert(after == nCells,
+      s"compaction must leave exactly one file per cell: $after vs $nCells")
+    assert(rows(p2) == preRows, "compaction must not change contents")
+    val post = IvfIndex.search(spark, p2, "vec_id", "embedding", query, k = 5)
+    assert(post.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"), "pruning must survive compaction")
+    assert(post.collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      == preSearch)
+  }
+
   test("appendQuantized: delta codes indistinguishable from built ones") {
     val e = Tables.embeddings(spark, sf)
     val seeds = e.filter(col("vec_id") < 8)
