@@ -361,6 +361,38 @@ object EventQueries {
         .orderBy(col("signature"))
     },
 
+    // RFM SEGMENTATION: every user scored on Recency (days since last
+    // event vs the corpus max — a broadcast 1-row anchor, so the
+    // segmentation is reproducible from the data alone), Frequency
+    // (event count) and Monetary (exact DECIMAL spend), folded into an
+    // 8-cell R/F/M flag segment — the lifecycle-marketing crosstab.
+    // One user-keyed aggregate holds all three stats (count, max ts,
+    // decimal sum share the partial-agg pass), then a catalog-sized
+    // segment rollup; thresholds are integers/decimals so every flag
+    // is exact on both engines; all 8 segments occur at sf0.01.
+    "e24_rfm_segments" -> { (s, d) =>
+      val anchor = Tables.events(s, d).agg(max(tsUs).as("mts"))
+      Tables.events(s, d)
+        .select(col("user_id"), tsUs.as("ts_us"), col("value"))
+        .crossJoin(broadcast(anchor))
+        .groupBy(col("user_id"))
+        .agg(expr(s"(max(mts) - max(ts_us)) div $DayUs").as("recency_d"),
+          count(lit(1)).as("freq"),
+          sum(col("value").cast(DecimalType(12, 2))).as("monetary"))
+        .select(concat(
+          when(col("recency_d") <= 0, lit("R")).otherwise(lit("r")),
+          when(col("freq") >= 66, lit("F")).otherwise(lit("f")),
+          when(col("monetary") > 3300, lit("M")).otherwise(lit("m")))
+          .as("segment"),
+          col("freq"), col("monetary"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_users"),
+          (sum(col("freq")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_freq"),
+          sum(col("monetary")).cast("double").as("total_monetary"))
+        .orderBy(col("segment"))
+    },
+
     // Hourly volume ANOMALY detection: each (type, hour)'s event count
     // z-scored against its own trailing 24-hour RANGE window — the
     // ops-monitoring query behind traffic-spike and outage alerts.
@@ -879,6 +911,26 @@ object EventQueries {
         | CAST(SUM(n_events) AS BIGINT) AS n_events,
         | CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_events
         |FROM u GROUP BY signature ORDER BY signature""".stripMargin,
+
+    // e24: the same anchored user aggregate + flag concat; monetary
+    // stays DECIMAL through both levels, avg from exact integers.
+    "e24_rfm_segments" ->
+      """WITH mx AS (SELECT MAX(epoch_us(ts)) AS mts FROM events),
+        |u AS (SELECT user_id,
+        |   (mx.mts - MAX(epoch_us(ts))) // 86400000000 AS recency_d,
+        |   COUNT(*) AS freq,
+        |   SUM(CAST(value AS DECIMAL(12,2))) AS monetary
+        |  FROM events, mx GROUP BY user_id, mx.mts),
+        |seg AS (SELECT
+        |   (CASE WHEN recency_d <= 0 THEN 'R' ELSE 'r' END)
+        |   || (CASE WHEN freq >= 66 THEN 'F' ELSE 'f' END)
+        |   || (CASE WHEN monetary > 3300 THEN 'M' ELSE 'm' END) AS segment,
+        |   freq, monetary
+        |  FROM u)
+        |SELECT segment, COUNT(*) AS n_users,
+        | CAST(SUM(freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_freq,
+        | CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+        |FROM seg GROUP BY segment ORDER BY segment""".stripMargin,
 
     // e23: the same hourly reduce + trailing RANGE window; every
     // statistic derives from BIGINT-cast window sums and the z

@@ -890,6 +890,33 @@ object TextQueries {
     // ledger inherits their pinned scale shapes (broadcast eval
     // fingerprints, banded LSH, broadcast eval embeddings) and adds
     // only catalog-sized outer joins on doc_id.
+    // CONTAMINATION-AWARE train/val/test split — the split you
+    // actually ship: d17's deterministic hash buckets, with the d55
+    // defense-in-depth ledger's any-detector leak set overriding a
+    // training doc's bucket to 'quarantine', and the held-out eval
+    // slice (the detectors' own doc_id % 50 convention) labeled
+    // 'eval' rather than leaking into training buckets. The leak set
+    // is small by construction (broadcast left join); everything else
+    // is d17's scan-local bucketing, so the report costs the ledger
+    // plus one catalog-sized rollup. At sf0.01 all five labels occur —
+    // the quarantine rows are exactly the ledger's leaked docs.
+    "d59_clean_split" -> { (s, d) =>
+      val leaked = queries("d55_decontamination_ledger")(s, d)
+        .filter(col("leaked"))
+        .select(col("doc_id"), lit(true).as("is_leaked"))
+      val bucket = TF.hash32(col("doc_id").cast("string")) % 100
+      Tables.documents(s, d)
+        .join(broadcast(leaked), Seq("doc_id"), "left")
+        .select(col("lang"),
+          when(col("doc_id") % 50 === 0, "eval")
+            .when(col("is_leaked"), "quarantine")
+            .when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"), col("lang"))
+    },
+
     // DSIR-weighted RESAMPLING — the composition d50 and d39 exist
     // for: target-domain importance weights (exact integer per-doc
     // log-ratio sums against the 'en' slice) drive the deterministic
@@ -1338,6 +1365,61 @@ object TextQueries {
        | FROM h GROUP BY doc_id),
        |sim AS (SELECT doc_id, $fp AS simhash FROM bal)""".stripMargin
   }
+
+  /** d55's full ledger SQL, shared verbatim with d59 (which embeds
+    * it as a CTE) so the two oracles can never drift. */
+  private val D55LedgerSql: String =
+    """SELECT COALESCE(nd.doc_id, ex.doc_id, sem.doc_id) AS doc_id,
+        | COALESCE(ex.n_shared, 0) AS exact_ngrams,
+        | COALESCE(nd.contaminated, FALSE) AS neardup_flag,
+        | nd.best_jaccard, sem.semantic_score,
+        | (COALESCE(ex.n_shared, 0) > 0 OR COALESCE(nd.contaminated, FALSE)
+        |  OR sem.semantic_score IS NOT NULL) AS leaked
+        |FROM (
+        | WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        | sh AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
+        |         i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS sh FROM t),
+        | sig AS (SELECT doc_id, band,
+        |          list_aggregate(list_transform(sh,
+        |           s -> CAST(('0x'||substr(md5(s), 1+8*band, 8)) AS BIGINT)),'min') AS mh
+        |         FROM sh, (VALUES (0),(1),(2),(3)) b(band)),
+        | cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |          FROM sig x JOIN sig y ON x.band=y.band AND x.mh=y.mh
+        |          WHERE x.doc_id % 50 <> 0 AND y.doc_id % 50 = 0),
+        | sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh),
+        | j AS (SELECT a_id, b_id,
+        |        CAST(len(list_intersect(sa.ss,sb.ss)) AS DOUBLE)
+        |         /(len(sa.ss)+len(sb.ss)-len(list_intersect(sa.ss,sb.ss))) AS jac
+        |       FROM cand
+        |       JOIN sets sa ON a_id=sa.doc_id JOIN sets sb ON b_id=sb.doc_id),
+        | r AS (SELECT a_id, jac,
+        |        ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY jac DESC, b_id) AS rn
+        |       FROM j WHERE jac >= 0.0e0)
+        | SELECT a_id AS doc_id, jac AS best_jaccard,
+        |  jac >= 0.5e0 AS contaminated FROM r WHERE rn = 1) nd
+        |FULL JOIN (
+        | WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        | s8 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-6),
+        |         i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||
+        |              toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7])) AS sh8
+        |        FROM t),
+        | ev AS (SELECT DISTINCT md5(sh8) AS fp FROM s8 WHERE doc_id % 50 = 0),
+        | tr AS (SELECT doc_id, md5(sh8) AS fp FROM s8 WHERE doc_id % 50 <> 0)
+        | SELECT tr.doc_id, CAST(COUNT(DISTINCT tr.fp) AS BIGINT) AS n_shared
+        | FROM tr JOIN ev ON tr.fp = ev.fp GROUP BY tr.doc_id) ex
+        | ON nd.doc_id = ex.doc_id
+        |FULL JOIN (
+        | WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings),
+        | e AS (SELECT vec_id, v FROM t WHERE vec_id % 50 = 0),
+        | tr AS (SELECT vec_id, v FROM t WHERE vec_id % 50 <> 0),
+        | p AS (SELECT tr.vec_id AS train_id,
+        |        list_cosine_similarity(tr.v, e.v) AS score
+        |       FROM tr CROSS JOIN e)
+        | SELECT train_id AS doc_id, MAX(score) AS semantic_score
+        | FROM p WHERE score >= 0.35e0 GROUP BY 1) sem
+        | ON COALESCE(nd.doc_id, ex.doc_id) = sem.doc_id
+        |ORDER BY doc_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "d01_char_chunks" ->
@@ -1795,6 +1877,23 @@ object TextQueries {
     // d55: the three detector oracles as subquery blocks (each keeps
     // its own WITH chain), outer-joined; semantic best-score via MAX
     // over the thresholded pairs ≡ v14's rn=1 row.
+    // d59: the shared ledger SQL as a CTE + d17's bucket CASE with the
+    // eval/quarantine overrides layered in precedence order.
+    "d59_clean_split" ->
+      s"""WITH ledger AS ($D55LedgerSql),
+         |leak AS (SELECT doc_id FROM ledger WHERE leaked),
+         |lab AS (SELECT d.lang,
+         |   CASE WHEN d.doc_id % 50 = 0 THEN 'eval'
+         |        WHEN leak.doc_id IS NOT NULL THEN 'quarantine'
+         |        WHEN CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT)
+         |              % 100 < 80 THEN 'train'
+         |        WHEN CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT)
+         |              % 100 < 90 THEN 'val'
+         |        ELSE 'test' END AS split
+         |  FROM documents d LEFT JOIN leak ON d.doc_id = leak.doc_id)
+         |SELECT split, lang, COUNT(*) AS n_docs
+         |FROM lab GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
     // d58: d50's weight CTEs + the global min shift + d39's systematic
     // selection arithmetic (2·budget = 40 folded in 64-bit), end to end.
     "d58_dsir_resample" ->
@@ -1881,58 +1980,7 @@ object TextQueries {
         |       total - first1 - first2 - first3 - first4 FROM a
         |ORDER BY rule""".stripMargin,
 
-    "d55_decontamination_ledger" ->
-      """SELECT COALESCE(nd.doc_id, ex.doc_id, sem.doc_id) AS doc_id,
-        | COALESCE(ex.n_shared, 0) AS exact_ngrams,
-        | COALESCE(nd.contaminated, FALSE) AS neardup_flag,
-        | nd.best_jaccard, sem.semantic_score,
-        | (COALESCE(ex.n_shared, 0) > 0 OR COALESCE(nd.contaminated, FALSE)
-        |  OR sem.semantic_score IS NOT NULL) AS leaked
-        |FROM (
-        | WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        | sh AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
-        |         i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS sh FROM t),
-        | sig AS (SELECT doc_id, band,
-        |          list_aggregate(list_transform(sh,
-        |           s -> CAST(('0x'||substr(md5(s), 1+8*band, 8)) AS BIGINT)),'min') AS mh
-        |         FROM sh, (VALUES (0),(1),(2),(3)) b(band)),
-        | cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-        |          FROM sig x JOIN sig y ON x.band=y.band AND x.mh=y.mh
-        |          WHERE x.doc_id % 50 <> 0 AND y.doc_id % 50 = 0),
-        | sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh),
-        | j AS (SELECT a_id, b_id,
-        |        CAST(len(list_intersect(sa.ss,sb.ss)) AS DOUBLE)
-        |         /(len(sa.ss)+len(sb.ss)-len(list_intersect(sa.ss,sb.ss))) AS jac
-        |       FROM cand
-        |       JOIN sets sa ON a_id=sa.doc_id JOIN sets sb ON b_id=sb.doc_id),
-        | r AS (SELECT a_id, jac,
-        |        ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY jac DESC, b_id) AS rn
-        |       FROM j WHERE jac >= 0.0e0)
-        | SELECT a_id AS doc_id, jac AS best_jaccard,
-        |  jac >= 0.5e0 AS contaminated FROM r WHERE rn = 1) nd
-        |FULL JOIN (
-        | WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        | s8 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-6),
-        |         i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||
-        |              toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7])) AS sh8
-        |        FROM t),
-        | ev AS (SELECT DISTINCT md5(sh8) AS fp FROM s8 WHERE doc_id % 50 = 0),
-        | tr AS (SELECT doc_id, md5(sh8) AS fp FROM s8 WHERE doc_id % 50 <> 0)
-        | SELECT tr.doc_id, CAST(COUNT(DISTINCT tr.fp) AS BIGINT) AS n_shared
-        | FROM tr JOIN ev ON tr.fp = ev.fp GROUP BY tr.doc_id) ex
-        | ON nd.doc_id = ex.doc_id
-        |FULL JOIN (
-        | WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |            FROM embeddings),
-        | e AS (SELECT vec_id, v FROM t WHERE vec_id % 50 = 0),
-        | tr AS (SELECT vec_id, v FROM t WHERE vec_id % 50 <> 0),
-        | p AS (SELECT tr.vec_id AS train_id,
-        |        list_cosine_similarity(tr.v, e.v) AS score
-        |       FROM tr CROSS JOIN e)
-        | SELECT train_id AS doc_id, MAX(score) AS semantic_score
-        | FROM p WHERE score >= 0.35e0 GROUP BY 1) sem
-        | ON COALESCE(nd.doc_id, ex.doc_id) = sem.doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "d55_decontamination_ledger" -> D55LedgerSql,
 
     // d35's candidate CTEs at the recall threshold, then DuckDB's own
     // levenshtein over the joined texts — identical unit-cost DP.
