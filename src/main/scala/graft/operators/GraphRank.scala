@@ -89,6 +89,70 @@ object GraphRank {
     * (pinned in GraphRankSpec), so salting is purely a physical
     * straggler fix. Default 0 keeps the simpler two-join shape.
     */
+  /** HITS (Kleinberg 1999) hubs & authorities — the second classic
+    * link-analysis recurrence, on [[pageRank]]'s machinery: per round,
+    * auth(v) = Σ_{u→v} hub(u) then hub(u) = Σ_{u→v} auth(v), each
+    * half-step MAX-normalized in integer micro-units — score' =
+    * (unitMicro · raw) div max(raw) — so the best node sits at exactly
+    * `unitMicro`, every value is a BIGINT in [0, unitMicro], and the
+    * whole recurrence is floor-division-exact: bit-identical across
+    * engines and layouts, replayable unrolled in an oracle (q39), where
+    * float HITS with L2 normalization could never be hash-checked.
+    * On a bipartite graph (customer→part, q39) the two scores separate
+    * cleanly: hubs measure source breadth, authorities popularity
+    * among broad sources — co-HITS, the recommender bootstrap.
+    *
+    * Same 100-TB shape as pageRank: each half-step is one node-keyed
+    * equi-join + one keyed sum; the 1-row max broadcasts like q37's
+    * bounds; both score chains checkpoint eagerly on their OWN
+    * [[LineageCheckpoint]] rotation (two interleaved chains — a shared
+    * rotation would free the auth frame the final result still reads).
+    * Overflow bound: unitMicro · maxRaw must stay under 2⁶³ —
+    * unitMicro=1e6 is safe to in-degrees of ~9×10⁶.
+    *
+    * Returns (node, hub, auth) from the final round.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, unitMicro: Long = 1000000L,
+      assumeDistinct: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(unitMicro > 0, s"unitMicro must be positive, got $unitMicro")
+    val cast = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = (if (assumeDistinct) cast else cast.distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = edges.sparkSession
+    val ckA = new LineageCheckpoint(spark, checkpointDir)
+    val ckH = new LineageCheckpoint(spark, checkpointDir)
+    var hubs = nodes.select(col("node"), lit(unitMicro).as("hub"))
+    var auths: DataFrame = null
+    try {
+      for (_ <- 0 until iters) {
+        val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("ar"))
+        val aMax = aRaw.agg(max(col("ar")).as("am"))
+        auths = ckA(nodes.join(aRaw, Seq("node"), "left")
+          .crossJoin(broadcast(aMax))
+          .select(col("node"),
+            expr(s"($unitMicro * coalesce(ar, CAST(0 AS BIGINT))) div am")
+              .as("auth")))
+        val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hr"))
+        val hMax = hRaw.agg(max(col("hr")).as("hm"))
+        hubs = ckH(nodes.join(hRaw, Seq("node"), "left")
+          .crossJoin(broadcast(hMax))
+          .select(col("node"),
+            expr(s"($unitMicro * coalesce(hr, CAST(0 AS BIGINT))) div hm")
+              .as("hub")))
+      }
+    } finally { e.unpersist(); nodes.unpersist() }
+    hubs.join(auths, "node")
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, initMicro: Long = 1000000L, baseMicro: Long = 150000L,
       dampNum: Long = 85L, dampDen: Long = 100L,

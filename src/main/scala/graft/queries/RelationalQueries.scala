@@ -761,6 +761,32 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     },
 
+    // HITS authorities over the bipartite customer→part purchase graph
+    // ([[graft.operators.GraphRank.hits]]): auth(part) = how much
+    // broad-basket customers buy it, hub(customer) = how much they buy
+    // authoritative parts — co-HITS, the recommender bootstrap, and
+    // the second classic link-analysis recurrence next to q29's
+    // PageRank. Customer nodes ride the shared node space as
+    // -(custkey+1) (the two key domains overlap); the output is the
+    // part-authority ranking after 2 full rounds. Integer max-
+    // normalized half-steps (best node = exactly 1e6) keep every score
+    // a BIGINT the oracle unrolls round by round — float HITS with L2
+    // norms could never hash-match.
+    "q39_basket_hits" -> { (s, d) =>
+      val edges = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_partkey")), col("o_orderkey") === col("l_orderkey"))
+        .select((lit(-1L) * col("o_custkey") - 1).as("src"),
+          col("l_partkey").as("dst"))
+        .distinct()
+      graft.operators.GraphRank.hits(edges, "src", "dst", iters = 2,
+          assumeDistinct = true)
+        .filter(col("node") >= 0)
+        .select(col("node").as("l_partkey"), col("auth"))
+        .orderBy(col("auth").desc, col("l_partkey"))
+    },
+
     // BLOOM-FILTER SEMI-JOIN pre-filter: the selective-dimension join
     // (lineitem ⋉ parts with p_size = 1) with a declaratively-BUILT
     // Bloom filter applied row-locally in the fact scan BEFORE any
@@ -1324,6 +1350,35 @@ object RelationalQueries {
         | CAST(COUNT(*) AS DOUBLE) / MAX(cnt) AS share
         |FROM lineitem, b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q39: the HITS half-steps unrolled — each a join-sum plus a 1-row
+    // MAX and a floor division; only a2 feeds the part ranking.
+    "q39_basket_hits" ->
+      """WITH e AS (SELECT DISTINCT -o.o_custkey - 1 AS src,
+        |        CAST(l.l_partkey AS BIGINT) AS dst
+        |       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM n),
+        |a1r AS (SELECT e.dst AS node, SUM(h0.hub) AS ar
+        |        FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst),
+        |a1m AS (SELECT MAX(ar) AS am FROM a1r),
+        |a1 AS (SELECT n.node,
+        |        CAST((1000000 * COALESCE(a1r.ar, 0)) // a1m.am AS BIGINT) AS auth
+        |       FROM n LEFT JOIN a1r ON n.node = a1r.node, a1m),
+        |h1r AS (SELECT e.src AS node, SUM(a1.auth) AS hr
+        |        FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+        |h1m AS (SELECT MAX(hr) AS hm FROM h1r),
+        |h1 AS (SELECT n.node,
+        |        CAST((1000000 * COALESCE(h1r.hr, 0)) // h1m.hm AS BIGINT) AS hub
+        |       FROM n LEFT JOIN h1r ON n.node = h1r.node, h1m),
+        |a2r AS (SELECT e.dst AS node, SUM(h1.hub) AS ar
+        |        FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+        |a2m AS (SELECT MAX(ar) AS am FROM a2r),
+        |a2 AS (SELECT n.node,
+        |        CAST((1000000 * COALESCE(a2r.ar, 0)) // a2m.am AS BIGINT) AS auth
+        |       FROM n LEFT JOIN a2r ON n.node = a2r.node, a2m)
+        |SELECT node AS l_partkey, auth FROM a2 WHERE node >= 0
+        |ORDER BY auth DESC, l_partkey""".stripMargin,
 
     // q38: the bloom build/probe replayed with the same md5 double
     // hashing and 32-bit-block words (DuckDB's << overflows at bit 63,

@@ -201,6 +201,67 @@ class GraphRankSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("converge"))
   }
 
+  /** Driver-side replay of the integer max-normalized HITS rounds. */
+  private def hitsReference(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var hub = nodes.map(_ -> 1000000L).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val ar = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => hub(s) }.sum }
+      val am = ar.values.max
+      auth = nodes.map(n =>
+        n -> 1000000L * ar.getOrElse(n, 0L) / am).toMap
+      val hr = e.groupBy(_._1).map { case (s, es) =>
+        s -> es.map { case (_, d) => auth(d) }.sum }
+      val hm = hr.values.max
+      hub = nodes.map(n => n -> 1000000L * hr.getOrElse(n, 0L) / hm).toMap
+    }
+    nodes.map(n => n -> (hub(n), auth(n))).toMap
+  }
+
+  test("hits: matches the driver-side replay on a random bipartite graph, any layout") {
+    val rnd = new scala.util.Random(13)
+    // customers -1..-20, parts 0..29 — bipartite, so hub and auth
+    // populations separate and dangling sides exercise the coalesces
+    val edges = Seq.fill(300)(
+      (-(rnd.nextInt(20) + 1).toLong, rnd.nextInt(30).toLong)).distinct
+    val want = hitsReference(edges, iters = 2)
+    def got(parts: Int) = GraphRank.hits(
+        edges.toDF("src", "dst").repartition(parts), "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1) === want)
+    assert(got(13) === want, "partition layout changed the HITS scores")
+    // max-normalization contract: the best hub and best auth sit at
+    // exactly one unit, everything in [0, unit]
+    val g = got(1)
+    assert(g.values.map(_._1).max == 1000000L)
+    assert(g.values.map(_._2).max == 1000000L)
+    assert(g.values.forall { case (h, a) =>
+      h >= 0 && h <= 1000000L && a >= 0 && a <= 1000000L })
+    // bipartite: parts (dst side) never emit, customers never receive
+    assert(g.filter(_._1 >= 0).values.forall(_._1 == 0L),
+      "a pure destination must have hub 0")
+    assert(g.filter(_._1 < 0).values.forall(_._2 == 0L),
+      "a pure source must have auth 0")
+  }
+
+  test("hits: hand-computed one-round fixture") {
+    // customers -1, -2; parts 1, 2, 3.
+    // -1 -> {1, 2}; -2 -> {2, 3}
+    // a1 raw: part1 = 1e6, part2 = 2e6, part3 = 1e6; max 2e6
+    //   auth: part1 = 500000, part2 = 1000000, part3 = 500000
+    // h1 raw: c-1 = 1500000, c-2 = 1500000; max 1.5e6 -> both 1e6
+    val edges = Seq((-1L, 1L), (-1L, 2L), (-2L, 2L), (-2L, 3L))
+    val got = GraphRank.hits(edges.toDF("src", "dst"), "src", "dst", 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(
+      -1L -> (1000000L, 0L), -2L -> (1000000L, 0L),
+      1L -> (0L, 500000L), 2L -> (0L, 1000000L), 3L -> (0L, 500000L)))
+  }
+
   test("rejects nonsensical parameters loudly") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](GraphRank.pageRank(e, "src", "dst", 0))

@@ -577,6 +577,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected only the doc-keyed aggregation exchange, found $n:\n${p.take(800)}")
   }
 
+  test("q39: HITS final plan joins two checkpointed score scans — no unrolled rounds") {
+    // Same contract as q29: the loop's joins ran inside hits(); the
+    // returned frame may only join the two materialized score chains.
+    val p = plan("q39_basket_hits")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"q39 must scan the checkpointed hub/auth frames:\n${p.take(600)}")
+    assert("Join".r.findAllIn(p).length <= 2,
+      s"only the hub⋈auth join may survive:\n${p.take(600)}")
+    assert(scans("q39_basket_hits").isEmpty,
+      "no parquet scan may survive the checkpoints — the bipartite join ran inside hits()")
+  }
+
   test("q29: PageRank iterations checkpoint — the final plan is a rank scan, not an unrolled loop") {
     // GraphRank persists the edge/degree/node frames and eagerly
     // localCheckpoints each iteration's ranks, so the frame q29 returns
