@@ -192,6 +192,86 @@ object EventStreams {
       ledger.ingest(batch, batchId)
     }
 
+  final case class AnomalyRow(
+      event_type: String,
+      hour_idx: Long,
+      n: Long,
+      mean24: Double,
+      z: Double,
+      is_anomaly: Boolean)
+
+  /** Driver-held ledger for [[anomalySink]]: e23's trailing-24-hour
+    * z-score surveillance run CONTINUOUSLY. State is one long per
+    * CLOSED (type, hour) — catalog-sized (≤ |types| rows per stream
+    * hour), never event-sized; each finalized tumbling window from
+    * [[hourlyRollup]] lands exactly once (append mode emits a window
+    * once; the batchId gate makes foreachBatch replays no-ops, the
+    * [[ProfileLedger]] discipline). [[anomalies]] replays e23's exact
+    * arithmetic over the ledger: integer window sums (n, Σn, Σn²) over
+    * the type's PRESENT hours in [h−24, h−1] — RANGE semantics, empty
+    * hours absent exactly as e23's window over the hourly reduce —
+    * then the identical fixed double sequence, so a closed hour's
+    * z-score equals the batch query's bit for bit (pinned in
+    * StreamingSpec against the batch expression chain).
+    */
+  final class AnomalyLedger {
+    private[streaming] var counts: Map[(String, Long), Long] = Map.empty
+    private[streaming] var lastBatchId: Long = -1L
+    private val hourUs = 3600L * 1000 * 1000
+
+    /** Folds one micro-batch of closed [[hourlyRollup]] windows;
+      * idempotent per batchId.
+      */
+    def ingest(batch: DataFrame, batchId: Long): Unit =
+      if (batchId > lastBatchId) {
+        batch.select(col("event_type"), col("hour"), col("n")).collect()
+          .foreach { r =>
+            val key = (r.getString(0),
+              r.getTimestamp(1).getTime * 1000L / hourUs)
+            counts += key -> r.getLong(2)
+          }
+        lastBatchId = batchId
+      }
+
+    /** e23 over the ledger: every closed (type, hour) with at least
+      * `minWindow` present trailing hours, z-scored. Pure driver
+      * arithmetic over catalog-sized state.
+      */
+    def anomalies(minWindow: Int = 12, flagAt: Double = 2.0)
+        : Seq[AnomalyRow] =
+      counts.toSeq.sortBy { case ((t, h), _) => (t, h) }.flatMap {
+        case ((t, h), n) =>
+          val trail = counts.collect {
+            case ((`t`, hh), nn) if hh >= h - 24 && hh <= h - 1 => nn
+          }.toSeq
+          val cnt = trail.size.toLong
+          if (cnt < minWindow) None
+          else {
+            val sum = trail.sum
+            val sumsq = trail.map(x => x * x).sum
+            val mean = sum.toDouble / cnt.toDouble
+            val vnum = (cnt * sumsq - sum * sum).toDouble
+            val z =
+              if (vnum <= 0) 0.0
+              else (n.toDouble - mean) /
+                math.sqrt(vnum / (cnt * cnt).toDouble)
+            Some(AnomalyRow(t, h, n, mean, z, math.abs(z) > flagAt))
+          }
+      }
+  }
+
+  /** Streaming face of e23: [[hourlyRollup]]'s finalized windows feed
+    * the [[AnomalyLedger]], which keeps the trailing-24h z-scores
+    * current without ever rescanning history — the live traffic-spike
+    * monitor. Wire it as
+    * `anomalySink(hourlyRollup(events), ledger).outputMode("append")`.
+    */
+  def anomalySink(closedWindows: DataFrame, ledger: AnomalyLedger)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    closedWindows.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
+    }
+
   /** Open-session state carried between micro-batches by
     * [[statefulSessionize]]: bounded per open session (counters + the
     * capped path), keyed by user — the state store holds one entry per

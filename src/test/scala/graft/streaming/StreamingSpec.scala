@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{abs, col, count, expr, lit, sqrt, sum, timestamp_micros, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSession
@@ -586,6 +586,75 @@ class StreamingSpec extends AnyFunSuite {
       assert(agg == want, s"stream matrix drifted:\n got: $agg\nwant: $want")
       // exactly-once per (user, day): increments == distinct pairs
       assert(spark.table("retention").count() == all.length)
+    } finally q.stop()
+  }
+
+  test("anomalySink: ledger z-scores equal the batch e23 chain on closed hours") {
+    implicit val sq = spark.sqlContext
+    val hourUs = 3600L * 1000 * 1000
+    val in = MemoryStream[(Long, Long, String)] // (event_id, ts_us, event_type)
+    // hours 0..25 of 'view' traffic at 3 + h%5 events/hour, hour 25
+    // spiking to 40 — the anomaly the trailing window must flag
+    val evts = (for (h <- 0L to 25L; i <- 0L until (if (h == 25) 40L else 3 + h % 5))
+      yield (h * 100 + i, h * hourUs + i * 1000L, "view")).toVector
+    val ledger = new EventStreams.AnomalyLedger
+    val stream = in.toDS().toDF("event_id", "ts_us", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("value", lit(1.0))
+    val q = EventStreams.anomalySink(
+        EventStreams.hourlyRollup(stream, watermark = "2 hours"), ledger)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      val (a, b) = evts.splitAt(evts.length / 2)
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      // close every 'view' hour; the pusher's own hour stays open and
+      // its type never reaches minWindow, so it cannot emit a row
+      in.addData((9999L, 40L * hourUs, "other")); q.processAllAvailable()
+      q.processAllAvailable()
+      val got = ledger.anomalies()
+      // batch truth: e23's exact expression chain over the same rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hour_idx"))
+        .rangeBetween(-24, -1)
+      val want = evts.toDF("event_id", "ts_us", "event_type")
+        .groupBy(col("event_type"),
+          expr(s"ts_us div $hourUs").as("hour_idx"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n2", col("n") * col("n"))
+        .withColumn("cnt24", count(col("n")).over(w))
+        .withColumn("sum24", sum(col("n")).over(w))
+        .withColumn("sumsq24", sum(col("n2")).over(w))
+        .filter(col("cnt24") >= 12)
+        .withColumn("mean24",
+          col("sum24").cast("double") / col("cnt24").cast("double"))
+        .withColumn("vnum",
+          (col("cnt24") * col("sumsq24") - col("sum24") * col("sum24"))
+            .cast("double"))
+        .withColumn("z", when(col("vnum") <= 0, lit(0.0))
+          .otherwise((col("n").cast("double") - col("mean24")) /
+            sqrt(col("vnum") / (col("cnt24") * col("cnt24")).cast("double"))))
+        .select(col("event_type"), col("hour_idx"), col("n"),
+          col("mean24"), col("z"), (abs(col("z")) > 2.0).as("is_anomaly"))
+        .orderBy(col("event_type"), col("hour_idx"))
+        .collect()
+        .map(r => EventStreams.AnomalyRow(r.getString(0), r.getLong(1),
+          r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+        .toSeq
+      assert(got == want, s"ledger drifted from the batch chain:\n got: " +
+        s"${got.take(3)}...\nwant: ${want.take(3)}...")
+      assert(got.exists(r => r.hour_idx == 25L && r.is_anomaly),
+        "the hour-25 spike must flag")
+      // idempotence: replaying an already-folded batchId is a no-op
+      val before = ledger.counts
+      ledger.ingest(
+        Seq(("view", new java.sql.Timestamp(0L), 999L))
+          .toDF("event_type", "hour", "n"),
+        ledger.lastBatchId)
+      assert(ledger.counts == before)
     } finally q.stop()
   }
 
