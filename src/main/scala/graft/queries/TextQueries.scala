@@ -890,6 +890,47 @@ object TextQueries {
     // ledger inherits their pinned scale shapes (broadcast eval
     // fingerprints, banded LSH, broadcast eval embeddings) and adds
     // only catalog-sized outer joins on doc_id.
+    // MinHash ESTIMATOR CALIBRATION — the v16-style eval face for the
+    // text-dedup estimator: for every d06 candidate pair, the
+    // signature-agreement estimate (agreeing components / 4 — what LSH
+    // banding actually observes) against the exact shingle Jaccard,
+    // bucketed by agreement level with pair counts, mean exact J, and
+    // mean |error|. The tuning table for bands/threshold choices:
+    // it shows directly how much the 4-component estimate over- or
+    // under-shoots at each level. Parity shape: per-pair J and error
+    // quantize to micro-unit BIGINTs (d40's floor rule) so the bucket
+    // means are exact integer sums divided at presentation — a raw
+    // double mean would be merge-order-dependent and never
+    // hash-checkable. Candidates come from the same banded index
+    // (never all-pairs); the signature re-join is two node-keyed
+    // equi-joins.
+    "d60_minhash_calibration" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = graft.text.Dedup.nearDupPairs(
+        docs, "doc_id", "text", threshold = 0.0)
+      val sigs = docs.select(col("doc_id"),
+        graft.functions.text.minhashSlices(
+          TF.shingles(TF.tokens(col("text")), 3), 4).as("sig"))
+      pairs
+        .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")),
+          "a_id")
+        .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")),
+          "b_id")
+        .withColumn("n_agree", expr(
+          "aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 " +
+            "ELSE 0 END), 0, (acc, v) -> acc + v)").cast("long"))
+        .withColumn("jm", floor(col("jaccard") * lit(1000000.0)).cast("long"))
+        .withColumn("em", col("n_agree") * lit(250000L))
+        .groupBy(col("n_agree"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(col("jm")).cast("double") / count(lit(1)).cast("double")
+            / lit(1000000.0)).as("avg_jaccard"),
+          (sum(abs(col("em") - col("jm"))).cast("double")
+            / count(lit(1)).cast("double") / lit(1000000.0))
+            .as("mean_abs_err"))
+        .orderBy(col("n_agree"))
+    },
+
     // CONTAMINATION-AWARE train/val/test split — the split you
     // actually ship: d17's deterministic hash buckets, with the d55
     // defense-in-depth ledger's any-detector leak set overriding a
@@ -1877,6 +1918,33 @@ object TextQueries {
     // d55: the three detector oracles as subquery blocks (each keeps
     // its own WITH chain), outer-joined; semantic best-score via MAX
     // over the thresholded pairs ≡ v14's rn=1 row.
+    // d60: d06's candidate/sets CTEs + per-band agreement counts; the
+    // micro-unit quantization and division sequence match Spark's.
+    "d60_minhash_calibration" ->
+      s"""WITH $CandCtes,
+        |sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh),
+        |j AS (SELECT a_id, b_id,
+        |       CAST(len(list_intersect(sa.ss,sb.ss)) AS DOUBLE)
+        |        /(len(sa.ss)+len(sb.ss)-len(list_intersect(sa.ss,sb.ss))) AS jaccard
+        |      FROM cand
+        |      JOIN sets sa ON a_id=sa.doc_id JOIN sets sb ON b_id=sb.doc_id),
+        |agree AS (SELECT c.a_id, c.b_id,
+        |           COUNT(*) FILTER (WHERE xa.mh = xb.mh) AS n_agree
+        |          FROM cand c
+        |          JOIN sig xa ON xa.doc_id = c.a_id
+        |          JOIN sig xb ON xb.doc_id = c.b_id AND xb.band = xa.band
+        |          GROUP BY c.a_id, c.b_id),
+        |p AS (SELECT agree.n_agree,
+        |       CAST(FLOOR(j.jaccard * 1000000.0e0) AS BIGINT) AS jm,
+        |       CAST(agree.n_agree * 250000 AS BIGINT) AS em
+        |      FROM j JOIN agree ON j.a_id = agree.a_id AND j.b_id = agree.b_id)
+        |SELECT CAST(n_agree AS BIGINT) AS n_agree, COUNT(*) AS n_pairs,
+        | CAST(SUM(jm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0e0
+        |  AS avg_jaccard,
+        | CAST(SUM(ABS(em - jm)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |  / 1000000.0e0 AS mean_abs_err
+        |FROM p GROUP BY n_agree ORDER BY n_agree""".stripMargin,
+
     // d59: the shared ledger SQL as a CTE + d17's bucket CASE with the
     // eval/quarantine overrides layered in precedence order.
     "d59_clean_split" ->
