@@ -761,6 +761,61 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     },
 
+    // COLUMN-DRIFT report between two time slices — the
+    // data-quality monitor a stats catalog runs on every ingest:
+    // per measure column, both slices' counts and exact-DECIMAL
+    // means plus the Population Stability Index over a shared
+    // 8-bucket equi-width histogram (global bounds broadcast, q37's
+    // machinery; Laplace-smoothed shares so empty buckets can't
+    // produce ln(0)). Parity shape: counts and sums are exact
+    // integers/decimals; each PSI term floor-quantizes to micro-units
+    // BEFORE summation (the d40 ln rule — the sum is then exact
+    // integer arithmetic, order-independent). One stacked row-local
+    // melt (q33's no-rescan unpivot) feeds bounds, buckets, and
+    // moments.
+    "q41_profile_drift" -> { (s, d) =>
+      val cut = lit("1998-01-01").cast("timestamp")
+      val u = Tables.lineitem(s, d)
+        .withColumn("slice", when(col("l_shipdate") < cut, 0L).otherwise(1L))
+        .select(expr("stack(3, 'l_quantity', l_quantity, " +
+          "'l_extendedprice', l_extendedprice, 'l_discount', l_discount) " +
+          "AS (colname, v)"), col("slice"))
+      val b = u.groupBy(col("colname"))
+        .agg(min(col("v")).cast("double").as("lo"),
+          max(col("v")).cast("double").as("hi"))
+      val c = u.join(broadcast(b), "colname")
+        .select(col("colname"), col("slice"),
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(lit(7L),
+              floor((col("v") - col("lo")) * lit(8.0) /
+                (col("hi") - col("lo"))).cast("long"))).as("bucket"))
+        .groupBy(col("colname"), col("bucket"))
+        .agg(sum(when(col("slice") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("slice") === 1, 1L).otherwise(0L)).as("cb"))
+      val t = c.groupBy(col("colname"))
+        .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      def share(cnt: Column, n: Column) =
+        (cnt + lit(1)).cast("double") / (n + lit(8)).cast("double")
+      val terms = c.join(broadcast(t), "colname")
+        .select(col("colname"),
+          floor((share(col("ca"), col("na")) - share(col("cb"), col("nb")))
+            * log(share(col("ca"), col("na")) / share(col("cb"), col("nb")))
+            * lit(1000000.0)).cast("long").as("term_micro"))
+      val mom = u.groupBy(col("colname"))
+        .agg(sum(when(col("slice") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("slice") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("slice") === 0, m(col("v")))).cast("double")
+            .as("sum_a"),
+          sum(when(col("slice") === 1, m(col("v")))).cast("double")
+            .as("sum_b"))
+      mom.join(terms, "colname")
+        .groupBy(col("colname"), col("n_a"), col("n_b"),
+          (col("sum_a") / col("n_a").cast("double")).as("mean_a"),
+          (col("sum_b") / col("n_b").cast("double")).as("mean_b"))
+        .agg(sum(col("term_micro")).as("psi_micro"))
+        .orderBy(col("colname"))
+    },
+
     // LABEL-PROPAGATION COMMUNITIES over the weighted co-purchase
     // graph ([[graft.operators.GraphRank.labelPropagation]]): parts
     // that repeatedly sell together (pair co-occurs in ≥ 2 orders —
@@ -1376,6 +1431,53 @@ object RelationalQueries {
         | CAST(COUNT(*) AS DOUBLE) / MAX(cnt) AS share
         |FROM lineitem, b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q41: the same melt/bounds/bucket/term chain; every PSI term
+    // floor-quantizes before the sum, divisions in Spark's sequence.
+    "q41_profile_drift" ->
+      s"""WITH u AS (
+         |  SELECT 'l_quantity' AS colname, l_quantity AS v,
+         |    CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END AS slice
+         |  FROM lineitem
+         |  UNION ALL SELECT 'l_extendedprice', l_extendedprice,
+         |    CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END
+         |  FROM lineitem
+         |  UNION ALL SELECT 'l_discount', l_discount,
+         |    CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END
+         |  FROM lineitem),
+         |b AS (SELECT colname, CAST(MIN(v) AS DOUBLE) AS lo,
+         |       CAST(MAX(v) AS DOUBLE) AS hi FROM u GROUP BY colname),
+         |h AS (SELECT u.colname, u.slice,
+         |       CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+         |            ELSE LEAST(7, CAST(FLOOR((u.v - b.lo) * 8e0 / (b.hi - b.lo))
+         |              AS BIGINT)) END AS bucket
+         |      FROM u JOIN b ON u.colname = b.colname),
+         |c AS (SELECT colname, bucket,
+         |       CAST(COUNT(*) FILTER (WHERE slice = 0) AS BIGINT) AS ca,
+         |       CAST(COUNT(*) FILTER (WHERE slice = 1) AS BIGINT) AS cb
+         |      FROM h GROUP BY 1, 2),
+         |t AS (SELECT colname, CAST(SUM(ca) AS BIGINT) AS na,
+         |       CAST(SUM(cb) AS BIGINT) AS nb FROM c GROUP BY colname),
+         |terms AS (SELECT c.colname AS tc,
+         |  CAST(FLOOR(
+         |    ((CAST(c.ca + 1 AS DOUBLE) / CAST(t.na + 8 AS DOUBLE))
+         |     - (CAST(c.cb + 1 AS DOUBLE) / CAST(t.nb + 8 AS DOUBLE)))
+         |    * ln((CAST(c.ca + 1 AS DOUBLE) / CAST(t.na + 8 AS DOUBLE))
+         |         / (CAST(c.cb + 1 AS DOUBLE) / CAST(t.nb + 8 AS DOUBLE)))
+         |    * 1000000.0e0) AS BIGINT) AS term_micro
+         |  FROM c JOIN t ON c.colname = t.colname),
+         |mo AS (SELECT colname,
+         |       CAST(SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |       CAST(SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |       CAST(SUM(CASE WHEN slice = 0 THEN CAST(v AS $M) END) AS DOUBLE) AS sum_a,
+         |       CAST(SUM(CASE WHEN slice = 1 THEN CAST(v AS $M) END) AS DOUBLE) AS sum_b
+         |      FROM u GROUP BY colname)
+         |SELECT mo.colname, mo.n_a, mo.n_b,
+         | mo.sum_a / CAST(mo.n_a AS DOUBLE) AS mean_a,
+         | mo.sum_b / CAST(mo.n_b AS DOUBLE) AS mean_b,
+         | CAST(SUM(terms.term_micro) AS BIGINT) AS psi_micro
+         |FROM mo JOIN terms ON mo.colname = terms.tc
+         |GROUP BY 1, 2, 3, 4, 5 ORDER BY mo.colname""".stripMargin,
 
     // q40: the two vote rounds unrolled; the ROW_NUMBER pick is the
     // oracle spelling of the engine's max_by(lbl, (cnt, -lbl)).
