@@ -310,6 +310,41 @@ object VectorQueries {
     // aggregate to a codebook-sized frame; the totals row broadcasts
     // back (q37's bounds pattern) — nothing here scans the corpus
     // twice or shuffles it at all.
+    // METADATA-FILTERED kNN — the "vectors + WHERE clause" query every
+    // vector store eventually needs, in its two canonical strategies
+    // side by side: PRE-filter (predicate pushed into the scan, exact
+    // top-k over the surviving rows — right when the filter is
+    // selective, and the only strategy that can't under-return) and
+    // POST-filter (unfiltered top-3k over-fetch, filter, top-k — the
+    // ANN-index-friendly shape, which keeps only what survives). Both
+    // arms are replayed by the oracle; rank_pre is the contract, the
+    // post arm's n_post ≤ k rows witness the under-return risk the
+    // over-fetch factor tunes against (at sf0.01, label 3 ≈ 1/8 of
+    // the corpus, so 3k over-fetch usually — not always — suffices;
+    // the short row set is the point). PlanSpec pins the label
+    // pushdown on the pre arm.
+    "v22_filtered_knn" -> { (s, d) =>
+      val q = probeVec(s, d, 7L)
+      val e = Tables.embeddings(s, d)
+      val pre = e.filter(col("label") === 3)
+        .withColumn("score", vectors.cosineSimilarity(col("embedding"), lit(q)))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("score"))
+      val post = e
+        .withColumn("score", vectors.cosineSimilarity(col("embedding"), lit(q)))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(30)
+        .filter(col("label") === 3)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), lit(1L).as("in_post"))
+      pre.join(post, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("score"),
+          coalesce(col("in_post"), lit(0L)).as("in_post"))
+        .orderBy(col("score").desc, col("vec_id"))
+    },
+
     // MATRYOSHKA-style truncated-prefix two-stage kNN: coarse-rank on
     // the first 16 of 64 dimensions (¼ the multiply-adds per corpus
     // row — the compute face of the storage cut v10/v15 make), keep
@@ -821,6 +856,29 @@ object VectorQueries {
 
     // v18: v05's assignment CTE + a plain cell histogram with the
     // totals row joined back.
+    // v22: both filter strategies replayed; the left join marks which
+    // of the exact pre-filter top-k the post-filter arm would surface.
+    "v22_filtered_knn" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 7),
+        |pre AS (
+        |  SELECT vec_id,
+        |   list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) AS score
+        |  FROM embeddings, q WHERE label = 3
+        |  ORDER BY score DESC, vec_id LIMIT 10),
+        |ov AS (
+        |  SELECT vec_id, label,
+        |   list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) AS score
+        |  FROM embeddings, q
+        |  ORDER BY score DESC, vec_id LIMIT 30),
+        |post AS (
+        |  SELECT vec_id, CAST(1 AS BIGINT) AS in_post FROM ov
+        |  WHERE label = 3 ORDER BY score DESC, vec_id LIMIT 10)
+        |SELECT pre.vec_id, pre.score,
+        | COALESCE(post.in_post, 0) AS in_post
+        |FROM pre LEFT JOIN post ON pre.vec_id = post.vec_id
+        |ORDER BY pre.score DESC, pre.vec_id""".stripMargin,
+
     // v21: both stages replayed — DuckDB's 1-based inclusive slice
     // [1:16] is Spark's slice(embedding, 1, 16); candidate ties and
     // final ties break on vec_id in both engines.

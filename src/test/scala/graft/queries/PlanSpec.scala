@@ -544,6 +544,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("Join"))
   }
 
+  test("v22: pre-filter arm pushes the label predicate into the scan") {
+    val pushed = scans("v22_filtered_knn").map(_._2)
+    assert(pushed.exists(_.contains("EqualTo(label,3)")),
+      s"the pre-filter must reach the parquet scan, got: $pushed")
+    assert("TakeOrderedAndProject".r
+      .findAllIn(plan("v22_filtered_knn")).length >= 2,
+      "both arms must rank via per-partition top-k heaps")
+  }
+
   test("e23: anomaly z-scores window over the catalog-sized hourly reduce, not raw events") {
     val p = plan("e23_hourly_anomaly")
     assert(!p.contains("Join"))
