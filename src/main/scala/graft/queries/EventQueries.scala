@@ -361,6 +361,32 @@ object EventQueries {
         .orderBy(col("signature"))
     },
 
+    // TOMBSTONE-aware CDC compaction — e07's latest-state merge with
+    // DELETE semantics: the changelog's last record per user decides,
+    // and when that record is a tombstone ('error' here plays the
+    // delete op) the user is ABSENT from the compacted state, exactly
+    // as MERGE ... WHEN MATCHED AND op = 'D' THEN DELETE. Same
+    // mergeable max_by shape (one user-keyed exchange, no window
+    // sort); the deletes bite at sf0.01 — 30 of 150 users' final
+    // record is a tombstone, so the state table has 120 rows and the
+    // missing users are the witness.
+    "e25_tombstone_compaction" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+          col("event_type"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("ts_us"), col("event_id"), col("event_type"),
+            col("value")),
+          struct(col("ts_us"), col("event_id"))).as("last"))
+        .filter(col("last.event_type") =!= "error")
+        .select(col("user_id"), col("last.ts_us").as("last_ts_us"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"))
+        .orderBy(col("user_id"))
+    },
+
     // RFM SEGMENTATION: every user scored on Recency (days since last
     // event vs the corpus max — a broadcast 1-row anchor, so the
     // segmentation is reproducible from the data alone), Frequency
@@ -911,6 +937,19 @@ object EventQueries {
         | CAST(SUM(n_events) AS BIGINT) AS n_events,
         | CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_events
         |FROM u GROUP BY signature ORDER BY signature""".stripMargin,
+
+    // e25: last record per user via the window spelling, tombstones
+    // filtered after the pick — delete semantics, not a type filter.
+    "e25_tombstone_compaction" ->
+      """WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |            event_type, value,
+        |            ROW_NUMBER() OVER (PARTITION BY user_id
+        |             ORDER BY ts DESC, event_id DESC) AS rn
+        |           FROM events)
+        |SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+        | event_type AS last_type, value AS last_value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
 
     // e24: the same anchored user aggregate + flag concat; monetary
     // stays DECIMAL through both levels, avg from exact integers.

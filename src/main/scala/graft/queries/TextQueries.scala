@@ -890,6 +890,42 @@ object TextQueries {
     // ledger inherits their pinned scale shapes (broadcast eval
     // fingerprints, banded LSH, broadcast eval embeddings) and adds
     // only catalog-sized outer joins on doc_id.
+    // TF-IDF KEYWORD EXTRACTION: each document's top-3 most
+    // characteristic terms — tf · ln(N/df), the tagging/retrieval-
+    // feature face of d18's vocabulary stats (same inverted-index
+    // shape: one term-keyed exchange for document frequencies, one
+    // doc-keyed exchange for the per-doc rank). Parity shape: idf
+    // floor-quantizes to micro-units per TERM (the d40 ln rule), so a
+    // score is the exact integer tf · idf_micro and ranks with a total
+    // (score desc, term asc) order. The per-doc rank window partitions
+    // by doc_id — groups are doc-sized, never corpus-sized, so unlike
+    // the banished per-type NTILE shapes this window scales with the
+    // longest document, not the table.
+    "d61_tfidf_keywords" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val terms = docs.select(col("doc_id"),
+        explode(TF.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("term"),
+          floor(log(col("n_docs").cast("double") / col("df").cast("double"))
+            * lit(1000000.0)).cast("long").as("idf_micro"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score_micro").desc, col("term"))
+      tf.join(df, "term")
+        .withColumn("score_micro", col("tf") * col("idf_micro"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+          col("score_micro"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
     // MinHash ESTIMATOR CALIBRATION — the v16-style eval face for the
     // text-dedup estimator: for every d06 candidate pair, the
     // signature-agreement estimate (agreeing components / 4 — what LSH
@@ -1918,6 +1954,27 @@ object TextQueries {
     // d55: the three detector oracles as subquery blocks (each keeps
     // its own WITH chain), outer-joined; semantic best-score via MAX
     // over the thresholded pairs ≡ v14's rn=1 row.
+    // d61: same tf/df CTEs; idf quantizes per term before the integer
+    // multiply, rank ties break (score desc, term) on both engines.
+    "d61_tfidf_keywords" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |df AS (SELECT term,
+        |        CAST(FLOOR(ln(CAST(nd.n_docs AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |          * 1000000.0e0) AS BIGINT) AS idf_micro
+        |       FROM tf, nd GROUP BY term, nd.n_docs),
+        |sc AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+        |        CAST(tf.tf AS BIGINT) * df.idf_micro AS score_micro
+        |       FROM tf JOIN df ON tf.term = df.term),
+        |r AS (SELECT doc_id, term, tf, score_micro,
+        |       ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score_micro DESC, term) AS rank
+        |      FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score_micro
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     // d60: d06's candidate/sets CTEs + per-band agreement counts; the
     // micro-unit quantization and division sequence match Spark's.
     "d60_minhash_calibration" ->
