@@ -170,9 +170,18 @@ object GraphRank {
     * round's label frame eagerly checkpointed with superseded rounds
     * freed ([[LineageCheckpoint]]). Returns (node, label).
     */
+  /** `converge = true` turns `iters` into a MAXIMUM: the loop stops
+    * the first round no node changed label (checked on the just-
+    * checkpointed frame by carrying the previous label — the
+    * dupComponents one-job idiom) and FAILS LOUDLY if `iters` rounds
+    * pass without a fixed point, because sync LPA can 2-cycle on
+    * near-bipartite structure and a truncated oscillation must never
+    * silently read as a clustering.
+    */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, assumeDistinct: Boolean = false,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      converge: Boolean = false): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     val cast = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
@@ -182,8 +191,10 @@ object GraphRank {
     var labels = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .select(col("node"), col("node").as("label"))
+    var fixed = false
     try {
-      for (_ <- 0 until iters) {
+      var i = 0
+      while (i < iters && !fixed) {
         val votes = e
           .join(labels.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"), col("label"))
@@ -191,11 +202,23 @@ object GraphRank {
           .groupBy(col("node"))
           .agg(max_by(col("label"),
             struct(col("cnt"), (lit(0L) - col("label")))).as("_lp_new"))
-        labels = ck(labels.join(votes, Seq("node"), "left")
-          .select(col("node"),
-            coalesce(col("_lp_new"), col("label")).as("label")))
+        if (converge) {
+          val next = ck(labels.join(votes, Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("_lp_new"), col("label")).as("label"),
+              col("label").as("_lp_old")))
+          fixed = next.filter(col("label") =!= col("_lp_old")).isEmpty
+          labels = next.select(col("node"), col("label"))
+        } else {
+          labels = ck(labels.join(votes, Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("_lp_new"), col("label")).as("label")))
+        }
+        i += 1
       }
     } finally e.unpersist()
+    require(!converge || fixed,
+      s"label propagation did not reach a fixed point within $iters rounds")
     labels
   }
 

@@ -307,6 +307,28 @@ class GraphRankSpec extends AnyFunSuite {
     assert(run(2) === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("lpa: convergence mode reaches the fixed point and fails loudly when it can't") {
+    // two disjoint sym triangles reach a fixed point (each collapses
+    // to its own min label, then nothing moves)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val edges = (tri ++ tri.map(_.swap)).distinct
+    val got = GraphRank.labelPropagation(
+        edges.toDF("src", "dst"), "src", "dst", iters = 20, converge = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.filterKeys(_ < 10).values.toSet.size == 1)
+    assert(got.filterKeys(_ >= 10).values.toSet.size == 1)
+    assert(got(1L) != got(10L), "disjoint components must keep distinct labels")
+    // a 2-node sym edge 2-cycles forever under sync updates: the
+    // convergence contract must fail loudly, not return the oscillation
+    val cyc = Seq((1L, 2L), (2L, 1L))
+    val err = intercept[IllegalArgumentException] {
+      GraphRank.labelPropagation(
+        cyc.toDF("src", "dst"), "src", "dst", iters = 5, converge = true)
+    }
+    assert(err.getMessage.contains("fixed point"))
+  }
+
   test("rejects nonsensical parameters loudly") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](GraphRank.pageRank(e, "src", "dst", 0))
