@@ -761,6 +761,47 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     },
 
+    // Full CORRELATION MATRIX over the four lineitem measures in ONE
+    // scan — q34's parity-safe machinery widened to all 6 pairs: a
+    // single partial+final aggregate carries n + 4 exact DECIMAL sums
+    // + 4 squares + 6 cross-products (15 states), then each pair's
+    // Pearson r derives in q34's fixed double sequence and presents
+    // rounded to 9 digits (same last-ulp argument). The melt to 6
+    // rows is a stack over the single aggregate row — free. This is
+    // the feature-selection / multicollinearity profile; Spark's own
+    // corr() would be merge-order-dependent and never hash-checkable.
+    "q42_corr_matrix" -> { (s, d) =>
+      val ms = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
+        "l_discount" -> "dd", "l_tax" -> "t")
+      val pairs = for {
+        (i, (c1, a1)) <- ms.zipWithIndex.map(_.swap)
+        (j, (c2, a2)) <- ms.zipWithIndex.map(_.swap) if j > i
+      } yield ((c1, a1), (c2, a2))
+      val aggs =
+        ms.map { case (c, a) => sum(m(col(c))).as(s"s_$a") } ++
+        ms.map { case (c, a) => sum(m(col(c)) * m(col(c))).as(s"s_$a$a") } ++
+        pairs.map { case ((c1, a1), (c2, a2)) =>
+          sum(m(col(c1)) * m(col(c2))).as(s"s_$a1$a2") }
+      val one = Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("n"), aggs: _*)
+      val nD = col("n").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      val withCorr = one.select(col("n") +: pairs.map {
+        case ((c1, a1), (c2, a2)) =>
+          round((nD * dbl(s"s_$a1$a2") - dbl(s"s_$a1") * dbl(s"s_$a2"))
+            / (sqrt(nD * dbl(s"s_$a1$a1") - dbl(s"s_$a1") * dbl(s"s_$a1"))
+              * sqrt(nD * dbl(s"s_$a2$a2") - dbl(s"s_$a2") * dbl(s"s_$a2"))),
+            9).as(s"corr_$a1$a2")
+      }: _*)
+      val stackArgs = pairs.map { case ((c1, a1), (c2, a2)) =>
+        s"'${c1.stripPrefix("l_")}_${c2.stripPrefix("l_")}', corr_$a1$a2"
+      }.mkString(", ")
+      withCorr.select(col("n"),
+        expr(s"stack(${pairs.size}, $stackArgs) AS (pair, corr)"))
+        .select(col("pair"), col("n"), col("corr"))
+        .orderBy(col("pair"))
+    },
+
     // COLUMN-DRIFT report between two time slices — the
     // data-quality monitor a stats catalog runs on every ingest:
     // per measure column, both slices' counts and exact-DECIMAL
@@ -1431,6 +1472,35 @@ object RelationalQueries {
         | CAST(COUNT(*) AS DOUBLE) / MAX(cnt) AS share
         |FROM lineitem, b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q42: one 15-sum aggregate CTE + a generated 6-row UNION, the
+    // pair expression q34's corr formula verbatim.
+    "q42_corr_matrix" -> {
+      val ms = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
+        "l_discount" -> "dd", "l_tax" -> "t")
+      val pairs = for {
+        (i, (c1, a1)) <- ms.zipWithIndex.map(_.swap)
+        (j, (c2, a2)) <- ms.zipWithIndex.map(_.swap) if j > i
+      } yield ((c1, a1), (c2, a2))
+      val sums =
+        ms.map { case (c, a) => s"SUM(CAST($c AS $M)) AS s_$a" } ++
+        ms.map { case (c, a) =>
+          s"SUM(CAST($c AS $M) * CAST($c AS $M)) AS s_$a$a" } ++
+        pairs.map { case ((c1, a1), (c2, a2)) =>
+          s"SUM(CAST($c1 AS $M) * CAST($c2 AS $M)) AS s_$a1$a2" }
+      val rows = pairs.map { case ((c1, a1), (c2, a2)) =>
+        s"""SELECT '${c1.stripPrefix("l_")}_${c2.stripPrefix("l_")}' AS pair, n,
+           | ROUND((n * CAST(s_$a1$a2 AS DOUBLE) - CAST(s_$a1 AS DOUBLE) * CAST(s_$a2 AS DOUBLE))
+           |  / (sqrt(n * CAST(s_$a1$a1 AS DOUBLE) - CAST(s_$a1 AS DOUBLE) * CAST(s_$a1 AS DOUBLE))
+           |   * sqrt(n * CAST(s_$a2$a2 AS DOUBLE) - CAST(s_$a2 AS DOUBLE) * CAST(s_$a2 AS DOUBLE))),
+           |  9) AS corr
+           |FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH a AS (SELECT COUNT(*) AS n, ${sums.mkString(",\n  ")}
+         | FROM lineitem)
+         |$rows
+         |ORDER BY pair""".stripMargin
+    },
 
     // q41: the same melt/bounds/bucket/term chain; every PSI term
     // floor-quantizes before the sum, divisions in Spark's sequence.

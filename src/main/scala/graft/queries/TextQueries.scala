@@ -890,6 +890,48 @@ object TextQueries {
     // ledger inherits their pinned scale shapes (broadcast eval
     // fingerprints, banded LSH, broadcast eval embeddings) and adds
     // only catalog-sized outer joins on doc_id.
+    // CLUSTER TOPIC LABELING — the cross-modal composition the two
+    // table families exist for: documents cluster in EMBEDDING space
+    // (v05's shuffle-free argmax assignment against the broadcast
+    // 8-seed codebook, riding the vec_id ≡ doc_id correspondence the
+    // decontamination suite already uses), then each cluster is
+    // LABELED from its members' TEXT — top-3 terms by summed TF-IDF
+    // (d61's micro-quantized idf, aggregated per cell instead of per
+    // doc). This is how an unlabeled corpus gets human-readable
+    // cluster names; every stage is pinned machinery and the whole
+    // composition replays in the oracle.
+    "d62_cluster_topics" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val seeds = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+      val assigned = graft.operators.Similarity.ivfAssign(
+        emb, "vec_id", "embedding", seeds, "seed_id", "seed_vec")
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      val docs = Tables.documents(s, d)
+      val terms = docs.select(col("doc_id"),
+        explode(TF.tokens(col("text"))).as("term"))
+      val tf = terms.join(assigned, "doc_id")
+        .groupBy(col("cell"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val idf = terms.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("term"),
+          floor(log(col("n_docs").cast("double") / col("df").cast("double"))
+            * lit(1000000.0)).cast("long").as("idf_micro"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell"))
+        .orderBy(col("score_micro").desc, col("term"))
+      tf.join(idf, "term")
+        .withColumn("score_micro", col("tf") * col("idf_micro"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("cell"), col("rank"), col("term"), col("tf"),
+          col("score_micro"))
+        .orderBy(col("cell"), col("rank"))
+    },
+
     // TF-IDF KEYWORD EXTRACTION: each document's top-3 most
     // characteristic terms — tf · ln(N/df), the tagging/retrieval-
     // feature face of d18's vocabulary stats (same inverted-index
@@ -1954,6 +1996,41 @@ object TextQueries {
     // d55: the three detector oracles as subquery blocks (each keeps
     // its own WITH chain), outer-joined; semantic best-score via MAX
     // over the thresholded pairs ≡ v14's rn=1 row.
+    // d62: v05's assignment CTE bridges vec_id → cell; tf re-keys by
+    // cell; the idf/rank tail is d61's with cell in place of doc_id.
+    "d62_cluster_topics" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, s.cell,
+        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) AS cs
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |   SELECT vec_id, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+        |   FROM scored) r WHERE rn = 1),
+        |t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+        |      FROM documents),
+        |tf AS (SELECT a.cell, t.term, COUNT(*) AS tf
+        |       FROM t JOIN assigned a ON t.doc_id = a.vec_id GROUP BY 1, 2),
+        |docdf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |idf AS (SELECT term,
+        |        CAST(FLOOR(ln(CAST(nd.n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+        |          * 1000000.0e0) AS BIGINT) AS idf_micro
+        |       FROM docdf, nd),
+        |sc AS (SELECT tf.cell, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+        |        CAST(tf.tf AS BIGINT) * idf.idf_micro AS score_micro
+        |       FROM tf JOIN idf ON tf.term = idf.term),
+        |r AS (SELECT cell, term, tf, score_micro,
+        |       ROW_NUMBER() OVER (PARTITION BY cell
+        |        ORDER BY score_micro DESC, term) AS rank
+        |      FROM sc)
+        |SELECT cell, CAST(rank AS BIGINT) AS rank, term, tf, score_micro
+        |FROM r WHERE rank <= 3 ORDER BY cell, rank""".stripMargin,
+
     // d61: same tf/df CTEs; idf quantizes per term before the integer
     // multiply, rank ties break (score desc, term) on both engines.
     "d61_tfidf_keywords" ->
