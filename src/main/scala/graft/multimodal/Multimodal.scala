@@ -160,4 +160,32 @@ object Multimodal {
       .agg(count(lit(1)).as("n_copies"),
         min(col("media_id")).as("keeper_media_id"))
   }
+
+  /** PERCEPTUAL near-dup media pairs — the image/video dedup pass
+    * exact byte hashing cannot do (a re-encoded or resized copy shares
+    * no bytes): per-partition codec features ([[decodeAll]]'s E1
+    * shape), then cosine pairs through the LSH-bucketed vector path
+    * ([[graft.operators.Similarity.nearDupPairs]]) so candidates are
+    * bucket-bounded, never all-pairs — at 100 TB of media the shuffle
+    * carries (bucket, feature) rows, not media bytes, because the
+    * binary column is DROPPED before the exchange (only id + the
+    * `featureDim`-float vector cross the wire). With [[StubCodec]]
+    * (hash features, no locality) only identical bytes pair up — the
+    * contract a real perceptual codec (pHash, CLIP embedding) plugs
+    * into is pinned in MultimodalSpec with a locality-aware test
+    * codec.
+    *
+    * `planes` are the LSH hyperplanes (seed vectors); pairs below
+    * `threshold` cosine are dropped. Returns (a_id, b_id, score).
+    */
+  def nearDupMedia(media: Dataset[(Long, Array[Byte])],
+      codecFactory: () => MediaCodec,
+      planes: Seq[Array[Float]],
+      featureDim: Int = 64,
+      threshold: Double = 0.9): DataFrame = {
+    val feats = decodeAll(media, codecFactory, featureDim)
+      .select(col("media_id"), col("features"))
+    graft.operators.Similarity.nearDupPairs(
+      feats, "media_id", "features", planes, threshold)
+  }
 }

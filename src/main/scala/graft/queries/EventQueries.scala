@@ -361,6 +361,38 @@ object EventQueries {
         .orderBy(col("signature"))
     },
 
+    // Top session ENTRY PATHS: the first three event types of every
+    // session (e02's lag/cumsum sessionization — same single
+    // user-keyed exchange), canonicalized by an array_sort over
+    // (ts, event_id, type) structs so the collected order is
+    // deterministic under any partitioning, then the 10 most common
+    // paths — the how-do-journeys-start report behind onboarding and
+    // landing-flow design. The path aggregate is bounded per session
+    // (collect then slice 3), the path rollup is catalog-sized, and
+    // the top-10 plans as a per-partition heap.
+    "e26_entry_paths" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prevTs = lag(col("ts_us"), 1).over(w)
+      Tables.events(s, d)
+        .select(col("user_id"), tsUs.as("ts_us"), col("event_id"),
+          col("event_type"))
+        .withColumn("is_new",
+          when(prevTs.isNull || col("ts_us") - prevTs > SessionGapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(array_join(slice(transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), 1, 3), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(10)
+    },
+
     // TOMBSTONE-aware CDC compaction — e07's latest-state merge with
     // DELETE semantics: the changelog's last record per user decides,
     // and when that record is a tombstone ('error' here plays the
@@ -937,6 +969,26 @@ object EventQueries {
         | CAST(SUM(n_events) AS BIGINT) AS n_events,
         | CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_events
         |FROM u GROUP BY signature ORDER BY signature""".stripMargin,
+
+    // e26: e02's session CTEs + an ordered list aggregate sliced to 3.
+    "e26_entry_paths" ->
+      """WITH o AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM o),
+        |p AS (
+        | SELECT user_id, session_id,
+        |  array_to_string(list(event_type ORDER BY ts_us, event_id)[1:3], '>') AS path
+        | FROM s GROUP BY user_id, session_id)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
 
     // e25: last record per user via the window spelling, tombstones
     // filtered after the pick — delete semantics, not a type filter.

@@ -73,4 +73,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(groups(0).getLong(1) == 2L && groups(0).getLong(2) == 1L) // ids 1,3
     assert(groups(1).getLong(1) == 1L && groups(1).getLong(2) == 2L)
   }
+
+  test("nearDupMedia: perceptual pairs via codec features, exact hashing blind to them") {
+    // 11 and 13 share a first byte (perceptually identical under the
+    // locality codec) but differ in every other byte — exactDupGroups
+    // must NOT group them; nearDupMedia must pair them.
+    val a = randBytes(7, 256)
+    val b = randBytes(8, 256); b(0) = a(0)
+    val c = randBytes(9, 256)
+    assert(a.drop(1).toSeq != b.drop(1).toSeq)
+    val dups = Seq((11L, a), (13L, b), (14L, c))
+    val planes = Seq.tabulate(4) { i =>
+      val r = new scala.util.Random(100 + i)
+      Array.fill(64)(r.nextFloat() - 0.5f)
+    }
+    val exact = Multimodal.exactDupGroups(dups.toDS()).collect()
+    assert(exact.forall(_.getLong(1) == 1L),
+      "no byte-identical copies in this fixture")
+    val pairs = Multimodal.nearDupMedia(dups.toDS(), () => FirstByteCodec,
+        planes, threshold = 0.99)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs == Set((11L, 13L)),
+      s"expected exactly the perceptual pair, got $pairs")
+  }
 }
+
+/** A codec whose features have LOCALITY: determined entirely by the
+  * first byte, so media sharing it are perceptually identical — the
+  * behavior a real pHash/embedding codec supplies and StubCodec
+  * (pure hashing) deliberately lacks.
+  */
+private[multimodal] object FirstByteCodec extends MediaCodec {
+  override def decode(bytes: Array[Byte]) = StubCodec.decode(bytes)
+  override def resize(bytes: Array[Byte], w: Int, h: Int) =
+    StubCodec.resize(bytes, w, h)
+  override def sampleFrames(bytes: Array[Byte], n: Int) =
+    StubCodec.sampleFrames(bytes, n)
+  override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val r = new scala.util.Random(bytes.headOption.getOrElse(0: Byte).toInt)
+    Array.fill(dim)(r.nextFloat() - 0.5f)
+  }
+}
+
