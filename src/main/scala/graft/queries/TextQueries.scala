@@ -890,6 +890,54 @@ object TextQueries {
     // ledger inherits their pinned scale shapes (broadcast eval
     // fingerprints, banded LSH, broadcast eval embeddings) and adds
     // only catalog-sized outer joins on doc_id.
+    // DEDUP-CASCADE ATTRITION funnel — the accounting report for the
+    // three dedup mechanisms run in production order (exact bytes →
+    // n-gram near-dup at 0.5 → embedding-space semantic at 0.4), with
+    // d56's first-fail attribution: each removed doc is charged to the
+    // FIRST stage that catches it, so the report shows what each later
+    // stage adds beyond the earlier ones (the marginal-value question
+    // every pipeline owner asks before paying for the next stage).
+    // Keeper policy is uniform smaller-id-wins: a doc is flagged when
+    // it is the larger side of a duplicate relation. All three stages
+    // are the pinned machinery (d04 fingerprint groups, d06's banded
+    // candidates at the 0.5 gate, v09's cell-restricted pairs via the
+    // vec_id ≡ doc_id correspondence); the flags fold in one
+    // 10-counter aggregate + a 1-row stack.
+    "d63_dedup_cascade" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wFp = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text")))
+      val f1 = docs.select(col("doc_id"),
+        (col("doc_id") > min(col("doc_id")).over(wFp)).as("f1"))
+      val f2 = graft.text.Dedup.nearDupPairs(
+          docs, "doc_id", "text", threshold = 0.5)
+        .select(col("b_id").as("doc_id")).distinct()
+        .withColumn("f2", lit(true))
+      val f3 = graft.operators.SemanticDedup.semanticDupPairs(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8, iters = 1, threshold = 0.4)
+        .select(col("b_id").as("doc_id")).distinct()
+        .withColumn("f3", lit(true))
+      def cnt(c: Column) = sum(c.cast("long"))
+      f1.join(f2, Seq("doc_id"), "left").join(f3, Seq("doc_id"), "left")
+        .select(col("f1"), coalesce(col("f2"), lit(false)).as("f2"),
+          coalesce(col("f3"), lit(false)).as("f3"))
+        .agg(count(lit(1)).as("total"),
+          cnt(col("f1")).as("any1"), cnt(col("f2")).as("any2"),
+          cnt(col("f3")).as("any3"),
+          cnt(col("f1")).as("first1"),
+          cnt(!col("f1") && col("f2")).as("first2"),
+          cnt(!col("f1") && !col("f2") && col("f3")).as("first3"))
+        .select(expr(
+          """stack(3,
+            | 's1_exact',    any1, first1, total - first1,
+            | 's2_near_dup', any2, first2, total - first1 - first2,
+            | 's3_semantic', any3, first3, total - first1 - first2 - first3
+            |) AS (stage, n_flagged_any, n_removed_first, n_remaining)"""
+            .stripMargin))
+        .orderBy(col("stage"))
+    },
+
     // CLUSTER TOPIC LABELING — the cross-modal composition the two
     // table families exist for: documents cluster in EMBEDDING space
     // (v05's shuffle-free argmax assignment against the broadcast
@@ -1996,6 +2044,40 @@ object TextQueries {
     // d55: the three detector oracles as subquery blocks (each keeps
     // its own WITH chain), outer-joined; semantic best-score via MAX
     // over the thresholded pairs ≡ v14's rn=1 row.
+    // d63: d04's fingerprint keeper + d06's candidate/sets CTEs at the
+    // 0.5 gate + v09's shared pair SQL as a CTE, folded with d56's
+    // conditional-sum attribution.
+    "d63_dedup_cascade" ->
+      s"""WITH $CandCtes,
+        |sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh),
+        |j AS (SELECT a_id, b_id,
+        |       CAST(len(list_intersect(sa.ss,sb.ss)) AS DOUBLE)
+        |        /(len(sa.ss)+len(sb.ss)-len(list_intersect(sa.ss,sb.ss))) AS jac
+        |      FROM cand
+        |      JOIN sets sa ON a_id=sa.doc_id JOIN sets sb ON b_id=sb.doc_id),
+        |sem AS (${graft.queries.VectorQueries.SemanticPairsSql}),
+        |fl AS (SELECT d.doc_id,
+        |        d.doc_id > MIN(d.doc_id) OVER (PARTITION BY md5(d.text)) AS f1,
+        |        EXISTS (SELECT 1 FROM j WHERE j.b_id = d.doc_id
+        |                AND j.jac >= 0.5e0) AS f2,
+        |        EXISTS (SELECT 1 FROM sem WHERE sem.b_id = d.doc_id) AS f3
+        |       FROM documents d),
+        |a AS (SELECT COUNT(*) AS total,
+        | CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS any1,
+        | CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS any2,
+        | CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS any3,
+        | CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS first1,
+        | CAST(SUM(CASE WHEN NOT f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS first2,
+        | CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS first3
+        |FROM fl)
+        |SELECT 's1_exact' AS stage, any1 AS n_flagged_any,
+        |       first1 AS n_removed_first, total - first1 AS n_remaining FROM a
+        |UNION ALL SELECT 's2_near_dup', any2, first2,
+        |       total - first1 - first2 FROM a
+        |UNION ALL SELECT 's3_semantic', any3, first3,
+        |       total - first1 - first2 - first3 FROM a
+        |ORDER BY stage""".stripMargin,
+
     // d62: v05's assignment CTE bridges vec_id → cell; tf re-keys by
     // cell; the idf/rank tail is d61's with cell in place of doc_id.
     "d62_cluster_topics" ->

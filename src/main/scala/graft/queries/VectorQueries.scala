@@ -434,6 +434,50 @@ object VectorQueries {
     }
   )
 
+  /** v09's full pair-derivation SQL, shared verbatim with TextQueries'
+    * d63 cascade (which embeds it as a CTE) so the two oracles can
+    * never drift. */
+  private[queries] val SemanticPairsSql: String =
+    """WITH s0 AS (SELECT vec_id, embedding FROM embeddings
+        |            ORDER BY vec_id LIMIT 8),
+        |seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+        |                 embedding AS sv FROM s0),
+        |a0 AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, s.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                        CAST(s.sv AS DOUBLE[])) DESC,
+        |                 s.cell) AS rn
+        |    FROM embeddings e CROSS JOIN seeds s) t WHERE rn = 1),
+        |m AS (
+        |  SELECT cell, pos,
+        |    CAST(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |      / COUNT(*) / 1000000000.0 AS REAL) AS r
+        |  FROM (SELECT cell, UNNEST(embedding) AS x,
+        |          GENERATE_SUBSCRIPTS(embedding, 1) AS pos FROM a0) t
+        |  GROUP BY cell, pos),
+        |newc AS (
+        |  SELECT su.cell, list(COALESCE(m.r, su.x) ORDER BY su.pos) AS cv
+        |  FROM (SELECT cell, UNNEST(sv) AS x, GENERATE_SUBSCRIPTS(sv, 1) AS pos
+        |        FROM seeds) su
+        |  LEFT JOIN m ON m.cell = su.cell AND m.pos = su.pos
+        |  GROUP BY su.cell),
+        |a1 AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                        CAST(c.cv AS DOUBLE[])) DESC,
+        |                 c.cell) AS rn
+        |    FROM embeddings e CROSS JOIN newc c) t WHERE rn = 1)
+        |SELECT cell, a_id, b_id, score FROM (
+        |  SELECT x.cell, x.vec_id AS a_id, y.vec_id AS b_id,
+        |    list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |                           CAST(y.embedding AS DOUBLE[])) AS score
+        |  FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id < y.vec_id) t
+        |WHERE score >= 0.4 ORDER BY a_id, b_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "v01_knn_exact" ->
       """SELECT vec_id,
@@ -548,46 +592,7 @@ object VectorQueries {
     // then re-assignment against the refined codebook and the within-cell
     // pair join. seeds = the 8 smallest vec_ids with cells numbered in
     // id order, exactly KMeans.lloyd's zipWithIndex seeding.
-    "v09_semantic_dedup" ->
-      """WITH s0 AS (SELECT vec_id, embedding FROM embeddings
-        |            ORDER BY vec_id LIMIT 8),
-        |seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
-        |                 embedding AS sv FROM s0),
-        |a0 AS (
-        |  SELECT vec_id, embedding, cell FROM (
-        |    SELECT e.vec_id, e.embedding, s.cell,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                                        CAST(s.sv AS DOUBLE[])) DESC,
-        |                 s.cell) AS rn
-        |    FROM embeddings e CROSS JOIN seeds s) t WHERE rn = 1),
-        |m AS (
-        |  SELECT cell, pos,
-        |    CAST(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
-        |      / COUNT(*) / 1000000000.0 AS REAL) AS r
-        |  FROM (SELECT cell, UNNEST(embedding) AS x,
-        |          GENERATE_SUBSCRIPTS(embedding, 1) AS pos FROM a0) t
-        |  GROUP BY cell, pos),
-        |newc AS (
-        |  SELECT su.cell, list(COALESCE(m.r, su.x) ORDER BY su.pos) AS cv
-        |  FROM (SELECT cell, UNNEST(sv) AS x, GENERATE_SUBSCRIPTS(sv, 1) AS pos
-        |        FROM seeds) su
-        |  LEFT JOIN m ON m.cell = su.cell AND m.pos = su.pos
-        |  GROUP BY su.cell),
-        |a1 AS (
-        |  SELECT vec_id, embedding, cell FROM (
-        |    SELECT e.vec_id, e.embedding, c.cell,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                                        CAST(c.cv AS DOUBLE[])) DESC,
-        |                 c.cell) AS rn
-        |    FROM embeddings e CROSS JOIN newc c) t WHERE rn = 1)
-        |SELECT cell, a_id, b_id, score FROM (
-        |  SELECT x.cell, x.vec_id AS a_id, y.vec_id AS b_id,
-        |    list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-        |                           CAST(y.embedding AS DOUBLE[])) AS score
-        |  FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id < y.vec_id) t
-        |WHERE score >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    "v09_semantic_dedup" -> SemanticPairsSql,
 
     // scale = max|x|/127; code = floor(x/scale + 0.5) — the same IEEE
     // ops in both engines (round-half-up chosen over half-even exactly
