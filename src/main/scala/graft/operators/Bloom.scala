@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions.hash32
+
+/** Declarative Bloom filter — the approximate-membership primitive
+  * behind q38's semi-join prefilter, as a reusable operator: [[buildRow]]
+  * folds a key frame into ONE row holding the bit array (bit_or
+  * aggregation, so the build partial-aggregates map-side and shuffles
+  * ≤ mBits/32 words, never keys), and [[mightContain]] is a pure
+  * row-local probe expression over that broadcast row — a forall of J
+  * bit tests riding the scan.
+  *
+  * Hashing is md5 double hashing (Kirsch–Mitzenmacher: pos_i =
+  * h1 + i·h2 mod m) over [[hashes]]-derived columns, which both engines
+  * replay exactly — a DuckDB oracle reproduces every bit (q38 does).
+  * Words pack 32 usable bits per BIGINT because DuckDB's `<<` overflows
+  * at bit 63, and parity beats density here.
+  *
+  * Contract: NO false negatives ever (a key folded into the build is
+  * always reported present — BloomSpec fuzzes this across layouts and
+  * (m, j) shapes); false positives at the standard (1 − e^(−jn/m))^j
+  * rate — callers keep answers exact with a residual join over the
+  * candidates, as q38 does. Size m at ~10–16 bits per expected key.
+  */
+object Bloom {
+
+  /** The double-hashing pair for `key`, as columns. The same pair must
+    * feed [[buildRow]]'s internals and the caller's [[mightContain]]
+    * probe — both derive from the key's STRING form via md5, so any
+    * key type with a stable string rendering works.
+    */
+  def hashes(key: Column): (Column, Column) =
+    (hash32(key.cast("string")),
+      hash32(concat(key.cast("string"), lit("#b"))))
+
+  /** Fold `keys(keyCol)` into a single-row frame with column `bloom`:
+    * an array of mBits/32 BIGINT words (32 bits used per word), ready
+    * to `broadcast(...)`-crossJoin into the probing scan.
+    */
+  def buildRow(keys: DataFrame, keyCol: String, mBits: Int,
+      j: Int = 3): DataFrame = {
+    require(mBits > 0 && mBits % 32 == 0,
+      s"mBits must be a positive multiple of 32, got $mBits")
+    require(j >= 1, s"need at least one hash function, got $j")
+    val (kh1, kh2) = hashes(col(keyCol))
+    val w = mBits / 32
+    keys
+      .select(explode(sequence(lit(0), lit(j - 1))).as("i"),
+        kh1.as("h1"), kh2.as("h2"))
+      .select(((col("h1") + col("i") * col("h2")) % mBits).as("p"))
+      .select(expr("p div 32").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("word"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("word"))))
+        .as("wm"))
+      .select(transform(sequence(lit(0L), lit((w - 1).toLong)),
+        wi => coalesce(element_at(col("wm"), wi), lit(0L))).as("bloom"))
+  }
+
+  /** Row-local membership probe. `h1Col`/`h2Col` name columns the
+    * caller derived with [[hashes]] from the probe key; `bloomCol`
+    * names the broadcast [[buildRow]] array. True = candidate (possible
+    * false positive); false = DEFINITELY absent. Spelled as SQL text
+    * because the shift amount is per-row and the Column-API
+    * shiftright takes only literal shifts.
+    */
+  def mightContain(h1Col: String, h2Col: String, bloomCol: String,
+      mBits: Int, j: Int = 3): Column = {
+    require(mBits > 0 && mBits % 32 == 0,
+      s"mBits must be a positive multiple of 32, got $mBits")
+    require(j >= 1, s"need at least one hash function, got $j")
+    Seq(h1Col, h2Col, bloomCol).foreach(c =>
+      require(!c.contains("`") && c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"mightContain needs simple column identifiers, got: $c"))
+    expr(s"""forall(sequence(0, ${j - 1}), i ->
+            | ((shiftright(element_at($bloomCol,
+            |     cast(((($h1Col + i * $h2Col) % $mBits) div 32) as int) + 1),
+            |   cast((($h1Col + i * $h2Col) % $mBits) % 32 as int)) & 1) = 1))"""
+      .stripMargin)
+  }
+}

@@ -928,33 +928,19 @@ object RelationalQueries {
     // bits/key — the mechanism (bit array as an aggregate, 1-row
     // broadcast, forall probe) is M-independent.
     "q38_bloom_semi_join" -> { (s, d) =>
-      val Mb = 1024; val W = Mb / 32; val J = 3
-      import graft.text.TextFunctions.hash32
-      def hA(c: Column) = hash32(c.cast("string"))
-      def hB(c: Column) = hash32(concat(c.cast("string"), lit("#b")))
+      val Mb = 1024; val J = 3
+      import graft.operators.Bloom
       val dim = Tables.part(s, d).filter(col("p_size") === 1)
         .select(col("p_partkey").as("key"))
-      val packed = dim
-        .select(explode(sequence(lit(0), lit(J - 1))).as("i"),
-          hA(col("key")).as("h1"), hB(col("key")).as("h2"))
-        .select(((col("h1") + col("i") * col("h2")) % Mb).as("p"))
-        .select(expr("p div 32").as("w"),
-          expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").as("m"))
-        .groupBy(col("w")).agg(expr("bit_or(m)").as("word"))
-        .agg(map_from_entries(collect_list(struct(col("w"), col("word"))))
-          .as("wm"))
-        .select(transform(sequence(lit(0L), lit((W - 1).toLong)),
-          wi => coalesce(element_at(col("wm"), wi), lit(0L))).as("bloom"))
+      val packed = Bloom.buildRow(dim, "key", mBits = Mb, j = J)
+      val (kh1, kh2) = Bloom.hashes(col("l_partkey"))
       val tagged = Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_extendedprice"), col("l_returnflag"))
         .crossJoin(broadcast(packed))
-        .withColumn("h1", hA(col("l_partkey")))
-        .withColumn("h2", hB(col("l_partkey")))
-        .withColumn("is_cand", expr(
-          s"""forall(sequence(0, ${J - 1}), i ->
-             | ((shiftright(element_at(bloom,
-             |     cast((((h1 + i*h2) % $Mb) div 32) as int) + 1),
-             |   cast(((h1 + i*h2) % $Mb) % 32 as int)) & 1) = 1))""".stripMargin))
+        .withColumn("h1", kh1)
+        .withColumn("h2", kh2)
+        .withColumn("is_cand",
+          Bloom.mightContain("h1", "h2", "bloom", mBits = Mb, j = J))
       val witness = tagged.agg(count(lit(1)).as("n_total"),
         sum(col("is_cand").cast("long")).as("n_candidates"))
       tagged.filter(col("is_cand"))

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+
+/** The Bloom operator's contracts: no false negative EVER (the one
+  * guarantee callers build exactness on), layout-independent builds,
+  * a sane false-positive rate, and loud parameter validation.
+  */
+class BloomSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private def probeHits(keys: Seq[Long], probes: Seq[Long], mBits: Int,
+      j: Int, parts: Int = 1): Set[Long] = {
+    val row = Bloom.buildRow(
+      keys.toDF("key").repartition(parts), "key", mBits, j)
+    val (h1, h2) = Bloom.hashes(col("key"))
+    probes.toDF("key")
+      .crossJoin(broadcast(row))
+      .withColumn("h1", h1).withColumn("h2", h2)
+      .filter(Bloom.mightContain("h1", "h2", "bloom", mBits, j))
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  test("no false negatives, fuzzed across sizes, hash counts, and layouts") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val keys = Seq.fill(50)(rnd.nextLong().abs % 100000).distinct
+      val others = Seq.fill(200)(rnd.nextLong().abs % 100000)
+        .filterNot(keys.contains).distinct
+      val mBits = Seq(256, 512, 1024)(trial % 3)
+      val j = 2 + trial % 3
+      val hits = probeHits(keys, keys ++ others, mBits, j)
+      assert(keys.toSet.subsetOf(hits),
+        s"trial $trial: false negative — missing ${keys.toSet -- hits}")
+      // build is layout-independent: same bits from any partitioning
+      assert(probeHits(keys, keys ++ others, mBits, j, parts = 7) == hits,
+        s"trial $trial: partitioning changed the filter")
+    }
+  }
+
+  test("false-positive rate stays near theory at 16 bits/key") {
+    val keys = (1L to 64L).toSeq // 64 keys in 1024 bits, j=3
+    val probes = (1000L to 5999L).toSeq // 5000 guaranteed non-members
+    val fp = probeHits(keys, probes, mBits = 1024, j = 3).size
+    // theory: (1 - e^(-3*64/1024))^3 ≈ 0.5%; allow generous slack
+    assert(fp < 100, s"fp rate ${fp / 5000.0} implausibly high")
+  }
+
+  test("rejects nonsensical parameters loudly") {
+    intercept[IllegalArgumentException] {
+      Bloom.buildRow(Seq(1L).toDF("key"), "key", mBits = 100) // not /32
+    }
+    intercept[IllegalArgumentException] {
+      Bloom.buildRow(Seq(1L).toDF("key"), "key", mBits = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Bloom.mightContain("h1", "h2", "bloom", mBits = 512, j = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Bloom.mightContain("h;1", "h2", "bloom", mBits = 512)
+    }
+  }
+}
