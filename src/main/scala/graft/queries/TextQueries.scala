@@ -890,6 +890,45 @@ object TextQueries {
     // ledger inherits their pinned scale shapes (broadcast eval
     // fingerprints, banded LSH, broadcast eval embeddings) and adds
     // only catalog-sized outer joins on doc_id.
+    // BLOOM-GATED DECONTAMINATION — d30 at the scale where the eval
+    // fingerprint set can no longer broadcast EXACTLY (a full
+    // benchmark suite's 8-gram set reaches billions of entries; the
+    // q38 mechanics applied to the decontamination join): the eval
+    // fps fold into a 4 KB bloom row ([[graft.operators.Bloom]]),
+    // every train (doc, fp) probes it ROW-LOCALLY in the scan, and
+    // only candidates (394 of 23,256 at sf0.01 — a 59× cut) reach the
+    // exact residual join that removes the false positives (376 of
+    // 394 here — the witness columns carry all three counts per doc).
+    // n_shared is exactly d30's answer for every doc: the bloom can
+    // never lose a true match (no-false-negative contract, BloomSpec).
+    "d64_bloom_decontaminate" -> { (s, d) =>
+      val Mb = 4096; val J = 3
+      import graft.operators.Bloom
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TF.shingles(TF.tokens(col("text")), 8)).as("sh8"))
+      val evalFp = sh.filter(col("doc_id") % 50 === 0)
+        .select(md5(col("sh8")).as("fp")).distinct()
+      val bloomRow = Bloom.buildRow(evalFp, "fp", mBits = Mb, j = J)
+      val (kh1, kh2) = Bloom.hashes(col("fp"))
+      val tagged = sh.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), md5(col("sh8")).as("fp")).distinct()
+        .crossJoin(broadcast(bloomRow))
+        .withColumn("h1", kh1).withColumn("h2", kh2)
+        .withColumn("cand",
+          Bloom.mightContain("h1", "h2", "bloom", mBits = Mb, j = J))
+      val shared = tagged.filter(col("cand"))
+        .join(broadcast(evalFp), "fp")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      tagged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_probed"),
+          sum(col("cand").cast("long")).as("n_bloom_pass"))
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_probed"), col("n_bloom_pass"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    },
+
     // DEDUP-CASCADE ATTRITION funnel — the accounting report for the
     // three dedup mechanisms run in production order (exact bytes →
     // n-gram near-dup at 0.5 → embedding-space semantic at 0.4), with
@@ -2044,6 +2083,46 @@ object TextQueries {
     // d55: the three detector oracles as subquery blocks (each keeps
     // its own WITH chain), outer-joined; semantic best-score via MAX
     // over the thresholded pairs ≡ v14's rn=1 row.
+    // d64: d30's shingle/fp CTEs + q38's bloom build/probe arithmetic
+    // over the fp strings; the residual semi join restores exactness.
+    "d64_bloom_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |s8 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-6),
+        |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||
+        |             toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7])) AS sh8
+        |       FROM t),
+        |ev AS (SELECT DISTINCT md5(sh8) AS fp FROM s8 WHERE doc_id % 50 = 0),
+        |hx AS (SELECT fp,
+        |        CAST(('0x'||substr(md5(fp),1,8)) AS BIGINT) AS h1,
+        |        CAST(('0x'||substr(md5(fp||'#b'),1,8)) AS BIGINT) AS h2 FROM ev),
+        |pos AS (SELECT DISTINCT ((h1 + i.i*h2) % 4096) AS p
+        |        FROM hx CROSS JOIN (SELECT unnest(range(3)) AS i) i),
+        |words AS (SELECT p//32 AS w,
+        |           bit_or(CAST(1 AS BIGINT) << CAST(p%32 AS INTEGER)) AS word
+        |          FROM pos GROUP BY 1),
+        |tr AS (SELECT DISTINCT doc_id, md5(sh8) AS fp FROM s8
+        |       WHERE doc_id % 50 <> 0),
+        |ph AS (SELECT doc_id, fp,
+        |        CAST(('0x'||substr(md5(fp),1,8)) AS BIGINT) AS h1,
+        |        CAST(('0x'||substr(md5(fp||'#b'),1,8)) AS BIGINT) AS h2 FROM tr),
+        |cand AS (SELECT ph.doc_id, ph.fp
+        |         FROM ph CROSS JOIN (SELECT unnest(range(3)) AS i) i
+        |         JOIN words ON words.w = ((ph.h1 + i.i*ph.h2) % 4096)//32
+        |         WHERE ((words.word >> CAST(((ph.h1 + i.i*ph.h2) % 4096)%32 AS INTEGER)) & 1) = 1
+        |         GROUP BY 1, 2 HAVING COUNT(*) = 3),
+        |shd AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |        FROM cand c SEMI JOIN ev ON c.fp = ev.fp GROUP BY 1),
+        |base AS (SELECT ph.doc_id, CAST(COUNT(*) AS BIGINT) AS n_probed,
+        |          CAST(COUNT(*) FILTER (WHERE c.fp IS NOT NULL) AS BIGINT)
+        |            AS n_bloom_pass
+        |         FROM ph LEFT JOIN cand c
+        |          ON ph.doc_id = c.doc_id AND ph.fp = c.fp
+        |         GROUP BY 1)
+        |SELECT base.doc_id, base.n_probed, base.n_bloom_pass,
+        | COALESCE(shd.n_shared, 0) AS n_shared
+        |FROM base LEFT JOIN shd ON base.doc_id = shd.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+
     // d63: d04's fingerprint keeper + d06's candidate/sets CTEs at the
     // 0.5 gate + v09's shared pair SQL as a CTE, folded with d56's
     // conditional-sum attribution.
