@@ -901,6 +901,10 @@ object TextQueries {
     // 394 here — the witness columns carry all three counts per doc).
     // n_shared is exactly d30's answer for every doc: the bloom can
     // never lose a true match (no-false-negative contract, BloomSpec).
+    // Cost honesty: the n_probed witness needs every doc's distinct
+    // fingerprint count, which is one doc-keyed exchange of all
+    // (doc, fp) pairs; a pure serving form drops that column and ships
+    // only bloom-passed pairs (d30's join shape behind the prefilter).
     "d64_bloom_decontaminate" -> { (s, d) =>
       val Mb = 4096; val J = 3
       import graft.operators.Bloom

@@ -544,6 +544,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("Join"))
   }
 
+  test("d64: bloom row broadcasts; the probe is scan-side, not a key join") {
+    val p = plan("d64_bloom_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the packed bloom row must broadcast to the fingerprint scan")
+    // the ONLY equi joins are the exact residual against the eval fps
+    // and the per-doc witness merge — the eval set itself never
+    // becomes a shuffle-side of the train fingerprints
+    assert(!p.contains("SortMergeJoin"),
+      s"no fingerprint-keyed shuffle join may appear:\n${p.take(800)}")
+  }
+
   test("v22: pre-filter arm pushes the label predicate into the scan") {
     val pushed = scans("v22_filtered_knn").map(_._2)
     assert(pushed.exists(_.contains("EqualTo(label,3)")),
