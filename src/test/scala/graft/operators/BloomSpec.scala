@@ -50,6 +50,16 @@ class BloomSpec extends AnyFunSuite {
     assert(fp < 100, s"fp rate ${fp / 5000.0} implausibly high")
   }
 
+  test("empty key set builds an all-zero filter that rejects everything") {
+    val row = Bloom.buildRow(
+      Seq.empty[Long].toDF("key"), "key", mBits = 256)
+    val words = row.collect().head.getSeq[Long](0)
+    assert(words.length == 8 && words.forall(_ == 0L),
+      s"empty build must still be a full zero array, got $words")
+    assert(probeHits(Seq.empty, (1L to 50L).toSeq, 256, 3).isEmpty,
+      "nothing may pass an empty filter")
+  }
+
   test("rejects nonsensical parameters loudly") {
     intercept[IllegalArgumentException] {
       Bloom.buildRow(Seq(1L).toDF("key"), "key", mBits = 100) // not /32
