@@ -144,20 +144,20 @@ object Bench {
       case other => other
     }
     // The harness captures only the last ~2000 chars of output and parses
-    // the JSON line it finds there. Round-8's full-precision inline spreads
-    // grew the line past that window and the harness recorded parsed:null —
-    // so the stdout line stays COMPACT (3-decimal medians, ~25 chars/query)
-    // and the full-precision [min,median,max] spreads go to a sidecar file.
+    // the JSON line it finds there. Round-8's compact inline medians bought
+    // time, but by round 11 the query count had grown the line past the
+    // window again (the head — "metric":"total" — is what gets cut), and
+    // the driver recorded parsed:null every round since. So stdout now
+    // carries a FIXED-SIZE line (~150 bytes: total/noisy/failed counts,
+    // sf, n_queries) that always fits, and the complete per-query data —
+    // full-precision [min,median,max] spreads, noisy/healed lists — lives
+    // in the BENCH_SPREADS.json sidecar (medians are spreads[k][1]).
     def fmt(d: Double): String = {
       // Locale.ROOT for the same reason as the floors writer below.
       val pat = if (d >= 100) "%.0f" else if (d >= 10) "%.1f"
         else if (d >= 1) "%.2f" else "%.3f"
       String.format(java.util.Locale.ROOT, pat, Double.box(d))
     }
-    val qs = results.map {
-      case (k, Right(runs)) => s"\"$k\":${fmt(runs(1))}"
-      case (k, Left(_)) => s"\"$k\":-1"
-    }.mkString("{", ",", "}")
     val spreads = results.collect { case (k, Right(runs)) =>
       s""""$k":[${runs.mkString(",")}]"""
     }.mkString("{", ",", "}")
@@ -178,7 +178,8 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SPREADS.json"),
       (s"""{"spreads":$spreads,"noisy":[${noisy.map(k => s"\"$k\"").mkString(",")}],""" +
-        s""""healed":[${healedNames.map(k => s"\"$k\"").mkString(",")}],"sf":"$sfDir"}""")
+        s""""healed":[${healedNames.map(k => s"\"$k\"").mkString(",")}],""" +
+        s""""failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
         .getBytes("UTF-8"))
     catch { // the sidecar is best-effort; never fail the bench over it
       case e: java.io.IOException =>
@@ -206,7 +207,7 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH_FLOORS.json: $e")
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"noisy":[${noisy.map(k => s"\"$k\"").mkString(",")}],"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","noisy":${noisy.length},"failed":${failed.length},"healed":${healedNames.length},"n_queries":${results.length},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -347,6 +347,67 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
+  /** The string-keyed sibling of [[TopKByScore]]: exact per-group top-k
+    * over (integer score, string tag) with an extra payload column
+    * carried along un-ordered — the shape a vocabulary ranking needs
+    * (score = tf·idf_micro, tag = term, payload = tf). Order is
+    * (score DESC, tag ASC); tags must be unique within a group for the
+    * order to be total (a (cell, term) aggregate guarantees it). Same
+    * mergeability argument as TopKByScore: the state is a pure
+    * function of the input SET, so it partial-aggregates map-side and
+    * only k rows per group per task cross the wire — the 100-TB
+    * replacement for a rank window whose partitions are
+    * vocabulary-sized. Integer scores sidestep the NaN guard entirely.
+    * NULL score or tag = no element.
+    */
+  class TopKByScoreTagged(k: Int)
+      extends Aggregator[(java.lang.Long, String, java.lang.Long),
+        Seq[(Long, String, Long)], Seq[(Long, String, Long)]]
+      with Serializable {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+
+    /** Strict "ranks ahead of": score DESC then tag ASC. */
+    private def ahead(a: (Long, String, Long), b: (Long, String, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    def zero: Seq[(Long, String, Long)] = Vector.empty
+
+    def reduce(buf: Seq[(Long, String, Long)],
+        in: (java.lang.Long, String, java.lang.Long)): Seq[(Long, String, Long)] = {
+      if (in._1 == null || in._2 == null) return buf
+      val t = (in._1.longValue(), in._2,
+        if (in._3 == null) 0L else in._3.longValue())
+      if (buf.length == k && !ahead(t, buf.last)) return buf
+      val (better, rest) = buf.span(ahead(_, t))
+      if (rest.headOption.exists(r => r._1 == t._1 && r._2 == t._2)) buf
+      else ((better :+ t) ++ rest).take(k)
+    }
+
+    def merge(a: Seq[(Long, String, Long)],
+        b: Seq[(Long, String, Long)]): Seq[(Long, String, Long)] = {
+      val out = Vector.newBuilder[(Long, String, Long)]
+      var i = 0; var j = 0; var n = 0
+      val lim = math.min(a.length + b.length, k)
+      while (n < lim && (i < a.length || j < b.length)) {
+        val fromA = j >= b.length || (i < a.length && !ahead(b(j), a(i)))
+        val v = if (fromA) a(i) else b(j)
+        if (fromA) {
+          if (j < b.length && b(j)._1 == v._1 && b(j)._2 == v._2) j += 1
+          i += 1
+        } else j += 1
+        out += v; n += 1
+      }
+      out.result()
+    }
+
+    def finish(buf: Seq[(Long, String, Long)]): Seq[(Long, String, Long)] = buf
+
+    def bufferEncoder: Encoder[Seq[(Long, String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String, Long)]]()
+    def outputEncoder: Encoder[Seq[(Long, String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String, Long)]]()
+  }
+
   /** Misra-Gries heavy-hitters sketch: k counters; a miss on a full
     * summary decrements every counter (dropping zeros), so any item with
     * true frequency > n/(k+1) is GUARANTEED to survive, and every

@@ -990,7 +990,12 @@ object TextQueries {
     // (d61's micro-quantized idf, aggregated per cell instead of per
     // doc). This is how an unlabeled corpus gets human-readable
     // cluster names; every stage is pinned machinery and the whole
-    // composition replays in the oracle.
+    // composition replays in the oracle. The per-cell ranking is the
+    // MERGEABLE tagged top-k aggregate (e19's idiom with term tags) —
+    // a rank window partitioned by cell would sort each cell's ENTIRE
+    // vocabulary in one task (at 100 TB that is 10⁷–10⁸ rows through
+    // 8 straggler tasks, the exact shape d47/e18 banished); the
+    // aggregate state is 3 rows per cell per task, map-side combined.
     "d62_cluster_topics" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val seeds = emb.filter(col("vec_id") < 8)
@@ -1011,15 +1016,17 @@ object TextQueries {
         .select(col("term"),
           floor(log(col("n_docs").cast("double") / col("df").cast("double"))
             * lit(1000000.0)).cast("long").as("idf_micro"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cell"))
-        .orderBy(col("score_micro").desc, col("term"))
+      val topk = udaf(new graft.operators.Sketches.TopKByScoreTagged(3),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(java.lang.Long, String, java.lang.Long)]())
       tf.join(idf, "term")
         .withColumn("score_micro", col("tf") * col("idf_micro"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("cell"), col("rank"), col("term"), col("tf"),
-          col("score_micro"))
+        .groupBy(col("cell"))
+        .agg(topk(col("score_micro"), col("term"), col("tf")).as("top"))
+        .select(col("cell"), posexplode(col("top")).as(Seq("r0", "p")))
+        .select(col("cell"), (col("r0") + 1).cast("long").as("rank"),
+          col("p._2").as("term"), col("p._3").as("tf"),
+          col("p._1").as("score_micro"))
         .orderBy(col("cell"), col("rank"))
     },
 

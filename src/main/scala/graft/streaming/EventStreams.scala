@@ -235,20 +235,35 @@ object EventStreams {
 
     /** e23 over the ledger: every closed (type, hour) with at least
       * `minWindow` present trailing hours, z-scored. Pure driver
-      * arithmetic over catalog-sized state.
+      * arithmetic over catalog-sized state — one sort per type plus a
+      * prefix-sum sliding window, O(n log n) total, NOT the naive
+      * per-hour rescan of the whole map (O(n²), which a monitor that
+      * runs for months would feel: |types|·|hours| entries rescanned
+      * |entries| times per call). Prefix-sum differences of longs are
+      * exact, so the window sums — and therefore every z-score — are
+      * bit-identical to the per-hour rescan and to batch e23.
       */
     def anomalies(minWindow: Int = 12, flagAt: Double = 2.0)
         : Seq[AnomalyRow] =
-      counts.toSeq.sortBy { case ((t, h), _) => (t, h) }.flatMap {
-        case ((t, h), n) =>
-          val trail = counts.collect {
-            case ((`t`, hh), nn) if hh >= h - 24 && hh <= h - 1 => nn
-          }.toSeq
-          val cnt = trail.size.toLong
+      counts.groupBy(_._1._1).toSeq.sortBy(_._1).flatMap { case (t, m) =>
+        val hours = m.toArray.map { case ((_, h), n) => (h, n) }.sortBy(_._1)
+        // prefix(i) = Σ n, Σ n² over hours(0 until i) — longs, exact.
+        val psum = new Array[Long](hours.length + 1)
+        val psumsq = new Array[Long](hours.length + 1)
+        for (i <- hours.indices) {
+          psum(i + 1) = psum(i) + hours(i)._2
+          psumsq(i + 1) = psumsq(i) + hours(i)._2 * hours(i)._2
+        }
+        var lo = 0 // first index with hour >= h - 24; advances monotonically
+        hours.indices.flatMap { i =>
+          val (h, n) = hours(i)
+          while (hours(lo)._1 < h - 24) lo += 1
+          // present trailing hours in [h-24, h-1] = indices [lo, i)
+          val cnt = (i - lo).toLong
           if (cnt < minWindow) None
           else {
-            val sum = trail.sum
-            val sumsq = trail.map(x => x * x).sum
+            val sum = psum(i) - psum(lo)
+            val sumsq = psumsq(i) - psumsq(lo)
             val mean = sum.toDouble / cnt.toDouble
             val vnum = (cnt * sumsq - sum * sum).toDouble
             val z =
@@ -257,7 +272,17 @@ object EventStreams {
                 math.sqrt(vnum / (cnt * cnt).toDouble)
             Some(AnomalyRow(t, h, n, mean, z, math.abs(z) > flagAt))
           }
+        }
       }
+
+    /** Bounds the ledger on a forever-running monitor: drops every
+      * (type, hour) strictly before `minHourIdx`. The caller keeps the
+      * 24 hours BEFORE the earliest hour it still wants scored — an
+      * hour whose trailing window was truncated by eviction would
+      * otherwise z-score against a shorter trail than batch e23 sees.
+      */
+    def evictBefore(minHourIdx: Long): Unit =
+      counts = counts.filter { case ((_, h), _) => h >= minHourIdx }
   }
 
   /** Streaming face of e23: [[hourlyRollup]]'s finalized windows feed

@@ -264,6 +264,34 @@ class SketchesSpec extends AnyFunSuite {
     assert(agg.reduce(agg.zero, (Double.box(1.0), null)).isEmpty)
   }
 
+  test("TopKByScoreTagged ≡ window row_number under every layout; payload rides along") {
+    val rnd = new scala.util.Random(22)
+    // Unique (group, tag) pairs — the contract's totality precondition —
+    // with colliding scores so the tag tie-break actually bites.
+    val rows = Seq.tabulate(2400)(i =>
+      (s"g${i % 4}", rnd.nextInt(40).toLong, f"t${i / 4}%04d", (i * 7).toLong))
+    val want = rows.groupBy(_._1).view.mapValues(
+      _.map(t => (t._2, t._3, t._4)).sortBy(p => (-p._1, p._2)).take(5)).toMap
+    for (parts <- Seq(1, 5, 32)) {
+      val f = udaf(new Sketches.TopKByScoreTagged(5),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(java.lang.Long, String, java.lang.Long)]())
+      val got = rows.toDF("g", "score", "tag", "payload").repartition(parts)
+        .groupBy(col("g")).agg(f(col("score"), col("tag"), col("payload")).as("top"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getLong(0), p.getString(1), p.getLong(2))).toSeq)
+        .toMap
+      assert(got == want, s"parts=$parts tagged top-k drifted from the window form")
+    }
+    val agg = new Sketches.TopKByScoreTagged(3)
+    assert(agg.reduce(agg.zero, (null, "t", Long.box(1L))).isEmpty)
+    assert(agg.reduce(agg.zero, (Long.box(1L), null, Long.box(1L))).isEmpty)
+    // null payload is kept (as 0) — the element still ranks
+    assert(agg.reduce(agg.zero, (Long.box(1L), "t", null)) ==
+      Vector((1L, "t", 0L)))
+  }
+
   test("Misra-Gries: guaranteed hitters survive, counts within n/(k+1), any layout") {
     val k = 20
     // 3 heavy terms (1200/800/500 of n=4000) over a 400-term tail.

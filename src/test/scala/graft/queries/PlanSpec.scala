@@ -555,6 +555,17 @@ class PlanSpec extends AnyFunSuite {
       s"no fingerprint-keyed shuffle join may appear:\n${p.take(800)}")
   }
 
+  test("d62: cluster topics rank via the mergeable tagged top-k — no window on cell") {
+    // The r14 verdict's one `weak`: a rank window partitioned by cell
+    // holds a cell's entire vocabulary in one task. The fix is e19's
+    // idiom — state is 3 rows per cell per task, map-side combined.
+    val p = plan("d62_cluster_topics")
+    assert(!p.contains("Window"),
+      s"the per-cell ranking must not plan a window sort:\n${p.take(600)}")
+    assert(p.contains("partial_topkbyscoretagged"),
+      "the tagged top-k state must partial-aggregate map-side")
+  }
+
   test("v22: pre-filter arm pushes the label predicate into the scan") {
     val pushed = scans("v22_filtered_knn").map(_._2)
     assert(pushed.exists(_.contains("EqualTo(label,3)")),

@@ -658,6 +658,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("AnomalyLedger: prefix-sum windows ≡ per-hour rescan across types; evictBefore bounds state") {
+    // The O(n log n) anomalies() must be bit-identical to the naive
+    // O(n²) per-hour rescan it replaced — gappy hours, interleaved
+    // types, colliding hour indexes all at once.
+    val rnd = new scala.util.Random(15)
+    val ledger = new EventStreams.AnomalyLedger
+    ledger.counts = (for {
+      t <- Seq("view", "click", "purchase")
+      h <- 0L to 120L if rnd.nextDouble() < 0.8 // ~20% missing hours
+    } yield (t, h) -> (1L + rnd.nextInt(50)).toLong).toMap
+    def naive(minWindow: Int, flagAt: Double) =
+      ledger.counts.toSeq.sortBy { case ((t, h), _) => (t, h) }.flatMap {
+        case ((t, h), n) =>
+          val trail = ledger.counts.collect {
+            case ((`t`, hh), nn) if hh >= h - 24 && hh <= h - 1 => nn
+          }.toSeq
+          val cnt = trail.size.toLong
+          if (cnt < minWindow) None
+          else {
+            val sum = trail.sum
+            val sumsq = trail.map(x => x * x).sum
+            val mean = sum.toDouble / cnt.toDouble
+            val vnum = (cnt * sumsq - sum * sum).toDouble
+            val z = if (vnum <= 0) 0.0
+              else (n.toDouble - mean) / math.sqrt(vnum / (cnt * cnt).toDouble)
+            Some(EventStreams.AnomalyRow(t, h, n, mean, z, math.abs(z) > flagAt))
+          }
+      }
+    for ((mw, fa) <- Seq((12, 2.0), (1, 0.5), (24, 3.0)))
+      assert(ledger.anomalies(mw, fa) == naive(mw, fa),
+        s"minWindow=$mw flagAt=$fa drifted from the rescan form")
+    // eviction drops only pre-horizon state; post-horizon scores whose
+    // trailing windows never reach below the horizon are unchanged
+    val before = ledger.anomalies()
+    ledger.evictBefore(40L)
+    assert(ledger.counts.keys.forall(_._2 >= 40L), "evicted hours survive")
+    val after = ledger.anomalies()
+    assert(after.filter(_.hour_idx >= 40L + 24L) ==
+      before.filter(_.hour_idx >= 40L + 24L),
+      "scores with un-truncated windows must be unchanged by eviction")
+    // hours inside the horizon's 24-hour shadow see truncated trails —
+    // the documented caller contract (evict 24h before what you score)
+    assert(after.forall(_.hour_idx >= 40L))
+  }
+
   test("transitionIncrements aggregate to the batch e22 transition counts") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long, String)] // (event_id, user_id, ts_us, event_type)
