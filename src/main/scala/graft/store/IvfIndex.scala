@@ -89,6 +89,7 @@ object IvfIndex {
       .partitionBy("cell")
       .parquet(s"$path/vectors")
     writeSeeds(seeds, seedIdCol, seedVecCol, path)
+    writeIdCol(df.sparkSession, idCol, path)
   }
 
   /** [[build]] with int8 scalar-quantized storage ([[graft.operators
@@ -115,6 +116,7 @@ object IvfIndex {
       .partitionBy("cell")
       .parquet(s"$path/vectors")
     writeSeeds(seeds, seedIdCol, seedVecCol, path)
+    writeIdCol(df.sparkSession, idCol, path)
   }
 
   /** INCREMENTAL index maintenance: assign a delta batch against the
@@ -157,25 +159,99 @@ object IvfIndex {
       .parquet(s"$path/vectors")
   }
 
-  /** Compact an appended index back to one file per cell. Each
-    * [[append]] adds at least one file to every touched `cell=N`
-    * directory, and a year of daily ingest turns a probe's one-
-    * partition scan into hundreds of file opens — the classic
-    * small-file tax. Compaction is one read + one hash repartition ON
-    * THE CELL KEY + one partitioned write: every cell lands wholly in
-    * one task, so the writer emits exactly one file per cell, rows and
-    * layout (and therefore partition pruning) unchanged. The directory
-    * swap is delete-then-rename — NOT atomic; production runs schedule
-    * it in the same maintenance window as any non-transactional
-    * rewrite (or wrap the layout in a manifest/table format). Returns
+  /** Per-document DELETE as a tombstone write: appends the ids to
+    * `<path>/tombstones` (one long column, parquet). No index data
+    * moves — every search face anti-joins the tombstone set out of its
+    * candidates (a broadcast anti-join on the already-pruned probe
+    * scan; the set is deleted-ids-sized, tiny next to the index by
+    * contract), and the next [[compact]] drops the rows PHYSICALLY and
+    * clears the tombstones. This is the standard LSM/GDPR shape: a
+    * delete is cheap and immediately visible; reclamation rides the
+    * maintenance pass the index already schedules. Shared by the float
+    * and the quantized layout (tombstones key on id, not on storage).
+    */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteIds(ids.toDF("id"))(path)
+  }
+
+  /** [[delete]] for an id FRAME — the bulk form (e.g. "every doc_id
+    * the compliance query matched"), one distributed write, no driver
+    * materialization of the id list.
+    */
+  def deleteIds(ids: DataFrame)(path: String): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("id"))
+      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+
+  /** The live tombstone set, or None when nothing was ever deleted —
+    * None keeps every read path's plan byte-identical to a
+    * tombstone-free index (no join node appears at all).
+    */
+  private[store] def tombstones(spark: SparkSession, path: String)
+      : Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Anti-join the tombstone set out of a candidate frame. Broadcast:
+    * the set is bounded by deletions since the last compact, so the
+    * pruned cell scan never re-shuffles on id.
+    */
+  private[store] def dropTombstoned(df: DataFrame, idCol: String,
+      spark: SparkSession, path: String): DataFrame =
+    tombstones(spark, path).fold(df) { t =>
+      df.join(broadcast(t), df(idCol) === t("id"), "left_anti")
+    }
+
+  /** Compact an appended index back to one file per cell, dropping
+    * tombstoned rows physically. Each [[append]] adds at least one
+    * file to every touched `cell=N` directory, and a year of daily
+    * ingest turns a probe's one-partition scan into hundreds of file
+    * opens — the classic small-file tax. Compaction is one read (minus
+    * the tombstone anti-join, when tombstones exist) + one hash
+    * repartition ON THE CELL KEY + one partitioned write: every cell
+    * lands wholly in one task, so the writer emits exactly one file
+    * per cell, layout (and therefore partition pruning) unchanged.
+    *
+    * The directory swap is rename-aside → rename-in → delete-old, so
+    * the data is ALWAYS present under some name: a crash between the
+    * renames leaves `vectors_old` (healed by the next compact, which
+    * restores it), a crash before the delete leaves both (healed by
+    * dropping the superseded `vectors_old`). Still not ATOMIC for
+    * concurrent readers — production runs schedule it in a maintenance
+    * window or wrap the layout in a manifest/table format. Tombstones
+    * are cleared only AFTER the swap commits; a crash before that
+    * point re-drops the same rows next time (idempotent). Returns
     * (dataFilesBefore, dataFilesAfter).
     */
-  def compact(spark: SparkSession, path: String): (Long, Long) = {
+  def compact(spark: SparkSession, path: String): (Long, Long) =
+    // resolve the stored id column only when tombstones exist, so a
+    // tombstone-free compact works on indexes without the marker
+    compactLayout(spark, path, "vectors", storedIdCol(spark, path))
+
+  /** The shared compact core: read `<path>/<dirName>`, anti-join any
+    * tombstones (on `idCol`, resolved lazily — only when tombstones
+    * exist), fold to one file per cell, and swap the directory in with
+    * the rename-aside discipline documented on [[compact]]. Shared
+    * with [[IvfPqIndex.compact]] so the PQ layout can't drift from the
+    * float layout's crash-safety story.
+    */
+  private[store] def compactLayout(spark: SparkSession, path: String,
+      dirName: String, idCol: => String): (Long, Long) = {
     import org.apache.hadoop.fs.Path
-    val dir = s"$path/vectors"
-    val tmp = s"$path/vectors_compacting"
+    val dir = s"$path/$dirName"
+    val tmp = s"$path/${dirName}_compacting"
+    val old = s"$path/${dirName}_old"
     val fs = new Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
+    // Heal a crashed predecessor before measuring anything.
+    if (!fs.exists(new Path(dir)) && fs.exists(new Path(old)))
+      require(fs.rename(new Path(old), new Path(dir)),
+        s"heal failed: could not restore $old to $dir")
+    if (fs.exists(new Path(old))) fs.delete(new Path(old), true)
+    if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
     def countFiles(p: String): Long = {
       val it = fs.listFiles(new Path(p), true)
       var n = 0L
@@ -185,15 +261,43 @@ object IvfIndex {
       n
     }
     val before = countFiles(dir)
-    spark.read.parquet(dir)
+    val src = spark.read.parquet(dir)
+    tombstones(spark, path).fold(src) { t =>
+      src.join(broadcast(t), src(idCol) === t("id"), "left_anti")
+    }
       .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(tmp)
-    fs.delete(new Path(dir), true)
+    require(fs.rename(new Path(dir), new Path(old)),
+      s"compaction swap failed: could not move $dir aside")
     require(fs.rename(new Path(tmp), new Path(dir)),
-      s"compaction swap failed: could not rename $tmp over $dir")
+      s"compaction swap failed: could not rename $tmp into $dir")
+    fs.delete(new Path(old), true)
+    fs.delete(new Path(s"$path/tombstones"), true)
     (before, countFiles(dir))
+  }
+
+  /** The index's id column, recorded at [[build]] time as a 1-row
+    * parquet next to the seeds — the stored layout can carry arbitrary
+    * payload columns (labels, metadata) alongside the id, so the
+    * column cannot be inferred from the schema. Read lazily: only the
+    * tombstone paths need it.
+    */
+  private def writeIdCol(spark: SparkSession, idCol: String, path: String): Unit = {
+    import spark.implicits._
+    Seq(idCol).toDF("id_col").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/idcol")
+  }
+
+  private def storedIdCol(spark: SparkSession, path: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$path/idcol")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"$path/idcol missing — tombstone compaction needs the id column " +
+        "recorded at build time (rebuild, or write the marker by hand)")
+    spark.read.parquet(p.toString).head().getString(0)
   }
 
   private def writeSeeds(seeds: DataFrame, seedIdCol: String,
@@ -205,12 +309,17 @@ object IvfIndex {
   /** Search: score the query against the stored seeds (driver-side, the
     * codebook is tiny), then scan ONLY the nProbe nearest cells — the
     * cell filter prunes partitions before IO — and take the exact top-k
-    * inside them (per-partition heap, no global sort).
+    * inside them (per-partition heap, no global sort). Tombstoned ids
+    * ([[delete]]) are anti-joined out of the pruned scan before
+    * scoring, so a deleted vector is invisible from the moment the
+    * tombstone lands, not from the next compact.
     */
   def search(spark: SparkSession, path: String, idCol: String,
       vecCol: String, query: Array[Float], k: Int, nProbe: Int = 1): DataFrame =
-    spark.read.parquet(s"$path/vectors")
-      .filter(col("cell").isin(probeCells(spark, path, query, nProbe): _*)) // partition pruning
+    dropTombstoned(
+      spark.read.parquet(s"$path/vectors")
+        .filter(col("cell").isin(probeCells(spark, path, query, nProbe): _*)), // partition pruning
+      idCol, spark, path)
       .withColumn("score", vectors.cosineSimilarity(col(vecCol), lit(query)))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -233,7 +342,8 @@ object IvfIndex {
       vecCol: String, probes: DataFrame, probeIdCol: String,
       probeVecCol: String, k: Int, nProbe: Int = 1): DataFrame =
     Similarity.ivfSearchBatch(
-      spark.read.parquet(s"$path/vectors"), idCol, vecCol,
+      dropTombstoned(spark.read.parquet(s"$path/vectors"), idCol, spark, path),
+      idCol, vecCol,
       spark.read.parquet(s"$path/seeds"), "cell", "seed_vec",
       probes, probeIdCol, probeVecCol, nProbe, k)
 
@@ -247,7 +357,8 @@ object IvfIndex {
   def searchQuantized(spark: SparkSession, path: String, idCol: String,
       query: Array[Float], k: Int, nProbe: Int = 1): DataFrame =
     Similarity.ivfQuantizedSearch(
-      spark.read.parquet(s"$path/vectors"), idCol,
+      dropTombstoned(spark.read.parquet(s"$path/vectors"), idCol, spark, path),
+      idCol,
       spark.read.parquet(s"$path/seeds"), "cell", "seed_vec",
       query, nProbe, k)
 

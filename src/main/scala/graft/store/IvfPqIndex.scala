@@ -68,16 +68,58 @@ object IvfPqIndex {
       Array.tabulate(blocks, codes)((b, c) => byKey((b, c))))
   }
 
+  /** INCREMENTAL maintenance, [[IvfIndex.append]]'s PQ twin: assign a
+    * delta batch against the index's OWN frozen seeds, encode it with
+    * the index's OWN frozen codebooks, and append into the existing
+    * cell-partitioned layout — appended codes are indistinguishable
+    * from built ones to [[search]] (same assignment argmax, same
+    * codeword tables), so the daily-ingest shape holds for the
+    * compressed index too. Codebook drift is the retrain signal, not
+    * an append-time concern: encoding against frozen codebooks is
+    * exactly what keeps ADC scoring consistent across the whole index.
+    */
+  def append(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val seeds = spark.read.parquet(s"$path/seeds")
+    val cb = loadCodebooks(spark, path)
+    Similarity.ivfAssign(df, idCol, vecCol, seeds, "cell", "seed_vec")
+      .select(col(idCol).cast("long").as("id"),
+        ProductQuantizer.codesCol(col(vecCol), cb).as("codes"),
+        col("cell"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(s"$path/codes")
+  }
+
+  /** Per-document delete, [[IvfIndex.delete]]'s PQ twin — the PQ
+    * layout always stores its id as `id`, so the tombstone machinery
+    * needs no build-time marker here.
+    */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit =
+    IvfIndex.delete(spark, path, ids)
+
+  /** Fold appended small files back to one per cell and drop
+    * tombstoned rows physically — delegates to the shared compact core
+    * ([[IvfIndex.compactLayout]]: cell-keyed repartition, rename-aside
+    * swap, crash-heal), applied to the `codes` directory.
+    */
+  def compact(spark: SparkSession, path: String): (Long, Long) =
+    IvfIndex.compactLayout(spark, path, "codes", "id")
+
   /** Probe the `nProbe` nearest cells (partition-pruned) and ADC-score
     * their codes; `(cell, id, score)` top-k. The scan touches codes
-    * only — no vector column exists on disk to read.
+    * only — no vector column exists on disk to read. Tombstoned ids
+    * are anti-joined out before scoring ([[delete]]).
     */
   def search(spark: SparkSession, path: String, query: Array[Float],
       k: Int, nProbe: Int = 1): DataFrame = {
     val cb = loadCodebooks(spark, path)
-    spark.read.parquet(s"$path/codes")
-      .filter(col("cell").isin(
-        IvfIndex.probeCells(spark, path, query, nProbe): _*)) // partition pruning
+    IvfIndex.dropTombstoned(
+      spark.read.parquet(s"$path/codes")
+        .filter(col("cell").isin(
+          IvfIndex.probeCells(spark, path, query, nProbe): _*)), // partition pruning
+      "id", spark, path)
       .withColumn("score",
         ProductQuantizer.adcScoreCol(col("codes"), cb, query))
       .orderBy(col("score").desc, col("id"))

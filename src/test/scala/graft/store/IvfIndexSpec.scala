@@ -213,6 +213,97 @@ class IvfIndexSpec extends AnyFunSuite {
       == preSearch)
   }
 
+  test("delete: tombstones hide ids from every face; compact drops them physically") {
+    val e = Tables.embeddings(spark, sf)
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+    val p2 = Files.createTempDirectory("graft-ivf-del").toString
+    IvfIndex.build(e, "vec_id", "embedding", seeds, "seed_id", "seed_vec", p2)
+    // delete the current top-2 so the tombstones demonstrably bite
+    val top = IvfIndex.search(spark, p2, "vec_id", "embedding", query, k = 5)
+      .collect().map(_.getLong(1)).toSeq
+    val dead = top.take(2)
+    IvfIndex.delete(spark, p2, dead)
+    // reference: an index REBUILT without the deleted rows
+    val p3 = Files.createTempDirectory("graft-ivf-del-ref").toString
+    IvfIndex.build(e.filter(!col("vec_id").isin(dead: _*)), "vec_id",
+      "embedding", seeds, "seed_id", "seed_vec", p3)
+    def res(p: String) =
+      IvfIndex.search(spark, p, "vec_id", "embedding", query, k = 5)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(res(p2) == res(p3),
+      "post-delete search must equal rebuild-without-deleted")
+    assert(res(p2).map(_._1).intersect(dead).isEmpty)
+    // the batch face filters too
+    val probes = e.filter(col("vec_id") === 42)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val batchIds = IvfIndex.searchBatch(spark, p2, "vec_id", "embedding",
+      probes, "probe_id", "embedding", k = 5)
+      .collect().map(_.getLong(2)).toSet
+    assert(batchIds.intersect(dead.toSet).isEmpty,
+      "searchBatch must not surface tombstoned ids")
+    // compact: rows physically drop, tombstones clear, search unchanged
+    val preRows = spark.read.parquet(s"$p2/vectors").count()
+    val preSearch = res(p2)
+    IvfIndex.compact(spark, p2)
+    assert(spark.read.parquet(s"$p2/vectors").count() == preRows - dead.length,
+      "compaction must physically drop the tombstoned rows")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$p2/tombstones")),
+      "a committed compact must clear the tombstone set")
+    assert(res(p2) == preSearch, "search must be unchanged by the compact")
+    // second delete round after compact still works (fresh tombstone dir)
+    IvfIndex.delete(spark, p2, Seq(top(2)))
+    assert(!res(p2).map(_._1).contains(top(2)))
+  }
+
+  test("delete on a quantized index: searchQuantized hides tombstoned ids") {
+    val e = Tables.embeddings(spark, sf)
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+    val p2 = Files.createTempDirectory("graft-ivfq-del").toString
+    IvfIndex.buildQuantized(e, "vec_id", "embedding", seeds,
+      "seed_id", "seed_vec", p2)
+    val top = IvfIndex.searchQuantized(spark, p2, "vec_id", query, k = 5)
+      .collect().map(_.getLong(1)).toSeq
+    IvfIndex.delete(spark, p2, top.take(2))
+    val after = IvfIndex.searchQuantized(spark, p2, "vec_id", query, k = 5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(after.intersect(top.take(2)).isEmpty)
+    assert(after.length == 5, "the heap must backfill past tombstones")
+    // quantized compact drops them physically (idColOf resolves vec_id
+    // among (codes, scale, cell))
+    val preRows = spark.read.parquet(s"$p2/vectors").count()
+    IvfIndex.compact(spark, p2)
+    assert(spark.read.parquet(s"$p2/vectors").count() == preRows - 2)
+  }
+
+  test("compact heals a crashed predecessor's swap states") {
+    val e = Tables.embeddings(spark, sf)
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+    val p2 = Files.createTempDirectory("graft-ivf-heal").toString
+    IvfIndex.build(e, "vec_id", "embedding", seeds, "seed_id", "seed_vec", p2)
+    val want = spark.read.parquet(s"$p2/vectors").count()
+    val fs = new org.apache.hadoop.fs.Path(p2).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // crash between the renames: vectors moved aside, replacement never
+    // landed — the data exists only under vectors_old
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$p2/vectors"),
+      new org.apache.hadoop.fs.Path(s"$p2/vectors_old")))
+    val (before, after) = IvfIndex.compact(spark, p2)
+    assert(before > 0 && after > 0)
+    assert(spark.read.parquet(s"$p2/vectors").count() == want,
+      "heal must restore the moved-aside data before compacting")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p2/vectors_old")))
+    // crash after the swap, before cleanup: a superseded vectors_old
+    // lingers next to a live vectors — the next compact removes it
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p2/vectors_old"))
+    IvfIndex.compact(spark, p2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p2/vectors_old")))
+    assert(spark.read.parquet(s"$p2/vectors").count() == want)
+  }
+
   test("appendQuantized: delta codes indistinguishable from built ones") {
     val e = Tables.embeddings(spark, sf)
     val seeds = e.filter(col("vec_id") < 8)

@@ -88,6 +88,65 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF-PQ recall@10 too low: $recall (hits=$hits)")
   }
 
+  test("append: build(base) + append(delta) ≡ one-shot build, codes bit-identical") {
+    // v20's pin on the PQ layout: a delta encoded against the FROZEN
+    // seeds and codebooks lands indistinguishable from a one-shot
+    // build over the union — (cell, id, codes) multisets equal.
+    val p2 = Files.createTempDirectory("graft-ivfpq-append").toString
+    val seeds = IvfIndex.trainSeeds(corpus, "id", "vec", k = 4, iters = 3)
+    val cb = ProductQuantizer.train(corpus, "id", "vec",
+      blocks = 4, codes = 16, iters = 3)
+    IvfPqIndex.build(corpus.filter(col("id") % 2 === 0), "id", "vec",
+      seeds, "cell_id", "seed_vec", cb, p2)
+    IvfPqIndex.append(corpus.filter(col("id") % 2 === 1), "id", "vec", p2)
+    def layout(p: String) = spark.read.parquet(s"$p/codes")
+      .collect()
+      .map(r => (r.getAs[Number](r.fieldIndex("cell")).longValue,
+        r.getLong(r.fieldIndex("id")),
+        r.getSeq[Int](r.fieldIndex("codes")).toSeq)).toSet
+    assert(layout(p2) == layout(path),
+      "appended PQ layout must equal the one-shot layout code for code")
+    // search face bit-identical over the appended index
+    val got = IvfPqIndex.search(spark, p2, vec(34), k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val ref = IvfPqIndex.search(spark, path, vec(34), k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == ref)
+  }
+
+  test("compact folds appended files to one per cell; delete tombstones then drops rows") {
+    val p2 = Files.createTempDirectory("graft-ivfpq-compact").toString
+    val seeds = IvfIndex.trainSeeds(corpus, "id", "vec", k = 4, iters = 3)
+    val cb = ProductQuantizer.train(corpus, "id", "vec",
+      blocks = 4, codes = 16, iters = 3)
+    IvfPqIndex.build(corpus.filter(col("id") % 4 === 0), "id", "vec",
+      seeds, "cell_id", "seed_vec", cb, p2)
+    for (r <- 1L to 3L)
+      IvfPqIndex.append(corpus.filter(col("id") % 4 === r), "id", "vec", p2)
+    val preSearch = IvfPqIndex.search(spark, p2, vec(34), k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val (before, after) = IvfPqIndex.compact(spark, p2)
+    val nCells = spark.read.parquet(s"$p2/codes")
+      .select(col("cell")).distinct().count()
+    assert(before > nCells && after == nCells,
+      s"expected $nCells files after compact, got $after (before $before)")
+    assert(IvfPqIndex.search(spark, p2, vec(34), k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq == preSearch,
+      "compaction must not change search results")
+    // tombstone delete: hidden immediately, dropped physically on compact
+    val dead = preSearch.take(2).map(_._1)
+    IvfPqIndex.delete(spark, p2, dead)
+    val afterDel = IvfPqIndex.search(spark, p2, vec(34), k = 5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(afterDel.intersect(dead).isEmpty && afterDel.length == 5)
+    val preRows = spark.read.parquet(s"$p2/codes").count()
+    IvfPqIndex.compact(spark, p2)
+    assert(spark.read.parquet(s"$p2/codes").count() == preRows - dead.length)
+    assert(IvfPqIndex.search(spark, p2, vec(34), k = 5)
+      .collect().map(_.getLong(1)).toSeq == afterDel,
+      "post-compact search must equal the tombstone-filtered search")
+  }
+
   test("single-cell probe stays inside one cell and is ADC-exact there") {
     val q = vec(34)
     val rows = IvfPqIndex.search(spark, path, q, k = 5, nProbe = 1).collect()
