@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.text.TextFunctions.hash32
@@ -81,4 +81,64 @@ object Bloom {
             |   cast((($h1Col + i * $h2Col) % $mBits) % 32 as int)) & 1) = 1))"""
       .stripMargin)
   }
+
+  /** Standard Bloom sizing for `n` expected keys at false-positive rate
+    * `fpp`: m = ⌈−n·ln(fpp)/ln²2⌉ rounded up to a multiple of 32 (the
+    * word-packing contract), j = max(1, round(m/n·ln 2)).
+    */
+  def sizeFor(n: Long, fpp: Double): (Int, Int) = {
+    require(n > 0, s"need n > 0 keys, got $n")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val ln2 = math.log(2)
+    val raw = math.ceil(-n * math.log(fpp) / (ln2 * ln2)).toLong
+    val m = (((raw + 31) / 32) * 32).toInt
+    val j = math.max(1, math.round(m.toDouble / n * ln2).toInt)
+    (m, j)
+  }
+
+  /** A stored filter: the 1-row bloom frame plus the (mBits, j, nKeys)
+    * shape it was built with — probing with a different shape would be
+    * silent garbage, so the shape persists WITH the bits and [[read]]
+    * hands both back together.
+    */
+  final case class StoredBloom(row: DataFrame, mBits: Int, j: Int,
+      nKeys: Long)
+
+  /** Persist a [[buildRow]] result (the KmvState/q27 pattern applied to
+    * the Bloom state): one parquet row carrying the word array and its
+    * shape. The nightly-decontamination use case — a static eval set's
+    * filter is folded ONCE, stored, and every later run [[read]]s the
+    * row instead of re-aggregating the eval set.
+    */
+  def write(bloomRow: DataFrame, path: String, mBits: Int, j: Int,
+      nKeys: Long): Unit =
+    bloomRow.select(col("bloom"), lit(mBits).as("m_bits"), lit(j).as("j"),
+        lit(nKeys).as("n_keys"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Load a [[write]]-stored filter; fails loudly on a malformed row. */
+  def read(spark: SparkSession, path: String): StoredBloom = {
+    val df = spark.read.parquet(path)
+    val meta = df.select(col("m_bits"), col("j"), col("n_keys")).head()
+    StoredBloom(df.select(col("bloom")),
+      meta.getInt(0), meta.getInt(1), meta.getLong(2))
+  }
+
+  /** Union two filters of IDENTICAL shape: bit_or word by word — a
+    * bloom over keys(A) ∪ keys(B), exactly what folding the union
+    * would build (bit_or is associative/commutative/idempotent, so
+    * merge trees and re-merges are all equivalent; BloomSpec pins
+    * merged ≡ direct). Shape mismatch raises at execution — merging
+    * filters with different (m, j) has no meaning.
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bloom").as("_ba"))
+      .crossJoin(b.select(col("bloom").as("_bb")))
+      .select(when(size(col("_ba")) =!= size(col("_bb")),
+          raise_error(concat(lit("cannot merge bloom filters of widths "),
+            size(col("_ba")).cast("string"), lit(" and "),
+            size(col("_bb")).cast("string"))))
+        .otherwise(zip_with(col("_ba"), col("_bb"), (x, y) => x.bitwiseOR(y)))
+        .as("bloom"))
 }

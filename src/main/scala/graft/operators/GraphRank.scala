@@ -112,10 +112,20 @@ object GraphRank {
     *
     * Returns (node, hub, auth) from the final round.
     */
+  /** `convergeTol = Some(tol)` turns `iters` into a MAXIMUM, the
+    * [[pageRank]]/[[labelPropagation]] symmetry: the loop stops the
+    * first round BOTH chains' max-abs score delta is ≤ tol (each
+    * checked on the just-checkpointed frame by carrying the previous
+    * score — no re-run of the iteration joins) and FAILS LOUDLY if
+    * `iters` rounds pass without it, because integer-normalized HITS
+    * can oscillate and a truncated oscillation must never silently
+    * read as a ranking.
+    */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, unitMicro: Long = 1000000L,
       assumeDistinct: Boolean = false,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      convergeTol: Option[Long] = None): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(unitMicro > 0, s"unitMicro must be positive, got $unitMicro")
     val cast = edges.select(col(srcCol).cast("long").as("src"),
@@ -129,27 +139,57 @@ object GraphRank {
     val ckA = new LineageCheckpoint(spark, checkpointDir)
     val ckH = new LineageCheckpoint(spark, checkpointDir)
     var hubs = nodes.select(col("node"), lit(unitMicro).as("hub"))
-    var auths: DataFrame = null
+    // Uniform initial authorities exist only as the round-1 comparison
+    // base for the convergence check; the score chain itself always
+    // derives auths from hubs first.
+    var auths: DataFrame = nodes.select(col("node"), lit(unitMicro).as("auth"))
+    var converged = false
     try {
-      for (_ <- 0 until iters) {
+      var i = 0
+      while (i < iters && !converged) {
         val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("ar"))
         val aMax = aRaw.agg(max(col("ar")).as("am"))
-        auths = ckA(nodes.join(aRaw, Seq("node"), "left")
+        val aNew = nodes.join(aRaw, Seq("node"), "left")
           .crossJoin(broadcast(aMax))
           .select(col("node"),
             expr(s"($unitMicro * coalesce(ar, CAST(0 AS BIGINT))) div am")
-              .as("auth")))
+              .as("auth"))
+        var aSettled = true
+        convergeTol match {
+          case None => auths = ckA(aNew)
+          case Some(tol) =>
+            val next = ckA(aNew
+              .join(auths.select(col("node"), col("auth").as("_hi_old")),
+                Seq("node"))
+              .select(col("node"), col("auth"), col("_hi_old")))
+            aSettled = next.filter(abs(col("auth") - col("_hi_old")) > tol).isEmpty
+            auths = next.select(col("node"), col("auth"))
+        }
         val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hr"))
         val hMax = hRaw.agg(max(col("hr")).as("hm"))
-        hubs = ckH(nodes.join(hRaw, Seq("node"), "left")
+        val hNew = nodes.join(hRaw, Seq("node"), "left")
           .crossJoin(broadcast(hMax))
           .select(col("node"),
             expr(s"($unitMicro * coalesce(hr, CAST(0 AS BIGINT))) div hm")
-              .as("hub")))
+              .as("hub"))
+        convergeTol match {
+          case None => hubs = ckH(hNew)
+          case Some(tol) =>
+            val next = ckH(hNew
+              .join(hubs.select(col("node"), col("hub").as("_hi_old")),
+                Seq("node"))
+              .select(col("node"), col("hub"), col("_hi_old")))
+            converged = aSettled &&
+              next.filter(abs(col("hub") - col("_hi_old")) > tol).isEmpty
+            hubs = next.select(col("node"), col("hub"))
+        }
+        i += 1
       }
     } finally { e.unpersist(); nodes.unpersist() }
+    require(convergeTol.isEmpty || converged,
+      s"HITS did not converge within $iters rounds (tol=${convergeTol.get})")
     hubs.join(auths, "node")
   }
 

@@ -933,6 +933,38 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // d64's PURE SERVING face — the form a production decontamination
+    // job actually runs nightly: only contaminated docs and their true
+    // overlap counts, NO witness columns. Dropping n_probed drops the
+    // doc-keyed exchange of the FULL (doc, fp) pair set (d64's
+    // documented cost): here the bloom probe filters BEFORE any
+    // doc-keyed exchange, so only bloom-passed candidates (394 of
+    // 23,256 pairs at sf0.01) ever cross a shuffle — the 59× candidate
+    // cut becomes a 59× shuffle cut. Probing before the (doc, fp)
+    // dedup is sound because the probe is a pure function of fp.
+    // n_shared per doc is bit-identical to d64's (and d30's): the
+    // exact residual join still removes every false positive.
+    "d65_bloom_serving" -> { (s, d) =>
+      val Mb = 4096; val J = 3
+      import graft.operators.Bloom
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TF.shingles(TF.tokens(col("text")), 8)).as("sh8"))
+      val evalFp = sh.filter(col("doc_id") % 50 === 0)
+        .select(md5(col("sh8")).as("fp")).distinct()
+      val bloomRow = Bloom.buildRow(evalFp, "fp", mBits = Mb, j = J)
+      val (kh1, kh2) = Bloom.hashes(col("fp"))
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), md5(col("sh8")).as("fp"))
+        .crossJoin(broadcast(bloomRow))
+        .withColumn("h1", kh1).withColumn("h2", kh2)
+        .filter(Bloom.mightContain("h1", "h2", "bloom", mBits = Mb, j = J))
+        .select(col("doc_id"), col("fp")).distinct()
+        .join(broadcast(evalFp), "fp")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    },
+
     // DEDUP-CASCADE ATTRITION funnel — the accounting report for the
     // three dedup mechanisms run in production order (exact bytes →
     // n-gram near-dup at 0.5 → embedding-space semantic at 0.4), with
@@ -2133,6 +2165,37 @@ object TextQueries {
         | COALESCE(shd.n_shared, 0) AS n_shared
         |FROM base LEFT JOIN shd ON base.doc_id = shd.doc_id
         |ORDER BY base.doc_id""".stripMargin,
+
+    // d65: d64's CTE chain minus the witness aggregate — the serving
+    // answer is cand ⋉ ev, counted per doc.
+    "d65_bloom_serving" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |s8 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-6),
+        |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||
+        |             toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7])) AS sh8
+        |       FROM t),
+        |ev AS (SELECT DISTINCT md5(sh8) AS fp FROM s8 WHERE doc_id % 50 = 0),
+        |hx AS (SELECT fp,
+        |        CAST(('0x'||substr(md5(fp),1,8)) AS BIGINT) AS h1,
+        |        CAST(('0x'||substr(md5(fp||'#b'),1,8)) AS BIGINT) AS h2 FROM ev),
+        |pos AS (SELECT DISTINCT ((h1 + i.i*h2) % 4096) AS p
+        |        FROM hx CROSS JOIN (SELECT unnest(range(3)) AS i) i),
+        |words AS (SELECT p//32 AS w,
+        |           bit_or(CAST(1 AS BIGINT) << CAST(p%32 AS INTEGER)) AS word
+        |          FROM pos GROUP BY 1),
+        |tr AS (SELECT DISTINCT doc_id, md5(sh8) AS fp FROM s8
+        |       WHERE doc_id % 50 <> 0),
+        |ph AS (SELECT doc_id, fp,
+        |        CAST(('0x'||substr(md5(fp),1,8)) AS BIGINT) AS h1,
+        |        CAST(('0x'||substr(md5(fp||'#b'),1,8)) AS BIGINT) AS h2 FROM tr),
+        |cand AS (SELECT ph.doc_id, ph.fp
+        |         FROM ph CROSS JOIN (SELECT unnest(range(3)) AS i) i
+        |         JOIN words ON words.w = ((ph.h1 + i.i*ph.h2) % 4096)//32
+        |         WHERE ((words.word >> CAST(((ph.h1 + i.i*ph.h2) % 4096)%32 AS INTEGER)) & 1) = 1
+        |         GROUP BY 1, 2 HAVING COUNT(*) = 3)
+        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM cand c SEMI JOIN ev ON c.fp = ev.fp
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // d63: d04's fingerprint keeper + d06's candidate/sets CTEs at the
     // 0.5 gate + v09's shared pair SQL as a CTE, folded with d56's

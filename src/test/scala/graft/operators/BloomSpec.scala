@@ -60,6 +60,53 @@ class BloomSpec extends AnyFunSuite {
       "nothing may pass an empty filter")
   }
 
+  test("stored row round-trips bit-for-bit with its shape; probes identically") {
+    val keys = (1L to 80L).toSeq
+    val built = Bloom.buildRow(keys.toDF("key"), "key", mBits = 512, j = 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bloom").toString + "/row"
+    Bloom.write(built, path, mBits = 512, j = 3, nKeys = keys.length.toLong)
+    val back = Bloom.read(spark, path)
+    assert(back.mBits == 512 && back.j == 3 && back.nKeys == 80L)
+    assert(back.row.head().getSeq[Long](0) == built.head().getSeq[Long](0),
+      "stored words drifted through disk")
+    // a probe through the stored row equals a probe through the build
+    val (h1, h2) = Bloom.hashes(col("key"))
+    def hits(row: org.apache.spark.sql.DataFrame) =
+      (1L to 400L).toDF("key").crossJoin(broadcast(row))
+        .withColumn("h1", h1).withColumn("h2", h2)
+        .filter(Bloom.mightContain("h1", "h2", "bloom", 512, 3))
+        .collect().map(_.getLong(0)).toSet
+    assert(hits(back.row) == hits(built))
+  }
+
+  test("merge of equal-shape filters ≡ building over the union; mismatch is loud") {
+    val a = (1L to 60L).toSeq
+    val b = (40L to 120L).toSeq // overlapping — idempotence exercised
+    val merged = Bloom.merge(
+      Bloom.buildRow(a.toDF("key"), "key", 512, 3),
+      Bloom.buildRow(b.toDF("key"), "key", 512, 3))
+    val direct = Bloom.buildRow((a ++ b).toDF("key"), "key", 512, 3)
+    assert(merged.head().getSeq[Long](0) == direct.head().getSeq[Long](0),
+      "bit_or merge must equal the one-shot union build")
+    val ex = intercept[Exception] {
+      Bloom.merge(
+        Bloom.buildRow(a.toDF("key"), "key", 512, 3),
+        Bloom.buildRow(b.toDF("key"), "key", 256, 3)).collect()
+    }
+    assert(ex.getMessage.contains("cannot merge"),
+      s"shape mismatch must raise the documented error, got: ${ex.getMessage}")
+  }
+
+  test("sizeFor lands near the theoretical optimum and respects word packing") {
+    val (m, j) = Bloom.sizeFor(1000, 0.01)
+    assert(m % 32 == 0)
+    assert(m >= 9580 && m <= 9620, s"m=$m for n=1000 fpp=1% (theory 9586)")
+    assert(j == 7, s"j=$j (theory ln2·m/n ≈ 6.6)")
+    intercept[IllegalArgumentException](Bloom.sizeFor(0, 0.01))
+    intercept[IllegalArgumentException](Bloom.sizeFor(10, 1.5))
+  }
+
   test("rejects nonsensical parameters loudly") {
     intercept[IllegalArgumentException] {
       Bloom.buildRow(Seq(1L).toDF("key"), "key", mBits = 100) // not /32

@@ -262,6 +262,29 @@ class GraphRankSpec extends AnyFunSuite {
       1L -> (0L, 500000L), 2L -> (0L, 1000000L), 3L -> (0L, 500000L)))
   }
 
+  test("hits: convergence mode stops at the fixed point; fails loudly when it can't") {
+    // The hand fixture reaches its integer fixed point after round 2
+    // (round 2 recomputes round 1's scores exactly), so a converged
+    // run must equal a deep fixed-iteration run on both chains.
+    val edges = Seq((-1L, 1L), (-1L, 2L), (-2L, 2L), (-2L, 3L))
+    val deep = GraphRank.hits(edges.toDF("src", "dst"), "src", "dst",
+        iters = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val conv = GraphRank.hits(edges.toDF("src", "dst"), "src", "dst",
+        iters = 50, convergeTol = Some(0L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(conv === deep,
+      "converged HITS must land on the fixed-iteration fixed point")
+    // one round cannot settle from the uniform start (auths move from
+    // the uniform base to the computed scores) — must fail loudly, not
+    // hand back a half-iterated ranking
+    val ex = intercept[IllegalArgumentException] {
+      GraphRank.hits(edges.toDF("src", "dst"), "src", "dst",
+        iters = 1, convergeTol = Some(0L))
+    }
+    assert(ex.getMessage.contains("converge"))
+  }
+
   /** Driver-side replay of the synchronous min-tie-break LPA vote. */
   private def lpaReference(edges: Seq[(Long, Long)], iters: Int)
       : Map[Long, Long] = {

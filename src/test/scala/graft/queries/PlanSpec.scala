@@ -566,6 +566,35 @@ class PlanSpec extends AnyFunSuite {
       "the tagged top-k state must partial-aggregate map-side")
   }
 
+  test("d65: serving decontamination — only bloom-passed pairs cross a doc-keyed shuffle") {
+    // The serving claim vs d64: dropping the n_probed witness drops
+    // the exchange of the FULL pair set. Pin it structurally: every
+    // shuffle that partitions on doc_id must have the bloom probe
+    // (the forall bit-test filter) strictly BELOW it.
+    val df = SparkEntry.queries("d65_bloom_serving")(spark, sf)
+    // exchanges are inserted by EnsureRequirements — unwrap the AQE
+    // node to see them (sparkPlan is pre-insertion, executedPlan's
+    // collect() stops at the adaptive wrapper)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(!exec.toString.contains("SortMergeJoin"),
+      "no fingerprint-keyed shuffle join may appear")
+    assert(exec.toString.contains("BroadcastNestedLoopJoin"),
+      "the packed bloom row must broadcast to the fingerprint scan")
+    val docKeyed = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("doc_id") => e
+    }
+    assert(docKeyed.nonEmpty, "the candidate dedup/count exchanges must exist")
+    docKeyed.foreach { e =>
+      assert(e.child.toString.contains("forall"),
+        s"a doc-keyed exchange carries un-probed pairs:\n${e.toString.take(400)}")
+    }
+  }
+
   test("v22: pre-filter arm pushes the label predicate into the scan") {
     val pushed = scans("v22_filtered_knn").map(_._2)
     assert(pushed.exists(_.contains("EqualTo(label,3)")),

@@ -777,6 +777,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("entryPathIncrements aggregate to the batch e26 path counts on closed sessions") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)] // (user_id, ts_us, type)
+    def us(s: String) = ts(s).getTime * 1000L
+    val q = EventStreams.entryPathIncrements(in.toDS(), gapMinutes = 30,
+      watermark = "1 hour", depth = 3)
+      .writeStream.format("memory").queryName("entrypaths")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      // 3 users, sessions longer than depth (slice bites), identical
+      // entry paths across users (counts > 1), a length-1 session, and
+      // cross-batch out-of-order arrival within the watermark.
+      val evts = Seq(
+        (1L, us("2024-01-01 10:00:00"), "view"),
+        (1L, us("2024-01-01 10:05:00"), "click"),
+        (1L, us("2024-01-01 10:10:00"), "cart"),
+        (1L, us("2024-01-01 10:15:00"), "purchase"), // >3: sliced off
+        (2L, us("2024-01-01 10:01:00"), "view"),
+        (2L, us("2024-01-01 10:06:00"), "click"),
+        (2L, us("2024-01-01 10:07:00"), "cart"),
+        (3L, us("2024-01-01 10:02:00"), "error"), // 1-event session
+        (1L, us("2024-01-01 12:00:00"), "view"), // user 1, session 2
+        (1L, us("2024-01-01 12:03:00"), "view"))
+      val (a, b) = evts.splitAt(5)
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      // push the watermark past every session's horizon
+      in.addData((9L, us("2024-01-02 00:00:00"), "view"))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout emissions need the next trigger
+      val got = spark.table("entrypaths").groupBy(col("path")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // batch truth: sessionize the closed events in plain Scala (all
+      // ts are distinct per user, so no tie-break ambiguity)
+      val gapUs = 30L * 60 * 1000 * 1000
+      val want = evts.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        val sorted = es.map(e => (e._2, e._3)).sortBy(_._1)
+        val sessions = sorted.foldLeft(List.empty[List[(Long, String)]]) {
+          case (acc, e) => acc match {
+            case cur :: rest if e._1 - cur.head._1 <= gapUs =>
+              (e :: cur) :: rest
+            case _ => List(e) :: acc
+          }
+        }
+        sessions.map(_.reverse.map(_._2).take(3).mkString(">"))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == want, s"stream paths drifted:\n got: $got\nwant: $want")
+      // exactly one increment per closed session
+      assert(spark.table("entrypaths").count() == want.values.sum)
+    } finally q.stop()
+  }
+
   test("streamingFunnel: ordered stage machine, completion clears state") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Long, String)]
@@ -1110,7 +1165,8 @@ class StreamingSpec extends AnyFunSuite {
       in.toDF.toDF("doc_id", "text"), HashingEmbedder(64), store, "bound_idx",
       chunkSize = 2048, overlap = 256,
       noveltyGate = true, noveltyFpp = 0.01, noveltyRebuildEvery = 3,
-      nearDupGate = true, nearDupThreshold = 0.9, state = state)
+      nearDupGate = true, nearDupThreshold = 0.9, state = state,
+      noveltySeedPath = None)
       .option("checkpointLocation",
         Files.createTempDirectory("graft-ck").toString)
       .start()
@@ -1129,6 +1185,53 @@ class StreamingSpec extends AnyFunSuite {
         assert(state.sinceRebuild == inWindow)
       }
     } finally q.stop()
+  }
+
+  test("novelty gate seeded from a stored bloom row: reused when the corpus hasn't grown") {
+    // The q27 stored-state pattern on the gate: each rebuild persists
+    // the declarative Bloom row; a later run whose snapshot count
+    // matches the stored one reuses it (append-only store: equal count
+    // ⇒ identical fingerprint set) instead of re-folding the corpus —
+    // the nightly-restart shape. Gating behavior must be identical to
+    // the driver-sketch path throughout.
+    implicit val sq = spark.sqlContext
+    val store = new ParquetVectorStore(spark,
+      Files.createTempDirectory("graft-store").toString)
+    val seed = Files.createTempDirectory("graft-bloomseed").toString + "/row"
+    def run(state: IngestGateState, data: Seq[(Long, String)]): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = EventStreams.documentIngestSink(
+        in.toDF.toDF("doc_id", "text"), HashingEmbedder(64), store,
+        "seed_idx", chunkSize = 2048, overlap = 256,
+        noveltyGate = true, noveltyFpp = 0.01, noveltyRebuildEvery = 16,
+        nearDupGate = false, nearDupThreshold = 0.9, state = state,
+        noveltySeedPath = Some(seed))
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ck").toString)
+        .start()
+      try { in.addData(data: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    // run 1: empty store — folds (trivially), writes the row, ingests
+    val s1 = new IngestGateState
+    run(s1, Seq((1L, "alpha doc"), (2L, "beta doc")))
+    assert(!s1.seedReused, "an empty-store start has nothing to reuse")
+    assert(store.count("seed_idx") == 2)
+    // run 2: corpus grew since the stored row (nKeys 0 vs 2) — must
+    // re-fold, and the fresh filter must gate the duplicates
+    val s2 = new IngestGateState
+    run(s2, Seq((3L, "alpha doc"), (4L, "beta doc")))
+    assert(!s2.seedReused, "a grown corpus must invalidate the stored row")
+    assert(store.count("seed_idx") == 2, "duplicate batch added rows")
+    // run 3: nothing appended since run 2's rebuild wrote nKeys=2 —
+    // the stored row is current and must be REUSED, and it still
+    // gates duplicates while admitting novel content
+    val s3 = new IngestGateState
+    run(s3, Seq((5L, "alpha doc"), (6L, "gamma doc")))
+    assert(s3.seedReused, "an unchanged corpus must reuse the stored row")
+    val contents = store.read("seed_idx").collect().map(_.getString(0)).toSet
+    assert(contents == Set("alpha doc", "beta doc", "gamma doc"),
+      s"got $contents")
   }
 
   test("documentIngestSink novelty gate: duplicate batches add no rows, novel rows ingest") {
