@@ -226,6 +226,46 @@ object EventQueries {
         .orderBy(col("event_id"))
     },
 
+    // LAST-TOUCH ATTRIBUTION REPORT — the channel rollup a marketing
+    // pipeline ships: every purchase attributes to the user's most
+    // recent marketing touch (view / click / signup) within the
+    // session-gap staleness window, through the same one-shuffle
+    // as-of machinery as e04/e15 but with a MIXED right side whose
+    // event TYPE rides in the payload — the as-of fill picks channel
+    // and latency atomically from one touch row. Purchases with no
+    // fresh touch roll up as 'organic'. Per channel: purchase count,
+    // DECIMAL-exact revenue, latency sum (exact integer micros —
+    // every attributed row has a lag by construction, organic's stays
+    // null) and mean latency. One (user, time) sort pass + a
+    // catalog-sized (≤ 4-row) rollup.
+    "e27_attribution" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), tsUs.as("ts_us"),
+          col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .drop("event_type")
+      val touches = ev
+        .filter(col("event_type").isin("view", "click", "signup"))
+        .select(col("user_id"), col("ts_us"), col("event_type"),
+          col("event_id"))
+      graft.operators.AsOfJoin.asofJoin(
+        purchases, touches, keys = Seq("user_id"), timeCol = "ts_us",
+        rightPayload = Seq("event_type", "event_id", "ts_us"),
+        prefix = "touch_", tieBreak = Seq(col("touch_event_id")),
+        tolerance = SessionGapUs)
+        .select(
+          coalesce(col("touch_event_type"), lit("organic")).as("channel"),
+          col("value"),
+          (col("ts_us") - col("touch_ts_us")).as("lag_us"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("value")).as("revenue"),
+          sum(col("lag_us")).as("lag_sum_us"))
+        .withColumn("avg_lag_us",
+          col("lag_sum_us").cast("double") / col("n_purchases"))
+        .orderBy(col("channel"))
+    },
+
     // Conversion funnel view → click → purchase: per user, the first
     // view, the first click strictly after it, the first purchase
     // strictly after that — stage counts plus end-to-end conversion.
@@ -884,6 +924,30 @@ object EventQueries {
          |FROM c ASOF LEFT JOIN v
          | ON c.user_id = v.user_id AND v.ts_us <= c.ts_us
          |ORDER BY c.event_id""".stripMargin,
+
+    // e27: e15's ASOF + CASE-tolerance pattern with the mixed touch
+    // side; the all-null lag group (organic) sums to NULL in both
+    // engines.
+    "e27_attribution" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         |            event_type, value FROM events),
+         |p AS (SELECT event_id, user_id, ts_us, value FROM e
+         |      WHERE event_type = 'purchase'),
+         |t AS (SELECT event_id, user_id, ts_us, event_type FROM e
+         |      WHERE event_type IN ('view', 'click', 'signup')),
+         |m AS (SELECT p.value,
+         |       CASE WHEN p.ts_us - t.ts_us <= $SessionGapUs
+         |            THEN t.event_type END AS mtype,
+         |       CASE WHEN p.ts_us - t.ts_us <= $SessionGapUs
+         |            THEN p.ts_us - t.ts_us END AS lag_us
+         |      FROM p ASOF LEFT JOIN t
+         |       ON p.user_id = t.user_id AND t.ts_us <= p.ts_us)
+         |SELECT COALESCE(mtype, 'organic') AS channel,
+         | COUNT(*) AS n_purchases,
+         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+         | CAST(SUM(lag_us) AS BIGINT) AS lag_sum_us,
+         | CAST(SUM(lag_us) AS DOUBLE) / COUNT(*) AS avg_lag_us
+         |FROM m GROUP BY 1 ORDER BY channel""".stripMargin,
 
     // DuckDB's ASOF takes >= for the nearest-following match directly.
     "e10_asof_view_click" ->

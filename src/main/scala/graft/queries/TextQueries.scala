@@ -53,6 +53,7 @@ object TextQueries {
   private val CurricK = 128 // d47 threshold sample (bites: 500 docs at sf0.01)
   private val CmW = 16 // d49 count-min width (< |vocab| = 31: collisions bite)
   private val PackGroups = 4 // d26 parallel packing groups
+  private val SourceBudget = 8 // d67 docs admitted per (source, lang)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T2 declarative form: fixed-stride substring windows (chunk i covers
@@ -875,6 +876,174 @@ object TextQueries {
         .withColumn("clean",
           when(col("luhn_valid"), lit("<CARD>")).otherwise(col("card")))
         .orderBy(col("doc_id"))
+    },
+
+    // Gopher-STYLE REPETITION PROFILE — the within-document repetition
+    // signals (Rae et al. 2021 §A1.1) d15's type-token ratio summarizes
+    // away: duplicate-token fraction, duplicate-BIGRAM fraction (a
+    // looping generator repeats transitions long before its unigram mix
+    // drifts), and the longest consecutive same-token run (the "the the
+    // the" degeneracy). ZERO-exchange shape — d15 pays a (doc, term)
+    // exchange for the same family of signals; here every metric is an
+    // array-function projection riding the scan (array_distinct for the
+    // fractions, one aggregate-HOF linear pass for the run), so the
+    // profile costs a 100 TB corpus exactly one read. All metrics are
+    // exact integers (micro-fractions via integral DIV), so every row
+    // hash-checks. All three gates bite at sf0.01: 172/102/25 docs trip
+    // token/bigram/run respectively, 219 of 500 overall.
+    "d66_repetition_profile" -> { (s, d) =>
+      val t = TF.tokens(col("text"))
+      val bg = zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      // Longest same-token run: one linear fold, state (prev, current
+      // run, best run). The null seed can't equal a token, so the first
+      // element opens a run of 1.
+      val runZero = struct(lit(null).cast("string").as("prev"),
+        lit(0L).as("cur"), lit(0L).as("best"))
+      val maxRun = aggregate(t, runZero, (st, x) => {
+        val cur = when(x === st.getField("prev"), st.getField("cur") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), cur.as("cur"),
+          greatest(st.getField("best"), cur).as("best"))
+      }, st => st.getField("best"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(t).cast("long").as("n_tokens"),
+          size(array_distinct(t)).cast("long").as("n_distinct"),
+          size(bg).cast("long").as("n_bigrams"),
+          size(array_distinct(bg)).cast("long").as("n_distinct_bigrams"),
+          maxRun.as("max_run"))
+        .withColumn("dup_token_frac_micro",
+          expr("((n_tokens - n_distinct) * 1000000) DIV n_tokens"))
+        .withColumn("dup_bigram_frac_micro",
+          expr("CASE WHEN n_bigrams = 0 THEN CAST(0 AS BIGINT) ELSE " +
+            "((n_bigrams - n_distinct_bigrams) * 1000000) DIV n_bigrams END"))
+        .withColumn("flagged",
+          col("dup_token_frac_micro") > 600000L ||
+            col("dup_bigram_frac_micro") > 50000L || col("max_run") >= 3L)
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("dup_token_frac_micro"), col("n_bigrams"),
+          col("n_distinct_bigrams"), col("dup_bigram_frac_micro"),
+          col("max_run"), col("flagged"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PER-DOMAIN BUDGET CAP — the anti-domination gate every crawl
+    // pipeline runs before training (no single site may be 30% of the
+    // corpus): each (source, lang) group gets an admission PROBABILITY
+    // p = min(1, budget/count) and documents are kept by deterministic
+    // hash-rate subsampling (hash32(doc_id) mod 1e6 < p_micro) — NOT by
+    // per-group top-k, which would bias the kept set toward whatever
+    // the ranking key correlates with; a rate keeps the within-group
+    // distribution intact. Scale shape: the rate table is
+    // catalog-sized (sources × languages) and BROADCASTS; admission is
+    // then a scan-local predicate — no shuffle touches the corpus
+    // beyond the two rollups. Contrast d38, which takes an exact top-N
+    // per language when the budget must be EXACT; the rate form trades
+    // ±binomial noise on group sizes for the broadcast-only plan.
+    "d67_source_budget" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val rates = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("p_micro", least(lit(1000000L),
+          expr(s"($SourceBudget * 1000000) DIV n_docs")))
+      val kept = docs
+        .join(broadcast(rates), Seq("source", "lang"))
+        .filter(TF.hash32(col("doc_id").cast("string")) % 1000000L
+          < col("p_micro"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("source", "lang"), "left")
+        .select(col("source"), col("lang"), col("n_docs"), col("p_micro"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source"), col("lang"))
+    },
+
+    // BIGRAM-LM QUALITY GATE ([[graft.text.BigramLm]]) — the CCNet
+    // shape: the model trains on the trusted English slice and scores
+    // every document's mean per-bigram log-likelihood; off-model
+    // languages land visibly lower (en ≈ −3.38 vs ≈ −3.45 for the
+    // rest at sf0.01) even though the synthetic corpus SHARES most of
+    // its vocabulary across languages — the transition-level signal
+    // d40's unigram gate cannot see. Model tables are
+    // vocabulary-bounded and broadcast; the corpus pays one doc-keyed
+    // sum (see BigramLm's scaladoc for the 100 TB capping path). The
+    // flag reuses d40's LmFloor threshold: the gate that fires mostly
+    // on non-English here is the gate that fires on gibberish in a
+    // real crawl.
+    "d68_bigram_lm" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.text.BigramLm.scoreDocs(docs, "doc_id", "text",
+        col("lang") === "en")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("flagged", col("avg_lp") < lit(LmFloor))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          col("lp_sum"), col("avg_lp"), col("flagged"))
+        .orderBy(col("doc_id"))
+    },
+
+    // DEDUP SURVIVORSHIP — WHICH copy of each near-dup cluster ships:
+    // d19 labels the clusters; this picks the canonical member by
+    // (longest token count, then smallest id) — the keep-the-fullest
+    // policy crawl dedup uses (a page and its truncated syndication
+    // copy dedupe together; training should keep the full one), where
+    // d07/d23's greedy drop keeps the arbitrary min-id copy. Two
+    // cluster-keyed aggregates (max length, then min id among the
+    // maxima — the argmax form both engines compute identically, no
+    // struct-ordering dependence) over cluster-sized groups; the
+    // candidate graph and components are d19's pinned machinery.
+    "d69_dup_survivors" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val comp = graft.text.Dedup.dupComponents(
+        graft.text.Dedup.nearDupPairs(docs, "doc_id", "text",
+          threshold = 0.0))
+      val sized = comp.join(
+        docs.select(col("doc_id").as("id"),
+          size(TF.tokens(col("text"))).cast("long").as("n_tokens")), "id")
+      val best = sized.groupBy(col("component"))
+        .agg(max(col("n_tokens")).as("max_tokens"))
+      val canon = sized.join(best, "component")
+        .filter(col("n_tokens") === col("max_tokens"))
+        .groupBy(col("component")).agg(min(col("id")).as("canonical_id"))
+      sized.join(canon, "component")
+        .select(col("id").as("doc_id"), col("component"), col("n_tokens"),
+          (col("id") === col("canonical_id")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+
+    // TEMPERATURE-SCALED DOMAIN MIX — the sampling-weight table of a
+    // multi-source training run (the Pile/LLaMA-style mix): source s
+    // samples proportionally to n_tokens(s)^α with α = 1/2, which
+    // upweights small sources relative to their natural share (the
+    // α = 1 column is reported alongside as the contrast). α is pinned
+    // to 1/2 because sqrt is IEEE-correctly-rounded in every engine —
+    // the general n^α = exp(α·ln n) chains two transcendentals and
+    // would need a coarser quantum to oracle-check. Per-source sqrts
+    // floor-quantize to micro-BIGINTs BEFORE normalizing, so the
+    // weight sum is exact integer arithmetic (a double Σ√n would be
+    // merge-order-dependent). The catalog-sized rollup feeds both the
+    // output and its own 1-row broadcast total — declaratively that is
+    // TWO pruned (source, text) scans; a pipeline materializing the
+    // 20-row rollup first pays one.
+    "d70_temperature_mix" -> { (s, d) =>
+      val src = Tables.documents(s, d)
+        .select(col("source"),
+          size(TF.tokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .withColumn("sqrt_micro",
+          floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0))
+            .cast("long"))
+      val totals = src.agg(sum(col("n_tokens")).as("tot_tokens"),
+        sum(col("sqrt_micro")).as("tot_sqrt"))
+      src.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("(n_tokens * 1000000) DIV tot_tokens").as("nat_micro"),
+          expr("(sqrt_micro * 1000000) DIV tot_sqrt").as("w_micro"),
+          expr("(tot_tokens * ((sqrt_micro * 1000000) DIV tot_sqrt)) " +
+            "DIV 1000000").as("target_tokens"))
+        .orderBy(col("source"))
     },
 
     // Defense-in-depth DECONTAMINATION LEDGER: the three leak
@@ -2122,6 +2291,142 @@ object TextQueries {
         |SELECT doc_id, card, luhn_valid,
         | CASE WHEN luhn_valid THEN '<CARD>' ELSE card END AS clean
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // d66: list-function mirror of the row-local profile; the run
+    // length re-derives via lag-break run ids over parallel unnests
+    // (DuckDB zips them) instead of the fold.
+    "d66_repetition_profile" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
+        |              FROM documents),
+        |base AS (SELECT doc_id, len(t) AS n_tokens,
+        |          len(list_distinct(t)) AS n_distinct,
+        |          list_transform(range(1, len(t)),
+        |            i -> t[i] || ' ' || t[i+1]) AS bg
+        |         FROM toks),
+        |pos AS (SELECT doc_id, unnest(t) AS term,
+        |         unnest(range(1, len(t)+1)) AS p FROM toks),
+        |runs AS (SELECT doc_id, p,
+        |          CASE WHEN term = lag(term) OVER
+        |            (PARTITION BY doc_id ORDER BY p)
+        |           THEN 0 ELSE 1 END AS brk
+        |         FROM pos),
+        |runid AS (SELECT doc_id, p, SUM(brk) OVER
+        |           (PARTITION BY doc_id ORDER BY p) AS rid FROM runs),
+        |maxrun AS (SELECT doc_id, CAST(MAX(rlen) AS BIGINT) AS max_run
+        |           FROM (SELECT doc_id, rid, COUNT(*) AS rlen
+        |                 FROM runid GROUP BY 1, 2) GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens, b.n_distinct,
+        | ((b.n_tokens - b.n_distinct) * 1000000) // b.n_tokens
+        |  AS dup_token_frac_micro,
+        | len(bg) AS n_bigrams,
+        | len(list_distinct(bg)) AS n_distinct_bigrams,
+        | CASE WHEN len(bg) = 0 THEN 0
+        |  ELSE ((len(bg) - len(list_distinct(bg))) * 1000000) // len(bg)
+        |  END AS dup_bigram_frac_micro,
+        | m.max_run,
+        | ((b.n_tokens - b.n_distinct) * 1000000) // b.n_tokens > 600000
+        |  OR (CASE WHEN len(bg) = 0 THEN 0
+        |      ELSE ((len(bg) - len(list_distinct(bg))) * 1000000) // len(bg)
+        |      END) > 50000
+        |  OR m.max_run >= 3 AS flagged
+        |FROM base b JOIN maxrun m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "d67_source_budget" ->
+      s"""WITH rates AS (
+         |  SELECT source, lang, COUNT(*) AS n_docs,
+         |   LEAST(1000000, ($SourceBudget * 1000000) // COUNT(*)) AS p_micro
+         |  FROM documents GROUP BY 1, 2),
+         |kept AS (
+         |  SELECT d.source, d.lang, COUNT(*) AS n_kept
+         |  FROM documents d JOIN rates r USING (source, lang)
+         |  WHERE CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))
+         |         AS BIGINT) % 1000000 < r.p_micro
+         |  GROUP BY 1, 2)
+         |SELECT r.source, r.lang, r.n_docs, r.p_micro,
+         | COALESCE(k.n_kept, 0) AS n_kept
+         |FROM rates r LEFT JOIN kept k USING (source, lang)
+         |ORDER BY source, lang""".stripMargin,
+
+    // d68: the bigram pairs come from parallel unnests of the two
+    // slice views of the token list (DuckDB zips them); context
+    // counts from a full-token unnest of the trusted slice.
+    "d68_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS t
+         |              FROM documents),
+         |bg AS (SELECT doc_id, lang, unnest(t[1:-2]) AS w1,
+         |        unnest(t[2:]) AS w2 FROM toks),
+         |uni AS (SELECT w, COUNT(*) AS c1 FROM
+         |         (SELECT unnest(t) AS w FROM toks WHERE lang = 'en')
+         |        GROUP BY 1),
+         |vocab AS (SELECT COUNT(*) AS v FROM uni),
+         |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg
+         |       WHERE lang = 'en' GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT b.doc_id,
+         |   CAST(FLOOR(LN(CAST(COALESCE(tb.c2, 0) + 1 AS DOUBLE)
+         |     / CAST(COALESCE(tu.c1, 0) + v.v AS DOUBLE)) * 1000000)
+         |    AS BIGINT) AS lp
+         |  FROM bg b
+         |  LEFT JOIN bi tb USING (w1, w2)
+         |  LEFT JOIN uni tu ON b.w1 = tu.w
+         |  CROSS JOIN vocab v),
+         |per_doc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |             CAST(SUM(lp) AS BIGINT) AS lp_sum
+         |            FROM scored GROUP BY 1)
+         |SELECT d.doc_id, d.lang,
+         | COALESCE(p.n_bigrams, 0) AS n_bigrams,
+         | COALESCE(p.lp_sum, 0) AS lp_sum,
+         | CAST(p.lp_sum AS DOUBLE) / p.n_bigrams / 1000000.0 AS avg_lp,
+         | CAST(p.lp_sum AS DOUBLE) / p.n_bigrams / 1000000.0 < $LmFloor
+         |  AS flagged
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // d69: d19's recursive component closure + the two-step argmax
+    // (max length per component, min id among the maxima).
+    "d69_dup_survivors" ->
+      s"""WITH RECURSIVE $CandCtes,
+         |e AS (SELECT a_id AS src, b_id AS dst FROM cand
+         |      UNION SELECT b_id, a_id FROM cand),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+         |sized AS (SELECT c.id, c.component,
+         |           CAST(len(string_split(d.text,' ')) AS BIGINT)
+         |            AS n_tokens
+         |          FROM comp c JOIN documents d ON c.id = d.doc_id),
+         |best AS (SELECT component, MAX(n_tokens) AS max_tokens
+         |         FROM sized GROUP BY 1),
+         |canon AS (SELECT s.component, MIN(s.id) AS canonical_id
+         |          FROM sized s JOIN best b ON s.component = b.component
+         |           AND s.n_tokens = b.max_tokens
+         |          GROUP BY 1)
+         |SELECT s.id AS doc_id, s.component, s.n_tokens,
+         | s.id = c.canonical_id AS is_canonical
+         |FROM sized s JOIN canon c USING (component)
+         |ORDER BY doc_id""".stripMargin,
+
+    "d70_temperature_mix" ->
+      """WITH src AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |   CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |q AS (SELECT source, n_docs, n_tokens,
+        |       CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000)
+        |        AS BIGINT) AS sqrt_micro
+        |      FROM src),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+        |         CAST(SUM(sqrt_micro) AS BIGINT) AS tot_sqrt FROM q)
+        |SELECT q.source, q.n_docs, q.n_tokens,
+        | (q.n_tokens * 1000000) // t.tot_tokens AS nat_micro,
+        | (q.sqrt_micro * 1000000) // t.tot_sqrt AS w_micro,
+        | (t.tot_tokens * ((q.sqrt_micro * 1000000) // t.tot_sqrt))
+        |  // 1000000 AS target_tokens
+        |FROM q CROSS JOIN tot t
+        |ORDER BY q.source""".stripMargin,
 
     // d55: the three detector oracles as subquery blocks (each keeps
     // its own WITH chain), outer-joined; semantic best-score via MAX

@@ -659,6 +659,53 @@ class PlanSpec extends AnyFunSuite {
       "no parquet scan may survive the checkpoints")
   }
 
+  test("d66: repetition metrics ride the scan — no hash exchange, no explode, no join") {
+    val p = plan("d66_repetition_profile")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the profile must not shuffle (d15 pays an exchange for less):\n${p.take(600)}")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      s"every metric must be an array-function projection:\n${p.take(600)}")
+    val Seq((cols, _)) = scans("d66_repetition_profile")
+    assert(cols.sorted == Seq("doc_id", "text"),
+      s"profile must read exactly (doc_id, text), got: $cols")
+  }
+
+  test("d67: admission is a broadcast rate + scan-local predicate, never a per-group rank") {
+    val p = plan("d67_source_budget")
+    assert(p.contains("BroadcastHashJoin"),
+      "the catalog-sized rate table must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-keyed shuffle join may appear:\n${p.take(600)}")
+    assert(!p.contains("Window"),
+      "admission is a hash rate, not a top-k — no rank window may appear")
+  }
+
+  test("d68: bigram scoring joins broadcast — the corpus never shuffles on term keys") {
+    val p = plan("d68_bigram_lm")
+    assert(!p.contains("SortMergeJoin"),
+      s"model lookups must broadcast, not shuffle the corpus:\n${p.take(600)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "bigram, context, and result-stitch joins must all broadcast")
+    // The only term-keyed exchanges allowed are the trusted-slice model
+    // BUILDS (vocabulary-bounded outputs); the scored corpus frame's own
+    // exchange is the doc-keyed sum.
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row vocab total must broadcast into the scoring projection")
+  }
+
+  test("e27: attribution rides one as-of window pass + a catalog-sized rollup") {
+    val p = plan("e27_attribution")
+    assert("Window".r.findAllIn(p).length == 1,
+      s"exactly the one (user, time) as-of fill window:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"the as-of union must not plan as a join:\n${p.take(600)}")
+    // Both event scans push their type predicate to parquet.
+    val pushed = scans("e27_attribution").map(_._2)
+    assert(pushed.exists(_.contains("EqualTo(event_type,purchase)")) &&
+      pushed.exists(_.contains("In(event_type")),
+      s"type filters must reach the scans, got: $pushed")
+  }
+
   test("q29: PageRank iterations checkpoint — the final plan is a rank scan, not an unrolled loop") {
     // GraphRank persists the edge/degree/node frames and eagerly
     // localCheckpoints each iteration's ranks, so the frame q29 returns
