@@ -1225,6 +1225,106 @@ object EventStreams {
       }
     }
   }
+
+  /** Per-document verdict of [[statefulLshNoveltyGate]]: `n_fresh` of
+    * the `n_buckets` band buckets were unclaimed when the document
+    * arrived; `admitted` = all of them were.
+    */
+  final case class LshGateOut(doc_id: Long, ts_us: Long,
+      n_buckets: Int, n_fresh: Int, admitted: Boolean)
+
+  /** Fully state-store-backed streaming NEAR-dup novelty gate — the
+    * scale-out alternative to [[documentIngestSink]]'s `nearDupGate`,
+    * whose corpus signatures and per-window deltas are driver-held
+    * frames: here the seen-bucket table lives in Spark's keyed state
+    * store (RocksDB-backed on a cluster), partitioned by bucket across
+    * executors, survives restarts via the checkpoint, and no driver
+    * structure grows with the corpus.
+    *
+    * Mechanics: each document's `nBands` MinHash band values (the
+    * d05/d06 signature, same native expression) are its LSH bucket
+    * keys. A bucket-keyed stateful pass marks each (doc, bucket) pair
+    * `fresh` iff the document is the bucket's FIRST toucher ever
+    * (batch-internal ties fold in (ts, doc_id) order); a second,
+    * doc-keyed stateful pass reassembles the per-document verdict:
+    * admitted ⇔ every bucket fresh.
+    *
+    * Semantics — claim-on-sight: every document claims its buckets
+    * whether or not it is admitted. A document colliding with a
+    * REJECTED document is itself rejected, i.e. the gate keeps exactly
+    * one representative per connected CLUSTER of the candidate graph —
+    * d23's greedy near-dup drop / d19's component semantics, arrival
+    * order replacing min-id as the tie-break. (Claim-on-admit would
+    * need cross-bucket coordination within a batch — the per-bucket
+    * state could not decide a claim without knowing the toucher's
+    * fate in its OTHER buckets.) Like every LSH gate it is candidate-
+    * based: collisions are band-level, so rejects are near-dup
+    * CANDIDATES — route them to an exact-Jaccard rescore if the
+    * admission policy must be exact (the documentIngestSink pairing).
+    *
+    * State: one claimed-marker per distinct bucket ever seen — corpus-
+    * bounded (≤ nBands · admitted docs + rejected stragglers), the
+    * same asymptotics as any dedup index, but sharded in the state
+    * store instead of broadcast. Bucket claims deliberately never
+    * expire (a dup of LAST YEAR's doc is still a dup); bound the
+    * horizon, if required, by restarting with a fresh checkpoint per
+    * retention epoch. Documents with fewer than `shingleN` tokens
+    * have no LSH identity (empty shingle set → null signature) and
+    * are NOT emitted — route them through the exact gate.
+    */
+  def statefulLshNoveltyGate(
+      docs: org.apache.spark.sql.Dataset[(Long, Long, String)], // (doc_id, ts_us, text)
+      shingleN: Int = 3,
+      nBands: Int = 4,
+      watermark: String = "2 hours"): org.apache.spark.sql.Dataset[LshGateOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    import graft.text.{TextFunctions => TF}
+    val touches = docs.toDF("doc_id", "ts_us", "text")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermark)
+      .withColumn("sig", graft.functions.text.minhashSlices(
+        TF.shingles(TF.tokens(col("text")), shingleN), nBands))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("ts_us"),
+        posexplode(col("sig")).as(Seq("band", "mh")))
+      .as[(Long, Long, Int, Long)]
+    val perBucket = touches
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[(Long, Long, Int, Long)],
+            state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._1))
+          val claimed = state.exists
+          if (!claimed && sorted.nonEmpty) state.update(sorted.head._1)
+          sorted.iterator.zipWithIndex.map { case ((id, ts, _, _), i) =>
+            (id, ts, !claimed && i == 0)
+          }
+      }
+    perBucket
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (docId: Long, rows: Iterator[(Long, Long, Boolean)],
+            state: GroupState[(Long, Int, Int)]) =>
+          // All of a document's bucket rows are produced in the same
+          // micro-batch, so the verdict closes here; the state carry
+          // exists only for defensive cross-batch reassembly.
+          var (ts, seen, fresh) = state.getOption.getOrElse((0L, 0, 0))
+          rows.foreach { case (_, t, f) =>
+            ts = t; seen += 1; if (f) fresh += 1
+          }
+          if (seen >= nBands) {
+            state.remove()
+            Iterator.single(
+              LshGateOut(docId, ts, nBands, fresh, fresh == nBands))
+          } else {
+            state.update((ts, seen, fresh))
+            Iterator.empty
+          }
+      }
+  }
 }
 
 /** Driver-side state of [[EventStreams.documentIngestSink]]'s gates,

@@ -1273,4 +1273,72 @@ class StreamingSpec extends AnyFunSuite {
         s"keeper must be the first arrival: $byContent")
     } finally q.stop()
   }
+
+  test("statefulLshNoveltyGate: stream verdicts equal the greedy claim-on-sight reference") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{posexplode, size => fsize, split}
+    // 12 docs in three dup clusters + singletons, fed across 3 batches
+    // in (ts, id) order; doc 11 is too short to shingle (no identity).
+    val texts = Map(
+      1L -> "spark table scan query join filter agg window sort merge",
+      2L -> "spark table scan query join filter agg window sort merge", // = 1
+      3L -> "completely different content about streams and state stores",
+      4L -> "spark table scan query join filter agg window sort merged late", // ~ 1
+      5L -> "another unrelated corpus document with fresh novel words",
+      6L -> "completely different content about streams and state stores", // = 3
+      7L -> "spark table scan query join filter agg window sort merge", // = 1, later batch
+      8L -> "yet more text that shares nothing with any other entry",
+      9L -> "another unrelated corpus document with fresh novel phrasing", // ~ 5
+      10L -> "final singleton document closing out the fixture set",
+      11L -> "too short",
+      12L -> "another unrelated corpus document with fresh novel words") // = 5
+    def row(id: Long) = (id, 1700000000000000L + id * 1000000L, texts(id))
+
+    // Reference: same signatures via the batch expression, folded
+    // greedily in (ts, id) order with claim-on-sight semantics.
+    val sigRows = texts.keys.toSeq.sorted.map(row).toDF("doc_id", "ts_us", "text")
+      .withColumn("sig", graft.functions.text.minhashSlices(
+        graft.text.TextFunctions.shingles(split(col("text"), " "), 3), 4))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "mh")))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+    val buckets = sigRows.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.map(_._2).toSet }
+    val expected = scala.collection.mutable.Map.empty[Long, (Int, Boolean)]
+    val claimed = scala.collection.mutable.Set.empty[(Int, Long)]
+    for (id <- texts.keys.toSeq.sorted if buckets.contains(id)) {
+      val bs = buckets(id)
+      val fresh = bs.count(!claimed.contains(_))
+      claimed ++= bs
+      expected(id) = (fresh, fresh == bs.size && bs.size == 4)
+    }
+
+    val in = MemoryStream[(Long, Long, String)]
+    val q = EventStreams.statefulLshNoveltyGate(in.toDS(), shingleN = 3,
+      nBands = 4, watermark = "1 hour")
+      .writeStream.format("memory").queryName("lshgate")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      in.addData(Seq(1L, 2L, 3L, 4L).map(row): _*)
+      q.processAllAvailable()
+      q.processAllAvailable() // chained stateful stage: next trigger
+      in.addData(Seq(5L, 6L, 7L, 8L).map(row): _*)
+      q.processAllAvailable()
+      q.processAllAvailable()
+      in.addData(Seq(9L, 10L, 11L, 12L).map(row): _*)
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val out = spark.table("lshgate").collect()
+        .map(r => r.getLong(0) -> (r.getInt(3), r.getBoolean(4))).toMap
+      assert(!out.contains(11L), "a doc with no shingle has no LSH identity")
+      assert(out == expected.toMap,
+        s"stream verdicts diverge from the greedy reference:\n$out\nvs\n$expected")
+      // The fixture exercises both outcomes and the cross-batch claim.
+      assert(out(1L)._2 && !out(2L)._2 && !out(7L)._2 && !out(12L)._2)
+      assert(out(3L)._2 && out(5L)._2)
+    } finally q.stop()
+  }
 }
