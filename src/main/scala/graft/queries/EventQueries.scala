@@ -35,6 +35,7 @@ object EventQueries {
   private val DayUs = 24L * 3600 * 1000 * 1000 // e08 cohort bucket
   private val HourlyKmvK = 16 // e11 sketch size (bites: busiest hours reach 28 users)
   private val GapQuantK = 128 // e18 rank-sketch size (≪ per-type gap counts at sf0.01)
+  private val DriftCutUs = 1705363200000000L // e28 baseline cut: 2024-01-16 UTC
 
   private def dsum(c: Column) = sum(c.cast(DecimalType(12, 2))).cast("double")
 
@@ -224,6 +225,64 @@ object EventQueries {
           col("click_event_id"), col("click_ts_us"),
           (col("click_ts_us") - col("ts_us")).as("gap_us"))
         .orderBy(col("event_id"))
+    },
+
+    // PER-DAY VALUE-DISTRIBUTION DRIFT — q41's PSI arithmetic turned
+    // into the monitoring report a serving pipeline runs continuously:
+    // for every event type, each day's `value` distribution is scored
+    // against the first-15-days baseline (8 fixed-width bins from the
+    // type's global bounds, add-one smoothing, terms floor-quantized
+    // to micro-BIGINTs so the per-day sum is exact). Baseline days
+    // score themselves too — their near-zero PSI is the calibration
+    // floor a drifted day must clear. Scale shape: bounds and baseline
+    // bins are catalog-sized broadcasts; the corpus pays one
+    // (type, day, bin) aggregate; the bin grid (day rows × baseline
+    // bins, full-outer with the day's own bins) enumerates exactly the
+    // cells q41's union-of-observed convention scores, so absent-from-
+    // both bins contribute nothing. The [[graft.streaming.EventStreams
+    // .DriftLedger]] streaming face replays this arithmetic
+    // incrementally on closed windows.
+    "e28_value_drift" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), tsUs.as("ts_us"),
+          col("value").cast("double").as("v"))
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val bucketed = ev.join(broadcast(bounds), "event_type")
+        .select(col("event_type"), dayStart(col("ts_us")).as("day"),
+          (col("ts_us") < lit(DriftCutUs)).as("is_base"),
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(lit(7L),
+              floor((col("v") - col("lo")) * lit(8.0) /
+                (col("hi") - col("lo"))).cast("long"))).as("bucket"))
+      val base = bucketed.filter(col("is_base"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("cb"))
+      val nb = base.groupBy(col("event_type")).agg(sum(col("cb")).as("nb"))
+      val dcnt = bucketed
+        .groupBy(col("event_type"), col("day"), col("bucket"))
+        .agg(count(lit(1)).as("cd"))
+      val nd = dcnt.groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cd")).as("nd"))
+      val grid = nd.select(col("event_type"), col("day"))
+        .join(broadcast(base), "event_type")
+      val cells = grid
+        .join(dcnt, Seq("event_type", "day", "bucket"), "full_outer")
+        .select(col("event_type"), col("day"), col("bucket"),
+          coalesce(col("cb"), lit(0L)).as("cb"),
+          coalesce(col("cd"), lit(0L)).as("cd"))
+      def share(c: Column, n: Column) =
+        (c + lit(1)).cast("double") / (n + lit(8)).cast("double")
+      cells.join(broadcast(nb), "event_type")
+        .join(broadcast(nd), Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("nd"),
+          floor((share(col("cb"), col("nb")) - share(col("cd"), col("nd")))
+            * log(share(col("cb"), col("nb"))
+              / share(col("cd"), col("nd")))
+            * lit(1000000.0)).cast("long").as("term_micro"))
+        .groupBy(col("event_type"), col("day"), col("nd").as("n_day"))
+        .agg(sum(col("term_micro")).as("psi_micro"))
+        .orderBy(col("event_type"), col("day"))
     },
 
     // LAST-TOUCH ATTRIBUTION REPORT — the channel rollup a marketing
@@ -924,6 +983,47 @@ object EventQueries {
          |FROM c ASOF LEFT JOIN v
          | ON c.user_id = v.user_id AND v.ts_us <= c.ts_us
          |ORDER BY c.event_id""".stripMargin,
+
+    // e28: q41's PSI oracle spelling re-keyed to (type, day) with the
+    // baseline-bin grid FULL JOINed to each day's own bins.
+    "e28_value_drift" ->
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us,
+         |            CAST(value AS DOUBLE) AS v FROM events),
+         |b AS (SELECT event_type, MIN(v) AS lo, MAX(v) AS hi
+         |      FROM ev GROUP BY 1),
+         |bk AS (SELECT e.event_type,
+         |        make_timestamp((e.ts_us//86400000000)*86400000000) AS day,
+         |        e.ts_us < $DriftCutUs AS is_base,
+         |        CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+         |             ELSE LEAST(7, CAST(FLOOR((e.v - b.lo) * 8e0
+         |               / (b.hi - b.lo)) AS BIGINT)) END AS bucket
+         |       FROM ev e JOIN b USING (event_type)),
+         |base AS (SELECT event_type, bucket, COUNT(*) AS cb
+         |         FROM bk WHERE is_base GROUP BY 1, 2),
+         |nb AS (SELECT event_type, CAST(SUM(cb) AS BIGINT) AS nb
+         |       FROM base GROUP BY 1),
+         |d AS (SELECT event_type, day, bucket, COUNT(*) AS cd
+         |      FROM bk GROUP BY 1, 2, 3),
+         |nd AS (SELECT event_type, day, CAST(SUM(cd) AS BIGINT) AS nd
+         |       FROM d GROUP BY 1, 2),
+         |grid AS (SELECT n.event_type, n.day, b2.bucket, b2.cb
+         |         FROM nd n JOIN base b2 USING (event_type)),
+         |cells AS (SELECT event_type, day, bucket,
+         |           COALESCE(g.cb, 0) AS cb, COALESCE(d.cd, 0) AS cd
+         |          FROM grid g FULL JOIN d USING (event_type, day, bucket)),
+         |terms AS (SELECT c.event_type, c.day, nd.nd,
+         |  CAST(FLOOR(
+         |    ((CAST(c.cb + 1 AS DOUBLE) / CAST(nb.nb + 8 AS DOUBLE))
+         |     - (CAST(c.cd + 1 AS DOUBLE) / CAST(nd.nd + 8 AS DOUBLE)))
+         |    * ln((CAST(c.cb + 1 AS DOUBLE) / CAST(nb.nb + 8 AS DOUBLE))
+         |         / (CAST(c.cd + 1 AS DOUBLE) / CAST(nd.nd + 8 AS DOUBLE)))
+         |    * 1000000.0e0) AS BIGINT) AS term_micro
+         |  FROM cells c JOIN nb USING (event_type)
+         |  JOIN nd USING (event_type, day))
+         |SELECT event_type, day, nd AS n_day,
+         | CAST(SUM(term_micro) AS BIGINT) AS psi_micro
+         |FROM terms GROUP BY 1, 2, 3
+         |ORDER BY event_type, day""".stripMargin,
 
     // e27: e15's ASOF + CASE-tolerance pattern with the mixed touch
     // side; the all-null lag group (organic) sums to NULL in both

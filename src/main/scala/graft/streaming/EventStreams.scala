@@ -297,6 +297,112 @@ object EventStreams {
       (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
     }
 
+  /** One scored (type, day) from [[DriftLedger.drifts]] — e28's row. */
+  final case class DriftRow(event_type: String, day_idx: Long,
+      n_day: Long, psi_micro: Long)
+
+  /** Daily per-type value-bucket counts — the streaming reduce that
+    * feeds [[DriftLedger]]: each event buckets against the FIXED
+    * baseline bounds (a types-sized literal map riding the scan — the
+    * bounds must be frozen for streaming PSI to be meaningful, exactly
+    * as batch e28 freezes them corpus-wide), then one tumbling-day
+    * windowed count per (type, bucket). Types absent from `bounds`
+    * (first seen after the baseline was fit) are not scoreable against
+    * it and are dropped here — refit the baseline to admit them.
+    * State is (types × 8 buckets) per open day; append mode emits each
+    * (day, type, bucket) cell exactly once at watermark close.
+    */
+  def dailyValueBuckets(events: DataFrame,
+      bounds: Map[String, (Double, Double)],
+      watermark: String = "2 days"): DataFrame = {
+    val loM = typedLit(bounds.map { case (t, (lo, _)) => t -> lo })
+    val hiM = typedLit(bounds.map { case (t, (_, hi)) => t -> hi })
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("lo", element_at(loM, col("event_type")))
+      .withColumn("hi", element_at(hiM, col("event_type")))
+      .filter(col("lo").isNotNull)
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(7L),
+            floor((col("value").cast("double") - col("lo")) * lit(8.0) /
+              (col("hi") - col("lo"))).cast("long"))))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
+        col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("day"), col("event_type"), col("bucket"),
+        col("n"))
+  }
+
+  /** Driver-held ledger for [[driftSink]]: e28's per-day PSI against a
+    * FIXED baseline, run continuously — the live distribution-drift
+    * monitor a serving pipeline keeps next to e23's volume monitor.
+    * `baseline` is the (type, bucket) → count table of the frozen
+    * reference window (types-sized, from a batch run of the e28
+    * chain); state is one long per CLOSED (type, day, bucket) —
+    * ≤ 8·|types| per stream day, never event-sized — idempotent per
+    * batchId (the [[ProfileLedger]] discipline). [[drifts]] replays
+    * e28's exact smoothing/quantization arithmetic over the union of
+    * the baseline's and the day's observed buckets, so a closed day's
+    * psi_micro equals the batch query's bit for bit (StreamingSpec
+    * pins it against the batch expression chain).
+    */
+  final class DriftLedger(baseline: Map[(String, Long), Long]) {
+    private[streaming] var counts: Map[(String, Long, Long), Long] =
+      Map.empty
+    private[streaming] var lastBatchId: Long = -1L
+    private val dayUs = 24L * 3600 * 1000 * 1000
+    private val nb: Map[String, Long] =
+      baseline.groupBy(_._1._1).map { case (t, m) => t -> m.values.sum }
+
+    /** Folds one micro-batch of closed [[dailyValueBuckets]] cells;
+      * idempotent per batchId.
+      */
+    def ingest(batch: DataFrame, batchId: Long): Unit =
+      if (batchId > lastBatchId) {
+        batch.select(col("event_type"), col("day"), col("bucket"),
+          col("n")).collect().foreach { r =>
+          val key = (r.getString(0),
+            r.getTimestamp(1).getTime * 1000L / dayUs, r.getLong(2))
+          counts += key -> r.getLong(3)
+        }
+        lastBatchId = batchId
+      }
+
+    /** e28 over the ledger: every closed (type, day) PSI-scored
+      * against the baseline. Pure driver arithmetic over catalog-sized
+      * state; term quantization and sum are exact integers, so the
+      * result is independent of ingest order.
+      */
+    def drifts(): Seq[DriftRow] =
+      counts.groupBy(k => (k._1._1, k._1._2)).toSeq.sortBy(_._1)
+        .map { case ((t, day), m) =>
+          val cd = m.map { case ((_, _, b), n) => b -> n }
+          val nd = cd.values.sum
+          val bbs = baseline.collect { case ((`t`, b), c) => b -> c }
+          val nbv = nb.getOrElse(t, 0L)
+          val psi = (cd.keySet ++ bbs.keySet).toSeq.sorted.map { b =>
+            val sb = (bbs.getOrElse(b, 0L) + 1).toDouble /
+              (nbv + 8).toDouble
+            val sd = (cd.getOrElse(b, 0L) + 1).toDouble /
+              (nd + 8).toDouble
+            math.floor((sb - sd) * math.log(sb / sd) * 1000000.0).toLong
+          }.sum
+          DriftRow(t, day, nd, psi)
+        }
+  }
+
+  /** Streaming face of e28: [[dailyValueBuckets]]'s finalized cells
+    * feed the [[DriftLedger]] — wire as
+    * `driftSink(dailyValueBuckets(events, bounds), ledger)
+    * .outputMode("append")`.
+    */
+  def driftSink(closedCells: DataFrame, ledger: DriftLedger)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    closedCells.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
+    }
+
   /** Open-session state carried between micro-batches by
     * [[statefulSessionize]]: bounded per open session (counters + the
     * capped path), keyed by user — the state store holds one entry per

@@ -1274,6 +1274,109 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("driftSink: ledger PSI equals the batch e28 arithmetic on closed days") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{coalesce, element_at, floor, least, log, min => fmin, max => fmax, sum => fsum, typedLit}
+    val dayUs = 24L * 3600 * 1000 * 1000
+    // type 'a': 18 days, values 0..9 — day 16 shifts to 90..99 (the
+    // drift); type 'b': steady. Baseline = days 0..14. The monitor
+    // freezes BASELINE-window bounds (batch e28 uses corpus-global
+    // bounds by design — the arithmetic under test is the shared
+    // smoothing/quantization chain, fed the same bounds either way).
+    val evts = (for (d <- 0L to 17L; i <- 0L until 20L) yield {
+      val v = if (d == 16) 90.0 + (i % 10) else (i % 10).toDouble
+      (d * 1000 + i, d * dayUs + i * 1000000L, "a", v)
+    }) ++ (for (d <- 0L to 17L; i <- 0L until 10L) yield
+      (100000L + d * 1000 + i, d * dayUs + i * 1000000L, "b",
+        (i % 5).toDouble))
+    val batchDf = evts.toDF("event_id", "ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val bounds = batchDf.filter(col("ts_us") < lit(15L * dayUs))
+      .groupBy(col("event_type"))
+      .agg(fmin(col("value")).as("lo"), fmax(col("value")).as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    // Batch truth: dailyValueBuckets in batch mode + e28's grid/term
+    // tail with the same frozen bounds and baseline.
+    val cellsB = EventStreams.dailyValueBuckets(batchDf, bounds)
+    val baseCells = cellsB
+      .filter(col("day") < timestamp_micros(lit(15L * dayUs)))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(fsum(col("n")).as("cb"))
+    val baseline = baseCells.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val nb = baseCells.groupBy(col("event_type"))
+      .agg(fsum(col("cb")).as("nb"))
+    val nd = cellsB.groupBy(col("event_type"), col("day"))
+      .agg(fsum(col("n")).as("nd"))
+    def shareOf(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      (c + lit(1)).cast("double") / (n + lit(8)).cast("double")
+    val want = nd.select(col("event_type"), col("day"))
+      .join(baseCells, "event_type")
+      .join(cellsB.withColumnRenamed("n", "cd"),
+        Seq("event_type", "day", "bucket"), "full_outer")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("cd"), lit(0L)).as("cd"))
+      .join(nb, "event_type").join(nd, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("nd"),
+        floor((shareOf(col("cb"), col("nb")) - shareOf(col("cd"), col("nd")))
+          * log(shareOf(col("cb"), col("nb")) / shareOf(col("cd"), col("nd")))
+          * lit(1000000.0)).cast("long").as("term"))
+      .groupBy(col("event_type"), col("day"), col("nd"))
+      .agg(fsum(col("term")).as("psi_micro"))
+      .collect()
+      .map(r => EventStreams.DriftRow(r.getString(0),
+        r.getTimestamp(1).getTime * 1000L / dayUs, r.getLong(2),
+        r.getLong(3)))
+      .sortBy(r => (r.event_type, r.day_idx)).toSeq
+
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val ledger = new EventStreams.DriftLedger(baseline)
+    val stream = in.toDS().toDF("event_id", "ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStreams.driftSink(
+        EventStreams.dailyValueBuckets(stream, bounds, "1 day"), ledger)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      // feed in event-time order: a batch split that straddles the
+      // watermark would legitimately drop the older type's days as
+      // late data — a harness artifact, not the contract under test
+      val ordered = evts.sortBy(_._2)
+      val (a, b) = ordered.splitAt(ordered.length / 2)
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      // close every fixture day with far-future scoreable pushers (an
+      // out-of-bounds type would be filtered before the watermark node
+      // and never advance it); their own day-40 window stays open, so
+      // the pushers themselves never reach the ledger. The second tick
+      // triggers the batch that emits the last closed windows.
+      in.addData((999999L, 40L * dayUs, "a", 1.0))
+      q.processAllAvailable()
+      in.addData((999998L, 40L * dayUs + 1L, "a", 1.0))
+      q.processAllAvailable()
+      val got = ledger.drifts()
+      assert(got == want,
+        s"ledger drifted from the batch chain:\n got: ${got.take(4)}\nwant: ${want.take(4)}")
+      val aRows = got.filter(_.event_type == "a")
+      val drifted = aRows.find(_.day_idx == 16L).get
+      assert(drifted.psi_micro == aRows.map(_.psi_micro).max &&
+        drifted.psi_micro > 10 * aRows.filter(_.day_idx < 15L)
+          .map(_.psi_micro).max,
+        s"the shifted day must dominate the calibration floor: $aRows")
+      // idempotence: replaying an already-folded batchId is a no-op
+      val before = ledger.counts
+      ledger.ingest(
+        Seq(("a", new java.sql.Timestamp(0L), 0L, 999L))
+          .toDF("event_type", "day", "bucket", "n"),
+        ledger.lastBatchId)
+      assert(ledger.counts == before)
+    } finally q.stop()
+  }
+
   test("statefulLshNoveltyGate: stream verdicts equal the greedy claim-on-sight reference") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.{posexplode, size => fsize, split}
