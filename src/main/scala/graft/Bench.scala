@@ -158,9 +158,6 @@ object Bench {
         else if (d >= 1) "%.2f" else "%.3f"
       String.format(java.util.Locale.ROOT, pat, Double.box(d))
     }
-    val spreads = results.collect { case (k, Right(runs)) =>
-      s""""$k":[${runs.mkString(",")}]"""
-    }.mkString("{", ",", "}")
     // Queries still flagged after the heal pass: the box never went
     // quiet, the query is intrinsically variable, or (floor trigger)
     // the cost genuinely moved — flag them either way.
@@ -173,16 +170,52 @@ object Bench {
         "retries — rerun on a quiet box, or acknowledge a real re-costing " +
         "by dropping its BENCH_FLOORS.json entry")
     }
-    val failed = results.collect { case (k, Left(_)) => s"\"$k\"" }
+    val failedNames = results.collect { case (k, Left(_)) => k }
+    val failed = failedNames.map(k => s"\"$k\"")
     val total = results.collect { case (_, Right(runs)) => runs(1) }.sum
+    // Merge with the previous sidecar: an ONLY-subset isolated audit
+    // must OVERLAY its re-measured queries onto the committed
+    // full-sweep spreads, not discard them (the floors-ratchet rule
+    // applied to the sidecar — before this, a post-sweep
+    // `SPARK_GRAFT_ONLY=q1` hand-audit silently shrank the committed
+    // spreads map to one entry). Re-measured queries drop their stale
+    // flags; unmeasured queries keep spreads AND flags from the
+    // previous run. A sidecar from a different SF is ignored whole.
+    val measured = results.map(_._1).toSet
+    val prev =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_SPREADS.json")
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val n = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(p.toFile)
+          if (n.path("sf").asText() == sfDir) Some(n) else None
+        }
+      } catch { case _: Exception => None }
+    import scala.jdk.CollectionConverters._
+    val prevSpreads = prev.map { n =>
+      n.path("spreads").fields().asScala
+        .filterNot(e => measured(e.getKey))
+        .map(e => e.getKey -> e.getValue.toString).toSeq
+    }.getOrElse(Nil)
+    def carried(field: String, current: Seq[String]): Seq[String] =
+      (prev.map(_.path(field).elements().asScala.map(_.asText())
+        .filterNot(measured).toSeq).getOrElse(Nil) ++ current).distinct
+    val spreads =
+      (prevSpreads ++ results.collect { case (k, Right(runs)) =>
+        k -> s"[${runs.mkString(",")}]"
+      }).sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+    def jlist(xs: Seq[String]): String =
+      xs.sorted.map(k => s"\"$k\"").mkString(",")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SPREADS.json"),
-      (s"""{"spreads":$spreads,"noisy":[${noisy.map(k => s"\"$k\"").mkString(",")}],""" +
-        s""""healed":[${healedNames.map(k => s"\"$k\"").mkString(",")}],""" +
-        s""""failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+      (s"""{"spreads":$spreads,"noisy":[${jlist(carried("noisy", noisy))}],""" +
+        s""""healed":[${jlist(carried("healed", healedNames.toSeq))}],""" +
+        s""""failed":[${jlist(carried("failed", failedNames))}],"sf":"$sfDir"}""")
         .getBytes("UTF-8"))
     catch { // the sidecar is best-effort; never fail the bench over it
-      case e: java.io.IOException =>
+      case e: Exception =>
         System.err.println(s"[bench] could not write BENCH_SPREADS.json: $e")
     }
     // Ratchet the floors: per-query min(previous floor, this run's min),

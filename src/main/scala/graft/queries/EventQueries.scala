@@ -266,11 +266,19 @@ object EventQueries {
         .agg(sum(col("cd")).as("nd"))
       val grid = nd.select(col("event_type"), col("day"))
         .join(broadcast(base), "event_type")
+      // The cell union is a FULL OUTER in spirit (oracle spells it so),
+      // but Spark cannot broadcast a full outer — spelled as left join
+      // ∪ anti join, both broadcastable, value-identical.
       val cells = grid
-        .join(dcnt, Seq("event_type", "day", "bucket"), "full_outer")
-        .select(col("event_type"), col("day"), col("bucket"),
-          coalesce(col("cb"), lit(0L)).as("cb"),
+        .join(dcnt, Seq("event_type", "day", "bucket"), "left")
+        .select(col("event_type"), col("day"), col("bucket"), col("cb"),
           coalesce(col("cd"), lit(0L)).as("cd"))
+        .unionByName(dcnt
+          .join(broadcast(grid.select(col("event_type"), col("day"),
+            col("bucket"))), Seq("event_type", "day", "bucket"),
+            "left_anti")
+          .select(col("event_type"), col("day"), col("bucket"),
+            lit(0L).as("cb"), col("cd")))
       def share(c: Column, n: Column) =
         (c + lit(1)).cast("double") / (n + lit(8)).cast("double")
       cells.join(broadcast(nb), "event_type")

@@ -1046,6 +1046,59 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // ALTERNATING-STAR CONNECTED COMPONENTS ([[graft.text.Dedup
+    // .dupComponentsStar]]) — d19's answer by the O(log n)-round
+    // algorithm: min-label propagation pays one join per unit of
+    // component DIAMETER (a million-doc repost chain = a million
+    // rounds); large-star/small-star contraction rewires whole
+    // neighborhoods to their minimum and converges logarithmically on
+    // any topology. Same candidate graph, same (id, component = min
+    // reachable) contract — the oracle runs d19's recursive
+    // transitive closure, so hash equality PROVES the two algorithms
+    // agree on every label at sf0.01.
+    "d71_cc_star" -> { (s, d) =>
+      graft.text.Dedup.dupComponentsStar(
+        graft.text.Dedup.nearDupPairs(
+          Tables.documents(s, d), "doc_id", "text", threshold = 0.0))
+        .orderBy(col("id"))
+    },
+
+    // WEIGHTED RESERVOIR SAMPLE (A-ES, Efraimidis & Spirakis 2006) —
+    // k docs per language, inclusion probability proportional to
+    // token count, in ONE mergeable pass: each doc draws the
+    // deterministic uniform u = (hash32(id)+1)/2³², its key is
+    // ln(u)/w (the log form of u^(1/w) — same order, no pow), and the
+    // per-language top-k by key IS the weighted sample without
+    // replacement. Contrast d39's systematic PPS, which needs a
+    // per-group cumulative-sum WINDOW over the full ordered group:
+    // here the only state is the k-row heap ([[graft.operators
+    // .Sketches.TopKByScoreTagged]]), partial-aggregated map-side —
+    // the 100 TB shape. Keys floor-quantize to nano-BIGINTs for the
+    // hash check; zero-padded id tags make the (key DESC, tag ASC)
+    // tie order total and numeric.
+    "d72_weighted_reservoir" -> { (s, d) =>
+      val topk = udaf(new graft.operators.Sketches.TopKByScoreTagged(5),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(java.lang.Long, String, java.lang.Long)]())
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(TF.tokens(col("text"))).cast("long").as("w"))
+        .withColumn("u",
+          (TF.hash32(col("doc_id").cast("string")) + 1).cast("double")
+            / lit(4294967296.0))
+        .withColumn("priority_micro",
+          floor(log(col("u")) / col("w").cast("double")
+            * lit(1000000000.0)).cast("long"))
+        .groupBy(col("lang"))
+        .agg(topk(col("priority_micro"),
+          lpad(col("doc_id").cast("string"), 6, "0"), col("w")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("r0", "p")))
+        .select(col("lang"), (col("r0") + 1).cast("long").as("rank"),
+          col("p._2").cast("bigint").as("doc_id"),
+          col("p._3").as("n_tokens"), col("p._1").as("priority_micro"))
+        .orderBy(col("lang"), col("rank"))
+    },
+
     // Defense-in-depth DECONTAMINATION LEDGER: the three leak
     // detectors — exact 8-gram overlap (d30), MinHash-LSH near-dup
     // with edits (d37), embedding-space semantic similarity (v14,
@@ -2427,6 +2480,38 @@ object TextQueries {
         |  // 1000000 AS target_tokens
         |FROM q CROSS JOIN tot t
         |ORDER BY q.source""".stripMargin,
+
+    // d71: the oracle is d19's recursive transitive closure VERBATIM —
+    // hash equality proves the star algorithm computes the same labels.
+    "d71_cc_star" ->
+      s"""WITH RECURSIVE $CandCtes,
+         |e AS (SELECT a_id AS src, b_id AS dst FROM cand
+         |      UNION SELECT b_id, a_id FROM cand),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+         |SELECT id, MIN(r) AS component FROM reach GROUP BY id
+         |ORDER BY id""".stripMargin,
+
+    "d72_weighted_reservoir" ->
+      """WITH w AS (SELECT lang, doc_id,
+        |        CAST(len(string_split(text,' ')) AS BIGINT) AS w,
+        |        (CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+        |          AS BIGINT) + 1) / 4294967296.0e0 AS u
+        |       FROM documents),
+        |p AS (SELECT lang, doc_id, w,
+        |       CAST(FLOOR(LN(u) / CAST(w AS DOUBLE) * 1000000000.0e0)
+        |        AS BIGINT) AS pm,
+        |       lpad(CAST(doc_id AS VARCHAR), 6, '0') AS tag
+        |      FROM w)
+        |SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id,
+        | w AS n_tokens, pm AS priority_micro
+        |FROM (SELECT lang, doc_id, w, pm,
+        |       ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY pm DESC, tag) AS rn
+        |      FROM p) x
+        |WHERE rn <= 5 ORDER BY lang, rank""".stripMargin,
 
     // d55: the three detector oracles as subquery blocks (each keeps
     // its own WITH chain), outer-joined; semantic best-score via MAX

@@ -345,6 +345,33 @@ object VectorQueries {
         .orderBy(col("score").desc, col("vec_id"))
     },
 
+    // PRODUCT-QUANTIZED ADC search under the oracle — the one PQ
+    // claim its property tests could not hash-pin: with iters = 0 the
+    // codebooks are DETERMINISTIC (block slices of the 4 smallest-id
+    // vectors — [[graft.operators.ProductQuantizer.train]]'s init),
+    // so encode (per-block argmax inner product, ties to the smaller
+    // code) and the asymmetric-distance score (Σ over blocks of the
+    // query↔codeword table lookup) replay exactly in SQL. The oracle
+    // re-derives codebooks, codes, AND the 4-block score with the
+    // block additions spelled left-associative — SUM's arbitrary
+    // fold order over doubles would not be the engine's
+    // `t0+t1+t2+t3`. Plan shape: the corpus never reads vectors at
+    // search time — scoring is 4 array lookups per row over the codes
+    // column + a TakeOrderedAndProject heap; trained codebooks swap
+    // in without changing a line (the k-means refinement is
+    // ProductQuantizerSpec's recall property, not an oracle claim).
+    "v23_pq_adc" -> { (s, d) =>
+      import graft.operators.ProductQuantizer
+      val e = Tables.embeddings(s, d)
+      val cb = ProductQuantizer.train(e, "vec_id", "embedding",
+        blocks = 4, codes = 4, iters = 0)
+      ProductQuantizer.search(
+        ProductQuantizer.encode(e, "vec_id", "embedding", cb),
+        cb, probeVec(s, d, 0L), k = 10)
+        .select(col("id").as("vec_id"), col("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    },
+
     // MATRYOSHKA-style truncated-prefix two-stage kNN: coarse-rank on
     // the first 16 of 64 dimensions (¼ the multiply-adds per corpus
     // row — the compute face of the storage cut v10/v15 make), keep
@@ -883,6 +910,41 @@ object VectorQueries {
         | COALESCE(post.in_post, 0) AS in_post
         |FROM pre LEFT JOIN post ON pre.vec_id = post.vec_id
         |ORDER BY pre.score DESC, pre.vec_id""".stripMargin,
+
+    // v23: codebooks = block slices of vec_id 0..3 (iters = 0 init),
+    // encode = per-(vec, block) argmax over 4 codewords (ROW_NUMBER
+    // ties to the smaller code = the engine's first-max), score = the
+    // 4 table lookups added LEFT-ASSOCIATIVELY (a SUM would fold the
+    // doubles in arbitrary order).
+    "v23_pq_adc" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |blocks AS (SELECT unnest(range(4)) AS b),
+        |cw AS (SELECT b.b, c.vec_id AS code,
+        |        c.v[b.b*16+1 : b.b*16+16] AS w
+        |       FROM blocks b
+        |       CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 4) c),
+        |sc AS (SELECT e.vec_id, cw.b, cw.code,
+        |        list_inner_product(e.v[cw.b*16+1 : cw.b*16+16], cw.w) AS s
+        |       FROM e CROSS JOIN cw),
+        |codes AS (SELECT vec_id, b, code FROM (
+        |           SELECT vec_id, b, code,
+        |            ROW_NUMBER() OVER (PARTITION BY vec_id, b
+        |             ORDER BY s DESC, code) AS rn
+        |           FROM sc) x WHERE rn = 1),
+        |tabs AS (SELECT cw.b, cw.code,
+        |          list_inner_product(q.qv[cw.b*16+1 : cw.b*16+16], cw.w) AS t
+        |         FROM cw CROSS JOIN q),
+        |adc AS (SELECT c.vec_id,
+        |         ((MAX(CASE WHEN c.b = 0 THEN t.t END)
+        |           + MAX(CASE WHEN c.b = 1 THEN t.t END))
+        |          + MAX(CASE WHEN c.b = 2 THEN t.t END))
+        |          + MAX(CASE WHEN c.b = 3 THEN t.t END) AS score
+        |        FROM codes c JOIN tabs t ON c.b = t.b AND c.code = t.code
+        |        GROUP BY c.vec_id)
+        |SELECT vec_id, score FROM adc
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     // v21: both stages replayed — DuckDB's 1-based inclusive slice
     // [1:16] is Spark's slice(embedding, 1, 16); candidate ties and

@@ -475,4 +475,79 @@ object Dedup {
     require(converged, s"label propagation did not converge in $maxIter rounds")
     labels
   }
+
+  /** [[dupComponents]] by the ALTERNATING large-star/small-star
+    * algorithm (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond") — the round-count scale path: min-label
+    * propagation needs O(component DIAMETER) rounds, so a 10⁶-node
+    * near-dup chain (reposts of reposts) costs 10⁶ joins; star
+    * contraction converges in O(log n) rounds on ANY topology by
+    * rewiring whole neighborhoods to their minimum each round.
+    *   - large-star(u): every neighbor v > u re-attaches to
+    *     m = min(N(u) ∪ u);
+    *   - small-star(u): every neighbor v ≤ u, and u itself,
+    *     attaches to m.
+    * Each half-round is one node-keyed min aggregate + one node-keyed
+    * join over the CURRENT edge set (which only shrinks toward one
+    * star per component), then a canonical-pair distinct. At the fixed
+    * point every edge is (component min, member) — the labels are read
+    * straight off the terminal edges, no closure pass.
+    *
+    * Convergence is CHECKED (edge set unchanged over a full round:
+    * equal count + empty difference — count equality makes one-sided
+    * `except` decisive), fail-loud past `maxIter`. Rounds checkpoint
+    * on TWO interleaved [[graft.operators.LineageCheckpoint]]
+    * rotations (the HITS idiom): the comparison must read the
+    * PREVIOUS round's frame after the new one materializes, so the
+    * rotation that frees it must lag one round behind.
+    *
+    * Same output contract as [[dupComponents]]: (id, component = min
+    * reachable id) for every node in `pairs` — d71's oracle proves the
+    * two algorithms agree by hashing this against d19's recursive
+    * transitive closure.
+    */
+  def dupComponentsStar(pairs: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val ckptA = new graft.operators.LineageCheckpoint(spark, checkpointDir)
+    val ckptB = new graft.operators.LineageCheckpoint(spark, checkpointDir)
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = adj.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val joined = adj.join(mins, "u")
+      val out =
+        if (large)
+          joined.filter(col("v") > col("u"))
+            .select(col("v").as("a"), col("m").as("b"))
+        else
+          joined.filter(col("v") <= col("u"))
+            .select(col("v").as("a"), col("m").as("b"))
+            .unionByName(mins.select(col("u").as("a"), col("m").as("b")))
+      canon(out)
+    }
+    var edges = ckptA(canon(
+      pairs.select(col("a_id").as("a"), col("b_id").as("b"))))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val ckpt = if (i % 2 == 0) ckptB else ckptA
+      val next = ckpt(star(star(edges, large = true), large = false))
+      // Safe to read `edges` here: its rotation frees it only on the
+      // NEXT same-parity round, after this comparison is done.
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      i += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIter rounds")
+    edges.select(col("b").as("id"), col("a").as("component"))
+      .unionByName(edges.select(col("a").as("id"), col("a").as("component")))
+      .distinct()
+  }
 }

@@ -706,6 +706,38 @@ class PlanSpec extends AnyFunSuite {
       s"type filters must reach the scans, got: $pushed")
   }
 
+  test("e28: drift cells join broadcast; the corpus pays one (type, day, bin) aggregate") {
+    val p = plan("e28_value_drift")
+    assert(!p.contains("SortMergeJoin"),
+      s"bounds/baseline/totals are catalog-sized and must broadcast:\n${p.take(600)}")
+    assert(!p.contains("Window"),
+      "PSI terms are aggregates, never a rank window")
+  }
+
+  test("v23: ADC search is a projection over codes + a top-k heap — no join at search time") {
+    val p = plan("v23_pq_adc")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k must plan as per-partition heaps:\n${p.take(600)}")
+    assert(!p.contains("Join"),
+      s"the code→score tables are literals; scoring must ride the scan:\n${p.take(600)}")
+  }
+
+  test("d72: the weighted sample is a mergeable heap, never a per-language window") {
+    val p = plan("d72_weighted_reservoir")
+    assert(!p.contains("Window"),
+      s"A-ES top-k must not plan a rank window over language-sized groups:\n${p.take(600)}")
+    assert(p.contains("partial_topkbyscoretagged"),
+      "the heap state must partial-aggregate map-side")
+  }
+
+  test("d71: star contraction's final plan reads checkpointed edges, not an unrolled loop") {
+    val p = plan("d71_cc_star")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"d71 must scan the checkpointed terminal edge frame:\n${p.take(600)}")
+    assert(scans("d71_cc_star").isEmpty,
+      "no parquet scan may survive the checkpoints — the candidate graph ran inside dupComponentsStar")
+  }
+
   test("q29: PageRank iterations checkpoint — the final plan is a rank scan, not an unrolled loop") {
     // GraphRank persists the edge/degree/node frames and eagerly
     // localCheckpoints each iteration's ranks, so the frame q29 returns

@@ -226,4 +226,28 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(loose(3L) == s"$header\n$footer")
   }
+
+  test("dupComponentsStar equals dupComponents on chains, cycles, and pairs") {
+    // a 20-node chain — diameter 19, so min-label pays 19 rounds while
+    // star contraction converges logarithmically — plus a 4-cycle and
+    // an isolated pair (three separate components).
+    val chain = (100L until 119L).map(i => (i, i + 1))
+    val cycle = Seq((200L, 201L), (201L, 202L), (202L, 203L), (203L, 200L))
+    val pair = Seq((300L, 301L))
+    val edges = (chain ++ cycle ++ pair).toDF("a_id", "b_id")
+    val star = Dedup.dupComponentsStar(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val base = Dedup.dupComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == base, s"star labels diverge:\n$star\nvs\n$base")
+    assert(star(119L) == 100L && star(203L) == 200L && star(301L) == 300L)
+  }
+
+  test("dupComponentsStar fails loudly when maxIter truncates the contraction") {
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupComponentsStar(chain, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }
