@@ -66,6 +66,17 @@ object Bloom {
     * false positive); false = DEFINITELY absent. Spelled as SQL text
     * because the shift amount is per-row and the Column-API
     * shiftright takes only literal shifts.
+    *
+    * `j` is a compile-time constant, so the J bit tests UNROLL into a
+    * plain AND chain instead of a `forall` lambda — value-identical
+    * (same Kirsch–Mitzenmacher positions, same bit reads; the q38/d64
+    * oracles replay either spelling), but decisively different in the
+    * engine: a higher-order function blocks whole-stage codegen and
+    * runs INTERPRETED, and when the caller's probe sits directly over
+    * the projection that derives fp/h1/h2 (no exchange between them —
+    * exactly the d65 serving shape), the collapsed interpreted tree
+    * re-evaluates the md5 chain per probe term, per row. Measured on
+    * d65 at sf0.1: 3.4 s forall → ~1 s unrolled.
     */
   def mightContain(h1Col: String, h2Col: String, bloomCol: String,
       mBits: Int, j: Int = 3): Column = {
@@ -75,11 +86,12 @@ object Bloom {
     Seq(h1Col, h2Col, bloomCol).foreach(c =>
       require(!c.contains("`") && c.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"mightContain needs simple column identifiers, got: $c"))
-    expr(s"""forall(sequence(0, ${j - 1}), i ->
-            | ((shiftright(element_at($bloomCol,
-            |     cast(((($h1Col + i * $h2Col) % $mBits) div 32) as int) + 1),
-            |   cast((($h1Col + i * $h2Col) % $mBits) % 32 as int)) & 1) = 1))"""
-      .stripMargin)
+    (0 until j).map { i =>
+      expr(s"""((shiftright(element_at($bloomCol,
+              |   cast(((($h1Col + $i * $h2Col) % $mBits) div 32) as int) + 1),
+              | cast((($h1Col + $i * $h2Col) % $mBits) % 32 as int)) & 1) = 1)"""
+        .stripMargin)
+    }.reduce(_ && _)
   }
 
   /** Standard Bloom sizing for `n` expected keys at false-positive rate

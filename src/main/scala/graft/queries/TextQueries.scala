@@ -1176,10 +1176,16 @@ object TextQueries {
         .select(md5(col("sh8")).as("fp")).distinct()
       val bloomRow = Bloom.buildRow(evalFp, "fp", mBits = Mb, j = J)
       val (kh1, kh2) = Bloom.hashes(col("fp"))
+      // h1/h2 materialize BELOW the cross join: a probe filter above a
+      // BroadcastNestedLoopJoin fuses into the join CONDITION, which is
+      // compiled without subexpression elimination — with h1/h2 still
+      // symbolic, the fused condition re-evaluated the md5 chain once
+      // per bit test per row (measured 3.4 s vs ~1 s at sf0.1).
+      // Projected as child columns, the condition is J bit reads.
       sh.filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id"), md5(col("sh8")).as("fp"))
-        .crossJoin(broadcast(bloomRow))
         .withColumn("h1", kh1).withColumn("h2", kh2)
+        .crossJoin(broadcast(bloomRow))
         .filter(Bloom.mightContain("h1", "h2", "bloom", mBits = Mb, j = J))
         .select(col("doc_id"), col("fp")).distinct()
         .join(broadcast(evalFp), "fp")

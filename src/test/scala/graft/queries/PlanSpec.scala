@@ -570,7 +570,7 @@ class PlanSpec extends AnyFunSuite {
     // The serving claim vs d64: dropping the n_probed witness drops
     // the exchange of the FULL pair set. Pin it structurally: every
     // shuffle that partitions on doc_id must have the bloom probe
-    // (the forall bit-test filter) strictly BELOW it.
+    // (the unrolled bit-test filter) strictly BELOW it.
     val df = SparkEntry.queries("d65_bloom_serving")(spark, sf)
     // exchanges are inserted by EnsureRequirements — unwrap the AQE
     // node to see them (sparkPlan is pre-insertion, executedPlan's
@@ -590,7 +590,7 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(docKeyed.nonEmpty, "the candidate dedup/count exchanges must exist")
     docKeyed.foreach { e =>
-      assert(e.child.toString.contains("forall"),
+      assert(e.child.toString.contains("shiftright"),
         s"a doc-keyed exchange carries un-probed pairs:\n${e.toString.take(400)}")
     }
   }
