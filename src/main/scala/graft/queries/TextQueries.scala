@@ -992,10 +992,13 @@ object TextQueries {
     // cluster-keyed aggregates (max length, then min id among the
     // maxima — the argmax form both engines compute identically, no
     // struct-ordering dependence) over cluster-sized groups; the
-    // candidate graph and components are d19's pinned machinery.
+    // candidate graph is d19's pinned machinery and the labels come
+    // from the log-round star contraction (d71 proves it ≡ d19's
+    // min-label propagation, and it measures ~1 s faster even at
+    // sf0.1 — the production choice).
     "d69_dup_survivors" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val comp = graft.text.Dedup.dupComponents(
+      val comp = graft.text.Dedup.dupComponentsStar(
         graft.text.Dedup.nearDupPairs(docs, "doc_id", "text",
           threshold = 0.0))
       val sized = comp.join(

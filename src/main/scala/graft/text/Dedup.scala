@@ -546,8 +546,16 @@ object Dedup {
       i += 1
     }
     require(converged, s"star contraction did not converge in $maxIter rounds")
-    edges.select(col("b").as("id"), col("a").as("component"))
-      .unionByName(edges.select(col("a").as("id"), col("a").as("component")))
-      .distinct()
+    // Materialize the label frame (the rotation NOT holding the final
+    // edges — its previous frame is superseded): like dupComponents,
+    // callers get a checkpointed result, so branching consumers (d69
+    // reads it three times) scan it instead of re-deriving the
+    // union+distinct per branch (measured: the un-materialized form
+    // cost d69 ~2 s extra at sf0.1).
+    val labelCkpt = if ((i - 1) % 2 == 0) ckptA else ckptB
+    labelCkpt(
+      edges.select(col("b").as("id"), col("a").as("component"))
+        .unionByName(edges.select(col("a").as("id"), col("a").as("component")))
+        .distinct())
   }
 }
