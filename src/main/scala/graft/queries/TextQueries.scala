@@ -1102,6 +1102,24 @@ object TextQueries {
         .orderBy(col("lang"), col("rank"))
     },
 
+    // BPE TOKENIZER TRAINING ([[graft.text.BpeTrainer]]) — the learned
+    // merge SEQUENCE, where d31 ranks only one round's candidates: 3
+    // rounds of find-most-frequent-adjacent-pair → fuse-everywhere,
+    // char-level within words, weighted by word frequency. The corpus
+    // is scanned ONCE (the word-count aggregate); the loop runs over
+    // the vocabulary-sized (word, count, symbols) table with a 1-row
+    // driver argmax per round (codebook-collect pattern) and a
+    // row-local fusion fold. The oracle unrolls all three rounds —
+    // pair counts, (count DESC, pair ASC) argmax, and the greedy
+    // left-to-right fusion as a per-word recursive index walk (d26's
+    // recursion idiom) — so hash equality pins the full training
+    // dynamics, not just one count table.
+    "d73_bpe_trainer" -> { (s, d) =>
+      graft.text.BpeTrainer.train(Tables.documents(s, d), "text",
+        merges = 3)
+        .orderBy(col("round"))
+    },
+
     // Defense-in-depth DECONTAMINATION LEDGER: the three leak
     // detectors — exact 8-gram overlap (d30), MinHash-LSH near-dup
     // with edits (d37), embedding-space semantic similarity (v14,
@@ -1757,6 +1775,41 @@ object TextQueries {
     * pair oracle, the d19 connected-components oracle and the d23
     * corpus-prep oracle so they can never drift.
     */
+  /** One BPE training round for the d73 oracle: pair counts over
+    * symsP, the 1-row argmax, and the per-word recursive fusion walk
+    * producing symsR (r = round, p = r − 1).
+    */
+  private def bpeRoundCtes(r: Int): String = {
+    val p = r - 1
+    s"""pc$r AS (SELECT s.pair, CAST(SUM(w.wc) AS BIGINT) AS cnt
+       |       FROM syms$p w,
+       |            LATERAL (SELECT unnest(list_transform(
+       |               range(1, len(w.syms)),
+       |               i -> w.syms[i] || ' ' || w.syms[i+1])) AS pair) s
+       |       GROUP BY 1),
+       |best$r AS (SELECT pair, cnt,
+       |         string_split(pair, ' ')[1] AS a,
+       |         string_split(pair, ' ')[2] AS b
+       |        FROM pc$r ORDER BY cnt DESC, pair LIMIT 1),
+       |walk$r(w, wc, i, out) AS (
+       |  SELECT w, wc, 1, CAST([] AS VARCHAR[]) FROM syms$p
+       |  UNION ALL
+       |  SELECT k.w, k.wc,
+       |    CASE WHEN k.i + 1 <= len(s.syms)
+       |          AND s.syms[k.i] = b.a AND s.syms[k.i+1] = b.b
+       |         THEN k.i + 2 ELSE k.i + 1 END,
+       |    CASE WHEN k.i + 1 <= len(s.syms)
+       |          AND s.syms[k.i] = b.a AND s.syms[k.i+1] = b.b
+       |         THEN list_append(k.out, s.syms[k.i] || s.syms[k.i+1])
+       |         ELSE list_append(k.out, s.syms[k.i]) END
+       |  FROM walk$r k JOIN syms$p s ON k.w = s.w CROSS JOIN best$r b
+       |  WHERE k.i <= len(s.syms)),
+       |syms$r AS (
+       |  SELECT k.w, k.wc, k.out AS syms
+       |  FROM walk$r k JOIN syms$p s ON k.w = s.w
+       |  WHERE k.i > len(s.syms))""".stripMargin
+  }
+
   private def candCtes(src: String): String =
     s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM $src),
       |sh AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
@@ -2521,6 +2574,30 @@ object TextQueries {
         |        ORDER BY pm DESC, tag) AS rn
         |      FROM p) x
         |WHERE rn <= 5 ORDER BY lang, rank""".stripMargin,
+
+    // d73: all three training rounds unrolled — per round, the weighted
+    // pair count, the (cnt DESC, pair ASC) argmax, and the greedy
+    // left-to-right fusion replayed as a per-word recursive index walk
+    // (i jumps 2 over a fused pair, 1 otherwise; the terminal row per
+    // word is the first with i past the symbol list).
+    "d73_bpe_trainer" ->
+      s"""WITH RECURSIVE
+         |wcnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+         |         FROM (SELECT unnest(string_split(text, ' ')) AS w
+         |               FROM documents) GROUP BY 1),
+         |syms0 AS (SELECT w, wc,
+         |           list_transform(range(1, len(w)+1),
+         |            i -> substr(w, CAST(i AS INT), 1)) AS syms
+         |          FROM wcnt),
+         |${bpeRoundCtes(1)},
+         |${bpeRoundCtes(2)},
+         |${bpeRoundCtes(3)}
+         |SELECT * FROM (
+         | SELECT CAST(1 AS BIGINT) AS round, a AS "left", b AS "right",
+         |        a||b AS merged, cnt AS pair_count FROM best1
+         | UNION ALL SELECT 2, a, b, a||b, cnt FROM best2
+         | UNION ALL SELECT 3, a, b, a||b, cnt FROM best3)
+         |ORDER BY round""".stripMargin,
 
     // d55: the three detector oracles as subquery blocks (each keeps
     // its own WITH chain), outer-joined; semantic best-score via MAX

@@ -738,6 +738,14 @@ class PlanSpec extends AnyFunSuite {
       "no parquet scan may survive the checkpoints — the candidate graph ran inside dupComponentsStar")
   }
 
+  test("d73: the returned merge table is trainer state — the rounds ran inside train()") {
+    val p = plan("d73_bpe_trainer")
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      s"the learned merges are a driver-built table:\n${p.take(400)}")
+    assert(scans("d73_bpe_trainer").isEmpty,
+      "no parquet scan may survive into the merge-table plan")
+  }
+
   test("q29: PageRank iterations checkpoint — the final plan is a rank scan, not an unrolled loop") {
     // GraphRank persists the edge/degree/node frames and eagerly
     // localCheckpoints each iteration's ranks, so the frame q29 returns

@@ -1,0 +1,42 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+
+class BpeTrainerSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{col, split}
+
+  test("learns the classic merge sequence: ug, hug, pug") {
+    // word counts: hug 4, pug 2, pun 1, bun 1.
+    // r1 pairs: (u,g)=6 > (h,u)=4 > (p,u)=3 > (u,n)=2 > (b,u)=1 -> ug
+    // r2: (h,ug)=4 > (p,ug)=2, (u,n)=2, (p,u)=1, (b,u)=1 -> hug
+    // r3: (p,ug)=2 ties (u,n)=2; "p ug" < "u n" lexically -> pug
+    val docs = Seq("hug hug hug pug", "pug pun bun hug").toDF("text")
+    val merges = BpeTrainer.train(docs, "text", merges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(merges == Seq(
+      (1L, "u", "g", "ug", 6L),
+      (2L, "h", "ug", "hug", 4L),
+      (3L, "p", "ug", "pug", 2L)))
+  }
+
+  test("fusion is greedy left-to-right: a fused symbol sits out the round") {
+    val df = Seq(Tuple1("x")).toDF("dummy")
+      .select(split(org.apache.spark.sql.functions.lit("a a a a a"), " ")
+        .as("syms"))
+    val out = df.select(BpeTrainer.fusePair(col("syms"), "a", "a").as("f"))
+      .head().getSeq[String](0)
+    assert(out == Seq("aa", "aa", "a"))
+  }
+
+  test("a vocabulary with no adjacent pairs ends training early, loudly visible") {
+    val docs = Seq("a b a", "b a b").toDF("text") // all words single-char
+    val merges = BpeTrainer.train(docs, "text", merges = 2).collect()
+    assert(merges.isEmpty,
+      "single-symbol words have no pairs; train must return zero merges")
+  }
+}
