@@ -185,10 +185,91 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native BPE word segmentation under a FIXED ordered merge list (the
+  * trained artifact, inlined like a broadcast codebook): characters,
+  * then each merge fused greedy left-to-right in training order — the
+  * exact semantics of [[graft.text.BpeTrainer.segmentWord]]'s
+  * declarative fold chain, which d74's oracle replays recursively.
+  * The declarative form nests one interpreted `aggregate` lambda PER
+  * MERGE inside a per-word `transform`; at a realistic merge count
+  * that is the whole encode cost (measured ~10 s for 3 merges at
+  * sf0.1 vs ~1 s native — and a production tokenizer carries tens of
+  * thousands of merges, where the fold chain would not even
+  * construct). Here: one digest-free imperative pass per word per
+  * merge, codegen'd via a reference-object merge table.
+  */
+case class BpeSegment(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_segment"
+
+  @transient private lazy val flat: Array[org.apache.spark.unsafe.types.UTF8String] =
+    merges.flatMap { case (a, b) =>
+      Seq(org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    }.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    BpeOps.segment(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], flat)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", flat,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeOps.segment($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeOps {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Character split + greedy left-to-right fusion per merge pair, in
+    * order. `flat` holds the merges as [a0, b0, a1, b1, ...]. Char
+    * boundaries are UTF8String CHARACTER substrings — the same
+    * semantics as `substr(w, i, 1)` on both engines.
+    */
+  def segment(w: UTF8String, flat: Array[UTF8String]): ArrayData = {
+    val n = w.numChars()
+    var cur = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { cur(i) = w.substring(i, i + 1); i += 1 }
+    var m = 0
+    while (m < flat.length) {
+      val a = flat(m)
+      val b = flat(m + 1)
+      val out = new Array[UTF8String](cur.length)
+      var k = 0 // write cursor
+      var j = 0 // read cursor
+      while (j < cur.length) {
+        if (j + 1 < cur.length && cur(j).equals(a) && cur(j + 1).equals(b)) {
+          out(k) = UTF8String.concat(a, b)
+          j += 2
+        } else {
+          out(k) = cur(j)
+          j += 1
+        }
+        k += 1
+      }
+      cur = java.util.Arrays.copyOf(out, k)
+      m += 2
+    }
+    new GenericArrayData(cur.asInstanceOf[Array[Any]])
+  }
+}
+
 object text {
   /** Array of `nBands` minhash values for a string-array column. */
   def minhashSlices(shingles: Column, nBands: Int = 4): Column =
     ColumnBridge.column(MinHashSlices(ColumnBridge.expression(shingles), nBands))
+
+  /** Native BPE segmentation of a word column under fixed merges. */
+  def bpeSegment(word: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeSegment(ColumnBridge.expression(word), merges))
 
   /** Native word n-gram shingles over a token-array column. */
   def shingles(toks: Column, n: Int): Column =

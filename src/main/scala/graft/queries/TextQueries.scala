@@ -1120,6 +1120,33 @@ object TextQueries {
         .orderBy(col("round"))
     },
 
+    // BPE ENCODE — the trained tokenizer APPLIED: d73's 3 learned
+    // merges segment every document and the row reports its true
+    // token count next to its character mass (the d14 chars/4
+    // heuristic replaced by the actual tokenizer — the number a
+    // training-budget plan actually needs). Shape: train runs once
+    // (d73's vocabulary-sized loop), the learned merges inline as
+    // driver-side literals (the broadcast-codebook pattern), and
+    // encoding is a PURE scan projection — chained per-word fusion
+    // folds, no join, no shuffle; `saved` = chars − tokens is the
+    // compression the 3 merges buy. Oracle: the d73 CTE chain already
+    // derives every word's post-merge segmentation (syms3), so each
+    // doc joins its words to it and sums.
+    "d74_bpe_encode" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.BpeTrainer.train(docs, "text", merges = 3)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val segSizes = transform(TF.tokens(col("text")),
+        w => size(graft.text.BpeTrainer.segmentWord(w, merges)))
+      docs.select(col("doc_id"),
+        TF.tokenCharSum(TF.tokens(col("text"))).as("n_chars"),
+        aggregate(segSizes, lit(0L), (acc, x) => acc + x)
+          .as("n_bpe_tokens"))
+        .withColumn("saved", col("n_chars") - col("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // Defense-in-depth DECONTAMINATION LEDGER: the three leak
     // detectors — exact 8-gram overlap (d30), MinHash-LSH near-dup
     // with edits (d37), embedding-space semantic similarity (v14,
@@ -2598,6 +2625,29 @@ object TextQueries {
          | UNION ALL SELECT 2, a, b, a||b, cnt FROM best2
          | UNION ALL SELECT 3, a, b, a||b, cnt FROM best3)
          |ORDER BY round""".stripMargin,
+
+    // d74: every corpus word's post-merge segmentation already exists
+    // as d73's syms3 — docs join their words to it and sum.
+    "d74_bpe_encode" ->
+      s"""WITH RECURSIVE
+         |wcnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+         |         FROM (SELECT unnest(string_split(text, ' ')) AS w
+         |               FROM documents) GROUP BY 1),
+         |syms0 AS (SELECT w, wc,
+         |           list_transform(range(1, len(w)+1),
+         |            i -> substr(w, CAST(i AS INT), 1)) AS syms
+         |          FROM wcnt),
+         |${bpeRoundCtes(1)},
+         |${bpeRoundCtes(2)},
+         |${bpeRoundCtes(3)},
+         |docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |         FROM documents)
+         |SELECT d.doc_id,
+         | CAST(SUM(len(d.w)) AS BIGINT) AS n_chars,
+         | CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens,
+         | CAST(SUM(len(d.w)) - SUM(len(s.syms)) AS BIGINT) AS saved
+         |FROM docw d JOIN syms3 s ON d.w = s.w
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // d55: the three detector oracles as subquery blocks (each keeps
     // its own WITH chain), outer-joined; semantic best-score via MAX

@@ -76,6 +76,31 @@ object BpeTrainer {
       slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
       (x, y) => concat(x, lit(" "), y))
 
+  /** The tokenizer's APPLY phase: segment one word column under an
+    * ordered merge list — characters, then each learned fusion in
+    * training order (BPE's apply rule). With the merges inlined
+    * driver-side (they are the trained artifact, like a broadcast
+    * codebook), encoding any corpus is a row-local scan projection —
+    * no join, no shuffle, and the d14 token-count heuristics are
+    * replaced by the ACTUAL tokenizer's counts. Delegates to the
+    * native codegen'd [[graft.functions.BpeSegment]] — the chained
+    * declarative fold this replaces paid one interpreted lambda per
+    * merge per word (~10× at 3 merges; unusable at a production merge
+    * count). Semantics are identical (BpeTrainerSpec pins native ≡
+    * fold), and train()'s per-round [[fusePair]] stays declarative:
+    * it runs over the vocabulary-sized table, where interpretation is
+    * free and the oracle replays it.
+    */
+  def segmentWord(w: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.text.bpeSegment(w, merges)
+
+  /** The declarative fold form of [[segmentWord]] — the reference
+    * the native expression is pinned against.
+    */
+  private[text] def segmentWordFold(w: Column,
+      merges: Seq[(String, String)]): Column =
+    merges.foldLeft(charsOf(w)) { case (s, (a, b)) => fusePair(s, a, b) }
+
   def train(docs: DataFrame, textCol: String, merges: Int,
       checkpointDir: Option[String] = None): DataFrame = {
     require(merges >= 1, s"need at least one merge round, got $merges")

@@ -33,6 +33,33 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(out == Seq("aa", "aa", "a"))
   }
 
+  test("segmentWord applies the merges in training order") {
+    // merges (u,g) then (h,ug): "hugs" -> [h,u,g,s] -> [h,ug,s] -> [hug,s];
+    // "pug" gets only the first merge; "bun" none.
+    val df = Seq("hugs", "pug", "bun").toDF("w")
+    val out = df.select(col("w"),
+      BpeTrainer.segmentWord(col("w"),
+        Seq(("u", "g"), ("h", "ug"))).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("hugs") == Seq("hug", "s"))
+    assert(out("pug") == Seq("p", "ug"))
+    assert(out("bun") == Seq("b", "u", "n"))
+  }
+
+  test("native segmentation equals the declarative fold on every corpus word") {
+    val words = Seq("hugs", "pug", "bun", "aaaa", "abababa", "x",
+      "mississippi", "aabbaabb").toDF("w")
+    val merges = Seq(("a", "b"), ("ab", "ab"), ("s", "s"), ("i", "s"))
+    val rows = words.select(col("w"),
+      BpeTrainer.segmentWord(col("w"), merges).as("native"),
+      BpeTrainer.segmentWordFold(col("w"), merges).as("fold"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"native/fold diverge on '${r.getString(0)}'")
+    }
+  }
+
   test("a vocabulary with no adjacent pairs ends training early, loudly visible") {
     val docs = Seq("a b a", "b a b").toDF("text") // all words single-char
     val merges = BpeTrainer.train(docs, "text", merges = 2).collect()
