@@ -1147,6 +1147,39 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // DATASET CARD — the one-row datasheet a corpus release ships
+    // (Gebru et al.'s datasheet quantitative block): sizes, source and
+    // language breadth, vocabulary, and the exact-duplicate rate, all
+    // from two aggregates (one over documents, one term-keyed distinct
+    // for the vocabulary). Duplication here is the d04 fingerprint
+    // definition (identical md5(text)); the micro-fraction is exact
+    // integer arithmetic. At 100 TB the count-distincts are the only
+    // non-map-side terms — swap them for the q22 KMV estimates when
+    // exactness stops being worth the expand (the q25/q26 contrast,
+    // noted rather than duplicated).
+    "d75_dataset_card" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TF.tokens(col("text"))).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"))
+      val vocab = docs.select(explode(TF.tokens(col("text"))).as("t"))
+        .agg(countDistinct(col("t")).as("vocab"))
+      base.crossJoin(broadcast(vocab))
+        .withColumn("n_exact_dups", col("n_docs") - col("n_unique_texts"))
+        .withColumn("dup_frac_micro",
+          expr("((n_docs - n_unique_texts) * 1000000) DIV n_docs"))
+        .withColumn("mean_doc_tokens",
+          col("n_tokens").cast("double") / col("n_docs").cast("double"))
+        .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+          col("n_sources"), col("n_langs"), col("vocab"),
+          col("n_exact_dups"), col("dup_frac_micro"),
+          col("mean_doc_tokens"))
+    },
+
     // Defense-in-depth DECONTAMINATION LEDGER: the three leak
     // detectors — exact 8-gram overlap (d30), MinHash-LSH near-dup
     // with edits (d37), embedding-space semantic similarity (v14,
@@ -2648,6 +2681,24 @@ object TextQueries {
          | CAST(SUM(len(d.w)) - SUM(len(s.syms)) AS BIGINT) AS saved
          |FROM docw d JOIN syms3 s ON d.w = s.w
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "d75_dataset_card" ->
+      """WITH b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+        |        CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |        CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+        |       FROM documents),
+        |v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab FROM
+        |       (SELECT unnest(string_split(text,' ')) AS t FROM documents))
+        |SELECT b.n_docs, b.n_tokens, b.n_chars, b.n_sources, b.n_langs,
+        | v.vocab,
+        | b.n_docs - b.n_unique AS n_exact_dups,
+        | ((b.n_docs - b.n_unique) * 1000000) // b.n_docs AS dup_frac_micro,
+        | CAST(b.n_tokens AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+        |  AS mean_doc_tokens
+        |FROM b CROSS JOIN v""".stripMargin,
 
     // d55: the three detector oracles as subquery blocks (each keeps
     // its own WITH chain), outer-joined; semantic best-score via MAX

@@ -1332,6 +1332,59 @@ object EventStreams {
     }
   }
 
+  /** Admission record of [[statefulQuotaGate]]: `seq` is the
+    * document's 1-based admission index within its key (≤ budget when
+    * admitted).
+    */
+  final case class QuotaOut(key: String, doc_id: Long, ts_us: Long,
+      seq: Long, admitted: Boolean)
+
+  /** Per-key ADMISSION BUDGET for continuous ingest — d67's
+    * anti-domination cap made streaming: each key (a source, a
+    * domain, a tenant) may admit at most `budget` documents over the
+    * stream's lifetime; everything past the budget is emitted with
+    * `admitted = false` so the caller can route, count, or drop.
+    * d67's batch form admits by RATE (keeps the within-group
+    * distribution when the group total is known); the streaming form
+    * must decide per arrival without the total, so it admits
+    * FIRST-COME in (event-time, doc_id) order — batch-internal ties
+    * fold deterministically, and cross-batch order is arrival order,
+    * the only order an unbounded stream has.
+    *
+    * State: ONE counter per key, forever (a quota is a lifetime
+    * contract; reset epochs by restarting with a fresh checkpoint, the
+    * statefulLshNoveltyGate retention note). The counter lives in the
+    * keyed state store — partitioned across executors, restored from
+    * the checkpoint — so a million-key tenant space costs a million
+    * longs, nothing driver-side.
+    */
+  def statefulQuotaGate(
+      docs: org.apache.spark.sql.Dataset[(String, Long, Long)], // (key, doc_id, ts_us)
+      budget: Long,
+      watermark: String = "2 hours"): org.apache.spark.sql.Dataset[QuotaOut] = {
+    require(budget >= 1, s"need a positive budget, got $budget")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    docs.toDF("key", "doc_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermark)
+      .as[(String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._3, r._2)).map {
+            case (_, id, ts, _) =>
+              n += 1
+              QuotaOut(key, id, ts, n, n <= budget)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   /** Per-document verdict of [[statefulLshNoveltyGate]]: `n_fresh` of
     * the `n_buckets` band buckets were unclaimed when the document
     * arrived; `admitted` = all of them were.

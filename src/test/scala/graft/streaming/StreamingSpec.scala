@@ -1377,6 +1377,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("statefulQuotaGate: budgets enforce across batches in (ts, id) order") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)] // (key, doc_id, ts_us)
+    val q = EventStreams.statefulQuotaGate(in.toDS(), budget = 2)
+      .writeStream.format("memory").queryName("quota")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      // batch 1: srcA sends 3 (out of ts order — the in-batch sort
+      // must admit by event time, not arrival), srcB sends 1
+      in.addData(("srcA", 11L, 3000L), ("srcA", 10L, 1000L),
+        ("srcA", 12L, 2000L), ("srcB", 20L, 1000L))
+      q.processAllAvailable()
+      // batch 2: srcA's budget is SPENT; srcB admits one more
+      in.addData(("srcA", 13L, 4000L), ("srcB", 21L, 2000L),
+        ("srcB", 22L, 3000L))
+      q.processAllAvailable()
+      val out = spark.table("quota").collect()
+        .map(r => r.getLong(1) -> (r.getLong(3), r.getBoolean(4))).toMap
+      // srcA in-batch order by ts: 10 (seq 1), 12 (seq 2), 11 (seq 3)
+      assert(out(10L) == (1L, true) && out(12L) == (2L, true))
+      assert(out(11L) == (3L, false), "the third arrival must be over budget")
+      assert(out(13L) == (4L, false), "the counter must persist across batches")
+      assert(out(20L) == (1L, true) && out(21L) == (2L, true))
+      assert(out(22L) == (3L, false))
+    } finally q.stop()
+  }
+
   test("statefulLshNoveltyGate: stream verdicts equal the greedy claim-on-sight reference") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.{posexplode, size => fsize, split}

@@ -60,6 +60,32 @@ class BpeTrainerSpec extends AnyFunSuite {
     }
   }
 
+  test("a 15-round run on the corpus: best-pair counts never increase, merges stay well-formed") {
+    // Old pairs only lose occurrences as fusions consume them, and a
+    // pair created by round r's fusion occurs at most best(r) times —
+    // so the chosen count is non-increasing across rounds (the shape a
+    // production merge schedule relies on for early stopping).
+    val merges = BpeTrainer.train(
+      graft.Tables.documents(spark, graft.TestSession.sf), "text", 15)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(merges.map(_._1).toSeq == (1L to 15L),
+      "rounds must be consecutive from 1")
+    assert(merges.sliding(2).forall {
+      case Array(a, b) => b._5 <= a._5
+      case _ => true
+    }, s"best-pair counts increased: ${merges.map(_._5).mkString(",")}")
+    merges.foreach { case (_, l, r, m, cnt) =>
+      assert(l.nonEmpty && r.nonEmpty && m == l + r && cnt > 0)
+    }
+    // learned symbols are reused as later merge sides (real BPE
+    // dynamics, not 15 disjoint character pairs)
+    val vocab = merges.map(_._4).toSet
+    assert(merges.exists(t => vocab.contains(t._2) || vocab.contains(t._3)),
+      "later rounds must build on earlier merged symbols")
+  }
+
   test("a vocabulary with no adjacent pairs ends training early, loudly visible") {
     val docs = Seq("a b a", "b a b").toDF("text") // all words single-char
     val merges = BpeTrainer.train(docs, "text", merges = 2).collect()
