@@ -101,6 +101,34 @@ object BpeTrainer {
       merges: Seq[(String, String)]): Column =
     merges.foldLeft(charsOf(w)) { case (s, (a, b)) => fusePair(s, a, b) }
 
+  /** Persist a trained merge table (the q27/Bloom stored-state
+    * pattern): the tokenizer is trained once, stored, and every later
+    * job [[readMerges]] the ordered list instead of re-running the
+    * loop — train nightly, encode everywhere.
+    */
+  def writeMerges(merges: DataFrame, path: String): Unit =
+    merges.coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Load a [[writeMerges]]-stored table as the ordered (left, right)
+    * list [[segmentWord]] consumes; fails loudly on a gap in the round
+    * sequence (a partially-written or mixed-run table must never
+    * silently segment with half a tokenizer).
+    */
+  def readMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] = {
+    val rows = spark.read.parquet(path)
+      .select(col("round"), col("left"), col("right"))
+      .orderBy(col("round")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    rows.zipWithIndex.foreach { case ((round, _, _), i) =>
+      require(round == i + 1L,
+        s"merge table at $path has round $round at position ${i + 1} — " +
+          "not a contiguous training sequence")
+    }
+    rows.map { case (_, a, b) => (a, b) }.toSeq
+  }
+
   def train(docs: DataFrame, textCol: String, merges: Int,
       checkpointDir: Option[String] = None): DataFrame = {
     require(merges >= 1, s"need at least one merge round, got $merges")

@@ -86,6 +86,48 @@ class BpeTrainerSpec extends AnyFunSuite {
       "later rounds must build on earlier merged symbols")
   }
 
+  test("fuzz: native segmentation equals the fold on random words and merge chains") {
+    val rnd = new scala.util.Random(17)
+    val alpha = "ab" // tiny alphabet maximizes merge collisions
+    val words = (0 until 60).map(_ =>
+      (0 until (1 + rnd.nextInt(10))).map(_ => alpha(rnd.nextInt(2))).mkString)
+    // chains where later merges reference earlier merged symbols
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"), ("b", "aaab"),
+      ("b", "b"))
+    val rows = words.toDF("w").select(col("w"),
+      BpeTrainer.segmentWord(col("w"), merges).as("native"),
+      BpeTrainer.segmentWordFold(col("w"), merges).as("fold"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"diverge on '${r.getString(0)}': " +
+          s"${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+      assert(r.getSeq[String](1).mkString("") == r.getString(0),
+        "segmentation must be lossless")
+    }
+  }
+
+  test("merge table round-trips through storage; a gapped table fails loudly") {
+    val docs = Seq("hug hug hug pug", "pug pun bun hug").toDF("text")
+    val trained = BpeTrainer.train(docs, "text", merges = 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bpe").toString + "/merges"
+    BpeTrainer.writeMerges(trained, path)
+    val loaded = BpeTrainer.readMerges(spark, path)
+    assert(loaded == Seq(("u", "g"), ("h", "ug"), ("p", "ug")))
+    // stored tokenizer segments exactly like the in-session one
+    val seg = Seq("hugs").toDF("w")
+      .select(BpeTrainer.segmentWord(col("w"), loaded))
+      .head().getSeq[String](0)
+    assert(seg == Seq("hug", "s"))
+    // a table missing round 2 must not half-segment silently
+    BpeTrainer.writeMerges(trained.filter(col("round") =!= 2), path)
+    val e = intercept[IllegalArgumentException] {
+      BpeTrainer.readMerges(spark, path)
+    }
+    assert(e.getMessage.contains("not a contiguous training sequence"))
+  }
+
   test("a vocabulary with no adjacent pairs ends training early, loudly visible") {
     val docs = Seq("a b a", "b a b").toDF("text") // all words single-char
     val merges = BpeTrainer.train(docs, "text", merges = 2).collect()
