@@ -1407,6 +1407,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("statefulQuotaGate state survives a query restart from its checkpoint") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val ck = Files.createTempDirectory("graft-ck").toString
+    val outDir = Files.createTempDirectory("graft-quota-out").toString
+    // parquet sink: the fault-tolerant sink restart recovery needs
+    // (the memory sink drops its table on restart)
+    def start() = EventStreams.statefulQuotaGate(in.toDS(), budget = 2)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    val q1 = start()
+    try {
+      in.addData(("src", 1L, 1000L), ("src", 2L, 2000L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      in.addData(("src", 3L, 3000L))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(outDir).collect()
+        .map(r => r.getLong(1) -> (r.getLong(3), r.getBoolean(4))).toMap
+      assert(rows.size == 3, s"exactly-once across the restart: $rows")
+      assert(rows(1L) == (1L, true) && rows(2L) == (2L, true))
+      // seq 3 proves the per-key counter was RESTORED from the
+      // checkpointed state store, not restarted at zero
+      assert(rows(3L) == (3L, false),
+        s"the restored counter must carry the spent budget: $rows")
+    } finally q2.stop()
+  }
+
   test("statefulLshNoveltyGate: stream verdicts equal the greedy claim-on-sight reference") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.{posexplode, size => fsize, split}
