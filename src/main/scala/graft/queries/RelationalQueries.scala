@@ -770,6 +770,38 @@ object RelationalQueries {
     // rows is a stack over the single aggregate row — free. This is
     // the feature-selection / multicollinearity profile; Spark's own
     // corr() would be merge-order-dependent and never hash-checkable.
+    // REFERENTIAL ACTIVITY PROFILE — the FK-health / coverage check a
+    // warehouse runs per reporting window: customer→orders fan-out
+    // inside 1995 (how many customers ordered, how many went dark, the
+    // max and mean orders per active customer) plus the orphan-order
+    // witness (window orders whose customer key resolves nowhere —
+    // exactly 0 here, and the row PROVES it rather than assumes it;
+    // the inactive branch bites at 326/1500). One window-pruned
+    // customer-keyed aggregate + one keyed left join; the orphan
+    // anti-join rides the same fan frame. avg fan-out is the exact
+    // integer micro-ratio (d40's rule — a double mean would be
+    // merge-order noise).
+    "q43_activity_profile" -> { (s, d) =>
+      val lo = lit("1995-01-01").cast("timestamp")
+      val hi = lit("1996-01-01").cast("timestamp")
+      val fan = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"))
+      val orphans = fan
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_orphan_orders"))
+      cust.join(fan, col("c_custkey") === col("o_custkey"), "left")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("n").isNotNull, 1L).otherwise(0L)).as("n_active"),
+          sum(when(col("n").isNull, 1L).otherwise(0L)).as("n_inactive"),
+          max(col("n")).as("max_fanout"),
+          sum(coalesce(col("n"), lit(0L))).as("n_window_orders"))
+        .crossJoin(broadcast(orphans))
+        .withColumn("avg_fanout_micro",
+          expr("(n_window_orders * 1000000) DIV n_active"))
+    },
+
     "q42_corr_matrix" -> { (s, d) =>
       val ms = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
         "l_discount" -> "dd", "l_tax" -> "t")
@@ -1458,6 +1490,32 @@ object RelationalQueries {
         | CAST(COUNT(*) AS DOUBLE) / MAX(cnt) AS share
         |FROM lineitem, b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q43_activity_profile" ->
+      """WITH fan AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+        |             FROM orders
+        |             WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |               AND o_orderdate < TIMESTAMP '1996-01-01'
+        |             GROUP BY 1),
+        |orph AS (SELECT CAST(COALESCE(SUM(f.n), 0) AS BIGINT)
+        |          AS n_orphan_orders
+        |         FROM fan f LEFT JOIN customer c
+        |          ON f.o_custkey = c.c_custkey
+        |         WHERE c.c_custkey IS NULL)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+        | CAST(SUM(CASE WHEN f.n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_active,
+        | CAST(SUM(CASE WHEN f.n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_inactive,
+        | MAX(f.n) AS max_fanout,
+        | CAST(SUM(COALESCE(f.n, 0)) AS BIGINT) AS n_window_orders,
+        | MAX(o.n_orphan_orders) AS n_orphan_orders,
+        | (CAST(SUM(COALESCE(f.n, 0)) AS BIGINT) * 1000000)
+        |  // CAST(SUM(CASE WHEN f.n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS avg_fanout_micro
+        |FROM customer c
+        |LEFT JOIN fan f ON c.c_custkey = f.o_custkey
+        |CROSS JOIN orph o""".stripMargin,
 
     // q42: one 15-sum aggregate CTE + a generated 6-row UNION, the
     // pair expression q34's corr formula verbatim.
