@@ -1437,6 +1437,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("statefulLshNoveltyGate: bucket claims survive a query restart") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val ck = Files.createTempDirectory("graft-ck").toString
+    val outDir = Files.createTempDirectory("graft-lsh-out").toString
+    val textA = "spark table scan query join filter agg window sort merge"
+    val textB = "completely different content about streams and state stores"
+    def start() = EventStreams.statefulLshNoveltyGate(in.toDS(),
+        shingleN = 3, nBands = 4, watermark = "1 hour")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    val q1 = start()
+    try {
+      in.addData((1L, 1000000L, textA))
+      q1.processAllAvailable(); q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // doc 2 duplicates doc 1 ACROSS the restart: its buckets must
+      // already be claimed by the recovered state; doc 3 is novel
+      in.addData((2L, 2000000L, textA), (3L, 3000000L, textB))
+      q2.processAllAvailable(); q2.processAllAvailable()
+      val rows = spark.read.parquet(outDir).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      assert(rows == Map(1L -> true, 2L -> false, 3L -> true),
+        s"recovered bucket claims must reject the post-restart dup: $rows")
+    } finally q2.stop()
+  }
+
   test("statefulLshNoveltyGate: stream verdicts equal the greedy claim-on-sight reference") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.{posexplode, size => fsize, split}
