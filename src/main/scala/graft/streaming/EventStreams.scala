@@ -390,6 +390,16 @@ object EventStreams {
           }.sum
           DriftRow(t, day, nd, psi)
         }
+
+    /** Bounds the ledger on a forever-running monitor (the
+      * [[AnomalyLedger.evictBefore]] discipline): drops every closed
+      * (type, day, bucket) cell strictly before `minDayIdx`. Safe at
+      * any cut — unlike the z-score ledger, a day's PSI reads only its
+      * own cells and the frozen baseline, so eviction can never change
+      * a surviving day's score.
+      */
+    def evictBefore(minDayIdx: Long): Unit =
+      counts = counts.filter { case ((_, day, _), _) => day >= minDayIdx }
   }
 
   /** Streaming face of e28: [[dailyValueBuckets]]'s finalized cells

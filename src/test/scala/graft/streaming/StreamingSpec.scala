@@ -1374,6 +1374,12 @@ class StreamingSpec extends AnyFunSuite {
           .toDF("event_type", "day", "bucket", "n"),
         ledger.lastBatchId)
       assert(ledger.counts == before)
+      // eviction: a day's PSI reads only its own cells + the frozen
+      // baseline, so dropping old days is invisible to survivors
+      val keptBefore = got.filter(_.day_idx >= 10L)
+      ledger.evictBefore(10L)
+      assert(ledger.drifts() == keptBefore,
+        "eviction must not change surviving days' scores")
     } finally q.stop()
   }
 
