@@ -227,6 +227,47 @@ object EventQueries {
         .orderBy(col("event_id"))
     },
 
+    // ROLLING ACTIVE USERS (DAU/WAU/MAU) FROM STORED SKETCH STATES —
+    // the dashboard triple every product ships, computed the way 100 TB
+    // pipelines actually compute it: each day pays its aggregation
+    // ONCE, emitting an exact DAU and one KMV state row (q27's
+    // storable-state contract); every trailing window then MERGES the
+    // member days' k-hash states — mergeable, so WAU/MAU never rescan
+    // events, and the window join runs over the catalog-sized
+    // (day, state) table (days × window rows, a 1-row-per-day range
+    // self-join — never the event log). K = 64 < every DAU here
+    // (125–141), so the (k−1)·2³²/h(k) estimator path bites on all
+    // three measures; the oracle re-derives each day's trailing-window
+    // estimate from raw hashes, proving merge-of-states ≡
+    // state-of-union day for day.
+    "e29_rolling_actives" -> { (s, d) =>
+      val K = 64
+      val st = udaf(new graft.operators.Sketches.KmvState(K),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val mg = udaf(new graft.operators.Sketches.KmvMerge(K),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Seq[java.lang.Long]]())
+      val daily = Tables.events(s, d)
+        .select(tsUs.as("ts_us"), col("user_id"))
+        .withColumn("day_idx", expr(s"ts_us div $DayUs"))
+      val dau = daily.groupBy(col("day_idx"))
+        .agg(countDistinct(col("user_id")).as("dau"),
+          st(graft.operators.Sketches.kmvInput(
+            graft.text.TextFunctions.hash32(col("user_id").cast("string"))))
+            .as("state"))
+      def rolling(w: Int, name: String) =
+        dau.select(col("day_idx").as("a_day"))
+          .join(dau.select(col("day_idx").as("b_day"), col("state")),
+            col("b_day") > col("a_day") - w &&
+              col("b_day") <= col("a_day"))
+          .groupBy(col("a_day").as("day_idx"))
+          .agg(mg(col("state")).as(name))
+      dau.select(col("day_idx"), col("dau"))
+        .join(rolling(7, "wau_est"), "day_idx")
+        .join(rolling(30, "mau_est"), "day_idx")
+        .orderBy(col("day_idx"))
+    },
+
     // PER-DAY VALUE-DISTRIBUTION DRIFT — q41's PSI arithmetic turned
     // into the monitoring report a serving pipeline runs continuously:
     // for every event type, each day's `value` distribution is scored
@@ -991,6 +1032,38 @@ object EventQueries {
          |FROM c ASOF LEFT JOIN v
          | ON c.user_id = v.user_id AND v.ts_us <= c.ts_us
          |ORDER BY c.event_id""".stripMargin,
+
+    // e29: each trailing window's estimate re-derived from raw
+    // per-day distinct hashes (e11's k-th-smallest spelling over the
+    // window join) — equality proves the engine's merged STORED
+    // states answer as the union would.
+    "e29_rolling_actives" ->
+      """WITH b AS (SELECT epoch_us(ts)//86400000000 AS d, user_id,
+        |        CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))
+        |         AS BIGINT) AS h
+        |       FROM events),
+        |dau AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        |        FROM b GROUP BY 1),
+        |days AS (SELECT DISTINCT d FROM b),
+        |w7 AS (SELECT a.d AS d, b.h FROM days a
+        |       JOIN b ON b.d > a.d - 7 AND b.d <= a.d GROUP BY 1, 2),
+        |r7 AS (SELECT d, h, ROW_NUMBER() OVER (PARTITION BY d ORDER BY h)
+        |        AS rn, COUNT(*) OVER (PARTITION BY d) AS nd FROM w7),
+        |e7 AS (SELECT d, CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
+        |            ELSE 63e0 * 4294967296e0
+        |                 / MAX(CASE WHEN rn = 64 THEN h END) END AS wau_est
+        |       FROM r7 GROUP BY d),
+        |w30 AS (SELECT a.d AS d, b.h FROM days a
+        |        JOIN b ON b.d > a.d - 30 AND b.d <= a.d GROUP BY 1, 2),
+        |r30 AS (SELECT d, h, ROW_NUMBER() OVER (PARTITION BY d ORDER BY h)
+        |         AS rn, COUNT(*) OVER (PARTITION BY d) AS nd FROM w30),
+        |e30 AS (SELECT d, CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
+        |             ELSE 63e0 * 4294967296e0
+        |                  / MAX(CASE WHEN rn = 64 THEN h END) END AS mau_est
+        |        FROM r30 GROUP BY d)
+        |SELECT dau.d AS day_idx, dau.dau, e7.wau_est, e30.mau_est
+        |FROM dau JOIN e7 ON dau.d = e7.d JOIN e30 ON dau.d = e30.d
+        |ORDER BY day_idx""".stripMargin,
 
     // e28: q41's PSI oracle spelling re-keyed to (type, day) with the
     // baseline-bin grid FULL JOINed to each day's own bins.
