@@ -1093,8 +1093,12 @@ object TextQueries {
           floor(log(col("u")) / col("w").cast("double")
             * lit(1000000000.0)).cast("long"))
         .groupBy(col("lang"))
+        // lpad to 20 (not 6): lpad TRUNCATES strings longer than len in
+        // both engines, so a narrow tag would silently corrupt any
+        // doc_id ≥ 10^6 on the round-trip and break the total tie order
+        // — 20 digits covers the full Long range at 100 TB doc counts.
         .agg(topk(col("priority_micro"),
-          lpad(col("doc_id").cast("string"), 6, "0"), col("w")).as("top"))
+          lpad(col("doc_id").cast("string"), 20, "0"), col("w")).as("top"))
         .select(col("lang"), posexplode(col("top")).as(Seq("r0", "p")))
         .select(col("lang"), (col("r0") + 1).cast("long").as("rank"),
           col("p._2").cast("bigint").as("doc_id"),
@@ -2625,7 +2629,7 @@ object TextQueries {
         |p AS (SELECT lang, doc_id, w,
         |       CAST(FLOOR(LN(u) / CAST(w AS DOUBLE) * 1000000000.0e0)
         |        AS BIGINT) AS pm,
-        |       lpad(CAST(doc_id AS VARCHAR), 6, '0') AS tag
+        |       lpad(CAST(doc_id AS VARCHAR), 20, '0') AS tag
         |      FROM w)
         |SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id,
         | w AS n_tokens, pm AS priority_micro

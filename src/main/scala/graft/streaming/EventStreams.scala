@@ -322,11 +322,16 @@ object EventStreams {
       .withColumn("lo", element_at(loM, col("event_type")))
       .withColumn("hi", element_at(hiM, col("event_type")))
       .filter(col("lo").isNotNull)
+      // Both ends clamp: the baseline bounds are FROZEN, so live values
+      // can land outside them on either side — below-lo must fold into
+      // bucket 0 exactly as above-hi folds into 7, or downward drift is
+      // scored asymmetrically and per-day state stops being bounded by
+      // types×8 cells (one cell per distinct negative bucket id).
       .withColumn("bucket",
         when(col("hi") === col("lo"), lit(0L))
-          .otherwise(least(lit(7L),
+          .otherwise(greatest(lit(0L), least(lit(7L),
             floor((col("value").cast("double") - col("lo")) * lit(8.0) /
-              (col("hi") - col("lo"))).cast("long"))))
+              (col("hi") - col("lo"))).cast("long")))))
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
         col("bucket"))
       .agg(count(lit(1)).as("n"))

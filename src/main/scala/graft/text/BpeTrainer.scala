@@ -15,11 +15,15 @@ import graft.text.{TextFunctions => TF}
   * Scale shape — the part that matters at 100 TB: the CORPUS is
   * touched exactly once, by the word-count aggregate (d18's shape).
   * The merge loop then runs entirely over the (word, count, symbols)
-  * table, which is VOCABULARY-sized — each round is one pair-explode +
-  * weighted count over that table, a 1-row driver argmax (the
-  * codebook-collect pattern: the chosen pair is trainer state, like
-  * k-means centroids), and one row-local fold that fuses the pair
-  * inside every word. Rounds checkpoint on the
+  * table, which is VOCABULARY-sized, and the pair counts are
+  * maintained INCREMENTALLY — the vocabulary-wide pair explode runs
+  * once at bootstrap; each round reads its argmax off the maintained
+  * (pair, cnt) table (1-row driver collect — the codebook pattern:
+  * the chosen pair is trainer state, like k-means centroids), deltas
+  * the table from only the words containing the merged pair, and
+  * fuses row-locally. At a production merge count (30k+) this is the
+  * difference between 30k cheap delta rounds and 30k full-vocabulary
+  * recounts. Both tables checkpoint on their own
   * [[graft.operators.LineageCheckpoint]] rotation so the plan never
   * unrolls.
   *
@@ -42,10 +46,18 @@ import graft.text.{TextFunctions => TF}
 object BpeTrainer {
 
   /** Character split spelled identically in the oracle:
-    * symbol i = substring(word, i, 1).
+    * symbol i = substring(word, i, 1). Guarded for the empty word:
+    * Spark's `sequence(1, 0)` counts DOWN ([1, 0] → ["", ""]) where
+    * DuckDB's `range(1, 1)` is empty — the same descending-sequence
+    * trap as Shingles — and the native [[graft.functions.BpeSegment]]
+    * yields [] for "", so without the guard the pinned native ≡ fold
+    * parity would not be total (empty tokens are reachable from any
+    * doubled/leading space under a keep-empties split).
     */
   private def charsOf(w: Column): Column =
-    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+    when(length(w) === 0, typedLit(Seq.empty[String]))
+      .otherwise(transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1))))
 
   /** One greedy left-to-right fusion pass of (a, b) → a+b over a
     * symbol-array column.
@@ -70,10 +82,15 @@ object BpeTrainer {
           array(st.getField("pend")))))
   }
 
-  /** Adjacent symbol pairs of a symbol-array column, space-joined. */
+  /** Adjacent symbol pairs of a symbol-array column, space-joined.
+    * Slice lengths clamp at 0: an empty symbol list (the empty word
+    * under the [[charsOf]] guard) would otherwise pass length −1,
+    * which Spark's `slice` rejects at runtime.
+    */
   private def pairsOf(syms: Column): Column =
     zip_with(
-      slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
+      slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
       (x, y) => concat(x, lit(" "), y))
 
   /** The tokenizer's APPLY phase: segment one word column under an
@@ -129,8 +146,112 @@ object BpeTrainer {
     rows.map { case (_, a, b) => (a, b) }.toSeq
   }
 
+  /** Trains `merges` rounds with INCREMENTAL pair-count maintenance —
+    * the form that survives a production merge count (30k+): the
+    * corpus-wide pair explode runs exactly ONCE (bootstrap); between
+    * rounds only words CONTAINING the merged pair can change, so the
+    * (pair, cnt) table is maintained by delta — subtract the affected
+    * words' old pairs, add their post-fusion pairs — instead of
+    * re-exploding the full vocabulary every round (the naive loop's
+    * cost, kept as [[trainNaive]] and pinned merge-for-merge
+    * equivalent by BpeTrainerSpec). Per round: a 1-row argmax off the
+    * maintained pair table (TakeOrdered over a checkpointed frame), a
+    * filtered explode over ONLY the affected words, and the row-local
+    * fusion projection. Both the words table and the pair table ride
+    * their own [[graft.operators.LineageCheckpoint]] rotation, and the
+    * pair update materializes BEFORE the words rotation frees the old
+    * words frame it read. Counts are exact integers, so delta ≡
+    * re-explode bit for bit and the (cnt DESC, pair ASC) argmax picks
+    * identical merges.
+    *
+    * Stopping rules (real tokenizers stop on frequency floors or a
+    * vocabulary budget, not fixed round counts):
+    *   - `minPairCount`: stop BEFORE learning a merge whose best pair
+    *     occurs fewer than this many times (weighted); default 1 keeps
+    *     the historical stop-only-on-exhaustion behavior, since an
+    *     existing pair always counts ≥ 1.
+    *   - `targetVocabSize`: cap total vocabulary at base symbols +
+    *     learned merges (one new symbol per merge — the standard
+    *     accounting; a collision between two merge paths producing the
+    *     same string is possible in principle and would overcount by
+    *     one, as in reference BPE trainers). Fails loudly when the
+    *     target does not exceed the base symbol count — a budget under
+    *     which NO merge could ever be learned is a configuration
+    *     error, not an empty result.
+    */
   def train(docs: DataFrame, textCol: String, merges: Int,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      minPairCount: Long = 1L,
+      targetVocabSize: Option[Int] = None): DataFrame = {
+    require(merges >= 1, s"need at least one merge round, got $merges")
+    require(minPairCount >= 1L,
+      s"minPairCount must be >= 1, got $minPairCount")
+    val spark = docs.sparkSession
+    val ckptW = new graft.operators.LineageCheckpoint(spark, checkpointDir)
+    val ckptP = new graft.operators.LineageCheckpoint(spark, checkpointDir)
+    var words = ckptW(docs
+      .select(explode(TF.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("w"), col("wc"), charsOf(col("w")).as("syms")))
+    // Bootstrap: the ONLY corpus-vocabulary-wide pair explode.
+    var pairCounts = ckptP(words
+      .select(col("wc"), explode(pairsOf(col("syms"))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("cnt")))
+    val budget = targetVocabSize match {
+      case Some(v) =>
+        val base = words.select(explode(col("syms")).as("s"))
+          .agg(countDistinct(col("s"))).head().getLong(0)
+        require(v > base,
+          s"targetVocabSize $v does not exceed the $base base symbols — " +
+            "no merge could ever be learned under this budget")
+        math.min(merges.toLong, v - base).toInt
+      case None => merges
+    }
+    val learned = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 0
+    var stopped = false
+    while (r < budget && !stopped) {
+      val top = pairCounts
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(1) < minPairCount) stopped = true
+      else {
+        val pair = top.head.getString(0)
+        val cnt = top.head.getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        learned += ((r + 1L, a, b, a + b, cnt))
+        val hasPair = array_contains(pairsOf(col("syms")), lit(pair))
+        val fused = fusePair(col("syms"), a, b)
+        val delta = words.filter(hasPair)
+          .select(explode(concat(
+            transform(pairsOf(col("syms")),
+              p => struct(p.as("pair"), (-col("wc")).as("cnt"))),
+            transform(pairsOf(fused),
+              p => struct(p.as("pair"), col("wc").as("cnt"))))).as("pd"))
+          .select(col("pd.pair").as("pair"), col("pd.cnt").as("cnt"))
+        // Materialized first, while the old words frame is still live;
+        // a pair netting to 0 drops (the re-explode would not emit it).
+        pairCounts = ckptP(pairCounts.unionByName(delta)
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") > 0))
+        words = ckptW(words.select(col("w"), col("wc"),
+          when(hasPair, fused).otherwise(col("syms")).as("syms")))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    learned.result()
+      .toDF("round", "left", "right", "merged", "pair_count")
+  }
+
+  /** The naive per-round re-explode loop [[train]] replaces — one
+    * corpus-vocabulary-wide pair count per round. Kept as the
+    * reference implementation BpeTrainerSpec pins the incremental
+    * delta loop against, merge for merge (rounds, pairs, and counts
+    * all equal — the counts are exact integers on both paths).
+    */
+  private[text] def trainNaive(docs: DataFrame, textCol: String,
+      merges: Int, checkpointDir: Option[String] = None): DataFrame = {
     require(merges >= 1, s"need at least one merge round, got $merges")
     val spark = docs.sparkSession
     val ckpt = new graft.operators.LineageCheckpoint(spark, checkpointDir)

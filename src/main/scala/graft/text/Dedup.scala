@@ -502,9 +502,12 @@ object Dedup {
     * rotation that frees it must lag one round behind.
     *
     * Same output contract as [[dupComponents]]: (id, component = min
-    * reachable id) for every node in `pairs` — d71's oracle proves the
+    * reachable id) for every node in `pairs` — INCLUDING a node that
+    * appears only in self-pairs (a = b), which contraction would
+    * otherwise drop (self-loops carry no edge) and which is unioned
+    * back as its own singleton component — d71's oracle proves the
     * two algorithms agree by hashing this against d19's recursive
-    * transitive closure.
+    * transitive closure, and DedupSpec pins the self-pair-only case.
     */
   def dupComponentsStar(pairs: DataFrame, maxIter: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -531,8 +534,23 @@ object Dedup {
             .unionByName(mins.select(col("u").as("a"), col("m").as("b")))
       canon(out)
     }
-    var edges = ckptA(canon(
-      pairs.select(col("a_id").as("a"), col("b_id").as("b"))))
+    // Canonicalize BEFORE dropping self-loops: a self-pair (a = b)
+    // carries no edge, but the output contract labels EVERY node in
+    // `pairs` (dupComponents does), so self-pair-ONLY nodes are
+    // captured here — off the materialized frame, never by rescanning
+    // the caller's (expensive) pair pipeline — onto their own rotation
+    // (the A rotation frees `all` on its first in-loop call), and
+    // union back in as their own singleton components at the end.
+    val all = ckptA(
+      pairs.select(least(col("a_id"), col("b_id")).as("a"),
+        greatest(col("a_id"), col("b_id")).as("b")).distinct())
+    val selfCkpt = new graft.operators.LineageCheckpoint(spark, checkpointDir)
+    val selfOnly = selfCkpt(
+      all.filter(col("a") === col("b")).select(col("a").as("id"))
+        .except(all.filter(col("a") =!= col("b")).select(col("a").as("id"))
+          .unionByName(
+            all.filter(col("a") =!= col("b")).select(col("b").as("id")))))
+    var edges = all.filter(col("a") =!= col("b"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -556,6 +574,7 @@ object Dedup {
     labelCkpt(
       edges.select(col("b").as("id"), col("a").as("component"))
         .unionByName(edges.select(col("a").as("id"), col("a").as("component")))
-        .distinct())
+        .distinct()
+        .unionByName(selfOnly.select(col("id"), col("id").as("component"))))
   }
 }

@@ -128,6 +128,67 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a contiguous training sequence"))
   }
 
+  test("incremental delta loop equals the naive re-explode loop, merge for merge") {
+    // Corpora chosen to exercise the delta path hard: overlapping
+    // pairs, merges that create new pairs touching old ones, words the
+    // merge never touches (their counts must survive untouched), and a
+    // pair whose count nets to exactly 0 after a fusion consumes it.
+    val corpora = Seq(
+      Seq("hug hug hug pug", "pug pun bun hug"),
+      Seq("abab abab ab a b", "aaaa aab abba", "zq zq zq"),
+      Seq("mississippi is miss", "pip pip sip", "ssss ss s"))
+    corpora.foreach { docs =>
+      val df = docs.toDF("text")
+      val fast = BpeTrainer.train(df, "text", merges = 8)
+        .orderBy(col("round")).collect().map(_.toSeq).toSeq
+      val slow = BpeTrainer.trainNaive(df, "text", merges = 8)
+        .orderBy(col("round")).collect().map(_.toSeq).toSeq
+      assert(fast == slow, s"delta/naive diverge on $docs")
+    }
+  }
+
+  test("minPairCount stops before learning a below-floor merge") {
+    // hug 4, pug 2, pun 1, bun 1: r1 (u,g)=6, r2 (h,ug)=4, r3 best is
+    // (p,ug)=2 — a floor of 3 must stop after exactly two merges.
+    val docs = Seq("hug hug hug pug", "pug pun bun hug").toDF("text")
+    val merges = BpeTrainer.train(docs, "text", merges = 10,
+      minPairCount = 3L).collect()
+      .map(r => (r.getString(3), r.getLong(4))).toSeq
+    assert(merges == Seq(("ug", 6L), ("hug", 4L)))
+  }
+
+  test("targetVocabSize caps merges at target minus base symbols; an impossible target fails loudly") {
+    // base symbols: h,u,g,p,n,b = 6; target 8 leaves budget for 2 merges.
+    val docs = Seq("hug hug hug pug", "pug pun bun hug").toDF("text")
+    val merges = BpeTrainer.train(docs, "text", merges = 10,
+      targetVocabSize = Some(8)).collect().map(_.getString(3)).toSeq
+    assert(merges == Seq("ug", "hug"))
+    val e = intercept[IllegalArgumentException] {
+      BpeTrainer.train(docs, "text", merges = 10, targetVocabSize = Some(6))
+    }
+    assert(e.getMessage.contains("does not exceed"))
+  }
+
+  test("empty words (doubled spaces) segment to [] on both paths and never crash training") {
+    // "a  b" splits to [a, "", b] under the keep-empties tokenizer; the
+    // empty word must contribute no symbols and no pairs.
+    val df = Seq("", "x", "ab").toDF("w")
+    val rows = df.select(col("w"),
+      BpeTrainer.segmentWord(col("w"), Seq(("a", "b"))).as("native"),
+      BpeTrainer.segmentWordFold(col("w"), Seq(("a", "b"))).as("fold"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1),
+        r.getSeq[String](2)))
+    rows.foreach { case (w, n, f) => assert(n == f, s"diverge on '$w'") }
+    assert(rows.find(_._1 == "").get._2 == Seq.empty[String])
+    val docs = Seq("a  b ab ab", "ab  a b").toDF("text")
+    val fast = BpeTrainer.train(docs, "text", merges = 2)
+      .orderBy(col("round")).collect().map(_.toSeq).toSeq
+    val slow = BpeTrainer.trainNaive(docs, "text", merges = 2)
+      .orderBy(col("round")).collect().map(_.toSeq).toSeq
+    assert(fast == slow)
+    assert(fast.nonEmpty && fast.head(3) == "ab")
+  }
+
   test("a vocabulary with no adjacent pairs ends training early, loudly visible") {
     val docs = Seq("a b a", "b a b").toDF("text") // all words single-char
     val merges = BpeTrainer.train(docs, "text", merges = 2).collect()

@@ -243,6 +243,21 @@ class DedupSpec extends AnyFunSuite {
     assert(star(119L) == 100L && star(203L) == 200L && star(301L) == 300L)
   }
 
+  test("dupComponentsStar labels self-pair-only nodes as singleton components, like dupComponents") {
+    // 500 appears ONLY in a self-pair (a = b) — contraction drops
+    // self-loops, so without the explicit union the node would vanish;
+    // 100 has a self-pair AND a real edge — it must be labeled exactly
+    // once, by its component min, not duplicated as a singleton.
+    val edges = Seq((100L, 101L), (100L, 100L), (500L, 500L))
+      .toDF("a_id", "b_id")
+    val star = Dedup.dupComponentsStar(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val base = Dedup.dupComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(star == Seq((100L, 100L), (101L, 100L), (500L, 500L)))
+    assert(star == base, s"star/min-label diverge on self-pairs:\n$star\nvs\n$base")
+  }
+
   test("dupComponentsStar fails loudly when maxIter truncates the contraction") {
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val e = intercept[IllegalArgumentException] {
