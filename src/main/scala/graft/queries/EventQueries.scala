@@ -250,11 +250,18 @@ object EventQueries {
       val daily = Tables.events(s, d)
         .select(tsUs.as("ts_us"), col("user_id"))
         .withColumn("day_idx", expr(s"ts_us div $DayUs"))
-      val dau = daily.groupBy(col("day_idx"))
-        .agg(countDistinct(col("user_id")).as("dau"),
-          st(graft.operators.Sketches.kmvInput(
-            graft.text.TextFunctions.hash32(col("user_id").cast("string"))))
-            .as("state"))
+      // Materialized (the LineageCheckpoint pattern): the (day, dau,
+      // state) frame is read FIVE times below (output + both sides of
+      // each rolling self-join) — without the checkpoint each branch
+      // would re-aggregate the event log, and "each day pays its
+      // aggregation once" would be a comment, not a plan property
+      // (PlanSpec pins no parquet scan survives).
+      val dau = new graft.operators.LineageCheckpoint(s, None)(
+        daily.groupBy(col("day_idx"))
+          .agg(countDistinct(col("user_id")).as("dau"),
+            st(graft.operators.Sketches.kmvInput(
+              graft.text.TextFunctions.hash32(col("user_id").cast("string"))))
+              .as("state")))
       def rolling(w: Int, name: String) =
         dau.select(col("day_idx").as("a_day"))
           .join(dau.select(col("day_idx").as("b_day"), col("state")),

@@ -746,6 +746,81 @@ class PlanSpec extends AnyFunSuite {
       "no parquet scan may survive into the merge-table plan")
   }
 
+  test("d69: survivorship reads the checkpointed labels — component-keyed equi joins only") {
+    // The contraction loop ran inside dupComponentsStar (d71's pin);
+    // what survives is the label scan joined to doc sizes and the two
+    // cluster-keyed argmax aggregates — every join keyed, nothing
+    // all-pairs, no rank window over component groups.
+    val p = plan("d69_dup_survivors")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"d69 must scan the checkpointed label frame:\n${p.take(600)}")
+    assert(!p.contains("Window"),
+      "the argmax is two keyed aggregates, never a per-component rank window")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every join must stay component-/doc-keyed:\n${p.take(600)}")
+    assert(scans("d69_dup_survivors").forall(_._1.sorted == Seq("doc_id", "text")),
+      "doc-size passes must read exactly (doc_id, text)")
+  }
+
+  test("d70: the mix is a catalog-sized normalize — pruned scans, 1-row broadcast total") {
+    val p = plan("d70_temperature_mix")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row totals must broadcast into the weight projection:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"nothing here may shuffle-join or rank:\n${p.take(600)}")
+    assert(scans("d70_temperature_mix").forall(_._1.sorted == Seq("source", "text")),
+      "every corpus pass must read exactly (source, text)")
+  }
+
+  test("d74: encoding is a pure scan projection — no join, no shuffle, no explode") {
+    // The merges inlined as driver-side literals (the broadcast-codebook
+    // pattern); the only exchange allowed is the presentation orderBy's
+    // range partitioning.
+    val p = plan("d74_bpe_encode")
+    assert(!p.contains("Join"),
+      s"the trained merges are literals; encoding must ride the scan:\n${p.take(600)}")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Generate"),
+      s"per-doc token counts must not shuffle or explode:\n${p.take(600)}")
+    val Seq((cols, _)) = scans("d74_bpe_encode")
+    assert(cols.sorted == Seq("doc_id", "text"),
+      s"encode must read exactly (doc_id, text), got: $cols")
+  }
+
+  test("d75: the card is one Expand aggregate + a 1-row vocab broadcast — the q25-style exact contrast") {
+    // The exact countDistinct triple pays exactly ONE Expand over the
+    // corpus (the deliberate contrast to d76's sketch card, which pays
+    // none); the vocabulary row crosses in as a 1-row broadcast.
+    val p = plan("d75_dataset_card")
+    assert("Expand".r.findAllIn(p).length == 1,
+      s"the three countDistincts must share one Expand:\n${p.take(600)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row vocabulary aggregate must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"no shuffle join and no window may appear:\n${p.take(600)}")
+  }
+
+  test("e29: rolling windows self-join the checkpointed (day, state) frame — never the event log") {
+    val p = plan("e29_rolling_actives")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"e29 must scan the materialized daily frame:\n${p.take(600)}")
+    assert(scans("e29_rolling_actives").isEmpty,
+      "no parquet scan may survive — each day pays its aggregation exactly once")
+    assert(!p.contains("Window"),
+      "trailing windows are KMV state merges, never a rank/range window node")
+  }
+
+  test("q43: activity profile is two keyed aggregates + a 1-row orphan broadcast") {
+    val p = plan("q43_activity_profile")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      s"only the 1-row orphan witness may cross-join:\n${p.take(600)}")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"fan-out is keyed aggregation, never a window:\n${p.take(600)}")
+    // The reporting-window predicate reaches both orders scans.
+    val pushed = scans("q43_activity_profile").map(_._2)
+    assert(pushed.count(_.contains("o_orderdate")) == 2,
+      s"the 1995 window must push into every orders scan, got: $pushed")
+  }
+
   test("q29: PageRank iterations checkpoint — the final plan is a rank scan, not an unrolled loop") {
     // GraphRank persists the edge/degree/node frames and eagerly
     // localCheckpoints each iteration's ranks, so the frame q29 returns
