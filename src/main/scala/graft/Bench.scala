@@ -240,7 +240,19 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH_FLOORS.json: $e")
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","noisy":${noisy.length},"failed":${failed.length},"healed":${healedNames.length},"n_queries":${results.length},"sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","noisy":${noisy.length},"failed":${failed.length},"healed":${healedNames.length},"n_queries":${results.length},"sf":"$sfDir"}"""
+    // The summary ALSO lands in a sidecar file: the stdout line has been
+    // visibly complete since it went fixed-size, yet the harness's
+    // parsed field still read null (capture-side last-line selection or
+    // the sbt "[info] " prefix) — a file needs no stdout parsing at all.
+    // Same best-effort discipline as BENCH_SPREADS.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+      summary.getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_SUMMARY.json: $e")
+    }
+    println(summary)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

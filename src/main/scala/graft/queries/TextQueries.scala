@@ -1184,6 +1184,44 @@ object TextQueries {
           col("mean_doc_tokens"))
     },
 
+    // DATASET CARD, SKETCH FACE — d75's datasheet at the scale where
+    // exactness stops being worth the Expand (the q25/q26 contrast,
+    // now an actual query instead of a comment): every count-distinct
+    // becomes a KMV estimate, so the whole card is ONE partial+final
+    // aggregate over ONE scan — no Expand, no Generate, no join
+    // (PlanSpec pins all three). The vocabulary estimate shows the
+    // mergeable-state trick: each doc computes its own bottom-k of
+    // distinct token hashes ROW-LOCALLY (array ops riding the scan)
+    // and [[graft.operators.Sketches.KmvMerge]] folds the per-doc
+    // states — merge-of-states ≡ state-of-union, so no token explode
+    // ever happens. k = 4 is deliberately below every cardinality here
+    // (langs = 5 is the binding one; sources 20, texts 500, vocab 31)
+    // so the (k−1)·2³²/h(k) estimator path bites on ALL four measures —
+    // the oracle re-derives each from ranked distinct hashes.
+    "d76_dataset_card_sketch" -> { (s, d) =>
+      val K = 4
+      val kmv = udaf(new graft.operators.Sketches.KmvDistinct(K),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val mg = udaf(new graft.operators.Sketches.KmvMerge(K),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Seq[java.lang.Long]]())
+      def in(c: Column) = graft.operators.Sketches.kmvInput(TF.hash32(c))
+      // per-doc KMV state: the k smallest DISTINCT token hashes, sorted
+      // (KmvMerge's merge contract) — pure array projection, no explode.
+      val docVocabState = slice(
+        array_sort(array_distinct(
+          transform(TF.tokens(col("text")), t => TF.hash32(t)))),
+        1, K)
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TF.tokens(col("text"))).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        kmv(in(col("source"))).as("n_sources_est"),
+        kmv(in(col("lang"))).as("n_langs_est"),
+        kmv(in(col("text"))).as("n_unique_texts_est"),
+        mg(docVocabState).as("vocab_est"))
+    },
+
     // Defense-in-depth DECONTAMINATION LEDGER: the three leak
     // detectors — exact 8-gram overlap (d30), MinHash-LSH near-dup
     // with edits (d37), embedding-space semantic similarity (v14,
@@ -2703,6 +2741,34 @@ object TextQueries {
         | CAST(b.n_tokens AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
         |  AS mean_doc_tokens
         |FROM b CROSS JOIN v""".stripMargin,
+
+    // d76: each KMV estimate re-derived from ranked distinct hashes
+    // (q26's derivation, k = 4): exact count when below k, else
+    // (k−1)·2³²/h(k) with h(k) read at OFFSET k−1. The vocab path's
+    // per-doc-state merge on the Spark side must equal this global
+    // bottom-k because KMV state is a set function (q27's argument).
+    "d76_dataset_card_sketch" ->
+      """WITH
+        |src AS (SELECT DISTINCT CAST(('0x'||substr(md5(source),1,8)) AS BIGINT) AS h FROM documents),
+        |lng AS (SELECT DISTINCT CAST(('0x'||substr(md5(lang),1,8)) AS BIGINT) AS h FROM documents),
+        |txt AS (SELECT DISTINCT CAST(('0x'||substr(md5(text),1,8)) AS BIGINT) AS h FROM documents),
+        |voc AS (SELECT DISTINCT CAST(('0x'||substr(md5(t),1,8)) AS BIGINT) AS h FROM
+        |        (SELECT unnest(string_split(text,' ')) AS t FROM documents)),
+        |est_src AS (SELECT CASE WHEN COUNT(*) < 4 THEN CAST(COUNT(*) AS DOUBLE)
+        |             ELSE 3e0 * 4294967296e0 / (SELECT h FROM src ORDER BY h LIMIT 1 OFFSET 3) END AS e FROM src),
+        |est_lng AS (SELECT CASE WHEN COUNT(*) < 4 THEN CAST(COUNT(*) AS DOUBLE)
+        |             ELSE 3e0 * 4294967296e0 / (SELECT h FROM lng ORDER BY h LIMIT 1 OFFSET 3) END AS e FROM lng),
+        |est_txt AS (SELECT CASE WHEN COUNT(*) < 4 THEN CAST(COUNT(*) AS DOUBLE)
+        |             ELSE 3e0 * 4294967296e0 / (SELECT h FROM txt ORDER BY h LIMIT 1 OFFSET 3) END AS e FROM txt),
+        |est_voc AS (SELECT CASE WHEN COUNT(*) < 4 THEN CAST(COUNT(*) AS DOUBLE)
+        |             ELSE 3e0 * 4294967296e0 / (SELECT h FROM voc ORDER BY h LIMIT 1 OFFSET 3) END AS e FROM voc),
+        |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents)
+        |SELECT b.n_docs, b.n_tokens, b.n_chars,
+        | est_src.e AS n_sources_est, est_lng.e AS n_langs_est,
+        | est_txt.e AS n_unique_texts_est, est_voc.e AS vocab_est
+        |FROM b, est_src, est_lng, est_txt, est_voc""".stripMargin,
 
     // d55: the three detector oracles as subquery blocks (each keeps
     // its own WITH chain), outer-joined; semantic best-score via MAX

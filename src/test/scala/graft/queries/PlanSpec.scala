@@ -799,6 +799,18 @@ class PlanSpec extends AnyFunSuite {
       s"no shuffle join and no window may appear:\n${p.take(600)}")
   }
 
+  test("d76: the sketch card is one partial+final aggregate over one scan — no Expand, no explode, no join") {
+    val p = plan("d76_dataset_card_sketch")
+    assert(!p.contains("Expand"),
+      s"KMV replaces every countDistinct — no Expand may appear:\n${p.take(600)}")
+    assert(!p.contains("Generate") && !p.contains("Join"),
+      s"vocab states are row-local array projections, never a token explode:\n${p.take(600)}")
+    assert(p.contains("partial_kmvdistinct") && p.contains("partial_kmvmerge"),
+      "both sketch shapes must partial-aggregate map-side")
+    assert(scans("d76_dataset_card_sketch").length == 1,
+      "the whole card must pay exactly one corpus scan")
+  }
+
   test("e29: rolling windows self-join the checkpointed (day, state) frame — never the event log") {
     val p = plan("e29_rolling_actives")
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
