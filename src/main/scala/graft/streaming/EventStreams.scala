@@ -418,6 +418,107 @@ object EventStreams {
       (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
     }
 
+  /** Per-day exact DAU + KMV user state, finalized at watermark close —
+    * the streaming reduce that feeds [[ActivesLedger]] (e29's face).
+    * Two CHAINED stateful aggregations (the [[hourlyLeaderboard]]
+    * pattern, and for the same reason): a user's events split across
+    * micro-batches, so the per-(day, user) dedup must CLOSE before the
+    * day aggregates — only then is `dau` an exact distinct count and
+    * the KMV state fed each user once. (Feeding raw events to the KMV
+    * would still be correct — its state is a set function — but the
+    * exact dau would not exist; the dedup stage buys both.) State:
+    * stage 1 holds open days × active users, evicted at the watermark;
+    * stage 2 holds one (count, k-longs) per open day. Append mode
+    * emits each closed day exactly once.
+    */
+  def dailyUserStates(events: DataFrame, k: Int = 64,
+      watermark: String = "2 days"): DataFrame = {
+    val st = udaf(new graft.operators.Sketches.KmvState(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("window")), "1 day"))
+      .agg(count(lit(1)).as("dau"),
+        st(graft.operators.Sketches.kmvInput(
+          graft.text.TextFunctions.hash32(col("user_id").cast("string"))))
+          .as("state"))
+      .select(col("window.start").as("day"), col("dau"), col("state"))
+  }
+
+  /** One (day, exact DAU, trailing-window estimates) row from
+    * [[ActivesLedger.actives]] — e29's row.
+    */
+  final case class ActiveRow(day_idx: Long, dau: Long,
+      wau_est: Double, mau_est: Double)
+
+  /** Driver-held ledger for [[activesSink]]: e29's rolling DAU/WAU/MAU
+    * run CONTINUOUSLY — the dashboard triple kept current as days
+    * close. State is one (count, k-longs KMV state) per CLOSED day —
+    * calendar-sized, never event- or user-sized; idempotent per
+    * batchId (the [[ProfileLedger]] discipline). [[actives]] merges
+    * each day's trailing 7/30 member states through the same
+    * [[graft.operators.Sketches.KmvDistinct]] merge/finish the batch
+    * query's KmvMerge delegates to, so a closed day's estimates equal
+    * batch e29's bit for bit (merge-of-states ≡ state-of-union —
+    * pinned in StreamingSpec against the batch expression chain).
+    */
+  final class ActivesLedger(k: Int = 64) {
+    private[streaming] var days: Map[Long, (Long, Array[Long])] = Map.empty
+    private[streaming] var lastBatchId: Long = -1L
+    private val dayUs = 24L * 3600 * 1000 * 1000
+    private val kmv = new graft.operators.Sketches.KmvDistinct(k)
+
+    /** Folds one micro-batch of closed [[dailyUserStates]] days;
+      * idempotent per batchId.
+      */
+    def ingest(batch: DataFrame, batchId: Long): Unit =
+      if (batchId > lastBatchId) {
+        batch.select(col("day"), col("dau"), col("state")).collect()
+          .foreach { r =>
+            days += (r.getTimestamp(0).getTime * 1000L / dayUs) ->
+              (r.getLong(1), r.getSeq[Long](2).toArray)
+          }
+        lastBatchId = batchId
+      }
+
+    /** e29 over the ledger: every closed day with its trailing 7/30-day
+      * merged estimates. Pure driver arithmetic over calendar-sized
+      * state; KMV merge is a set operation, so the result is
+      * independent of ingest order and micro-batch boundaries.
+      */
+    def actives(): Seq[ActiveRow] = {
+      val sorted = days.toSeq.sortBy(_._1)
+      def est(day: Long, w: Int): Double = kmv.finish(
+        sorted.filter { case (d, _) => d > day - w && d <= day }
+          .map(_._2._2).foldLeft(kmv.zero)(kmv.merge))
+      sorted.map { case (d, (dau, _)) =>
+        ActiveRow(d, dau, est(d, 7), est(d, 30))
+      }
+    }
+
+    /** Bounds the ledger on a forever-running monitor (the
+      * [[AnomalyLedger.evictBefore]] discipline): drops every closed
+      * day strictly before `minDayIdx`. The caller keeps the 30 days
+      * BEFORE the earliest day it still wants scored — a surviving
+      * day whose trailing window was truncated by eviction would
+      * otherwise merge fewer member states than batch e29 sees.
+      */
+    def evictBefore(minDayIdx: Long): Unit =
+      days = days.filter { case (d, _) => d >= minDayIdx }
+  }
+
+  /** Streaming face of e29: [[dailyUserStates]]'s finalized days feed
+    * the [[ActivesLedger]] — wire as
+    * `activesSink(dailyUserStates(events), ledger).outputMode("append")`.
+    */
+  def activesSink(closedDays: DataFrame, ledger: ActivesLedger)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    closedDays.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
+    }
+
   /** Open-session state carried between micro-batches by
     * [[statefulSessionize]]: bounded per open session (counters + the
     * capped path), keyed by user — the state store holds one entry per

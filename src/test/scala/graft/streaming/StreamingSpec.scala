@@ -1383,6 +1383,94 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("activesSink: ledger DAU/WAU/MAU equal the batch e29 chain on closed days") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{countDistinct, expr => fexpr, udaf}
+    val dayUs = 24L * 3600 * 1000 * 1000
+    val K = 8 // below most days' DAU so the (k−1)·2³²/h(k) path bites
+    // 12 days, overlapping user sets (users repeat across days, so WAU
+    // is never a DAU sum), several events per (day, user) so the
+    // streaming dedup stage has real work, scrambled within each feed.
+    val evts = for {
+      d <- 0L to 11L
+      u <- 0 until (6 + (d % 5)).toInt
+      rep <- 0 to (u % 2)
+    } yield (d * 10000 + u * 10 + rep,
+      d * dayUs + u * 60000000L + rep * 1000L, (d * 7 + u * 3) % 23)
+    val batchDf = evts.toDF("event_id", "ts_us", "user_id")
+    // Batch truth: e29's exact expression chain on the same rows.
+    val st = udaf(new graft.operators.Sketches.KmvState(K),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val mg = udaf(new graft.operators.Sketches.KmvMerge(K),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[java.lang.Long]]())
+    val dauB = batchDf.withColumn("day_idx", fexpr(s"ts_us div $dayUs"))
+      .groupBy(col("day_idx"))
+      .agg(countDistinct(col("user_id")).as("dau"),
+        st(graft.operators.Sketches.kmvInput(
+          graft.text.TextFunctions.hash32(col("user_id").cast("string"))))
+          .as("state"))
+    def rollB(w: Int, name: String) =
+      dauB.select(col("day_idx").as("a_day"))
+        .join(dauB.select(col("day_idx").as("b_day"), col("state")),
+          col("b_day") > col("a_day") - w && col("b_day") <= col("a_day"))
+        .groupBy(col("a_day").as("day_idx")).agg(mg(col("state")).as(name))
+    val want = dauB.select(col("day_idx"), col("dau"))
+      .join(rollB(7, "wau_est"), "day_idx")
+      .join(rollB(30, "mau_est"), "day_idx")
+      .collect().map(r => EventStreams.ActiveRow(r.getLong(0),
+        r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_.day_idx).toSeq
+    assert(want.exists(_.dau > K),
+      s"fixture must exercise the estimator path: $want")
+
+    val in = MemoryStream[(Long, Long, Long)]
+    val ledger = new EventStreams.ActivesLedger(K)
+    val stream = in.toDS().toDF("event_id", "ts_us", "user_id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStreams.activesSink(
+        EventStreams.dailyUserStates(stream, K, "1 day"), ledger)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      // event-time-ordered ACROSS feeds (late data would drop at the
+      // watermark — a harness artifact), scrambled WITHIN each feed:
+      // micro-batch boundaries must be invisible to the ledger.
+      val rnd = new scala.util.Random(7)
+      val ordered = evts.sortBy(_._2)
+      ordered.grouped(ordered.length / 3 + 1).foreach { g =>
+        in.addData(rnd.shuffle(g): _*); q.processAllAvailable()
+      }
+      // far-future pushers close every fixture day; the second tick
+      // flushes the CHAINED second stage (delayed watermark propagation)
+      in.addData((999999L, 50L * dayUs, 9999L)); q.processAllAvailable()
+      in.addData((999998L, 50L * dayUs + 1L, 9999L)); q.processAllAvailable()
+      val got = ledger.actives()
+      assert(got == want,
+        s"ledger diverged from batch e29:\n got: ${got.take(4)}\nwant: ${want.take(4)}")
+      // idempotence: replaying an already-folded batchId is a no-op
+      val before = ledger.days
+      ledger.ingest(
+        Seq((new java.sql.Timestamp(0L), 999L,
+          Seq(1L, 2L, 3L))).toDF("day", "dau", "state"),
+        ledger.lastBatchId)
+      assert(ledger.days == before)
+      // eviction: surviving days whose trailing windows stay intact
+      // keep their scores bit for bit (the caller-keeps-the-margin
+      // contract); evicted days disappear.
+      val kept = got.filter(_.day_idx >= 8L)
+      ledger.evictBefore(2L)
+      val after = ledger.actives()
+      assert(after.map(_.day_idx) == (2L to 11L),
+        s"days before the horizon must drop: ${after.map(_.day_idx)}")
+      assert(after.filter(_.day_idx >= 8L).map(r => (r.day_idx, r.wau_est))
+        == kept.map(r => (r.day_idx, r.wau_est)),
+        "eviction must not change a surviving day whose 7-day window is intact")
+    } finally q.stop()
+  }
+
   test("statefulQuotaGate: budgets enforce across batches in (ts, id) order") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, Long, Long)] // (key, doc_id, ts_us)
