@@ -155,14 +155,15 @@ object BpeTrainer {
     * re-exploding the full vocabulary every round (the naive loop's
     * cost, kept as [[trainNaive]] and pinned merge-for-merge
     * equivalent by BpeTrainerSpec). Per round: a 1-row argmax off the
-    * maintained pair table (TakeOrdered over a checkpointed frame), a
-    * filtered explode over ONLY the affected words, and the row-local
-    * fusion projection. Both the words table and the pair table ride
-    * their own [[graft.operators.LineageCheckpoint]] rotation, and the
-    * pair update materializes BEFORE the words rotation frees the old
-    * words frame it read. Counts are exact integers, so delta ≡
-    * re-explode bit for bit and the (cnt DESC, pair ASC) argmax picks
-    * identical merges.
+    * maintained pair table (TakeOrdered over a checkpointed frame),
+    * ONE projection pass over the words table (affected rows fuse and
+    * carry their pre-fusion pairs; untouched rows pass through with a
+    * null), and a delta explode over ONLY the affected rows of the new
+    * frame. Both the words table and the pair table ride their own
+    * [[graft.operators.LineageCheckpoint]] rotation; the delta reads
+    * the NEW words frame, so no cross-rotation liveness is needed.
+    * Counts are exact integers, so delta ≡ re-explode bit for bit and
+    * the (cnt DESC, pair ASC) argmax picks identical merges.
     *
     * Stopping rules (real tokenizers stop on frequency floors or a
     * vocabulary budget, not fixed round counts):
@@ -220,22 +221,29 @@ object BpeTrainer {
         val cnt = top.head.getLong(1)
         val Array(a, b) = pair.split(" ", 2)
         learned += ((r + 1L, a, b, a + b, cnt))
+        // ONE pass over the words table per round: affected rows fuse
+        // and keep their PRE-fusion pair list in `oldp` (null on
+        // untouched rows, so they cost nothing downstream); the delta
+        // then reads entirely off the NEW checkpointed frame — the
+        // interpreted fusion fold runs once per affected word, never
+        // twice, and the old words frame is not needed after this.
         val hasPair = array_contains(pairsOf(col("syms")), lit(pair))
-        val fused = fusePair(col("syms"), a, b)
-        val delta = words.filter(hasPair)
+        words = ckptW(words.select(col("w"), col("wc"),
+          when(hasPair, fusePair(col("syms"), a, b))
+            .otherwise(col("syms")).as("syms"),
+          when(hasPair, pairsOf(col("syms"))).as("oldp")))
+        val delta = words.filter(col("oldp").isNotNull)
           .select(explode(concat(
-            transform(pairsOf(col("syms")),
+            transform(col("oldp"),
               p => struct(p.as("pair"), (-col("wc")).as("cnt"))),
-            transform(pairsOf(fused),
+            transform(pairsOf(col("syms")),
               p => struct(p.as("pair"), col("wc").as("cnt"))))).as("pd"))
           .select(col("pd.pair").as("pair"), col("pd.cnt").as("cnt"))
-        // Materialized first, while the old words frame is still live;
-        // a pair netting to 0 drops (the re-explode would not emit it).
+        // A pair netting to 0 drops (the re-explode would not emit it).
         pairCounts = ckptP(pairCounts.unionByName(delta)
           .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
           .filter(col("cnt") > 0))
-        words = ckptW(words.select(col("w"), col("wc"),
-          when(hasPair, fused).otherwise(col("syms")).as("syms")))
+        words = words.select(col("w"), col("wc"), col("syms"))
         r += 1
       }
     }
