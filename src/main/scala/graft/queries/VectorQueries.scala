@@ -372,6 +372,52 @@ object VectorQueries {
         .orderBy(col("score").desc, col("vec_id"))
     },
 
+    // PQ RECALL FLOOR — v16's recall@k evaluation over the ADC path
+    // (the tuning query run before trusting a PQ deployment's
+    // compression): per probe, the ADC top-5 (v23's serving shape —
+    // codes-only scan, literal lookup tables, TakeOrdered heap) is
+    // scored against the exact INNER-PRODUCT top-5 (what ADC
+    // approximates — dot, not cosine, or the "miss" count would
+    // conflate quantization loss with normalization). Recall is set
+    // arithmetic on integers, so the row hashes exactly even though
+    // both rankings are double-scored. Probes loop driver-side (each
+    // ADC search is a point query with its own baked tables — the
+    // codebook pattern); recall evaluation is an offline tuning job,
+    // a handful of probes per run by design. iters = 0 keeps the
+    // codebooks deterministic (v23's argument); the trained-codebook
+    // recall property lives in ProductQuantizerSpec.
+    "v24_pq_recall" -> { (s, d) =>
+      import graft.operators.ProductQuantizer
+      val e = Tables.embeddings(s, d)
+      val cb = ProductQuantizer.train(e, "vec_id", "embedding",
+        blocks = 4, codes = 4, iters = 0)
+      val encoded = ProductQuantizer.encode(e, "vec_id", "embedding", cb)
+      val probeIds = Seq(0L, 100L, 200L, 300L, 400L)
+      val probes = e.filter(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val arms = probeIds.sorted.map { pid =>
+        val q = probes(pid)
+        val exact = e
+          .withColumn("score", vectors.dotProduct(col("embedding"), lit(q)))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(5)
+          .select(lit(pid).as("probe_id"), col("vec_id"))
+        val adc = ProductQuantizer.search(encoded, cb, q, k = 5)
+          .select(lit(pid).as("probe_id"), col("id").as("vec_id"),
+            lit(1L).as("_hit"))
+        (exact, adc)
+      }
+      arms.map(_._1).reduce(_ unionByName _)
+        .join(arms.map(_._2).reduce(_ unionByName _),
+          Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+        .select(col("probe_id"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(5.0)).as("recall"))
+        .orderBy(col("probe_id"))
+    },
+
     // MATRYOSHKA-style truncated-prefix two-stage kNN: coarse-rank on
     // the first 16 of 64 dimensions (¼ the multiply-adds per corpus
     // row — the compute face of the storage cut v10/v15 make), keep
@@ -945,6 +991,60 @@ object VectorQueries {
         |        GROUP BY c.vec_id)
         |SELECT vec_id, score FROM adc
         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    // v24: v23's codebook/code/table CTEs parameterized over the probe
+    // set; both top-5 arms rank (score DESC, vec_id) and recall is the
+    // per-probe intersection count — integers, so the hash is exact.
+    "v24_pq_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, v AS qv FROM e
+        |           WHERE vec_id % 100 = 0 AND vec_id < 500),
+        |blocks AS (SELECT unnest(range(4)) AS b),
+        |cw AS (SELECT b.b, c.vec_id AS code,
+        |        c.v[b.b*16+1 : b.b*16+16] AS w
+        |       FROM blocks b
+        |       CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 4) c),
+        |sc AS (SELECT e.vec_id, cw.b, cw.code,
+        |        list_inner_product(e.v[cw.b*16+1 : cw.b*16+16], cw.w) AS s
+        |       FROM e CROSS JOIN cw),
+        |codes AS (SELECT vec_id, b, code FROM (
+        |           SELECT vec_id, b, code,
+        |            ROW_NUMBER() OVER (PARTITION BY vec_id, b
+        |             ORDER BY s DESC, code) AS rn
+        |           FROM sc) x WHERE rn = 1),
+        |tabs AS (SELECT p.probe_id, cw.b, cw.code,
+        |          list_inner_product(p.qv[cw.b*16+1 : cw.b*16+16], cw.w) AS t
+        |         FROM cw CROSS JOIN probes p),
+        |adc AS (SELECT t.probe_id, c.vec_id,
+        |         ((MAX(CASE WHEN c.b = 0 THEN t.t END)
+        |           + MAX(CASE WHEN c.b = 1 THEN t.t END))
+        |          + MAX(CASE WHEN c.b = 2 THEN t.t END))
+        |          + MAX(CASE WHEN c.b = 3 THEN t.t END) AS score
+        |        FROM codes c JOIN tabs t ON c.b = t.b AND c.code = t.code
+        |        GROUP BY t.probe_id, c.vec_id),
+        |adc_top AS (SELECT probe_id, vec_id FROM (
+        |             SELECT probe_id, vec_id,
+        |              ROW_NUMBER() OVER (PARTITION BY probe_id
+        |               ORDER BY score DESC, vec_id) AS rn
+        |             FROM adc) x WHERE rn <= 5),
+        |exact AS (SELECT p.probe_id, e.vec_id,
+        |           list_inner_product(e.v, p.qv) AS score
+        |          FROM e CROSS JOIN probes p),
+        |exact_top AS (SELECT probe_id, vec_id FROM (
+        |               SELECT probe_id, vec_id,
+        |                ROW_NUMBER() OVER (PARTITION BY probe_id
+        |                 ORDER BY score DESC, vec_id) AS rn
+        |               FROM exact) x WHERE rn <= 5)
+        |SELECT x.probe_id,
+        | CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_hit,
+        | CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / 5e0 AS recall
+        |FROM exact_top x
+        |LEFT JOIN adc_top a
+        |  ON x.probe_id = a.probe_id AND x.vec_id = a.vec_id
+        |GROUP BY x.probe_id ORDER BY x.probe_id""".stripMargin,
 
     // v21: both stages replayed — DuckDB's 1-based inclusive slice
     // [1:16] is Spark's slice(embedding, 1, 16); candidate ties and

@@ -139,10 +139,100 @@ final class ParquetVectorStore(spark: SparkSession, root: String) {
     */
   val readCount = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** S6: read an index back as a table scan. */
+  /** S6: read an index back as a table scan, minus any tombstoned
+    * documents. With no deletes pending the plan is byte-identical to
+    * a bare scan (the [[IvfIndex]] None discipline — no join node
+    * appears at all); with deletes, one broadcast anti-join per
+    * distinct tombstone metadata key, on a COMPUTED equi key
+    * (`element_at(metadata, k)` left vs the literal value right — a
+    * BroadcastHashJoin, never a nested-loop filter).
+    */
   def read(index: String): DataFrame = {
     readCount.incrementAndGet()
-    spark.read.schema(chunkSchema).parquet(dir(index).toString)
+    val base = spark.read.schema(chunkSchema).parquet(dir(index).toString)
+    tombstones(index).fold(base) { t =>
+      import org.apache.spark.sql.functions.{broadcast, col, element_at}
+      val keys = t.select(col("k")).distinct().collect().map(_.getString(0))
+      keys.sorted.foldLeft(base) { (df, k) =>
+        df.join(
+          broadcast(t.filter(col("k") === k).select(col("v"))),
+          element_at(col("metadata"), k) === col("v"), "left_anti")
+      }
+    }
+  }
+
+  /** Per-document DELETE as a tombstone write — the [[IvfIndex.delete]]
+    * discipline at the RAG store layer, which is what gives the store
+    * GDPR semantics: a delete is one tiny parquet append, immediately
+    * visible to every read face (read/count/topRecords all route
+    * through [[read]]'s anti-join), and physical reclamation rides
+    * [[compactIndex]]. Documents are addressed by a metadata field
+    * (default `source`, P15's stamp): deleting a source URL removes
+    * every chunk of that document — the unit a right-to-be-forgotten
+    * request names. The tombstone directory is `_`-prefixed, so the
+    * index's own parquet scan never sees it as data.
+    */
+  def deleteDocuments(index: String, values: Seq[String],
+      metaKey: String = "source"): Unit = {
+    import spark.implicits._
+    deleteDocumentsFrame(index, values.toDF("v"), metaKey)
+  }
+
+  /** [[deleteDocuments]] for a value FRAME — the bulk form ("every
+    * source the compliance query matched"), one distributed write.
+    */
+  def deleteDocumentsFrame(index: String, values: DataFrame,
+      metaKey: String = "source"): Unit = {
+    require(exists(index), s"no such index: $index")
+    import org.apache.spark.sql.functions.{col, lit}
+    values
+      .select(lit(metaKey).as("k"),
+        col(values.columns.head).cast("string").as("v"))
+      .write.mode(SaveMode.Append)
+      .parquet(dir(index).resolve("_tombstones").toString)
+  }
+
+  /** The live tombstone set, or None when nothing was ever deleted. */
+  private def tombstones(index: String): Option[DataFrame] = {
+    val p = dir(index).resolve("_tombstones")
+    if (Files.isDirectory(p)) Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** Compact an index: fold the append-accumulated small files and
+    * drop tombstoned documents PHYSICALLY, clearing the tombstones —
+    * [[IvfIndex.compact]]'s crash-safety story on the store layout.
+    * The swap is rename-aside → rename-in → delete-old, so the data is
+    * always present under some name: a crash between the renames
+    * leaves `.old-<index>` (healed by the next compact, which restores
+    * it); a crash before the delete leaves both (healed by dropping
+    * the superseded copy). Tombstones vanish WITH the swap — the
+    * compacted directory is written without them — so a crash before
+    * the swap re-drops the same rows next time (idempotent). Returns
+    * (dataFilesBefore, dataFilesAfter).
+    */
+  def compactIndex(index: String, targetFiles: Int = 1): (Long, Long) = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val d = dir(index)
+    val tmp = Paths.get(root, s".compacting-$index")
+    val old = Paths.get(root, s".old-$index")
+    // Heal a crashed predecessor before measuring anything.
+    if (!Files.isDirectory(d) && Files.isDirectory(old))
+      Files.move(old, d)
+    if (Files.isDirectory(old)) rm(old)
+    if (Files.isDirectory(tmp)) rm(tmp)
+    require(exists(index), s"no such index: $index")
+    def countFiles(p: Path): Long =
+      Files.list(p).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    val before = countFiles(d)
+    read(index) // tombstone anti-join applied here
+      .coalesce(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    Files.move(d, old)   // rename-aside (tombstones ride along, out)
+    Files.move(tmp, d)   // rename-in: clean data, no tombstone dir
+    rm(old)              // delete-old commits the swap
+    (before, countFiles(d))
   }
 
   /** Q2: record count (Spark plans a partial+final count aggregate —

@@ -72,6 +72,57 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](store.createIndex("_hidden"))
   }
 
+  test("per-document deletes: tombstone-visible everywhere, compact reclaims, heal-on-next-compact") {
+    import org.apache.spark.sql.functions.{col, element_at}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new ParquetVectorStore(spark, root)
+    def chunk(src: String, i: Int) =
+      (s"content $src/$i", Map("source" -> src), Map.empty[String, String],
+        Seq.fill(4)(i.toFloat))
+    val rows = (for (s <- Seq("a", "b", "c"); i <- 0 until 4)
+      yield chunk(s"doc-$s", i))
+      .toDF("page_content", "metadata", "headers", "embedding")
+    store.append("idx", rows)
+    store.append("idx", rows.filter(element_at(col("metadata"),
+      "source") === "doc-c")) // doc-c has 8 chunks across 2 files
+    assert(store.count("idx") == 16)
+
+    // delete one document: every read face loses its chunks at once
+    store.deleteDocuments("idx", Seq("doc-b"))
+    assert(store.count("idx") == 12)
+    assert(store.read("idx").select(element_at(col("metadata"), "source"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+      == Seq("doc-a", "doc-c"))
+    assert(store.topRecords("idx", 20).collect()
+      .forall(!_.getString(0).contains("doc-b/")))
+    // a second delete accumulates; deleting an unknown source is a no-op
+    store.deleteDocuments("idx", Seq("doc-a", "doc-zz"))
+    assert(store.count("idx") == 8)
+
+    // compact drops the rows physically and clears the tombstones
+    val (before, after) = store.compactIndex("idx")
+    assert(before >= 3 && after == 1,
+      s"compact must fold files: $before -> $after")
+    assert(store.count("idx") == 8)
+    assert(!Files.isDirectory(
+      java.nio.file.Paths.get(root, "idx", "_tombstones")),
+      "tombstones must clear with the swap")
+    // with no tombstones the read plan has no join node at all
+    assert(!store.read("idx").queryExecution.executedPlan.toString
+      .contains("Join"), "tombstone-free reads must stay bare scans")
+
+    // crash between the renames: dir absent, .old present — the next
+    // compact heals (restores the aside copy) before doing anything
+    Files.move(java.nio.file.Paths.get(root, "idx"),
+      java.nio.file.Paths.get(root, ".old-idx"))
+    assert(!store.exists("idx"))
+    assert(store.listIndexes().isEmpty, "the aside copy must stay hidden")
+    val (b2, a2) = store.compactIndex("idx")
+    assert(b2 == 1 && a2 == 1 && store.count("idx") == 8,
+      "heal must restore the aside copy, losing nothing")
+  }
+
   test("full RHPD chain: ingest fixtures, search, rag query") {
     val root = Files.createTempDirectory("graft-store").toString
     val store = new ParquetVectorStore(spark, root)

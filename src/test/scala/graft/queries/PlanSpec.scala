@@ -722,6 +722,16 @@ class PlanSpec extends AnyFunSuite {
       s"the code→score tables are literals; scoring must ride the scan:\n${p.take(600)}")
   }
 
+  test("v24: both recall arms are per-partition top-k heaps; codes never join at score time") {
+    val p = plan("v24_pq_recall")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"every arm's top-5 must plan as heaps:\n${p.take(600)}")
+    assert(!p.contains("Window"),
+      "no rank window may replace the heaps")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"only the 25-row arm frames may join, broadcast:\n${p.take(600)}")
+  }
+
   test("d72: the weighted sample is a mergeable heap, never a per-language window") {
     val p = plan("d72_weighted_reservoir")
     assert(!p.contains("Window"),
