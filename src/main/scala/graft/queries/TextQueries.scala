@@ -1222,6 +1222,97 @@ object TextQueries {
         mg(docVocabState).as("vocab_est"))
     },
 
+    // LEAKAGE-SAFE GROUP SPLIT — the constraint d17's per-doc hash
+    // split silently violates: near-duplicate documents must land in
+    // the SAME split, or eval scores are inflated by train-set copies
+    // (the group-shuffle-split ML discipline, applied with d71's
+    // components as the groups). Every doc's split key is its near-dup
+    // component (its own id when unclustered), so a whole cluster
+    // moves together by construction — and the output PROVES it: the
+    // grouped path's straddling-cluster count is computed, not
+    // assumed, and reads 0, while the naive per-doc bucketing's count
+    // is the >0 contrast witness (24 straddled clusters at sf0.01).
+    // Scale shape: the component labels are d71's pinned machinery;
+    // the key join is doc-keyed; the two leak witnesses are
+    // group-keyed aggregates folded to 1-row broadcasts; the report
+    // is a catalog-sized rollup.
+    "d77_component_split" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val comp = graft.text.Dedup.dupComponentsStar(
+        graft.text.Dedup.nearDupPairs(docs, "doc_id", "text",
+          threshold = 0.0))
+      def bucketOf(c: Column) = TF.hash32(c.cast("string")) % 100
+      def splitOf(c: Column) =
+        when(bucketOf(c) < 80, "train")
+          .when(bucketOf(c) < 90, "val").otherwise("test")
+      val assigned = docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("gkey"))
+        .select(col("doc_id"), col("gkey"),
+          splitOf(col("gkey")).as("split"),
+          splitOf(col("doc_id")).as("naive_split"))
+      def straddlers(c: String, as: String) = assigned
+        .groupBy(col("gkey"))
+        .agg(countDistinct(col(c)).as("ns"))
+        .filter(col("ns") > 1)
+        .agg(count(lit(1)).as(as))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("gkey")).as("n_groups"))
+        .crossJoin(broadcast(straddlers("split", "leaky_grouped")))
+        .crossJoin(broadcast(straddlers("naive_split", "leaky_naive")))
+        .orderBy(col("split"))
+    },
+
+    // CANDIDATE-GRAPH TRANSITIVITY — the dedup-graph health check run
+    // before trusting cluster-level decisions (d69's survivorship,
+    // d77's group splits): high transitivity means the near-dup
+    // candidate graph is clique-like (LSH buckets agree with each
+    // other); low means borderline chains, where a single spurious
+    // pair can weld two real clusters. Triangles count by the
+    // DEGREE-ORDERED ORIENTATION (each edge points low→high in
+    // (degree, id) order; count directed paths a→b→c closed by a→c) —
+    // every triangle counted exactly once, and the per-vertex
+    // out-degree is O(√m)-bounded, so the wedge join is O(m^1.5)
+    // TOTAL instead of Σdeg² (a hub node's deg² explosion is exactly
+    // what the orientation defuses at 100 TB — this is the standard
+    // MapReduce triangle algorithm, Suri & Vassilvitskii 2011). Wedge
+    // total is Σ C(deg, 2) off the node-keyed degree table; all
+    // outputs are exact integers (transitivity as micro-units).
+    "d78_graph_transitivity" -> { (s, d) =>
+      val edges = graft.text.Dedup.nearDupPairs(
+        Tables.documents(s, d), "doc_id", "text", threshold = 0.0)
+        .select(least(col("a_id"), col("b_id")).as("a"),
+          greatest(col("a_id"), col("b_id")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val deg = edges.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val dir = edges
+        .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("src"), col("b").as("dst")))
+            .otherwise(struct(col("b").as("src"), col("a").as("dst")))
+            .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val tri = dir.as("e1")
+        .join(dir.select(col("src").as("dst"), col("dst").as("c")).as("e2"),
+          "dst")
+        .join(dir.select(col("src"), col("dst").as("c")).as("e3"),
+          Seq("src", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val base = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        expr("SUM(deg) DIV 2").as("n_edges"),
+        sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+      base.crossJoin(broadcast(tri))
+        .withColumn("transitivity_micro",
+          expr("(3 * n_triangles * 1000000) DIV n_wedges"))
+    },
+
     // Defense-in-depth DECONTAMINATION LEDGER: the three leak
     // detectors — exact 8-gram overlap (d30), MinHash-LSH near-dup
     // with edits (d37), embedding-space semantic similarity (v14,
@@ -2657,6 +2748,72 @@ object TextQueries {
          |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
          |SELECT id, MIN(r) AS component FROM reach GROUP BY id
          |ORDER BY id""".stripMargin,
+
+    // d78: same degree-ordered orientation in SQL — the oriented edge
+    // list, the 2-path join, and the closing-edge join; wedge total
+    // off the degree table. Every output is an exact integer.
+    "d78_graph_transitivity" ->
+      s"""WITH $CandCtes,
+         |edges AS (SELECT LEAST(a_id, b_id) AS a, GREATEST(a_id, b_id) AS b
+         |          FROM cand WHERE a_id <> b_id GROUP BY 1, 2),
+         |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+         |         (SELECT a AS id FROM edges
+         |          UNION ALL SELECT b FROM edges) GROUP BY 1),
+         |dir AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+         |                THEN e.a ELSE e.b END AS src,
+         |               CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+         |                THEN e.b ELSE e.a END AS dst
+         |        FROM edges e
+         |        JOIN deg da ON e.a = da.id JOIN deg db ON e.b = db.id),
+         |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |        FROM dir e1 JOIN dir e2 ON e1.dst = e2.src
+         |        JOIN dir e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |          CAST(SUM(deg) AS BIGINT) // 2 AS n_edges,
+         |          CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+         |         FROM deg)
+         |SELECT b.n_nodes, b.n_edges, b.n_wedges, t.n_triangles,
+         | (3 * t.n_triangles * 1000000) // b.n_wedges AS transitivity_micro
+         |FROM base b CROSS JOIN tri t""".stripMargin,
+
+    // d77: d19's recursive closure labels the groups; both bucketings
+    // replay the md5-prefix hash; the straddler counts are HAVING
+    // subqueries folded to scalars.
+    "d77_component_split" ->
+      s"""WITH RECURSIVE $CandCtes,
+         |e AS (SELECT a_id AS src, b_id AS dst FROM cand
+         |      UNION SELECT b_id, a_id FROM cand),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+         |g AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS gkey
+         |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |a AS (SELECT doc_id, gkey,
+         |       CASE WHEN CAST(('0x'||substr(md5(CAST(gkey AS VARCHAR)),1,8))
+         |              AS BIGINT) % 100 < 80 THEN 'train'
+         |            WHEN CAST(('0x'||substr(md5(CAST(gkey AS VARCHAR)),1,8))
+         |              AS BIGINT) % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       CASE WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+         |              AS BIGINT) % 100 < 80 THEN 'train'
+         |            WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+         |              AS BIGINT) % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS naive_split
+         |      FROM g),
+         |lg AS (SELECT CAST(COUNT(*) AS BIGINT) AS leaky_grouped FROM
+         |        (SELECT gkey FROM a GROUP BY gkey
+         |         HAVING COUNT(DISTINCT split) > 1)),
+         |ln AS (SELECT CAST(COUNT(*) AS BIGINT) AS leaky_naive FROM
+         |        (SELECT gkey FROM a GROUP BY gkey
+         |         HAVING COUNT(DISTINCT naive_split) > 1))
+         |SELECT a.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(COUNT(DISTINCT gkey) AS BIGINT) AS n_groups,
+         | lg.leaky_grouped, ln.leaky_naive
+         |FROM a CROSS JOIN lg CROSS JOIN ln
+         |GROUP BY a.split, lg.leaky_grouped, ln.leaky_naive
+         |ORDER BY a.split""".stripMargin,
 
     "d72_weighted_reservoir" ->
       """WITH w AS (SELECT lang, doc_id,

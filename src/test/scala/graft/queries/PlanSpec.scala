@@ -722,6 +722,26 @@ class PlanSpec extends AnyFunSuite {
       s"the code→score tables are literals; scoring must ride the scan:\n${p.take(600)}")
   }
 
+  test("d77: group split reads checkpointed labels; witnesses are 1-row broadcasts") {
+    val p = plan("d77_component_split")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"d77 must scan d71's checkpointed label frame:\n${p.take(600)}")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"bucketing is scan-local, witnesses aggregate:\n${p.take(600)}")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 2,
+      "exactly the two 1-row leak witnesses may cross-join")
+  }
+
+  test("d78: triangle joins are vertex-keyed equi joins; only the 1-row count crosses") {
+    val p = plan("d78_graph_transitivity")
+    assert(!p.contains("CartesianProduct"),
+      s"the wedge/closure joins must never cross:\n${p.take(600)}")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      "exactly the 1-row triangle count may cross-join")
+    assert(!p.contains("Window"),
+      "orientation is a degree-table join, never a rank window")
+  }
+
   test("v24: both recall arms are per-partition top-k heaps; codes never join at score time") {
     val p = plan("v24_pq_recall")
     assert(p.contains("TakeOrderedAndProject"),
