@@ -275,6 +275,53 @@ object EventQueries {
         .orderBy(col("day_idx"))
     },
 
+    // GAP-REGULARITY BOT SCREEN — the abuse-detection profile every
+    // event pipeline runs before its data feeds anything downstream:
+    // humans arrive with bursty inter-event gaps, schedulers and
+    // scripts with metronomic ones, so the coefficient of variation
+    // of a user's gap sequence is the classic first-pass bot signal
+    // (low cv = suspiciously regular). Gaps quantize to exact integer
+    // SECONDS (`div`, the e17 ordering convention), the per-user sums
+    // (n, Σg, Σg²) are exact longs, and cv derives in one fixed
+    // double sequence — cv = √(n·Σg² − (Σg)²)/Σg, the n-cancelling
+    // form — floor-quantized to micro units (the e23 z-score
+    // discipline; at 100 TB spans the integer sums move to DECIMAL).
+    // The report is the 10 most-regular users via the mergeable
+    // tagged heap — per-user state is one (n, Σ, Σ²) triple behind a
+    // user-keyed window whose partitions are per-user event counts
+    // (bounded), and the ranking never windows over the user table.
+    "e30_bot_regularity" -> { (s, d) =>
+      val topk = udaf(new graft.operators.Sketches.TopKByScoreTagged(10),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(java.lang.Long, String, java.lang.Long)]())
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val stats = Tables.events(s, d)
+        .select(col("user_id"), tsUs.as("ts_us"), col("event_id"))
+        .withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap_s", expr("(ts_us - prev) div 1000000"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_s")).as("s"),
+          sum(col("gap_s") * col("gap_s")).as("ss"))
+        .filter(col("n_gaps") >= 30 && col("s") > 0)
+        .withColumn("cv_micro",
+          floor(sqrt((col("n_gaps") * col("ss") - col("s") * col("s"))
+            .cast("double")) / col("s").cast("double") * lit(1000000.0))
+            .cast("long"))
+      stats
+        .agg(topk(-col("cv_micro"),
+          lpad(col("user_id").cast("string"), 20, "0"),
+          col("n_gaps")).as("top"))
+        .select(posexplode(col("top")).as(Seq("r0", "p")))
+        .select((col("r0") + 1).cast("long").as("rank"),
+          col("p._2").cast("bigint").as("user_id"),
+          col("p._3").as("n_gaps"),
+          (-col("p._1")).as("cv_micro"))
+        .orderBy(col("rank"))
+    },
+
     // PER-DAY VALUE-DISTRIBUTION DRIFT — q41's PSI arithmetic turned
     // into the monitoring report a serving pipeline runs continuously:
     // for every event type, each day's `value` distribution is scored
@@ -1071,6 +1118,30 @@ object EventQueries {
         |SELECT dau.d AS day_idx, dau.dau, e7.wau_est, e30.mau_est
         |FROM dau JOIN e7 ON dau.d = e7.d JOIN e30 ON dau.d = e30.d
         |ORDER BY day_idx""".stripMargin,
+
+    // e30: gaps by the e17 lag convention, exact integer second sums,
+    // the same n-cancelling cv formula floor-quantized, rank by
+    // (cv ASC, user ASC) — the heap's (score DESC, tag ASC) mirror.
+    "e30_bot_regularity" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+        | FROM events),
+        |st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |        CAST(SUM(gap_s) AS BIGINT) AS s,
+        |        CAST(SUM(gap_s * gap_s) AS BIGINT) AS ss
+        |       FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+        |       HAVING COUNT(*) >= 30 AND SUM(gap_s) > 0),
+        |cv AS (SELECT user_id, n_gaps,
+        |        CAST(FLOOR(SQRT(CAST(n_gaps * ss - s * s AS DOUBLE))
+        |          / CAST(s AS DOUBLE) * 1000000e0) AS BIGINT) AS cv_micro
+        |       FROM st)
+        |SELECT CAST(rn AS BIGINT) AS rank, user_id, n_gaps, cv_micro
+        |FROM (SELECT user_id, n_gaps, cv_micro,
+        |       ROW_NUMBER() OVER (ORDER BY cv_micro, user_id) AS rn
+        |      FROM cv) x
+        |WHERE rn <= 10 ORDER BY rank""".stripMargin,
 
     // e28: q41's PSI oracle spelling re-keyed to (type, day) with the
     // baseline-bin grid FULL JOINed to each day's own bins.

@@ -224,6 +224,54 @@ object VectorQueries {
         .orderBy(col("train_id"))
     },
 
+    // IVF-BLOCKED SEMANTIC DECONTAMINATION — v14 at the scale where
+    // the eval side STOPS being broadcastable (a full benchmark
+    // suite's embedding set, the d64-bloom argument in vector space):
+    // both sides assign to the same frozen 8-seed codebook
+    // (broadcast argmax, no shuffle), and candidates form only WITHIN
+    // a cell — a plain cell-keyed equi join, co-partitioned when
+    // `cell` is both tables' partition key, so the cross product
+    // never happens. The exact arm (v14's pinned broadcast machinery)
+    // runs alongside and every exact leak row carries the audit: did
+    // the blocked pass recover the same best pair? pruned_hit = false
+    // rows are the recall the cell blocking trades away (it bites at
+    // sf0.01 — leaks near cell boundaries cross cells), exactly the
+    // number an operator of this shape must SURFACE, not bury. The
+    // blocked best-pair pick is a struct-max aggregate (score DESC,
+    // eval_id ASC), never a per-train window.
+    "v25_ivf_decontaminate" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+      def assigned(part: DataFrame) =
+        Similarity.ivfAssign(part, "vec_id", "embedding",
+          seeds, "seed_id", "seed_vec")
+          .select(col("vec_id"), col("embedding"), col("cell"))
+      val train = assigned(e.filter(col("vec_id") % 50 =!= 0))
+        .select(col("vec_id").as("train_id"),
+          col("embedding").as("tv"), col("cell"))
+      val eval_ = assigned(e.filter(col("vec_id") % 50 === 0))
+        .select(col("vec_id").as("p_eval_id"),
+          col("embedding").as("ev"), col("cell"))
+      val pruned = train.join(eval_, "cell")
+        .withColumn("p_score",
+          vectors.cosineSimilarity(col("tv"), col("ev")))
+        .filter(col("p_score") >= 0.35)
+        .groupBy(col("train_id"))
+        .agg(max(struct(col("p_score"),
+          (-col("p_eval_id")).as("_neg"), col("p_eval_id"))).as("b"))
+        .select(col("train_id"), col("b.p_eval_id").as("pruned_eval_id"))
+      graft.operators.SemanticDedup.crossSemanticLeaks(
+        train = e.filter(col("vec_id") % 50 =!= 0),
+        eval = e.filter(col("vec_id") % 50 === 0),
+        idCol = "vec_id", vecCol = "embedding", threshold = 0.35)
+        .join(pruned, Seq("train_id"), "left")
+        .select(col("train_id"), col("eval_id"), col("score"),
+          coalesce(col("pruned_eval_id") === col("eval_id"), lit(false))
+            .as("pruned_hit"))
+        .orderBy(col("train_id"))
+    },
+
     // IVF ANN: assign all vectors to nearest of 8 seed centroids (shuffle-
     // free argmax projection), then search only the probe's cell. The probe
     // row is a driver-side point lookup (tiny action); the search itself is
@@ -819,6 +867,49 @@ object VectorQueries {
         |      FROM p WHERE score >= 0.35e0)
         |SELECT train_id, eval_id, score FROM f WHERE rn = 1
         |ORDER BY train_id""".stripMargin,
+
+    // v25: v05's assignment CTE over both sides, the cell-equi
+    // candidate join with the per-train (score DESC, eval_id) pick,
+    // and v14's exact chain carrying the audit flag.
+    "v25_ivf_decontaminate" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, s.cell,
+        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) AS cs
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |   SELECT vec_id, embedding, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+        |   FROM scored) r WHERE rn = 1),
+        |tr AS (SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS tv,
+        |        cell FROM assigned WHERE vec_id % 50 <> 0),
+        |ev AS (SELECT vec_id AS p_eval_id, CAST(embedding AS DOUBLE[]) AS evv,
+        |        cell FROM assigned WHERE vec_id % 50 = 0),
+        |pruned AS (SELECT train_id, p_eval_id AS pruned_eval_id FROM (
+        |            SELECT t.train_id, e.p_eval_id,
+        |             ROW_NUMBER() OVER (PARTITION BY t.train_id
+        |              ORDER BY list_cosine_similarity(t.tv, e.evv) DESC,
+        |               e.p_eval_id) AS rn
+        |            FROM tr t JOIN ev e ON t.cell = e.cell
+        |            WHERE list_cosine_similarity(t.tv, e.evv) >= 0.35e0) x
+        |           WHERE rn = 1),
+        |p2 AS (SELECT t.vec_id AS train_id, e2.vec_id AS eval_id,
+        |        list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+        |          CAST(e2.embedding AS DOUBLE[])) AS score
+        |       FROM embeddings t CROSS JOIN embeddings e2
+        |       WHERE t.vec_id % 50 <> 0 AND e2.vec_id % 50 = 0),
+        |exact AS (SELECT train_id, eval_id, score FROM (
+        |           SELECT train_id, eval_id, score,
+        |            ROW_NUMBER() OVER (PARTITION BY train_id
+        |             ORDER BY score DESC, eval_id) AS rn
+        |           FROM p2 WHERE score >= 0.35e0) f WHERE rn = 1)
+        |SELECT x.train_id, x.eval_id, x.score,
+        | COALESCE(p.pruned_eval_id = x.eval_id, FALSE) AS pruned_hit
+        |FROM exact x LEFT JOIN pruned p USING (train_id)
+        |ORDER BY x.train_id""".stripMargin,
 
     "v05_ivf_search" ->
       """WITH seeds AS (

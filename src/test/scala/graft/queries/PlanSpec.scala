@@ -742,6 +742,29 @@ class PlanSpec extends AnyFunSuite {
       "orientation is a degree-table join, never a rank window")
   }
 
+  test("v25: the blocked arm joins on cell keys; only the exact contrast arm crosses") {
+    val p = plan("v25_ivf_decontaminate")
+    assert(!p.contains("CartesianProduct"),
+      s"no unconditional cross product anywhere:\n${p.take(600)}")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      "exactly v14's exact-arm broadcast may cross; the blocked arm is cell-keyed")
+    assert(p.contains("BroadcastHashJoin [cell"),
+      s"the blocked candidate join must be cell-keyed:\n${p.take(600)}")
+    // "Window [" counts only the exec node — WindowGroupLimit entries are
+    // the rank-limit pushdown and welcome.
+    assert("Window \\[".r.findAllIn(p).length == 1,
+      "only the exact arm's best-pair window; the blocked pick is a struct-max aggregate")
+  }
+
+  test("e30: regularity ranks via the mergeable heap over per-user triples") {
+    val p = plan("e30_bot_regularity")
+    assert(p.contains("partial_topkbyscoretagged"),
+      s"the bot board must partial-aggregate map-side:\n${p.take(600)}")
+    assert("Window".r.findAllIn(p).length == 1,
+      "exactly the user-keyed lag window — never a global rank")
+    assert(!p.contains("Join"), "the screen is one pass, no join")
+  }
+
   test("v24: both recall arms are per-partition top-k heaps; codes never join at score time") {
     val p = plan("v24_pq_recall")
     assert(p.contains("TakeOrderedAndProject"),
