@@ -1265,6 +1265,90 @@ object TextQueries {
         .orderBy(col("split"))
     },
 
+    // CONTENT-DEFINED CHUNKING + global chunk dedup — the
+    // SHIFT-ROBUST counterpart to d33's fixed windows (the rsync/LBFS
+    // trick applied to corpus dedup): a fixed 200-char grid re-chunks
+    // the ENTIRE document when one token is inserted up front, so
+    // shifted boilerplate never dedupes; content-defined cuts fire
+    // where a rolling 4-token window hash ≡ 0 (mod 16), positions that
+    // move WITH the content — an insertion disturbs only the chunks it
+    // touches. Boundary detection, cut assembly, and chunk texts are
+    // all row-local array projections (cost O(tokens × chunks) per
+    // doc, bounded by doc length — no shuffle until the global
+    // fingerprint pass); the dedup pass is d33's first-seen-by-
+    // (doc, pos) convention on the chunk fingerprints. `n_novel` <
+    // `n_chunks` rows witness cross-doc shared chunks surviving the
+    // chunking (the repeated boilerplate the synthetic corpus plants).
+    "d79_cdc_chunks" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = TF.tokens(col("text"))
+      val n = size(toks)
+      // cut AFTER token i (4 ≤ i ≤ n−1) when the trailing-4 window
+      // hash ≡ 0 (mod 16); avg chunk ≈ 16 tokens
+      val bpos = when(n >= 5,
+        filter(sequence(lit(4), n - 1),
+          i => TF.hash32(concat_ws(" ", slice(toks, i - 3, lit(4))))
+            % 16 === 0))
+        .otherwise(typedLit(Seq.empty[Int]))
+      val cuts = concat(array(lit(0)), bpos, array(n))
+      val chunks = transform(sequence(lit(1), size(cuts) - 1),
+        c => array_join(
+          slice(toks, element_at(cuts, c) + 1,
+            element_at(cuts, c + 1) - element_at(cuts, c)), " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("chunk")))
+            .orderBy(col("doc_id"), col("pos"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("n_dup_chunks", col("n_chunks") - col("n_novel"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ZIPF FIT — the corpus-naturalness check curation teams run on a
+    // new source: natural language's rank-frequency law is freq ∝
+    // rank^s with s ≈ −1, and a source whose fitted slope sits far
+    // from −1 is machine-generated, templated, or spam-dominated
+    // before a human ever reads a sample. The top-64 terms rank via
+    // the mergeable tagged heap (count DESC, term ASC — never a
+    // vocabulary-sized window); ln(rank)/ln(freq) floor-quantize to
+    // micro-BIGINTs per point BEFORE the regression sums (d40's
+    // rule), so the least-squares slope/intercept derive in one fixed
+    // double sequence from four exact integers. The synthetic corpus
+    // has a 31-term near-uniform vocabulary, so the fit FAILS the
+    // naturalness band (slope ≈ −0.18 ≫ −0.8) — `is_zipfian` = false
+    // is the flag doing its job on data that genuinely is synthetic.
+    "d80_zipf_fit" -> { (s, d) =>
+      val topk = udaf(new graft.operators.Sketches.TopKByScoreTagged(64),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(java.lang.Long, String, java.lang.Long)]())
+      val pts = Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .agg(topk(col("c"), col("t"), col("c")).as("top"))
+        .select(posexplode(col("top")).as(Seq("r0", "p")))
+        .select(
+          floor(log((col("r0") + 1).cast("double")) * lit(1000000.0))
+            .cast("long").as("x"),
+          floor(log(col("p._3").cast("double")) * lit(1000000.0))
+            .cast("long").as("y"))
+      val sums = pts.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val slopeD = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      sums.select(col("n").as("n_terms"),
+        floor(slopeD * lit(1000000.0)).cast("long").as("slope_micro"),
+        floor((col("sy").cast("double") - slopeD * col("sx").cast("double"))
+          / col("n").cast("double")).cast("long").as("intercept_micro"))
+        .withColumn("is_zipfian",
+          col("slope_micro") >= -1200000L && col("slope_micro") <= -800000L)
+    },
+
     // CANDIDATE-GRAPH TRANSITIVITY — the dedup-graph health check run
     // before trusting cluster-level decisions (d69's survivorship,
     // d77's group splits): high transitivity means the near-dup
@@ -2748,6 +2832,68 @@ object TextQueries {
          |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
          |SELECT id, MIN(r) AS component FROM reach GROUP BY id
          |ORDER BY id""".stripMargin,
+
+    // d80: rank via ROW_NUMBER (count DESC, term ASC) capped 64, the
+    // same micro-quantized ln points, the same two-step double
+    // sequence for slope then intercept.
+    "d80_zipf_fit" ->
+      """WITH tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM
+        |        (SELECT unnest(string_split(text, ' ')) AS t
+        |         FROM documents) GROUP BY 1),
+        |rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r
+        |       FROM tc),
+        |pts AS (SELECT CAST(FLOOR(LN(CAST(r AS DOUBLE)) * 1000000e0)
+        |          AS BIGINT) AS x,
+        |         CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000e0)
+        |          AS BIGINT) AS y
+        |        FROM rk WHERE r <= 64),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |       CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |       CAST(SUM(x * x) AS BIGINT) AS sxx FROM pts)
+        |SELECT n AS n_terms,
+        | CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000e0) AS BIGINT)
+        |  AS slope_micro,
+        | CAST(FLOOR((CAST(sy AS DOUBLE)
+        |   - CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_micro,
+        | CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000e0) AS BIGINT)
+        |   BETWEEN -1200000 AND -800000 AS is_zipfian
+        |FROM s""".stripMargin,
+
+    // d79: the same rolling-window cuts in list arithmetic — range is
+    // end-exclusive so positions run 4..n−1; chunk c spans cuts[c]+1
+    // .. cuts[c+1]; first-seen by (doc_id, pos) over md5(chunk).
+    "d79_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |        len(string_split(text, ' ')) AS n FROM documents),
+        |b AS (SELECT doc_id, toks, n,
+        |       CASE WHEN n >= 5 THEN list_filter(range(4, n),
+        |        i -> CAST(('0x'||substr(md5(toks[i-3]||' '||toks[i-2]||' '
+        |              ||toks[i-1]||' '||toks[i]),1,8)) AS BIGINT) % 16 = 0)
+        |       ELSE CAST([] AS BIGINT[]) END AS bpos
+        |      FROM t),
+        |c AS (SELECT doc_id, toks,
+        |       [CAST(0 AS BIGINT)] || bpos || [CAST(n AS BIGINT)] AS cuts
+        |      FROM b),
+        |ch AS (SELECT doc_id, toks, cuts,
+        |        unnest(range(1, len(cuts))) AS cpos FROM c),
+        |ch2 AS (SELECT doc_id, cpos - 1 AS pos,
+        |         array_to_string(toks[cuts[cpos] + 1 : cuts[cpos + 1]], ' ')
+        |          AS chunk
+        |        FROM ch),
+        |r AS (SELECT doc_id, pos, chunk,
+        |       ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+        |        ORDER BY doc_id, pos) AS rn
+        |      FROM ch2)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        | CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        | CAST(COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_dup_chunks
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // d78: same degree-ordered orientation in SQL — the oriented edge
     // list, the 2-path join, and the closing-edge join; wedge total

@@ -765,6 +765,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "the screen is one pass, no join")
   }
 
+  test("d79: CDC cuts ride the scan; only the fingerprint pass exchanges") {
+    // Boundary detection and chunk assembly are array projections —
+    // the only shuffles are the chunk-fingerprint dedup window's hash
+    // exchange and the per-doc regroup; no join anywhere.
+    val p = plan("d79_cdc_chunks")
+    assert(!p.contains("Join"), s"chunking must not join:\n${p.take(600)}")
+    val Seq((cols, _)) = scans("d79_cdc_chunks")
+    assert(cols.sorted == Seq("doc_id", "text"),
+      s"must read exactly (doc_id, text), got: $cols")
+  }
+
+  test("d80: the fit ranks via the mergeable heap — no vocabulary-sized window") {
+    val p = plan("d80_zipf_fit")
+    assert(p.contains("partial_topkbyscoretagged"),
+      s"the top-64 must partial-aggregate map-side:\n${p.take(600)}")
+    assert("Window \\[".r.findAllIn(p).isEmpty,
+      "no rank window over the term table")
+    assert(!p.contains("Join"), "one chain of aggregates, no join")
+  }
+
   test("v24: both recall arms are per-partition top-k heaps; codes never join at score time") {
     val p = plan("v24_pq_recall")
     assert(p.contains("TakeOrderedAndProject"),
