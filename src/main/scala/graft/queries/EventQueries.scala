@@ -275,6 +275,44 @@ object EventQueries {
         .orderBy(col("day_idx"))
     },
 
+    // ORDER-2 SESSION CONTEXT MODEL — the training table a
+    // next-event-prediction model consumes, and e22's sequence-model
+    // big sibling: transitions count WITHIN e02's 30-minute sessions
+    // (a transition across a session boundary is noise, not behavior
+    // — both lags reset per session), with a two-event context
+    // (prev2, prev1 → next) instead of order-1's single predecessor;
+    // '_start' padding makes session openings first-class contexts.
+    // One user-keyed window pass (per-user partitions, bounded) feeds
+    // a context-keyed count to an alphabet³-sized table; `p` is the
+    // per-context conditional — the catalog-sized normalize e22
+    // pinned. At 100 TB the only corpus cost is the session window
+    // e02 already pays.
+    "e31_markov_contexts" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prevTs = lag(col("ts_us"), 1).over(w)
+      val ws = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wCtx = Window.partitionBy(col("prev2"), col("prev1"))
+      Tables.events(s, d)
+        .withColumn("ts_us", tsUs)
+        .withColumn("is_new",
+          when(prevTs.isNull || col("ts_us") - prevTs > SessionGapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .withColumn("prev1",
+          coalesce(lag(col("event_type"), 1).over(ws), lit("_start")))
+        .withColumn("prev2",
+          coalesce(lag(col("event_type"), 2).over(ws), lit("_start")))
+        .groupBy(col("prev2"), col("prev1"),
+          col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double")
+          / sum(col("n")).over(wCtx).cast("double"))
+        .orderBy(col("prev2"), col("prev1"), col("next_type"))
+    },
+
     // GAP-REGULARITY BOT SCREEN — the abuse-detection profile every
     // event pipeline runs before its data feeds anything downstream:
     // humans arrive with bursty inter-event gaps, schedulers and
@@ -1118,6 +1156,33 @@ object EventQueries {
         |SELECT dau.d AS day_idx, dau.dau, e7.wau_est, e30.mau_est
         |FROM dau JOIN e7 ON dau.d = e7.d JOIN e30 ON dau.d = e30.d
         |ORDER BY day_idx""".stripMargin,
+
+    // e31: e02's session CTEs + two per-session lags with '_start'
+    // padding + the per-context normalize.
+    "e31_markov_contexts" ->
+      """WITH o AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |   ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM o),
+        |c AS (
+        | SELECT COALESCE(lag(event_type, 2) OVER ws, '_start') AS prev2,
+        |  COALESCE(lag(event_type, 1) OVER ws, '_start') AS prev1,
+        |  event_type AS next_type
+        | FROM s WINDOW ws AS (PARTITION BY user_id, session_id
+        |   ORDER BY ts_us, event_id)),
+        |g AS (SELECT prev2, prev1, next_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1, 2, 3)
+        |SELECT prev2, prev1, next_type, n,
+        | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev2, prev1)
+        |   AS DOUBLE) AS p
+        |FROM g ORDER BY prev2, prev1, next_type""".stripMargin,
 
     // e30: gaps by the e17 lag convention, exact integer second sums,
     // the same n-cancelling cv formula floor-quantized, rank by

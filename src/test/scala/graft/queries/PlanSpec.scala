@@ -785,6 +785,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "one chain of aggregates, no join")
   }
 
+  test("e31: contexts ride the user-keyed session windows; the normalize is catalog-sized") {
+    val p = plan("e31_markov_contexts")
+    assert(!p.contains("Join"), s"one window chain, no join:\n${p.take(600)}")
+    // user-keyed exchanges only (session + lag windows share the user
+    // hash); the context normalize windows over the alphabet³ table.
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length <= 1,
+      s"the session and lag windows must share one user exchange:\n${p.take(600)}")
+  }
+
   test("v24: both recall arms are per-partition top-k heaps; codes never join at score time") {
     val p = plan("v24_pq_recall")
     assert(p.contains("TakeOrderedAndProject"),
