@@ -183,6 +183,79 @@ object Sketches {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** EXACT distinct counting over a BOUNDED dense id domain via a
+    * fixed-size bitmap — the groupBitmap pattern (ClickHouse /
+    * Doris): state is `capacity/64` longs regardless of how many ids
+    * land, reduce sets a bit, merge is wordwise OR, and the count is
+    * a popcount — so, like KMV, the state is a pure set function
+    * (merge-of-states ≡ state-of-union) and storable per shard/day,
+    * but the answer is EXACT. This is the right tool when ids are
+    * dictionary-encoded into a dense range (user dims, vocab ids —
+    * at 100 TB the dictionary is the dimension table's surrogate
+    * key); KMV remains the tool for unbounded/sparse domains. An id
+    * outside [0, capacity) fails LOUDLY — a silently dropped id
+    * would be an undercount masquerading as exact.
+    */
+  class BitmapState(capacity: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]]
+      with Serializable {
+    require(capacity >= 1, s"bitmap capacity must be >= 1, got $capacity")
+    private val words = (capacity + 63) >>> 6
+
+    def zero: Array[Long] = new Array[Long](words)
+
+    def reduce(buf: Array[Long], id: Long): Array[Long] = {
+      require(id >= 0L && id < capacity,
+        s"bitmap id $id outside [0, $capacity) — widen the capacity or " +
+          "dictionary-encode the key")
+      buf((id >>> 6).toInt) |= 1L << (id & 63)
+      buf
+    }
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = bufferEncoder
+  }
+
+  /** Fold stored [[BitmapState]] columns into the EXACT distinct
+    * count: reduce ORs each state in, finish popcounts. NULL states
+    * (an outer join's missing shard) contribute nothing; a state of
+    * the wrong width fails loudly (two different capacities are two
+    * different dictionaries — ORing them would be silent corruption).
+    */
+  class BitmapMergeCount(capacity: Int)
+      extends Aggregator[Seq[java.lang.Long], Array[Long], Long]
+      with Serializable {
+    private val inner = new BitmapState(capacity)
+    def zero: Array[Long] = inner.zero
+    def reduce(buf: Array[Long], state: Seq[java.lang.Long]): Array[Long] =
+      if (state == null) buf
+      else {
+        require(state.length == buf.length,
+          s"bitmap state width ${state.length} != ${buf.length} — " +
+            "states from a different capacity/dictionary")
+        var i = 0
+        while (i < buf.length) { buf(i) |= state(i).longValue(); i += 1 }
+        buf
+      }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+    def finish(buf: Array[Long]): Long = {
+      var n = 0L
+      var i = 0
+      while (i < buf.length) { n += java.lang.Long.bitCount(buf(i)); i += 1 }
+      n
+    }
+    def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   /** Boxed adapter for the SQL registry, where callers can't add the
     * [[kmvInput]] projection: SQL NULL arrives as a null box and is
     * skipped, matching `kmv_distinct`'s documented null-in = no-element

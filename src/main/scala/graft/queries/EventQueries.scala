@@ -313,6 +313,99 @@ object EventQueries {
         .orderBy(col("prev2"), col("prev1"), col("next_type"))
     },
 
+    // EXACT ROLLING ACTIVES VIA BITMAP STATES — e29's question with
+    // the EXACT answer: when the id domain is dense and bounded
+    // (user_id is a dictionary surrogate key, 0..N), per-day
+    // [[graft.operators.Sketches.BitmapState]] rows (capacity/64
+    // longs each, independent of traffic) replace the KMV estimate,
+    // and trailing windows OR-merge the member days' bitmaps —
+    // merge-of-states ≡ state-of-union EXACTLY, no estimator error
+    // at all (the groupBitmap pattern). Same scale shape as e29:
+    // each day pays its aggregation once into the checkpointed
+    // (day, bitmap) frame; windows self-join the days table, never
+    // the event log. Capacity derives from a 1-row max(user_id)
+    // lookup (the codebook pattern), so the same query serves every
+    // SF; the oracle is plain COUNT(DISTINCT) per window — bit
+    // equality IS the exactness proof.
+    "e33_bitmap_actives" -> { (s, d) =>
+      val cap = (Tables.events(s, d).agg(max(col("user_id"))).head()
+        .getLong(0) + 1).toInt
+      val st = udaf(new graft.operators.Sketches.BitmapState(cap),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val mg = udaf(new graft.operators.Sketches.BitmapMergeCount(cap),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Seq[java.lang.Long]]())
+      val daily = new graft.operators.LineageCheckpoint(s, None)(
+        Tables.events(s, d)
+          .select(expr(s"ts_ns div 1000 div $DayUs").as("day_idx"),
+            col("user_id"))
+          .groupBy(col("day_idx"))
+          .agg(st(col("user_id")).as("bm")))
+      def rolling(w: Int, name: String) =
+        daily.select(col("day_idx").as("a_day"))
+          .join(daily.select(col("day_idx").as("b_day"), col("bm")),
+            col("b_day") > col("a_day") - w && col("b_day") <= col("a_day"))
+          .groupBy(col("a_day").as("day_idx"))
+          .agg(mg(col("bm")).as(name))
+      daily
+        .select(col("day_idx"),
+          expr("aggregate(transform(bm, w -> bit_count(w)), 0, " +
+            "(a, x) -> a + x)").cast("long").as("dau_exact"))
+        .join(rolling(7, "wau_exact"), "day_idx")
+        .join(rolling(30, "mau_exact"), "day_idx")
+        .orderBy(col("day_idx"))
+    },
+
+    // CUSUM CHANGEPOINT ALARMS — e23's complement on the same hourly
+    // reduce: z-scores catch single-hour SPIKES, CUSUM accumulates
+    // small SUSTAINED shifts (Page 1954 — the level change a
+    // trailing-window z never reaches 2σ on). The recursion
+    // S = max(0, S + x − μ − slack), alarm-and-reset past h, is
+    // inherently sequential — the engine's shape for that is: the
+    // corpus pays ONE (type, hour) aggregate, each type's hour series
+    // collects to a catalog-bounded sorted array (720 hours/month —
+    // driver-free, but small enough to fold row-locally), and the
+    // CUSUM runs as an `aggregate` array fold per type row. All
+    // arithmetic is exact integer micro-units (μ by integer DIV,
+    // slack = μ/10, h = 2μ), so alarms replay bit-for-bit in the
+    // oracle's recursive CTE — including the post-alarm reset, which
+    // fires 11–14 times per type at sf0.01 (the synthetic load
+    // genuinely drifts), each alarm a full accumulate-reset cycle.
+    "e32_cusum_alarms" -> { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr(s"ts_ns div 1000 div ${3600L * 1000 * 1000}").as("hour_idx"))
+        .agg(count(lit(1)).as("n"))
+      val typed = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("tot"),
+          array_sort(collect_list(struct(col("hour_idx"), col("n"))))
+            .as("hs"))
+        .withColumn("mu_micro", expr("(tot * 1000000) DIV n_hours"))
+        .withColumn("k_micro", expr("mu_micro DIV 10"))
+        .withColumn("h_micro", expr("mu_micro * 2"))
+      val zero = struct(lit(0L).as("s"), lit(0L).as("n_alarms"),
+        lit(null).cast("long").as("first_alarm"), lit(0L).as("max_s"))
+      val folded = aggregate(col("hs"), zero, (st, x) => {
+        val sNew = greatest(lit(0L),
+          st.getField("s") + x.getField("n") * lit(1000000L)
+            - col("mu_micro") - col("k_micro"))
+        val alarm = sNew > col("h_micro")
+        struct(
+          when(alarm, lit(0L)).otherwise(sNew).as("s"),
+          (st.getField("n_alarms") + when(alarm, 1L).otherwise(0L))
+            .as("n_alarms"),
+          when(st.getField("first_alarm").isNull && alarm,
+            x.getField("hour_idx"))
+            .otherwise(st.getField("first_alarm")).as("first_alarm"),
+          greatest(st.getField("max_s"), sNew).as("max_s"))
+      })
+      typed.select(col("event_type"), col("n_hours"), col("mu_micro"),
+        folded.getField("n_alarms").as("n_alarms"),
+        folded.getField("first_alarm").as("first_alarm_hour"),
+        folded.getField("max_s").as("max_s_micro"))
+        .orderBy(col("event_type"))
+    },
+
     // GAP-REGULARITY BOT SCREEN — the abuse-detection profile every
     // event pipeline runs before its data feeds anything downstream:
     // humans arrive with bursty inter-event gaps, schedulers and
@@ -1156,6 +1249,67 @@ object EventQueries {
         |SELECT dau.d AS day_idx, dau.dau, e7.wau_est, e30.mau_est
         |FROM dau JOIN e7 ON dau.d = e7.d JOIN e30 ON dau.d = e30.d
         |ORDER BY day_idx""".stripMargin,
+
+    // e33: the oracle needs no bitmaps — COUNT(DISTINCT) per day and
+    // per trailing window IS the exact answer the bitmaps must hit.
+    "e33_bitmap_actives" ->
+      """WITH b AS (SELECT epoch_us(ts)//86400000000 AS d, user_id
+        |           FROM events),
+        |dau AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |         AS dau_exact FROM b GROUP BY 1),
+        |days AS (SELECT DISTINCT d FROM b),
+        |w7 AS (SELECT a.d, CAST(COUNT(DISTINCT b.user_id) AS BIGINT)
+        |        AS wau_exact
+        |       FROM days a JOIN b ON b.d > a.d - 7 AND b.d <= a.d
+        |       GROUP BY 1),
+        |w30 AS (SELECT a.d, CAST(COUNT(DISTINCT b.user_id) AS BIGINT)
+        |         AS mau_exact
+        |        FROM days a JOIN b ON b.d > a.d - 30 AND b.d <= a.d
+        |        GROUP BY 1)
+        |SELECT dau.d AS day_idx, dau.dau_exact, w7.wau_exact, w30.mau_exact
+        |FROM dau JOIN w7 ON dau.d = w7.d JOIN w30 ON dau.d = w30.d
+        |ORDER BY day_idx""".stripMargin,
+
+    // e32: the fold as a recursive CTE over per-type hour indexes —
+    // identical integer state transitions, terminal row per type.
+    "e32_cusum_alarms" ->
+      """WITH RECURSIVE
+        |h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour_idx,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1, 2),
+        |i AS (SELECT event_type, hour_idx, n,
+        |       ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY hour_idx) AS i
+        |      FROM h),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |       (CAST(SUM(n) AS BIGINT) * 1000000) // COUNT(*) AS mu
+        |      FROM i GROUP BY 1),
+        |r(event_type, i, s, n_alarms, first_alarm, max_s) AS (
+        |  SELECT event_type, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM m
+        |  UNION ALL
+        |  SELECT r.event_type, r.i + 1,
+        |   CASE WHEN GREATEST(0, r.s + i.n*1000000 - m.mu - m.mu//10)
+        |          > m.mu * 2
+        |        THEN 0
+        |        ELSE GREATEST(0, r.s + i.n*1000000 - m.mu - m.mu//10) END,
+        |   r.n_alarms + CASE
+        |     WHEN GREATEST(0, r.s + i.n*1000000 - m.mu - m.mu//10)
+        |       > m.mu * 2 THEN 1 ELSE 0 END,
+        |   CASE WHEN r.first_alarm IS NULL AND
+        |          GREATEST(0, r.s + i.n*1000000 - m.mu - m.mu//10)
+        |           > m.mu * 2
+        |        THEN i.hour_idx ELSE r.first_alarm END,
+        |   GREATEST(r.max_s,
+        |    GREATEST(0, r.s + i.n*1000000 - m.mu - m.mu//10))
+        |  FROM r JOIN i ON i.event_type = r.event_type AND i.i = r.i + 1
+        |  JOIN m ON m.event_type = r.event_type)
+        |SELECT m.event_type, m.n_hours, m.mu AS mu_micro,
+        | r.n_alarms, r.first_alarm AS first_alarm_hour,
+        | r.max_s AS max_s_micro
+        |FROM r JOIN m ON r.event_type = m.event_type AND r.i = m.n_hours
+        |ORDER BY m.event_type""".stripMargin,
 
     // e31: e02's session CTEs + two per-session lags with '_start'
     // padding + the per-context normalize.

@@ -407,4 +407,45 @@ class SketchesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sketches.exactHeavyHitters(corpus.toDF("term"), "term", 0.0))
   }
+
+  test("bitmap distinct: merge-of-day-states equals direct, exact against countDistinct") {
+    import org.apache.spark.sql.functions.{col, countDistinct, udaf}
+    val cap = 200
+    val st = udaf(new Sketches.BitmapState(cap),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val mg = udaf(new Sketches.BitmapMergeCount(cap),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[java.lang.Long]]())
+    val rows = (for (d <- 0 until 5; i <- 0 until 80)
+      yield (d.toLong, ((d * 37 + i * 13) % 180).toLong)).toDF("d", "id")
+    val want = rows.agg(countDistinct(col("id"))).head().getLong(0)
+    val states = rows.groupBy(col("d")).agg(st(col("id")).as("bm"))
+    val merged = states.agg(mg(col("bm"))).head().getLong(0)
+    assert(merged == want, s"bitmap merge $merged != exact $want")
+    // per-day states popcount to per-day exact distincts
+    val perDay = states.select(col("d"),
+      org.apache.spark.sql.functions.expr(
+        "aggregate(transform(bm, w -> bit_count(w)), 0, (a, x) -> a + x)")
+        .cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantDay = rows.groupBy(col("d")).agg(countDistinct(col("id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDay == wantDay)
+    // out-of-capacity ids fail loudly, never undercount
+    val e = intercept[org.apache.spark.SparkException] {
+      Seq((1L, 500L)).toDF("d", "id").groupBy(col("d"))
+        .agg(st(col("id"))).collect()
+    }
+    assert(e.getMessage.contains("outside") ||
+      e.getCause != null && e.getCause.getMessage.contains("outside"))
+    // width mismatch between dictionaries fails loudly
+    val other = udaf(new Sketches.BitmapMergeCount(cap * 64),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[java.lang.Long]]())
+    val e2 = intercept[org.apache.spark.SparkException] {
+      states.agg(other(col("bm"))).collect()
+    }
+    assert(e2.getMessage.contains("width") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("width"))
+  }
 }

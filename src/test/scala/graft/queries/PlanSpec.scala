@@ -794,6 +794,24 @@ class PlanSpec extends AnyFunSuite {
       s"the session and lag windows must share one user exchange:\n${p.take(600)}")
   }
 
+  test("e32: CUSUM folds ride the per-type rows after one hourly reduce") {
+    val p = plan("e32_cusum_alarms")
+    assert(!p.contains("Join"), s"one aggregate chain, no join:\n${p.take(600)}")
+    assert("Window \\[".r.findAllIn(p).isEmpty,
+      "the sequential fold is an array aggregate, never a running window")
+  }
+
+  test("e33: exact rolling actives self-join the checkpointed bitmap frame") {
+    val p = plan("e33_bitmap_actives")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"e33 must scan the materialized daily bitmaps:\n${p.take(600)}")
+    assert(scans("e33_bitmap_actives").isEmpty,
+      "no parquet scan may survive — each day pays its aggregation once")
+    assert(p.contains("partial_bitmapstate") || p.contains("partial_bitmapmergecount")
+      || !p.contains("Expand"),
+      "bitmap states replace countDistinct — no Expand over the event log")
+  }
+
   test("v24: both recall arms are per-partition top-k heaps; codes never join at score time") {
     val p = plan("v24_pq_recall")
     assert(p.contains("TakeOrderedAndProject"),
