@@ -519,6 +519,110 @@ object EventStreams {
       (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
     }
 
+  /** Per-day EXACT user bitmap, finalized at watermark close — the
+    * streaming reduce that feeds [[BitmapActivesLedger]] (e33's face,
+    * and the exact sibling of [[dailyUserStates]]). ONE stateful
+    * aggregation suffices where the KMV face needed two: setting a
+    * bit is idempotent, so a user split across micro-batches needs no
+    * dedup stage, and the closed day's exact DAU is just the state's
+    * popcount. State per open day is capacity/64 longs — independent
+    * of traffic.
+    */
+  def dailyUserBitmaps(events: DataFrame, capacity: Int,
+      watermark: String = "2 days"): DataFrame = {
+    val st = udaf(new graft.operators.Sketches.BitmapState(capacity),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(st(col("user_id")).as("bm"))
+      .select(col("window.start").as("day"),
+        expr("aggregate(transform(bm, w -> bit_count(w)), 0, " +
+          "(a, x) -> a + x)").cast("long").as("dau"),
+        col("bm"))
+  }
+
+  /** Driver-held ledger for [[bitmapSink]]: e33's EXACT rolling
+    * DAU/WAU/MAU run continuously — [[ActivesLedger]]'s shape with
+    * zero estimator error. State is capacity/64 longs per CLOSED day
+    * (calendar-sized); idempotent per batchId; trailing windows
+    * OR-merge member-day bitmaps, so a closed day's counts equal
+    * batch e33's (and plain COUNT DISTINCT's) bit for bit — pinned
+    * in StreamingSpec.
+    */
+  final class BitmapActivesLedger(capacity: Int) {
+    private[streaming] var days: Map[Long, Array[Long]] = Map.empty
+    private[streaming] var lastBatchId: Long = -1L
+    private val dayUs = 24L * 3600 * 1000 * 1000
+    private val words = (capacity + 63) >>> 6
+
+    /** Folds one micro-batch of closed [[dailyUserBitmaps]] days;
+      * idempotent per batchId; wrong-width states fail loudly (a
+      * different capacity is a different dictionary).
+      */
+    def ingest(batch: DataFrame, batchId: Long): Unit =
+      if (batchId > lastBatchId) {
+        batch.select(col("day"), col("bm")).collect().foreach { r =>
+          val bm = r.getSeq[Long](1).toArray
+          require(bm.length == words,
+            s"bitmap state width ${bm.length} != $words — " +
+              "states from a different capacity/dictionary")
+          days += (r.getTimestamp(0).getTime * 1000L / dayUs) -> bm
+        }
+        lastBatchId = batchId
+      }
+
+    private def pop(a: Array[Long]): Long = {
+      var n = 0L; var i = 0
+      while (i < a.length) { n += java.lang.Long.bitCount(a(i)); i += 1 }
+      n
+    }
+
+    /** e33 over the ledger: every closed day with exact trailing
+      * 7/30-day actives. OR is a set union, so the result is
+      * independent of ingest order and micro-batch boundaries.
+      */
+    def actives(): Seq[ActiveExactRow] = {
+      val sorted = days.toSeq.sortBy(_._1)
+      def winPop(day: Long, w: Int): Long = {
+        val acc = new Array[Long](words)
+        sorted.foreach { case (d, bm) =>
+          if (d > day - w && d <= day) {
+            var i = 0
+            while (i < words) { acc(i) |= bm(i); i += 1 }
+          }
+        }
+        pop(acc)
+      }
+      sorted.map { case (d, bm) =>
+        ActiveExactRow(d, pop(bm), winPop(d, 7), winPop(d, 30))
+      }
+    }
+
+    /** [[ActivesLedger.evictBefore]]'s contract: the caller keeps the
+      * 30 days before the earliest day it still wants scored.
+      */
+    def evictBefore(minDayIdx: Long): Unit =
+      days = days.filter { case (d, _) => d >= minDayIdx }
+  }
+
+  /** One exact (day, DAU, WAU, MAU) row from
+    * [[BitmapActivesLedger.actives]] — e33's row.
+    */
+  final case class ActiveExactRow(day_idx: Long, dau_exact: Long,
+      wau_exact: Long, mau_exact: Long)
+
+  /** Streaming face of e33: [[dailyUserBitmaps]]'s finalized days
+    * feed the [[BitmapActivesLedger]] — wire as
+    * `bitmapSink(dailyUserBitmaps(events, cap), ledger)
+    * .outputMode("append")`.
+    */
+  def bitmapSink(closedDays: DataFrame, ledger: BitmapActivesLedger)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    closedDays.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
+    }
+
   /** Open-session state carried between micro-batches by
     * [[statefulSessionize]]: bounded per open session (counters + the
     * capped path), keyed by user — the state store holds one entry per

@@ -1471,6 +1471,76 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bitmapSink: ledger exact actives equal COUNT DISTINCT on closed days") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{countDistinct, expr => fexpr}
+    val dayUs = 24L * 3600 * 1000 * 1000
+    val evts = for {
+      d <- 0L to 11L
+      u <- 0 until (6 + (d % 5)).toInt
+      rep <- 0 to (u % 2)
+    } yield (d * 10000 + u * 10 + rep,
+      d * dayUs + u * 60000000L + rep * 1000L, (d * 7 + u * 3) % 90)
+    val capacity = 128 // two words — exercises multi-word OR/popcount
+    val batchDf = evts.toDF("event_id", "ts_us", "user_id")
+      .withColumn("day_idx", fexpr(s"ts_us div $dayUs"))
+    def winExact(w: Int, name: String) =
+      batchDf.select(col("day_idx").as("a_day")).distinct()
+        .join(batchDf.select(col("day_idx").as("b_day"), col("user_id")),
+          col("b_day") > col("a_day") - w && col("b_day") <= col("a_day"))
+        .groupBy(col("a_day").as("day_idx"))
+        .agg(countDistinct(col("user_id")).as(name))
+    val want = batchDf.groupBy(col("day_idx"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .join(winExact(7, "wau"), "day_idx")
+      .join(winExact(30, "mau"), "day_idx")
+      .collect().map(r => EventStreams.ActiveExactRow(r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_.day_idx).toSeq
+
+    val in = MemoryStream[(Long, Long, Long)]
+    val ledger = new EventStreams.BitmapActivesLedger(capacity)
+    val stream = in.toDS().toDF("event_id", "ts_us", "user_id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStreams.bitmapSink(
+        EventStreams.dailyUserBitmaps(stream, capacity, "1 day"), ledger)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      val rnd = new scala.util.Random(11)
+      val ordered = evts.sortBy(_._2)
+      ordered.grouped(ordered.length / 3 + 1).foreach { g =>
+        in.addData(rnd.shuffle(g): _*); q.processAllAvailable()
+      }
+      in.addData((999999L, 50L * dayUs, 7L)); q.processAllAvailable()
+      in.addData((999998L, 50L * dayUs + 1L, 7L)); q.processAllAvailable()
+      val got = ledger.actives()
+      assert(got == want,
+        s"bitmap ledger diverged from COUNT DISTINCT:\n got: ${got.take(4)}\nwant: ${want.take(4)}")
+      // replayed batchId is a no-op
+      val before = ledger.days
+      ledger.ingest(Seq((new java.sql.Timestamp(0L),
+        Seq.fill(2)(java.lang.Long.valueOf(-1L)).toSeq))
+        .toDF("day", "bm"), ledger.lastBatchId)
+      assert(ledger.days == before)
+      // a wrong-width state fails loudly, never silently ORs
+      val e = intercept[IllegalArgumentException] {
+        ledger.ingest(Seq((new java.sql.Timestamp(0L),
+          Seq(java.lang.Long.valueOf(1L)))).toDF("day", "bm"),
+          ledger.lastBatchId + 1)
+      }
+      assert(e.getMessage.contains("width"))
+      // eviction keeps intact-window survivors bit-identical
+      val kept = got.filter(_.day_idx >= 8L)
+      ledger.evictBefore(2L)
+      assert(ledger.actives().filter(_.day_idx >= 8L)
+        .map(r => (r.day_idx, r.wau_exact))
+        == kept.map(r => (r.day_idx, r.wau_exact)))
+    } finally q.stop()
+  }
+
   test("statefulQuotaGate: budgets enforce across batches in (ts, id) order") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, Long, Long)] // (key, doc_id, ts_us)
