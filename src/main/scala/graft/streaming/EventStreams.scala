@@ -418,6 +418,98 @@ object EventStreams {
       (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
     }
 
+  /** One scored type from [[CusumLedger.alarms]] — e32's row shape
+    * over the ledger's observed hours.
+    */
+  final case class CusumRow(event_type: String, n_hours: Long,
+      n_alarms: Long, first_alarm_hour: Option[Long], max_s_micro: Long)
+
+  /** Driver-held ledger for [[cusumSink]]: e32's sustained-shift
+    * CUSUM run CONTINUOUSLY — the third leg of the monitor trio next
+    * to [[AnomalyLedger]] (single-hour spikes) and [[DriftLedger]]
+    * (distribution drift). `muMicro` is the FROZEN per-type reference
+    * level (micro-units, from a batch run over the baseline window —
+    * the DriftLedger bounds discipline: a monitor that re-fits its
+    * own reference absorbs the very drift it should flag). State is
+    * one long per CLOSED (type, hour); idempotent per batchId.
+    * [[alarms]] replays e32's exact integer transitions (slack μ/10,
+    * threshold 2μ, alarm-and-reset) over the type's hours in order,
+    * so given the same reference the alarm sequence matches the batch
+    * fold bit for bit (StreamingSpec pins it against a driver replay
+    * of e32's arithmetic).
+    *
+    * Eviction RESTARTS accumulation at the horizon (S = 0): CUSUM's
+    * state is a running sum over all history, so unlike the z-score
+    * and PSI ledgers a truncated prefix is not score-invariant —
+    * which is fine in practice because S resets at every alarm
+    * anyway; place the horizon at or behind the last alarm and
+    * surviving scores are unchanged. The contract is explicit, not
+    * silent.
+    */
+  final class CusumLedger(muMicro: Map[String, Long]) {
+    private[streaming] var counts: Map[(String, Long), Long] = Map.empty
+    private[streaming] var lastBatchId: Long = -1L
+    private val hourUs = 3600L * 1000 * 1000
+
+    /** Folds one micro-batch of closed [[hourlyRollup]] windows;
+      * idempotent per batchId. Types with no frozen reference are
+      * dropped (not scoreable — refit the baseline to admit them).
+      */
+    def ingest(batch: DataFrame, batchId: Long): Unit =
+      if (batchId > lastBatchId) {
+        batch.select(col("event_type"), col("hour"), col("n")).collect()
+          .foreach { r =>
+            if (muMicro.contains(r.getString(0)))
+              counts += (r.getString(0),
+                r.getTimestamp(1).getTime * 1000L / hourUs) -> r.getLong(2)
+          }
+        lastBatchId = batchId
+      }
+
+    /** e32 over the ledger: per type, the alarm count, first alarm
+      * hour, and max accumulation, folded over observed hours in
+      * order with the frozen reference. Pure driver arithmetic over
+      * catalog-sized state; exact integers end to end.
+      */
+    def alarms(): Seq[CusumRow] =
+      counts.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (t, m) =>
+        val mu = muMicro(t)
+        val k = mu / 10
+        val h = mu * 2
+        var s = 0L
+        var nAlarms = 0L
+        var first: Option[Long] = None
+        var maxS = 0L
+        m.toSeq.map { case ((_, hr), n) => (hr, n) }.sortBy(_._1)
+          .foreach { case (hr, n) =>
+            val sNew = math.max(0L, s + n * 1000000L - mu - k)
+            if (sNew > maxS) maxS = sNew
+            if (sNew > h) {
+              nAlarms += 1
+              if (first.isEmpty) first = Some(hr)
+              s = 0L
+            } else s = sNew
+          }
+        CusumRow(t, m.size.toLong, nAlarms, first, maxS)
+      }
+
+    /** Drops every closed (type, hour) strictly before `minHourIdx`;
+      * accumulation restarts at the horizon (see class doc).
+      */
+    def evictBefore(minHourIdx: Long): Unit =
+      counts = counts.filter { case ((_, hr), _) => hr >= minHourIdx }
+  }
+
+  /** Streaming face of e32: [[hourlyRollup]]'s finalized windows feed
+    * the [[CusumLedger]] — wire as
+    * `cusumSink(hourlyRollup(events), ledger).outputMode("append")`.
+    */
+  def cusumSink(closedWindows: DataFrame, ledger: CusumLedger)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    closedWindows.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
+    }
+
   /** Per-day exact DAU + KMV user state, finalized at watermark close —
     * the streaming reduce that feeds [[ActivesLedger]] (e29's face).
     * Two CHAINED stateful aggregations (the [[hourlyLeaderboard]]

@@ -1471,6 +1471,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cusumSink: ledger alarms equal the batch e32 fold on closed hours") {
+    implicit val sq = spark.sqlContext
+    val hourUs = 3600L * 1000 * 1000
+    // type 'a': level 10/hour for 30 hours, then a +40% sustained
+    // shift (never a single-hour spike a z-score would catch);
+    // type 'b': flat. Reference mu frozen from the first 30 hours.
+    val evts = (for (hr <- 0L until 60L; i <- 0L until
+      (if (hr >= 30) 14L else 10L)) yield
+      (hr * 100 + i, hr * hourUs + i * 1000000L, "a", 1.0)) ++
+      (for (hr <- 0L until 60L; i <- 0L until 10L) yield
+        (10000 + hr * 100 + i, hr * hourUs + i * 1000000L, "b", 1.0))
+    val mu = Map("a" -> 10000000L, "b" -> 10000000L) // 10/hour in micro
+    // driver replay of e32's exact transitions = the batch truth
+    def replay(t: String): EventStreams.CusumRow = {
+      val hours = evts.filter(_._3 == t).groupBy(_._2 / hourUs)
+        .view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val (m, k, h) = (mu(t), mu(t) / 10, mu(t) * 2)
+      var s = 0L; var n = 0L; var first: Option[Long] = None; var mx = 0L
+      hours.foreach { case (hr, x) =>
+        val sNew = math.max(0L, s + x * 1000000L - m - k)
+        if (sNew > mx) mx = sNew
+        if (sNew > h) { n += 1; if (first.isEmpty) first = Some(hr); s = 0L }
+        else s = sNew
+      }
+      EventStreams.CusumRow(t, hours.size.toLong, n, first, mx)
+    }
+    val want = Seq(replay("a"), replay("b"))
+    assert(want.head.n_alarms > 0 && want(1).n_alarms == 0,
+      s"fixture must shift 'a' and keep 'b' quiet: $want")
+
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val ledger = new EventStreams.CusumLedger(mu)
+    val stream = in.toDS().toDF("event_id", "ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStreams.cusumSink(
+        EventStreams.hourlyRollup(stream, "1 hour"), ledger)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      val ordered = evts.sortBy(_._2)
+      ordered.grouped(ordered.length / 3 + 1).foreach { g =>
+        in.addData(g: _*); q.processAllAvailable()
+      }
+      in.addData((999999L, 100L * hourUs, "a", 1.0)); q.processAllAvailable()
+      in.addData((999998L, 100L * hourUs + 1L, "a", 1.0)); q.processAllAvailable()
+      val got = ledger.alarms()
+      assert(got == want,
+        s"cusum ledger diverged from the batch fold:\n got: $got\nwant: $want")
+      // replayed batchId is a no-op
+      val before = ledger.counts
+      ledger.ingest(Seq(("a", new java.sql.Timestamp(0L), 999L))
+        .toDF("event_type", "hour", "n"), ledger.lastBatchId)
+      assert(ledger.counts == before)
+      // eviction restarts accumulation at the horizon: placing it at
+      // an alarm boundary leaves later alarm counts intact
+      val firstAlarm = got.head.first_alarm_hour.get
+      ledger.evictBefore(firstAlarm + 1)
+      val after = ledger.alarms().find(_.event_type == "a").get
+      assert(after.n_alarms == want.head.n_alarms - 1 &&
+        after.first_alarm_hour.get > firstAlarm,
+        s"post-horizon alarms must survive an alarm-boundary cut: $after")
+    } finally q.stop()
+  }
+
   test("bitmapSink: ledger exact actives equal COUNT DISTINCT on closed days") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.{countDistinct, expr => fexpr}
