@@ -1316,6 +1316,37 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // LSH PIPELINE RECALL — the recall-eval trilogy's text leg (v16
+    // audits IVF, v24 audits PQ, this audits the d06 banded-minhash
+    // dedup pipeline): every exact near-dup pair (d35's
+    // complete-by-construction inverted index, threshold 0.05) is
+    // binned by its true Jaccard and scored against whether the
+    // 4-band LSH pipeline surfaced it. The S-curve is the tuning
+    // artifact — one minhash per band puts a j-Jaccard pair's
+    // collision odds at 1−(1−j)⁴, so low bands read < 1 while the
+    // near-dup band reads 1.0; a dedup deployment reads this table
+    // before choosing bands/rows, not after shipping misses. The
+    // synthetic corpus is bimodal (a borderline j≈0.06 clump and the
+    // planted ≥0.9 near-dups), so exactly the two ends of the curve
+    // are populated — the low band genuinely misses here.
+    // Both arms are the pinned operators; recall is exact integer
+    // arithmetic per band.
+    "d81_lsh_recall" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val exact = graft.text.Dedup.ngramJaccardPairs(docs,
+        "doc_id", "text", threshold = 0.05)
+      val lsh = graft.text.Dedup.nearDupPairs(docs,
+        "doc_id", "text", threshold = 0.05)
+        .select(col("a_id"), col("b_id"), lit(1L).as("_hit"))
+      exact.join(lsh, Seq("a_id", "b_id"), "left")
+        .withColumn("j_band", floor(col("jaccard") * 10).cast("long"))
+        .groupBy(col("j_band"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_lsh"))
+        .withColumn("recall_micro", expr("(n_lsh * 1000000) DIV n_exact"))
+        .orderBy(col("j_band"))
+    },
+
     // ZIPF FIT — the corpus-naturalness check curation teams run on a
     // new source: natural language's rank-frequency law is freq ∝
     // rank^s with s ≈ −1, and a source whose fitted slope sits far
@@ -2841,6 +2872,33 @@ object TextQueries {
          |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
          |SELECT id, MIN(r) AS component FROM reach GROUP BY id
          |ORDER BY id""".stripMargin,
+
+    // d81: d35's exact-pair CTEs binned by true Jaccard, left-joined
+    // to d06's candidate CTE chain (cand) — a hit is an exact pair
+    // the banding also surfaced.
+    "d81_lsh_recall" ->
+      s"""WITH $CandCtes,
+         |ss AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh),
+         |p AS (SELECT doc_id, unnest(ss) AS s FROM ss),
+         |ix AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS ix
+         |       FROM p x JOIN p y ON x.s = y.s AND x.doc_id < y.doc_id
+         |       GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(ss) AS n FROM ss),
+         |ej AS (SELECT a_id, b_id,
+         |        CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) AS j
+         |       FROM ix JOIN sz sa ON a_id = sa.doc_id
+         |       JOIN sz sb ON b_id = sb.doc_id
+         |       WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.05e0),
+         |g AS (SELECT CAST(FLOOR(e.j * 10) AS BIGINT) AS j_band,
+         |       CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |       CAST(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_lsh
+         |      FROM ej e LEFT JOIN cand c
+         |        ON e.a_id = c.a_id AND e.b_id = c.b_id
+         |      GROUP BY 1)
+         |SELECT j_band, n_exact, n_lsh,
+         | (n_lsh * 1000000) // n_exact AS recall_micro
+         |FROM g ORDER BY j_band""".stripMargin,
 
     // d80: rank via ROW_NUMBER (count DESC, term ASC) capped 64, the
     // same micro-quantized ln points, the same two-step double

@@ -812,6 +812,14 @@ class PlanSpec extends AnyFunSuite {
       "bitmap states replace countDistinct — no Expand over the event log")
   }
 
+  test("d81: both recall arms stay posting-list/band equi joins — nothing all-pairs") {
+    val p = plan("d81_lsh_recall")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"exact and LSH arms must both join on keys:\n${p.take(600)}")
+    assert(scans("d81_lsh_recall").forall(_._1.sorted == Seq("doc_id", "text")),
+      "every corpus pass must read exactly (doc_id, text)")
+  }
+
   test("v24: both recall arms are per-partition top-k heaps; codes never join at score time") {
     val p = plan("v24_pq_recall")
     assert(p.contains("TakeOrderedAndProject"),
