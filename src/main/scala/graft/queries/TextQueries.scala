@@ -1316,6 +1316,51 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // GREEDY MAX-COVERAGE SELECTION — the data-selection shape behind
+    // facility-location / coverage-based subset curation (pick the
+    // budgeted subset that covers the most distinct content, the
+    // submodular cousin of d50's DSIR reweighting): K rounds of
+    // pick-the-doc-with-most-UNCOVERED-shingles, ties to the smaller
+    // id. The classic (1−1/e) greedy, run the way a cluster actually
+    // runs it: the shingle-set frame materializes ONCE
+    // (LineageCheckpoint), each round is one scan + a per-partition
+    // top-1 (TakeOrdered) against the covered set shipped as a
+    // LITERAL (selection-bounded — it grows with picks, not corpus;
+    // the codebook pattern), and the picked doc's novel shingles are
+    // a 1-row point lookup. At a production K the levers are
+    // lazy-greedy priority queues and stochastic-greedy sampling —
+    // the round SHAPE stays this. Already-picked docs are excluded,
+    // so rounds past exhaustion degrade to gain-0 picks
+    // deterministically. The oracle unrolls all K rounds as a CTE
+    // chain (the d73 idiom) — hash equality pins the full greedy
+    // trajectory, not one round.
+    "d82_coverage_select" -> { (s, d) =>
+      val K = 10
+      val sets = new graft.operators.LineageCheckpoint(s, None)(
+        Tables.documents(s, d).select(col("doc_id"),
+          array_distinct(TF.shingles(TF.tokens(col("text")), 3)).as("ss")))
+      val covered = scala.collection.mutable.LinkedHashSet.empty[String]
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val rows = (1 to K).map { r =>
+        val top = sets
+          .filter(if (picked.isEmpty) lit(true)
+            else !col("doc_id").isin(picked.toSeq: _*))
+          .select(col("doc_id"),
+            size(array_except(col("ss"), lit(covered.toArray))).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id"))
+          .limit(1).collect().head
+        val (id, gain) = (top.getLong(0), top.getInt(1).toLong)
+        val novel = sets.filter(col("doc_id") === id)
+          .select(col("ss")).head().getSeq[String](0)
+          .filterNot(covered.contains)
+        covered ++= novel
+        picked += id
+        (r.toLong, id, gain, covered.size.toLong)
+      }
+      import s.implicits._
+      rows.toDF("round", "doc_id", "gain", "covered_total")
+    },
+
     // LSH PIPELINE RECALL — the recall-eval trilogy's text leg (v16
     // audits IVF, v24 audits PQ, this audits the d06 banded-minhash
     // dedup pipeline): every exact near-dup pair (d35's
@@ -2127,6 +2172,36 @@ object TextQueries {
        |  WHERE k.i > len(s.syms))""".stripMargin
   }
 
+  /** One unrolled greedy max-coverage round for the d82 oracle (the
+    * [[bpeRoundCtes]] idiom): gains against the previous covered
+    * list via `list_intersect` (no subquery-in-lambda), the
+    * (gain DESC, doc_id) argmax, and the covered list extended by the
+    * pick's novel shingles. Already-picked docs are excluded by an
+    * inequality chain over the earlier argmax CTEs.
+    */
+  private def coverRoundCtes(r: Int): String = {
+    // MATERIALIZED is load-bearing: each round references the previous
+    // round's CTEs more than once, and DuckDB's default inlining would
+    // re-expand the whole chain per reference — exponential in rounds
+    // (the un-hinted form never finished; hinted runs in ~2 s).
+    val prevCov = s"c${r - 1}"
+    val excluded =
+      if (r == 1) ""
+      else (1 until r)
+        .map(j => s"s.doc_id <> (SELECT doc_id FROM b$j)")
+        .mkString(" WHERE ", " AND ", "")
+    s"""g$r AS MATERIALIZED (SELECT s.doc_id,
+       |        CAST(len(s.ss) - len(list_intersect(s.ss, c.cov)) AS BIGINT)
+       |         AS gain
+       |       FROM sets s CROSS JOIN $prevCov c$excluded),
+       |b$r AS MATERIALIZED (SELECT doc_id, gain FROM g$r
+       |        ORDER BY gain DESC, doc_id LIMIT 1),
+       |c$r AS MATERIALIZED (SELECT c.cov ||
+       |         list_filter(s.ss, x -> NOT list_contains(c.cov, x)) AS cov
+       |        FROM sets s CROSS JOIN $prevCov c
+       |        WHERE s.doc_id = (SELECT doc_id FROM b$r))""".stripMargin
+  }
+
   private def candCtes(src: String): String =
     s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM $src),
       |sh AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
@@ -2872,6 +2947,26 @@ object TextQueries {
          |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
          |SELECT id, MIN(r) AS component FROM reach GROUP BY id
          |ORDER BY id""".stripMargin,
+
+    // d82: all 10 greedy rounds unrolled (the d73 idiom) — per round
+    // the gain table, the argmax, and the extended covered list.
+    "d82_coverage_select" -> {
+      val rounds = (1 to 10).map(coverRoundCtes).mkString(",\n")
+      val out = (1 to 10).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, b$r.doc_id, b$r.gain,
+           | (SELECT CAST(len(cov) AS BIGINT) FROM c$r) AS covered_total
+           |FROM b$r""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+         |           FROM documents),
+         |sets AS MATERIALIZED (SELECT doc_id,
+         |          list_distinct(list_transform(range(1, len(toks)-1),
+         |           i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS ss
+         |         FROM t),
+         |c0 AS (SELECT CAST([] AS VARCHAR[]) AS cov),
+         |$rounds
+         |$out
+         |ORDER BY round""".stripMargin
+    },
 
     // d81: d35's exact-pair CTEs binned by true Jaccard, left-joined
     // to d06's candidate CTE chain (cand) — a hit is an exact pair

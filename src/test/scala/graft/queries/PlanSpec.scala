@@ -820,6 +820,14 @@ class PlanSpec extends AnyFunSuite {
       "every corpus pass must read exactly (doc_id, text)")
   }
 
+  test("d82: the selection table is trainer state — the greedy rounds ran inside the builder") {
+    val p = plan("d82_coverage_select")
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      s"the greedy picks are a driver-built table:\n${p.take(400)}")
+    assert(scans("d82_coverage_select").isEmpty,
+      "no parquet scan may survive into the selection plan")
+  }
+
   test("v24: both recall arms are per-partition top-k heaps; codes never join at score time") {
     val p = plan("v24_pq_recall")
     assert(p.contains("TakeOrderedAndProject"),
