@@ -72,6 +72,30 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "shingles takes (tokens, constant n)")
       }),
+    (FunctionIdentifier("bpe_segment"),
+      // bpe_segment(word, 'a b,ab c,...'): segment a word under an
+      // ordered constant merge list (pairs space-joined, comma-
+      // separated — the storable form writeMerges round-trips). The
+      // merges must be a constant: they are the trained tokenizer,
+      // compiled into the expression like the Column API's literal
+      // list — a per-row merge table would be a different (and
+      // non-codegen-able) operator.
+      info("bpe_segment"),
+      (args: Seq[Expression]) => args match {
+        case Seq(word, m) if m.foldable =>
+          val spec = m.eval().toString
+          val merges = if (spec.isEmpty) Seq.empty[(String, String)]
+            else spec.split(",", -1).toSeq.map { p =>
+              p.split(" ", 2) match {
+                case Array(a, b) => (a, b)
+                case _ => throw new IllegalArgumentException(
+                  s"bpe_segment merge '$p' is not 'left right'")
+              }
+            }
+          graft.functions.BpeSegment(word, merges)
+        case _ => throw new IllegalArgumentException(
+          "bpe_segment takes (word, constant 'a b,ab c,...' merge list)")
+      }),
     (FunctionIdentifier("split_recursive"),
       // split_recursive(text, chunkSize, overlap): generator yielding
       // (chunk_idx, chunk) rows — T2 as a SQL table function

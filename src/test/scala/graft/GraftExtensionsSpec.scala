@@ -83,7 +83,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // it is constructible and iterates the full catalog.
     assert(GraftExtensions.functions.map(_._1.funcName) ==
       Seq("cosine_similarity", "dot_product", "minhash_slices",
-        "shingles", "split_recursive"))
+        "shingles", "bpe_segment", "split_recursive"))
     new GraftExtensions() // must not throw
+  }
+
+  test("bpe_segment is SQL-callable and matches the column API; bad specs fail loudly") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq("hugs", "pug", "bun", "").toDF("w")
+    df.createOrReplaceTempView("bpe_words")
+    val viaSql = spark.sql(
+      "SELECT w, bpe_segment(w, 'u g,h ug') AS s FROM bpe_words")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val viaCol = df.select(col("w"),
+      graft.functions.text.bpeSegment(col("w"),
+        Seq(("u", "g"), ("h", "ug"))).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(viaSql == viaCol)
+    assert(viaSql("hugs") == Seq("hug", "s"))
+    assert(viaSql("") == Seq.empty[String])
+    // empty merge spec = character segmentation
+    val chars = spark.sql(
+      "SELECT bpe_segment('abc', '') AS s").head().getSeq[String](0)
+    assert(chars == Seq("a", "b", "c"))
+    val e = intercept[Exception] {
+      spark.sql("SELECT bpe_segment('x', 'nopair') ").collect()
+    }
+    assert(e.getMessage.contains("not 'left right'"))
   }
 }
