@@ -1316,6 +1316,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // CROSS-SOURCE CONTAMINATION MATRIX — which sources copy from
+    // which: every near-dup component (d71's labels) that spans two
+    // sources is one count in that source pair's cell, and the
+    // off-diagonal matrix is the syndication map a curation team
+    // reads before deciding source-level dedup order and admission
+    // weights (a source whose row sums high is re-serving others'
+    // content — d67's budget and d69's survivorship both want to
+    // know). Scale shape: the contraction ran inside
+    // dupComponentsStar (checkpointed); (component, source) is a
+    // components-sized distinct; the pair build is one
+    // component-keyed self-join; the matrix is sources²-bounded.
+    "d83_source_contamination" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val comp = graft.text.Dedup.dupComponentsStar(
+        graft.text.Dedup.nearDupPairs(docs, "doc_id", "text",
+          threshold = 0.0))
+      val cs = comp
+        .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        .select(col("component"), col("source")).distinct()
+      cs.select(col("component"), col("source").as("source_a"))
+        .join(cs.select(col("component"), col("source").as("source_b")),
+          "component")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared_components"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     // GREEDY MAX-COVERAGE SELECTION — the data-selection shape behind
     // facility-location / coverage-based subset curation (pick the
     // budgeted subset that covers the most distinct content, the
@@ -2947,6 +2975,25 @@ object TextQueries {
          |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
          |SELECT id, MIN(r) AS component FROM reach GROUP BY id
          |ORDER BY id""".stripMargin,
+
+    // d83: the recursive closure labels components; the matrix is the
+    // same component-keyed (source_a < source_b) self-join.
+    "d83_source_contamination" ->
+      s"""WITH RECURSIVE $CandCtes,
+         |e AS (SELECT a_id AS src, b_id AS dst FROM cand
+         |      UNION SELECT b_id, a_id FROM cand),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+         |cs AS (SELECT DISTINCT c.component, d.source
+         |       FROM comp c JOIN documents d ON c.id = d.doc_id)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         | CAST(COUNT(*) AS BIGINT) AS n_shared_components
+         |FROM cs a JOIN cs b
+         |  ON a.component = b.component AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
 
     // d82: all 10 greedy rounds unrolled (the d73 idiom) — per round
     // the gain table, the argmax, and the extended covered list.

@@ -828,6 +828,15 @@ class PlanSpec extends AnyFunSuite {
       "no parquet scan may survive into the selection plan")
   }
 
+  test("d83: the matrix reads checkpointed labels; the pair build is component-keyed") {
+    val p = plan("d83_source_contamination")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"d83 must scan the checkpointed label frame:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the self-join must stay component-keyed:\n${p.take(600)}")
+    assert(!p.contains("Window"), "counts are keyed aggregates, no window")
+  }
+
   test("v24: both recall arms are per-partition top-k heaps; codes never join at score time") {
     val p = plan("v24_pq_recall")
     assert(p.contains("TakeOrderedAndProject"),

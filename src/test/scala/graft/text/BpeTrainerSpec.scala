@@ -147,6 +147,25 @@ class BpeTrainerSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: delta loop equals naive on random corpora, merge for merge") {
+    // Tiny alphabet maximizes pair collisions, zero-net-count events,
+    // and merges whose products immediately re-participate — the delta
+    // bookkeeping's hardest cases.
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 8) {
+      val docs = (0 until 6).map { _ =>
+        (0 until (3 + rnd.nextInt(6))).map(_ =>
+          (0 until (1 + rnd.nextInt(7)))
+            .map(_ => "ab" (rnd.nextInt(2))).mkString).mkString(" ")
+      }.toDF("text")
+      val fast = BpeTrainer.train(docs, "text", merges = 6)
+        .orderBy(col("round")).collect().map(_.toSeq).toSeq
+      val slow = BpeTrainer.trainNaive(docs, "text", merges = 6)
+        .orderBy(col("round")).collect().map(_.toSeq).toSeq
+      assert(fast == slow, s"trial $trial diverged:\n$fast\nvs\n$slow")
+    }
+  }
+
   test("minPairCount stops before learning a below-floor merge") {
     // hug 4, pug 2, pun 1, bun 1: r1 (u,g)=6, r2 (h,ug)=4, r3 best is
     // (p,ug)=2 — a floor of 3 must stop after exactly two merges.
