@@ -261,7 +261,21 @@ object IvfIndex {
       n
     }
     val before = countFiles(dir)
-    val src = spark.read.parquet(dir)
+    val src0 = spark.read.parquet(dir)
+    // Unreferenced cells are DEAD by invariant: a cell directory whose
+    // id the seeds table does not list is a [[splitCell]] leftover (the
+    // superseded source cell, or staged halves from a crashed split
+    // whose seeds flip never landed) — no search face can ever probe
+    // it, so compaction drops it physically. This is what makes
+    // splitCell crash-tolerant without a journal: every crash point
+    // leaves at worst dead extra bytes, reclaimed here.
+    val liveCells = {
+      val p = new Path(s"$path/seeds")
+      if (!fs.exists(p)) None
+      else Some(spark.read.parquet(p.toString)
+        .select(col("cell")).collect().map(_.getLong(0)).toSeq)
+    }
+    val src = liveCells.fold(src0)(cs => src0.filter(col("cell").isin(cs: _*)))
     tombstones(spark, path).fold(src) { t =>
       src.join(broadcast(t), src(idCol) === t("id"), "left_anti")
     }
@@ -276,6 +290,65 @@ object IvfIndex {
     fs.delete(new Path(old), true)
     fs.delete(new Path(s"$path/tombstones"), true)
     (before, countFiles(dir))
+  }
+
+  /** Split a HOT cell in place — the incremental rebalance real ANN
+    * deployments run when the v18 balance profile flags a cell,
+    * instead of retraining the whole codebook: train 2 sub-seeds on
+    * the cell's own vectors ([[trainSeeds]] spherical k-means, local
+    * to the cell), reassign ONLY that cell's rows, and swap the
+    * codebook entry. Everything outside the hot cell — data files,
+    * cell ids, pruning behavior — is untouched, which is the point:
+    * on a 1000-cell 100-TB index this moves one cell's bytes, not
+    * the corpus.
+    *
+    * Commit order is append-new → flip-seeds → drop-old, under the
+    * invariant [[compact]] enforces (an on-disk cell the seeds table
+    * does not list is dead and gets reclaimed): a crash after the
+    * append leaves invisible staged halves; a crash after the seeds
+    * flip leaves the superseded source cell invisible; both are dead
+    * bytes until the next compact, never wrong or missing search
+    * results — the seeds flip is the single commit point. Not atomic
+    * for a reader that caches seeds across the flip (the [[compact]]
+    * maintenance-window caveat). Tombstones key on id and ride along
+    * untouched. Float layout only: sub-seed training needs the
+    * vectors, which the quantized layouts do not store.
+    *
+    * Returns the two new cell ids.
+    */
+  def splitCell(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, cell: Long, iters: Int = 5): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val seeds = spark.read.parquet(s"$path/seeds")
+    val cellIds = seeds.select(col("cell")).collect().map(_.getLong(0))
+    require(cellIds.contains(cell), s"no such cell in the codebook: $cell")
+    val hot = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell") === cell) // partition-pruned: only this cell's IO
+      .drop("cell")
+    val nextId = cellIds.max + 1
+    val sub = trainSeeds(hot, idCol, vecCol, k = 2, iters = iters)
+      .select((col("cell_id") + nextId).as("cell_id"), col("seed_vec"))
+    // 1) append the reassigned halves (invisible: not in seeds yet)
+    Similarity.ivfAssign(hot, idCol, vecCol, sub, "cell_id", "seed_vec")
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(s"$path/vectors")
+    // 2) flip the codebook — the commit point. Collected first: the
+    // codebook is tiny by contract, and an Overwrite of the seeds dir
+    // from a plan still READING it would fail/corrupt.
+    val kept = seeds.filter(col("cell") =!= cell).collect()
+      .map(r => (r.getLong(r.fieldIndex("cell")),
+        r.getSeq[Float](r.fieldIndex("seed_vec"))))
+    val subRows = sub.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    import spark.implicits._
+    writeSeeds((kept ++ subRows).toSeq.toDF("cell", "seed_vec"),
+      "cell", "seed_vec", path)
+    // 3) drop the superseded source cell (best-effort; dead if it stays)
+    val oldDir = new Path(s"$path/vectors/cell=$cell")
+    oldDir.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(oldDir, true)
+    (nextId, nextId + 1)
   }
 
   /** The index's id column, recorded at [[build]] time as a 1-row

@@ -322,4 +322,56 @@ class IvfIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
     assert(got == ref, "quantized search over appended ≡ over rebuilt")
   }
+
+  test("splitCell: hot cell rebalances locally; content exact; crash leftovers reclaimed by compact") {
+    val p2 = Files.createTempDirectory("graft-ivf-split").toString
+    val e = Tables.embeddings(spark, sf)
+    val seeds = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+    IvfIndex.build(e, "vec_id", "embedding", seeds, "seed_id", "seed_vec", p2)
+    def profile(pp: String) = spark.read.parquet(s"$pp/vectors")
+      .groupBy(col("cell")).count().collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    def allRows(pp: String) = spark.read.parquet(s"$pp/vectors")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val before = profile(p2)
+    val hot = before.maxBy(_._2)._1
+    val contentBefore = allRows(p2)
+
+    val (a, b) = IvfIndex.splitCell(spark, p2, "vec_id", "embedding", hot)
+    val after = profile(p2)
+    // the hot cell is gone; its rows landed wholly in the two halves
+    assert(!after.contains(hot) && after.contains(a) && after.contains(b))
+    assert(after(a) + after(b) == before(hot),
+      s"split must conserve the cell's rows: $before -> $after")
+    assert(after(a).max(after(b)) < before(hot),
+      "both halves must be strictly smaller than the hot cell")
+    // every other cell untouched, total content exact
+    (before - hot).foreach { case (c, n) => assert(after(c) == n) }
+    assert(allRows(p2) == contentBefore, "no vector may change or vanish")
+    // the codebook flipped: hot seed replaced by the two sub-seeds
+    val cells = spark.read.parquet(s"$p2/seeds").select(col("cell"))
+      .collect().map(_.getLong(0)).toSet
+    assert(!cells.contains(hot) && cells.contains(a) && cells.contains(b))
+    // pruning still works against a new half
+    val q = spark.read.parquet(s"$p2/vectors").filter(col("cell") === a)
+      .head().getSeq[Float](1).toArray
+    val plan = IvfIndex.search(spark, p2, "vec_id", "embedding", q, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(400))
+
+    // crash-leftover invariant: a cell dir the seeds do not list is
+    // dead — searches never probe it, and compact reclaims it
+    spark.read.parquet(s"$p2/vectors").filter(col("cell") === a)
+      .withColumn("cell", lit(9999L))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(s"$p2/vectors")
+    assert(profile(p2).contains(9999L)) // bytes exist on disk...
+    IvfIndex.compact(spark, p2)
+    assert(!profile(p2).contains(9999L),
+      "compact must reclaim unreferenced cells")
+    assert(allRows(p2) == contentBefore,
+      "reclamation must not touch live rows")
+  }
 }
