@@ -224,6 +224,45 @@ object VectorQueries {
         .orderBy(col("train_id"))
     },
 
+    // HOT-CELL SPLIT REBALANCE — the declarative semantics behind
+    // [[graft.store.IvfIndex.splitCell]], under the oracle: the v18
+    // balance profile names the hottest cell (count DESC, cell ASC),
+    // two sub-seeds initialize deterministically from the cell's two
+    // smallest ids ([[graft.store.IvfIndex.trainSeeds]]' init, iters
+    // = 0 so the oracle replays it exactly — refinement is v08's
+    // pinned territory), and ONLY that cell's members reassign; every
+    // other cell's count passes through untouched. The output is the
+    // post-split profile — the row a capacity planner reads to
+    // confirm the hot cell actually divided (70 → 60 + 10 at
+    // sf0.01). Scale shape: both assignments are broadcast-codebook
+    // argmax projections, the profile is a codebook-sized aggregate,
+    // and the split touches one cell's rows — the splitCell claim,
+    // provable in SQL.
+    "v26_split_rebalance" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding",
+        seeds, "seed_id", "seed_vec")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val hot = assigned.groupBy(col("cell")).count()
+        .orderBy(col("count").desc, col("cell")).head().getLong(0)
+      val hotRows = assigned.filter(col("cell") === hot)
+      val sub = hotRows.orderBy(col("vec_id")).limit(2).collect()
+        .zipWithIndex.map { case (r, i) =>
+          (8L + i, r.getSeq[Float](1))
+        }.toSeq
+      import s.implicits._
+      val subDf = sub.toDF("cell_id", "seed_vec")
+      assigned.filter(col("cell") =!= hot)
+        .select(col("cell"), col("vec_id"))
+        .unionByName(Similarity.ivfAssign(hotRows.drop("cell"),
+          "vec_id", "embedding", subDf, "cell_id", "seed_vec")
+          .select(col("cell"), col("vec_id")))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("cell"))
+    },
+
     // IVF-BLOCKED SEMANTIC DECONTAMINATION — v14 at the scale where
     // the eval side STOPS being broadcastable (a full benchmark
     // suite's embedding set, the d64-bloom argument in vector space):
@@ -867,6 +906,42 @@ object VectorQueries {
         |      FROM p WHERE score >= 0.35e0)
         |SELECT train_id, eval_id, score FROM f WHERE rn = 1
         |ORDER BY train_id""".stripMargin,
+
+    // v26: v05's assignment CTE, the (count DESC, cell) hot pick, two
+    // smallest-id sub-seeds, and the members-only reassignment — ties
+    // in both argmaxes go to the smaller cell id, matching
+    // ivfAssign's first-max convention.
+    "v26_split_rebalance" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, s.cell,
+        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) AS cs
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |   SELECT vec_id, embedding, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+        |   FROM scored) r WHERE rn = 1),
+        |hot AS (SELECT cell FROM assigned GROUP BY cell
+        |        ORDER BY COUNT(*) DESC, cell LIMIT 1),
+        |sub AS (SELECT 8 + ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell_id,
+        |         CAST(embedding AS DOUBLE[]) AS sv
+        |        FROM assigned WHERE cell = (SELECT cell FROM hot)
+        |        ORDER BY vec_id LIMIT 2),
+        |re AS (SELECT vec_id, cell_id FROM (
+        |        SELECT a.vec_id, s.cell_id,
+        |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |          ORDER BY list_cosine_similarity(
+        |            CAST(a.embedding AS DOUBLE[]), s.sv) DESC, s.cell_id) AS rn
+        |        FROM assigned a CROSS JOIN sub s
+        |        WHERE a.cell = (SELECT cell FROM hot)) x WHERE rn = 1),
+        |after AS (SELECT cell, vec_id FROM assigned
+        |          WHERE cell <> (SELECT cell FROM hot)
+        |          UNION ALL SELECT cell_id, vec_id FROM re)
+        |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |FROM after GROUP BY cell ORDER BY cell""".stripMargin,
 
     // v25: v05's assignment CTE over both sides, the cell-equi
     // candidate join with the per-train (score DESC, eval_id) pick,

@@ -837,6 +837,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "counts are keyed aggregates, no window")
   }
 
+  test("v26: both split assignments ride the scan — no corpus shuffle beyond the profile") {
+    val p = plan("v26_split_rebalance")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"codebooks are literals; assignment must not join:\n${p.take(600)}")
+    assert("Window \\[".r.findAllIn(p).isEmpty,
+      "the argmax is ivfAssign's array projection, never a rank window")
+  }
+
   test("v24: both recall arms are per-partition top-k heaps; codes never join at score time") {
     val p = plan("v24_pq_recall")
     assert(p.contains("TakeOrderedAndProject"),
