@@ -1316,6 +1316,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // STUPID-BACKOFF LM GATE ([[graft.text.BigramLm
+    // .scoreDocsBackoff]]) — d68's production variant: seen
+    // transitions price at their raw bigram MLE, unseen ones back off
+    // to the α = 0.4 discounted unigram (Brants et al. 2007 — the
+    // web-scale recipe that skips smoothing normalization entirely).
+    // Same broadcast-model scale shape as d68; `n_backoff` rides
+    // along because the backoff SHARE is the quality signal on a real
+    // crawl (text whose transitions the trusted slice never saw). The
+    // synthetic corpus shares most transitions across languages, so
+    // the branch fires only on es/zh tails here (~0.2% — enough for
+    // the oracle to pin BOTH branches) and the language separation
+    // shows through magnitude, as in d68.
+    "d84_backoff_lm" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.text.BigramLm.scoreDocsBackoff(docs, "doc_id", "text",
+        col("lang") === "en")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          col("n_backoff"), col("lp_sum"), col("avg_lp"))
+        .orderBy(col("doc_id"))
+    },
+
     // CROSS-SOURCE CONTAMINATION MATRIX — which sources copy from
     // which: every near-dup component (d71's labels) that spans two
     // sources is one count in that source pair's cell, and the
@@ -2975,6 +2997,48 @@ object TextQueries {
          |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
          |SELECT id, MIN(r) AS component FROM reach GROUP BY id
          |ORDER BY id""".stripMargin,
+
+    // d84: d68's CTEs plus the w2-unigram join, the total-token row,
+    // and the two-branch CASE — ((0.4·x)/y) left-associated in both
+    // engines.
+    "d84_backoff_lm" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS t
+        |              FROM documents),
+        |bg AS (SELECT doc_id, lang, unnest(t[1:-2]) AS w1,
+        |        unnest(t[2:]) AS w2 FROM toks),
+        |uni AS (SELECT w, COUNT(*) AS c1 FROM
+        |         (SELECT unnest(t) AS w FROM toks WHERE lang = 'en')
+        |        GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n,
+        |         CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg
+        |       WHERE lang = 'en' GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |   CASE WHEN tb.c2 IS NOT NULL
+        |        THEN CAST(FLOOR(LN(CAST(tb.c2 AS DOUBLE)
+        |          / CAST(tu1.c1 AS DOUBLE)) * 1000000) AS BIGINT)
+        |        ELSE CAST(FLOOR(LN(0.4e0
+        |          * CAST(COALESCE(tu2.c1, 0) + 1 AS DOUBLE)
+        |          / CAST(t.n + t.v AS DOUBLE)) * 1000000) AS BIGINT)
+        |   END AS lp,
+        |   CASE WHEN tb.c2 IS NULL THEN 1 ELSE 0 END AS bo
+        |  FROM bg b
+        |  LEFT JOIN bi tb USING (w1, w2)
+        |  LEFT JOIN uni tu1 ON b.w1 = tu1.w
+        |  LEFT JOIN uni tu2 ON b.w2 = tu2.w
+        |  CROSS JOIN tot t),
+        |per_doc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |             CAST(SUM(bo) AS BIGINT) AS n_backoff,
+        |             CAST(SUM(lp) AS BIGINT) AS lp_sum
+        |            FROM scored GROUP BY 1)
+        |SELECT d.doc_id, d.lang,
+        | COALESCE(p.n_bigrams, 0) AS n_bigrams,
+        | COALESCE(p.n_backoff, 0) AS n_backoff,
+        | COALESCE(p.lp_sum, 0) AS lp_sum,
+        | CAST(p.lp_sum AS DOUBLE) / p.n_bigrams / 1000000.0 AS avg_lp
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // d83: the recursive closure labels components; the matrix is the
     // same component-keyed (source_a < source_b) self-join.

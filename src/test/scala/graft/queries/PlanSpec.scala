@@ -845,6 +845,14 @@ class PlanSpec extends AnyFunSuite {
       "the argmax is ivfAssign's array projection, never a rank window")
   }
 
+  test("d84: backoff scoring joins broadcast — the corpus never shuffles on term keys") {
+    val p = plan("d84_backoff_lm")
+    assert(!p.contains("SortMergeJoin"),
+      s"model lookups must broadcast, not shuffle the corpus:\n${p.take(600)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      "bigram, context, backoff-unigram, and result-stitch joins must all broadcast")
+  }
+
   test("v24: both recall arms are per-partition top-k heaps; codes never join at score time") {
     val p = plan("v24_pq_recall")
     assert(p.contains("TakeOrderedAndProject"),
