@@ -406,6 +406,68 @@ object EventQueries {
         .orderBy(col("event_type"))
     },
 
+    // KAPLAN-MEIER TIME-TO-CONVERSION SURVIVAL — the estimator that
+    // handles CENSORING honestly, on the question a growth team
+    // actually asks: how long from first activity to the first
+    // HIGH-VALUE purchase (value ≥ 150 — 67 of 150 users convert at
+    // sf0.01, over 25 distinct conversion times)? A user who never
+    // converted is not a datapoint at infinity — they are censored at
+    // the end of their observation window, and a naive conversion
+    // curve that drops them (or calls them converted-never) biases
+    // the rate. The life table runs over t = conversion day − first
+    // activity day (censor time = horizon − first): events d_t,
+    // censorings c_t, at-risk n_t = N − Σ_{t'<t}(d+c) by prefix sums,
+    // and S(t) = Π(1 − d/n) via micro-quantized ln terms summed
+    // exactly and exponentiated once (a bare double product would be
+    // merge-order noise; a d = n step pins a −100 ln-unit sentinel so
+    // S collapses to 0 deterministically). Scale shape: two user-keyed
+    // aggregates over the event log (first-activity, first-conversion
+    // — the second on a pushed-down type+value predicate); everything
+    // after is windows over the observation-days-sized life table
+    // with 1-row broadcasts.
+    "e34_survival_retention" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr(s"ts_ns div 1000 div $DayUs").as("day"))
+      val users = ev.groupBy(col("user_id")).agg(min(col("day")).as("f"))
+      val conv = ev.filter(col("event_type") === "purchase" &&
+          col("value") >= 150)
+        .groupBy(col("user_id")).agg(min(col("day")).as("cd"))
+      val bounds = ev.agg(max(col("day")).as("horizon"))
+      val perUser = users.join(conv, Seq("user_id"), "left")
+        .crossJoin(broadcast(bounds))
+        .select(
+          when(col("cd").isNotNull, col("cd") - col("f"))
+            .otherwise(col("horizon") - col("f")).as("t"),
+          col("cd").isNotNull.as("event"))
+      val nUsers = broadcast(users.agg(count(lit(1)).as("n_users")))
+      val lt = perUser
+        .groupBy(col("t"))
+        .agg(sum(when(col("event"), 1L).otherwise(0L)).as("n_events"),
+          sum(when(col("event"), 0L).otherwise(1L)).as("n_censored"))
+      val wPrev = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lt.crossJoin(nUsers)
+        .withColumn("n_risk", col("n_users")
+          - coalesce(sum(col("n_events") + col("n_censored")).over(wPrev),
+            lit(0L)))
+        .withColumn("term",
+          when(col("n_events") === 0, lit(0L))
+            .when(col("n_risk") > col("n_events"),
+              floor(log((col("n_risk") - col("n_events")).cast("double")
+                / col("n_risk").cast("double")) * lit(1000000.0))
+                .cast("long"))
+            .otherwise(lit(-100000000L)))
+        .withColumn("s_micro",
+          floor(exp(sum(col("term")).over(wCum).cast("double")
+            / lit(1000000.0)) * lit(1000000.0)).cast("long"))
+        .select(col("t").as("t_days"), col("n_risk"), col("n_events"),
+          col("n_censored"), col("s_micro"))
+        .orderBy(col("t_days"))
+    },
+
     // GAP-REGULARITY BOT SCREEN — the abuse-detection profile every
     // event pipeline runs before its data feeds anything downstream:
     // humans arrive with bursty inter-event gaps, schedulers and
@@ -1337,6 +1399,46 @@ object EventQueries {
         | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev2, prev1)
         |   AS DOUBLE) AS p
         |FROM g ORDER BY prev2, prev1, next_type""".stripMargin,
+
+    // e34: the same life table — per-user (first, last), the horizon
+    // and N as scalars, prefix-sum at-risk counts, the two-branch
+    // term CASE with the d = n sentinel, and the single exp.
+    "e34_survival_retention" ->
+      """WITH u AS (SELECT user_id,
+        |        MIN(epoch_us(ts)//86400000000) AS f
+        |       FROM events GROUP BY 1),
+        |cv AS (SELECT user_id, MIN(epoch_us(ts)//86400000000) AS cd
+        |       FROM events
+        |       WHERE event_type = 'purchase' AND value >= 150
+        |       GROUP BY 1),
+        |b AS (SELECT MAX(epoch_us(ts)//86400000000) AS horizon FROM events),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM u),
+        |lt AS (SELECT CASE WHEN c.cd IS NOT NULL THEN c.cd - u.f
+        |              ELSE b.horizon - u.f END AS t,
+        |        CAST(SUM(CASE WHEN c.cd IS NOT NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_events,
+        |        CAST(SUM(CASE WHEN c.cd IS NOT NULL THEN 0 ELSE 1 END)
+        |          AS BIGINT) AS n_censored
+        |       FROM u LEFT JOIN cv c USING (user_id) CROSS JOIN b
+        |       GROUP BY 1),
+        |r AS (SELECT t, n_events, n_censored,
+        |       (SELECT n_users FROM nn)
+        |        - CAST(COALESCE(SUM(n_events + n_censored) OVER (
+        |            ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |      FROM lt),
+        |tm AS (SELECT t, n_risk, n_events, n_censored,
+        |        CASE WHEN n_events = 0 THEN CAST(0 AS BIGINT)
+        |             WHEN n_risk > n_events THEN
+        |               CAST(FLOOR(LN(CAST(n_risk - n_events AS DOUBLE)
+        |                 / CAST(n_risk AS DOUBLE)) * 1000000e0) AS BIGINT)
+        |             ELSE CAST(-100000000 AS BIGINT) END AS term
+        |       FROM r)
+        |SELECT t AS t_days, n_risk, n_events, n_censored,
+        | CAST(FLOOR(EXP(CAST(SUM(term) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   / 1000000e0) * 1000000e0) AS BIGINT) AS s_micro
+        |FROM tm ORDER BY t_days""".stripMargin,
 
     // e30: gaps by the e17 lag convention, exact integer second sums,
     // the same n-cancelling cv formula floor-quantized, rank by

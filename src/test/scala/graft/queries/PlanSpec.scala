@@ -853,6 +853,21 @@ class PlanSpec extends AnyFunSuite {
       "bigram, context, backoff-unigram, and result-stitch joins must all broadcast")
   }
 
+  test("e34: survival windows run over the life table, never the event log") {
+    val p = plan("e34_survival_retention")
+    // the two unpartitioned windows (at-risk prefix, S cumsum) are over
+    // the observation-days-sized life table — fine; the event log pays
+    // only the keyed aggregates below them.
+    assert("Window \\[".r.findAllIn(p).length == 2,
+      s"exactly the life-table prefix and cumsum windows:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"),
+      "bounds and N are 1-row broadcasts")
+    val pushed = scans("e34_survival_retention").map(_._2)
+    assert(pushed.exists(f => f.contains("EqualTo(event_type,purchase)") &&
+      f.contains("GreaterThanOrEqual(value,150")),
+      s"the conversion predicate must reach the scan, got: $pushed")
+  }
+
   test("v24: both recall arms are per-partition top-k heaps; codes never join at score time") {
     val p = plan("v24_pq_recall")
     assert(p.contains("TakeOrderedAndProject"),
