@@ -406,6 +406,47 @@ object EventQueries {
         .orderBy(col("event_type"))
     },
 
+    // AUDIENCE OVERLAP VIA BITMAP SET ALGEBRA — e33's machinery
+    // answering the segmentation question ("how many users are
+    // high-value clickers AND high-value purchasers?" — value ≥ 150
+    // scopes each type's audience to its engaged tail, or every cell
+    // would saturate at 1.0 on this always-active fixture) the way
+    // bitmap-native engines answer it: one
+    // pass builds a per-type user bitmap (types × capacity/64 longs —
+    // codebook-sized, collected driver-side like k-means centroids),
+    // and every pairwise intersection/union is wordwise AND/OR +
+    // popcount on the driver — the event log is NEVER rescanned per
+    // pair, where the COUNT-DISTINCT formulation pays a self-join per
+    // cell. Exact by construction; the oracle's per-pair distinct
+    // counts are the proof. Jaccard in exact integer micro-units.
+    "e35_audience_overlap" -> { (s, d) =>
+      val cap = (Tables.events(s, d).agg(max(col("user_id"))).head()
+        .getLong(0) + 1).toInt
+      val st = udaf(new graft.operators.Sketches.BitmapState(cap),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val states = Tables.events(s, d)
+        .filter(col("value") >= 150)
+        .groupBy(col("event_type")).agg(st(col("user_id")).as("bm"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+        .sortBy(_._1)
+      def pop(a: Array[Long]) = a.map(java.lang.Long.bitCount(_).toLong).sum
+      val rows = for {
+        i <- states.indices
+        j <- (i + 1) until states.length
+      } yield {
+        val (ta, ba) = states(i)
+        val (tb, bb) = states(j)
+        val both = pop(ba.zip(bb).map { case (x, y) => x & y })
+        val either = pop(ba.zip(bb).map { case (x, y) => x | y })
+        (ta, tb, pop(ba), pop(bb), both, both * 1000000L / either)
+      }
+      import s.implicits._
+      rows.toSeq.toDF("type_a", "type_b", "n_a", "n_b", "n_both",
+        "jaccard_micro")
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
     // KAPLAN-MEIER TIME-TO-CONVERSION SURVIVAL — the estimator that
     // handles CENSORING honestly, on the question a growth team
     // actually asks: how long from first activity to the first
@@ -1400,9 +1441,28 @@ object EventQueries {
         |   AS DOUBLE) AS p
         |FROM g ORDER BY prev2, prev1, next_type""".stripMargin,
 
-    // e34: the same life table — per-user (first, last), the horizon
-    // and N as scalars, prefix-sum at-risk counts, the two-branch
-    // term CASE with the d = n sentinel, and the single exp.
+    // e35: plain per-pair distinct intersections — the exactness
+    // proof the bitmaps must hit; jaccard from the same integers.
+    "e35_audience_overlap" ->
+      """WITH ua AS (SELECT DISTINCT event_type, user_id FROM events
+        |            WHERE value >= 150),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM ua GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_both
+        |      FROM ua a JOIN ua b ON a.user_id = b.user_id
+        |       AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, na.n AS n_a, nb.n AS n_b, p.n_both,
+        | (p.n_both * 1000000) // (na.n + nb.n - p.n_both) AS jaccard_micro
+        |FROM p JOIN n na ON p.type_a = na.event_type
+        |JOIN n nb ON p.type_b = nb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // e34: the life table — per-user first activity and first
+    // qualifying conversion, the horizon and N as scalars, prefix-sum
+    // at-risk counts, the two-branch term CASE with the d = n
+    // sentinel, and the single exp.
     "e34_survival_retention" ->
       """WITH u AS (SELECT user_id,
         |        MIN(epoch_us(ts)//86400000000) AS f

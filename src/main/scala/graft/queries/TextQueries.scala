@@ -1316,6 +1316,39 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // TOKENIZER FERTILITY BY LANGUAGE — the multilingual-equity
+    // report every shared-tokenizer deployment owes its users: a
+    // tokenizer trained on a mixed corpus segments some languages
+    // into more pieces per word (higher fertility = more tokens paid
+    // per word = less effective context and higher serving cost for
+    // that language — the documented BPE inequity). d73's trained
+    // merges encode every doc (d74's scan-projection machinery), and
+    // the per-language rollup reports words, BPE tokens, fertility
+    // (tokens per word, micro-units) and compression (chars per
+    // token). Exact integer ratios; the oracle re-derives the
+    // segmentation from the unrolled training CTEs.
+    "d85_tokenizer_fertility" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.BpeTrainer.train(docs, "text", merges = 3)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val segSizes = transform(TF.tokens(col("text")),
+        w => size(graft.text.BpeTrainer.segmentWord(w, merges)))
+      docs.select(col("lang"),
+        size(TF.tokens(col("text"))).cast("long").as("n_words"),
+        TF.tokenCharSum(TF.tokens(col("text"))).as("n_chars"),
+        aggregate(segSizes, lit(0L), (acc, x) => acc + x).as("n_bpe"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("n_bpe")).as("n_bpe_tokens"))
+        .withColumn("fertility_micro",
+          expr("(n_bpe_tokens * 1000000) DIV n_words"))
+        .withColumn("chars_per_token_micro",
+          expr("(n_chars * 1000000) DIV n_bpe_tokens"))
+        .orderBy(col("lang"))
+    },
+
     // STUPID-BACKOFF LM GATE ([[graft.text.BigramLm
     // .scoreDocsBackoff]]) — d68's production variant: seen
     // transitions price at their raw bigram MLE, unseen ones back off
@@ -2997,6 +3030,33 @@ object TextQueries {
          |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
          |SELECT id, MIN(r) AS component FROM reach GROUP BY id
          |ORDER BY id""".stripMargin,
+
+    // d85: d73's unrolled training CTEs give every word's post-merge
+    // segmentation; docs join their words to it and roll up by lang.
+    "d85_tokenizer_fertility" ->
+      s"""WITH RECURSIVE
+         |wcnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+         |         FROM (SELECT unnest(string_split(text, ' ')) AS w
+         |               FROM documents) GROUP BY 1),
+         |syms0 AS (SELECT w, wc,
+         |           list_transform(range(1, len(w)+1),
+         |            i -> substr(w, CAST(i AS INT), 1)) AS syms
+         |          FROM wcnt),
+         |${bpeRoundCtes(1)},
+         |${bpeRoundCtes(2)},
+         |${bpeRoundCtes(3)},
+         |docw AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |         FROM documents),
+         |g AS (SELECT d.lang,
+         |       CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(len(d.w)) AS BIGINT) AS n_chars,
+         |       CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens
+         |      FROM docw d JOIN syms3 s ON d.w = s.w
+         |      GROUP BY 1)
+         |SELECT lang, n_words, n_chars, n_bpe_tokens,
+         | (n_bpe_tokens * 1000000) // n_words AS fertility_micro,
+         | (n_chars * 1000000) // n_bpe_tokens AS chars_per_token_micro
+         |FROM g ORDER BY lang""".stripMargin,
 
     // d84: d68's CTEs plus the w2-unigram join, the total-token row,
     // and the two-branch CASE — ((0.4·x)/y) left-associated in both

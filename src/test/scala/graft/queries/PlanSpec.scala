@@ -868,6 +868,22 @@ class PlanSpec extends AnyFunSuite {
       s"the conversion predicate must reach the scan, got: $pushed")
   }
 
+  test("d85: fertility is the encode projection + one lang rollup — no join, no explode") {
+    val p = plan("d85_tokenizer_fertility")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      s"the trained merges are literals; counting rides the scan:\n${p.take(600)}")
+    assert(scans("d85_tokenizer_fertility").forall(_._1.sorted == Seq("lang", "text")),
+      "the rollup must read exactly (lang, text)")
+  }
+
+  test("e35: the overlap matrix is driver state — the set algebra ran on collected bitmaps") {
+    val p = plan("e35_audience_overlap")
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      s"the pair cells are a driver-built table:\n${p.take(400)}")
+    assert(scans("e35_audience_overlap").isEmpty,
+      "no parquet scan may survive — the event log paid one bitmap aggregate")
+  }
+
   test("v24: both recall arms are per-partition top-k heaps; codes never join at score time") {
     val p = plan("v24_pq_recall")
     assert(p.contains("TakeOrderedAndProject"),
