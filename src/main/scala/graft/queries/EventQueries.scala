@@ -419,6 +419,10 @@ object EventQueries {
     // pair, where the COUNT-DISTINCT formulation pays a self-join per
     // cell. Exact by construction; the oracle's per-pair distinct
     // counts are the proof. Jaccard in exact integer micro-units.
+    // Zero-overlap pairs are DROPPED, matching the oracle's inner
+    // join on shared user_id by construction (not by fixture): a
+    // fixture where two types share no qualifying user must omit the
+    // pair on both arms, and either = 0 must never reach the divide.
     "e35_audience_overlap" -> { (s, d) =>
       val cap = (Tables.events(s, d).agg(max(col("user_id"))).head()
         .getLong(0) + 1).toInt
@@ -431,7 +435,7 @@ object EventQueries {
         .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
         .sortBy(_._1)
       def pop(a: Array[Long]) = a.map(java.lang.Long.bitCount(_).toLong).sum
-      val rows = for {
+      val rows = (for {
         i <- states.indices
         j <- (i + 1) until states.length
       } yield {
@@ -439,7 +443,9 @@ object EventQueries {
         val (tb, bb) = states(j)
         val both = pop(ba.zip(bb).map { case (x, y) => x & y })
         val either = pop(ba.zip(bb).map { case (x, y) => x | y })
-        (ta, tb, pop(ba), pop(bb), both, both * 1000000L / either)
+        (ta, tb, pop(ba), pop(bb), both, either)
+      }).filter(_._5 > 0).map { case (ta, tb, na, nb, both, either) =>
+        (ta, tb, na, nb, both, both * 1000000L / either)
       }
       import s.implicits._
       rows.toSeq.toDF("type_a", "type_b", "n_a", "n_b", "n_both",

@@ -325,7 +325,21 @@ object IvfIndex {
     val hot = spark.read.parquet(s"$path/vectors")
       .filter(col("cell") === cell) // partition-pruned: only this cell's IO
       .drop("cell")
-    val nextId = cellIds.max + 1
+    // New ids must never collide with STAGED partitions a crashed
+    // predecessor left behind (appended at step 1, seeds flip at step
+    // 2 never landed): those cell=N dirs are dead-by-invariant but
+    // physically present, and an id derived from the codebook alone
+    // would append live rows into them — resurrecting duplicate (or
+    // another cell's) vectors when this split's flip lands. So the
+    // floor is max(codebook, on-disk cell dirs) + 1: collision-proof
+    // against every crash point without requiring a compact first.
+    val fsV = new Path(s"$path/vectors")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val diskMax = fsV.listStatus(new Path(s"$path/vectors"))
+      .iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("cell=") => n.drop(5).toLong }
+      .foldLeft(Long.MinValue)(math.max)
+    val nextId = math.max(cellIds.max, diskMax) + 1
     val sub = trainSeeds(hot, idCol, vecCol, k = 2, iters = iters)
       .select((col("cell_id") + nextId).as("cell_id"), col("seed_vec"))
     // 1) append the reassigned halves (invisible: not in seeds yet)

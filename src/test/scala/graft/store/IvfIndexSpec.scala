@@ -374,4 +374,52 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(allRows(p2) == contentBefore,
       "reclamation must not touch live rows")
   }
+
+  test("splitCell: staged leftovers from a crashed split never collide with new ids") {
+    val p2 = Files.createTempDirectory("graft-ivf-split-crash").toString
+    val e = Tables.embeddings(spark, sf)
+    val seeds = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+    IvfIndex.build(e, "vec_id", "embedding", seeds, "seed_id", "seed_vec", p2)
+    def profile(pp: String) = spark.read.parquet(s"$pp/vectors")
+      .groupBy(col("cell")).count().collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    def allRows(pp: String) = spark.read.parquet(s"$pp/vectors")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val contentBefore = allRows(p2)
+    val before = profile(p2)
+    val hot = before.maxBy(_._2)._1
+    val seedsMax = spark.read.parquet(s"$p2/seeds").select(col("cell"))
+      .collect().map(_.getLong(0)).max
+    // Simulate a split that crashed between append (step 1) and the
+    // seeds flip (step 2): staged halves sit at the exact ids a
+    // codebook-only nextId would hand out again.
+    val staged = Seq(seedsMax + 1, seedsMax + 2)
+    staged.foreach { c =>
+      spark.read.parquet(s"$p2/vectors").filter(col("cell") === hot)
+        .withColumn("cell", lit(c))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("cell").parquet(s"$p2/vectors")
+    }
+    val stagedCount = profile(p2)(staged.head)
+    // The retry (no compact in between — the dangerous window).
+    val (a, b) = IvfIndex.splitCell(spark, p2, "vec_id", "embedding", hot)
+    assert(!staged.contains(a) && !staged.contains(b),
+      s"new ids $a/$b must skip the staged dirs $staged")
+    val after = profile(p2)
+    assert(after(a) + after(b) == before(hot),
+      "the retry's halves must hold exactly the hot cell's rows")
+    staged.foreach(c => assert(after(c) == stagedCount,
+      "staged dead bytes are untouched, not resurrected"))
+    // Live content (codebook-listed cells only) is exact: dead staged
+    // rows are invisible to every search face, and compact drops them.
+    val live = spark.read.parquet(s"$p2/seeds").select(col("cell"))
+      .collect().map(_.getLong(0)).toSet
+    assert(staged.forall(c => !live.contains(c)))
+    IvfIndex.compact(spark, p2)
+    assert(allRows(p2) == contentBefore,
+      "post-compact content ≡ pre-crash content, duplicates gone")
+    staged.foreach(c => assert(!profile(p2).contains(c)))
+  }
 }
