@@ -453,6 +453,67 @@ object EventQueries {
         .orderBy(col("type_a"), col("type_b"))
     },
 
+    // HOLT DOUBLE-SMOOTHING FORECAST — the trend-aware counterpart to
+    // e32's CUSUM: per event type, Holt's linear method over the
+    // hourly count series (level alpha = 1/5, trend beta = 1/10, both
+    // exact integer DIVs in micro units; init l_1 = y_1, b_1 = 0),
+    // one-step-ahead errors accumulated as exact |e| sums, and the
+    // next-hour forecast = level + trend. An inherently SEQUENTIAL
+    // recurrence, so it follows the e32/e34 scale contract: ONE
+    // aggregation pass over the event log (the hourly rollup — the
+    // only corpus-sized exchange), then the recurrence folds over the
+    // catalog-sized (type, sorted hour array) rows via the aggregate()
+    // HOF — hours-per-type elements each, never a Window over the
+    // log, never a per-step rescan. Divisions are truncate-toward-zero
+    // on BOTH engines (Spark div ≡ DuckDB integer // — pinned by the
+    // negative trend values this fixture produces), via the
+    // remainder-subtract form inside the lambda where the DIV operator
+    // cannot reach.
+    "e36_holt_forecast" -> { (s, d) =>
+      def tdiv(a: Column, b: Long): Column =
+        ((a - (a % lit(b))) / lit(b)).cast("long")
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr(s"ts_ns div 1000 div $HourUs").as("hour_idx"))
+        .agg(count(lit(1)).as("n"))
+      val typed = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          array_sort(collect_list(struct(col("hour_idx"), col("n"))))
+            .as("hs"))
+      val zero = struct(lit(0L).as("i"), lit(0L).as("l"), lit(0L).as("b"),
+        lit(0L).as("sae"), lit(0L).as("maxae"))
+      val folded = aggregate(col("hs"), zero, (st, x) => {
+        val y = x.getField("n") * lit(1000000L)
+        val first = st.getField("i") === 0L
+        val pred = st.getField("l") + st.getField("b")
+        val ae = abs(y - pred)
+        val lNew = tdiv(y + lit(4L) * pred, 5L)
+        val bNew = tdiv(lNew - st.getField("l")
+          + lit(9L) * st.getField("b"), 10L)
+        struct(
+          (st.getField("i") + 1L).as("i"),
+          when(first, y).otherwise(lNew).as("l"),
+          when(first, 0L).otherwise(bNew).as("b"),
+          when(first, lit(0L))
+            .otherwise(st.getField("sae") + ae).as("sae"),
+          when(first, lit(0L))
+            .otherwise(greatest(st.getField("maxae"), ae)).as("maxae"))
+      })
+      typed.select(col("event_type"), col("n_hours"),
+          folded.getField("l").as("level_micro"),
+          folded.getField("b").as("trend_micro"),
+          (folded.getField("l") + folded.getField("b"))
+            .as("forecast_micro"),
+          folded.getField("sae").as("sae"),
+          folded.getField("maxae").as("max_abs_err_micro"))
+        .select(col("event_type"), col("n_hours"), col("level_micro"),
+          col("trend_micro"), col("forecast_micro"),
+          when(col("n_hours") > 1, expr("sae div (n_hours - 1)"))
+            .otherwise(0L).as("mae_micro"),
+          col("max_abs_err_micro"))
+        .orderBy(col("event_type"))
+    },
+
     // KAPLAN-MEIER TIME-TO-CONVERSION SURVIVAL — the estimator that
     // handles CENSORING honestly, on the question a growth team
     // actually asks: how long from first activity to the first
@@ -1464,6 +1525,41 @@ object EventQueries {
         |FROM p JOIN n na ON p.type_a = na.event_type
         |JOIN n nb ON p.type_b = nb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // e36: the same recurrence unrolled as a recursive CTE over the
+    // indexed hourly series — step i+1 consumes state i; DuckDB's
+    // integer // truncates toward zero exactly like Spark's div.
+    "e36_holt_forecast" ->
+      """WITH RECURSIVE
+        |h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour_idx,
+        |       CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |i AS (SELECT event_type, n,
+        |       ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY hour_idx) AS i
+        |      FROM h),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours
+        |      FROM i GROUP BY 1),
+        |r(event_type, i, l, b, sae, maxae) AS (
+        |  SELECT i.event_type, CAST(1 AS BIGINT), i.n*1000000,
+        |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM i WHERE i.i = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.i + 1,
+        |   (i.n*1000000 + 4*(r.l + r.b)) // 5,
+        |   (((i.n*1000000 + 4*(r.l + r.b)) // 5) - r.l + 9*r.b) // 10,
+        |   r.sae + ABS(i.n*1000000 - r.l - r.b),
+        |   GREATEST(r.maxae, ABS(i.n*1000000 - r.l - r.b))
+        |  FROM r JOIN i ON i.event_type = r.event_type AND i.i = r.i + 1
+        |)
+        |SELECT r.event_type AS event_type, m.n_hours,
+        | r.l AS level_micro, r.b AS trend_micro,
+        | r.l + r.b AS forecast_micro,
+        | CASE WHEN m.n_hours > 1
+        |      THEN CAST(r.sae // (m.n_hours - 1) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS mae_micro,
+        | r.maxae AS max_abs_err_micro
+        |FROM r JOIN m ON r.event_type = m.event_type AND r.i = m.n_hours
+        |ORDER BY event_type""".stripMargin,
 
     // e34: the life table — per-user first activity and first
     // qualifying conversion, the horizon and N as scalars, prefix-sum

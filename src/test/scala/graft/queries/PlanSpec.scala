@@ -884,6 +884,15 @@ class PlanSpec extends AnyFunSuite {
       "no parquet scan may survive — the event log paid one bitmap aggregate")
   }
 
+  test("e36: the Holt recurrence folds per-type rows after one hourly reduce") {
+    val p = plan("e36_holt_forecast")
+    assert(!p.contains("Join"), s"one aggregate chain, no join:\n${p.take(600)}")
+    assert("Window \\[".r.findAllIn(p).isEmpty,
+      "the sequential recurrence is an array aggregate, never a running window")
+    assert(scans("e36_holt_forecast").forall(_._1.sorted == Seq("event_type", "ts")),
+      "the hourly rollup must read exactly (event_type, ts)")
+  }
+
   test("v24: both recall arms are per-partition top-k heaps; codes never join at score time") {
     val p = plan("v24_pq_recall")
     assert(p.contains("TakeOrderedAndProject"),
