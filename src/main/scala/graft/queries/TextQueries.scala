@@ -54,6 +54,9 @@ object TextQueries {
   private val CmW = 16 // d49 count-min width (< |vocab| = 31: collisions bite)
   private val PackGroups = 4 // d26 parallel packing groups
   private val SourceBudget = 8 // d67 docs admitted per (source, lang)
+  private val WinnowK = 4 // d86 shingle width (tokens per k-gram)
+  private val WinnowW = 5 // d86 window width (hashes per min-window)
+  private val WinnowMaxDf = 2 // d86 posting cap (bites: 29 fps at df 3)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T2 declarative form: fixed-stride substring windows (chunk i covers
@@ -1347,6 +1350,73 @@ object TextQueries {
         .withColumn("chars_per_token_micro",
           expr("(n_chars * 1000000) DIV n_bpe_tokens"))
         .orderBy(col("lang"))
+    },
+
+    // WINNOWING FINGERPRINTS (Schleimer/Wilkerson/Aiken's MOSS
+    // selection) — the guaranteed-coverage middle ground between
+    // d16's whole-doc hash and d05's random-projection MinHash: hash
+    // every 4-token shingle, slide a 5-hash window over the sequence,
+    // keep each window's MINIMUM. Any shared token run of length
+    // >= w+k-1 = 8 then provably contributes a shared fingerprint
+    // (every length-w hash window inside the run picks the same
+    // minima in both docs), while the selected set is ~2/(w+1) of the
+    // shingles — a deterministic positional sample with a coverage
+    // guarantee MinHash cannot give. Pairing is d36's df-capped
+    // inverted index over the SELECTED hashes only (maxDf = 2 BITES:
+    // 29 fingerprints sit in 3 docs at sf0.01 and 2 pairs drop vs the
+    // uncapped join), so the only corpus exchanges are the winnowed
+    // ~2/(w+1) sample keyed by fingerprint and the pair rollup —
+    // nothing all-pairs, no signature bands to tune. The window
+    // minima are array ops riding the scan with `hs` a NAMED
+    // attribute (the d79 lesson: lambda-referenced columns must be
+    // materialized attributes, not inline trees); short docs
+    // (< w hashes) contribute their single global minimum.
+    "d86_winnow_pairs" -> { (s, d) =>
+      // The hash array MUST materialize behind an optimizer barrier
+      // before the window-min stage: explode() infers a size(fps) > 0
+      // filter that pushes below the projections, and with `hs` still
+      // symbolic the slice lambda inlines the full md5 transform PER
+      // WINDOW — O(n²) digests per doc (the d79/d65 inlining family;
+      // 34→0.6 s at sf0.1 from the two checkpoints together).
+      val hsDf = new graft.operators.LineageCheckpoint(s, None)(
+        Tables.documents(s, d)
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            transform(TF.shingles(col("toks"), WinnowK), sh => TF.hash32(sh))
+              .as("hs"))
+          .withColumn("nh", size(col("hs")))
+          .filter(col("nh") > 0))
+      val fps = hsDf.select(col("doc_id"),
+        when(col("nh") >= WinnowW,
+          array_distinct(transform(
+            sequence(lit(1), col("nh") - (WinnowW - 1)),
+            i => array_min(slice(col("hs"), i, lit(WinnowW))))))
+          .otherwise(array(array_min(col("hs")))).as("fps"))
+      val posts = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+      // The capped posting frame feeds THREE consumers (both self-join
+      // sides and the size rollup) — materialize it once or each branch
+      // re-pays the md5+window-minima pipeline (the d82/e33 checkpoint
+      // rule; 34→4 s at sf0.1). The cap itself is d36's fp-keyed window
+      // — posting lists are df-bounded, so the partition is too.
+      val capped = new graft.operators.LineageCheckpoint(s, None)(
+        posts
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("fp"))))
+          .filter(col("df") <= WinnowMaxDf).drop("df"))
+      val sz = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val ix = capped.as("x").join(capped.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      ix.join(sz.select(col("doc_id").as("a_id"), col("n").as("n_a")), "a_id")
+        .join(sz.select(col("doc_id").as("b_id"), col("n").as("n_b")), "b_id")
+        .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
+          col("n_shared"),
+          expr("(n_shared * 1000000) DIV (n_a + n_b - n_shared)")
+            .as("jaccard_micro"))
+        .filter(col("jaccard_micro") >= 500000)
+        .orderBy(col("a_id"), col("b_id"))
     },
 
     // STUPID-BACKOFF LM GATE ([[graft.text.BigramLm
@@ -3057,6 +3127,41 @@ object TextQueries {
          | (n_bpe_tokens * 1000000) // n_words AS fertility_micro,
          | (n_chars * 1000000) // n_bpe_tokens AS chars_per_token_micro
          |FROM g ORDER BY lang""".stripMargin,
+
+    // d86: the same winnowing selection in list form — k-gram md5
+    // slices, per-window list_min, distinct, df-capped posting
+    // self-join; jaccard in integer micro so DIV matches on both
+    // engines.
+    "d86_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(1, len(toks)-2),
+        |       i -> CAST(('0x'||substr(md5(toks[i]||' '||toks[i+1]||' '||
+        |        toks[i+2]||' '||toks[i+3]),1,8)) AS BIGINT)) AS hs
+        |      FROM t),
+        |w AS (SELECT doc_id,
+        |       CASE WHEN len(hs) >= 5
+        |            THEN list_distinct(list_transform(range(1, len(hs)-3),
+        |                  i -> list_min(hs[i:i+4])))
+        |            ELSE [list_min(hs)] END AS fps
+        |      FROM g WHERE len(hs) > 0),
+        |p AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |df AS (SELECT fp, COUNT(*) AS df FROM p GROUP BY 1),
+        |cp AS (SELECT p.doc_id, p.fp FROM p
+        |       JOIN df ON p.fp = df.fp AND df.df <= 2),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM cp GROUP BY 1),
+        |ix AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+        |        CAST(COUNT(*) AS BIGINT) AS n_shared
+        |       FROM cp x JOIN cp y
+        |        ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT a_id, b_id, sa.n AS n_a, sb.n AS n_b, n_shared,
+        | (n_shared * 1000000) // (sa.n + sb.n - n_shared) AS jaccard_micro
+        |FROM ix JOIN sz sa ON a_id = sa.doc_id
+        |JOIN sz sb ON b_id = sb.doc_id
+        |WHERE (n_shared * 1000000) // (sa.n + sb.n - n_shared) >= 500000
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // d84: d68's CTEs plus the w2-unigram join, the total-token row,
     // and the two-branch CASE — ((0.4·x)/y) left-associated in both

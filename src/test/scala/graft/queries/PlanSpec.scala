@@ -884,6 +884,18 @@ class PlanSpec extends AnyFunSuite {
       "no parquet scan may survive — the event log paid one bitmap aggregate")
   }
 
+  test("d86: winnowed postings are checkpointed; pairing stays fingerprint-keyed") {
+    val p = plan("d86_winnow_pairs")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"all consumers must read the materialized capped postings:\n${p.take(600)}")
+    assert(scans("d86_winnow_pairs").isEmpty,
+      "no parquet scan may survive — the md5+window-min pipeline ran once " +
+        "behind the checkpoint barrier (explode's inferred filter would " +
+        "otherwise inline it per window)")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair build must stay a fingerprint equi-join:\n${p.take(600)}")
+  }
+
   test("e36: the Holt recurrence folds per-type rows after one hourly reduce") {
     val p = plan("e36_holt_forecast")
     assert(!p.contains("Join"), s"one aggregate chain, no join:\n${p.take(600)}")
