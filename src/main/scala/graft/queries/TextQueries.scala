@@ -1419,6 +1419,68 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // DISTRIBUTED OLS VIA EXACT NORMAL EQUATIONS — the linear-model
+    // trainer in its true cluster shape: the corpus is never
+    // iterated, it is REDUCED to the d(d+1)/2 + d sufficient
+    // statistics (one aggregate row), and the solve is Cramer's rule
+    // over 3x3 integer determinants on that row — codebook-sized
+    // work a 1000-executor cluster finishes in one pass + one
+    // broadcast. Model: n_chars ~ w0 + w1·(n_tokens − mean) +
+    // w2·(n_distinct − mean); centering (integer means, a first
+    // 1-row pass) keeps every moment and determinant inside BIGINT
+    // (raw third-ish moments would not be; at trillions of rows the
+    // upgrade path is DECIMAL(38) sums, same shape). EVERY step is
+    // exact integer arithmetic — no sigmoid, no float summation
+    // order, no transcendental quantization — so Spark and DuckDB
+    // agree bit-for-bit by construction; weights land in micro via
+    // dj DIV (det DIV 1e6). The scoring pass re-joins the 1-row
+    // model (broadcast) and reports exact mean |residual|. Fully
+    // declarative: zero collect, three scans (means, moments,
+    // residuals), each a pure projection + 1-row aggregate.
+    "d87_ols_fit" -> { (s, d) =>
+      val f = Tables.documents(s, d).select(
+        col("n_chars").cast("long").as("y"),
+        size(TF.tokens(col("text"))).cast("long").as("nt"),
+        size(array_distinct(TF.tokens(col("text")))).cast("long").as("nd"))
+      val m = f.agg(count(lit(1)).as("n"), sum(col("nt")).as("snt"),
+          sum(col("nd")).as("snd"))
+        .select(col("n"), expr("snt div n").as("mnt"),
+          expr("snd div n").as("mnd"))
+      val sums = f.crossJoin(broadcast(m))
+        .select(col("n"), col("mnt"), col("mnd"), col("y"),
+          (col("nt") - col("mnt")).as("cx"),
+          (col("nd") - col("mnd")).as("cd"))
+        .groupBy(col("n"), col("mnt"), col("mnd"))
+        .agg(sum(col("cx")).as("sx"), sum(col("cd")).as("sd"),
+          sum(col("cx") * col("cx")).as("sxx"),
+          sum(col("cx") * col("cd")).as("sxd"),
+          sum(col("cd") * col("cd")).as("sdd"),
+          sum(col("y")).as("sy"),
+          sum(col("cx") * col("y")).as("sxy"),
+          sum(col("cd") * col("y")).as("sdy"))
+      val solved = sums.select(col("n"), col("mnt"), col("mnd"),
+          expr("n*(sxx*sdd - sxd*sxd) - sx*(sx*sdd - sxd*sd)" +
+            " + sd*(sx*sxd - sxx*sd)").as("det"),
+          expr("sy*(sxx*sdd - sxd*sxd) - sx*(sxy*sdd - sxd*sdy)" +
+            " + sd*(sxy*sxd - sxx*sdy)").as("d0"),
+          expr("n*(sxy*sdd - sdy*sxd) - sy*(sx*sdd - sxd*sd)" +
+            " + sd*(sx*sdy - sxy*sd)").as("d1"),
+          expr("n*(sxx*sdy - sxd*sxy) - sx*(sx*sdy - sxy*sd)" +
+            " + sy*(sx*sxd - sxx*sd)").as("d2"))
+        .select(col("n"), col("mnt"), col("mnd"), col("det"),
+          expr("d0 div (det div 1000000)").as("w0_micro"),
+          expr("d1 div (det div 1000000)").as("w1_micro"),
+          expr("d2 div (det div 1000000)").as("w2_micro"))
+      f.crossJoin(broadcast(solved))
+        .groupBy(col("n"), col("det"), col("w0_micro"), col("w1_micro"),
+          col("w2_micro"), col("mnt"), col("mnd"))
+        .agg(sum(abs(col("y") * lit(1000000L) -
+          (col("w0_micro") + col("w1_micro") * (col("nt") - col("mnt"))
+            + col("w2_micro") * (col("nd") - col("mnd"))))).as("sae"))
+        .select(col("n"), col("det"), col("w0_micro"), col("w1_micro"),
+          col("w2_micro"), expr("sae div n").as("mae_micro"))
+    },
+
     // STUPID-BACKOFF LM GATE ([[graft.text.BigramLm
     // .scoreDocsBackoff]]) — d68's production variant: seen
     // transitions price at their raw bigram MLE, unseen ones back off
@@ -3162,6 +3224,49 @@ object TextQueries {
         |JOIN sz sb ON b_id = sb.doc_id
         |WHERE (n_shared * 1000000) // (sa.n + sb.n - n_shared) >= 500000
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // d87: the same sufficient statistics and Cramer expansion —
+    // all-BIGINT, so the two engines agree bit-for-bit; HUGEINT sums
+    // cast back per the house rule.
+    "d87_ols_fit" ->
+      """WITH f AS (SELECT CAST(n_chars AS BIGINT) AS y,
+        |        CAST(len(string_split(text,' ')) AS BIGINT) AS nt,
+        |        CAST(len(list_distinct(string_split(text,' ')))
+        |          AS BIGINT) AS nd
+        |       FROM documents),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(nt) AS BIGINT) // COUNT(*) AS mnt,
+        |       CAST(SUM(nd) AS BIGINT) // COUNT(*) AS mnd FROM f),
+        |s AS (SELECT m.n, m.mnt, m.mnd,
+        |       CAST(SUM(nt - mnt) AS BIGINT) AS sx,
+        |       CAST(SUM(nd - mnd) AS BIGINT) AS sd,
+        |       CAST(SUM((nt - mnt)*(nt - mnt)) AS BIGINT) AS sxx,
+        |       CAST(SUM((nt - mnt)*(nd - mnd)) AS BIGINT) AS sxd,
+        |       CAST(SUM((nd - mnd)*(nd - mnd)) AS BIGINT) AS sdd,
+        |       CAST(SUM(y) AS BIGINT) AS sy,
+        |       CAST(SUM((nt - mnt)*y) AS BIGINT) AS sxy,
+        |       CAST(SUM((nd - mnd)*y) AS BIGINT) AS sdy
+        |      FROM f, m GROUP BY 1, 2, 3),
+        |w AS (SELECT n, mnt, mnd,
+        |       (n*(sxx*sdd - sxd*sxd) - sx*(sx*sdd - sxd*sd)
+        |        + sd*(sx*sxd - sxx*sd)) AS det,
+        |       (sy*(sxx*sdd - sxd*sxd) - sx*(sxy*sdd - sxd*sdy)
+        |        + sd*(sxy*sxd - sxx*sdy)) AS d0,
+        |       (n*(sxy*sdd - sdy*sxd) - sy*(sx*sdd - sxd*sd)
+        |        + sd*(sx*sdy - sxy*sd)) AS d1,
+        |       (n*(sxx*sdy - sxd*sxy) - sx*(sx*sdy - sxy*sd)
+        |        + sy*(sx*sxd - sxx*sd)) AS d2
+        |      FROM s),
+        |ww AS (SELECT n, mnt, mnd, det,
+        |        d0 // (det // 1000000) AS w0_micro,
+        |        d1 // (det // 1000000) AS w1_micro,
+        |        d2 // (det // 1000000) AS w2_micro
+        |       FROM w)
+        |SELECT ww.n, ww.det, ww.w0_micro, ww.w1_micro, ww.w2_micro,
+        | CAST(SUM(ABS(f.y*1000000 - (ww.w0_micro
+        |   + ww.w1_micro*(f.nt - ww.mnt)
+        |   + ww.w2_micro*(f.nd - ww.mnd)))) AS BIGINT) // ww.n AS mae_micro
+        |FROM f, ww GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     // d84: d68's CTEs plus the w2-unigram join, the total-token row,
     // and the two-branch CASE — ((0.4·x)/y) left-associated in both

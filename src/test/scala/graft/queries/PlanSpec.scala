@@ -896,6 +896,17 @@ class PlanSpec extends AnyFunSuite {
       s"the pair build must stay a fingerprint equi-join:\n${p.take(600)}")
   }
 
+  test("d87: OLS is scans + 1-row broadcasts — the corpus reduces to sufficient statistics") {
+    val p = plan("d87_ols_fit")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the model row must broadcast, never shuffle the corpus:\n${p.take(600)}")
+    assert("Window \\[".r.findAllIn(p).isEmpty,
+      "no window anywhere — moments are plain aggregates")
+    assert(scans("d87_ols_fit").forall(_._1.toSet.subsetOf(Set("n_chars", "text"))),
+      "every pass must read at most (n_chars, text) — the means pass prunes " +
+        "down to text alone")
+  }
+
   test("e36: the Holt recurrence folds per-type rows after one hourly reduce") {
     val p = plan("e36_holt_forecast")
     assert(!p.contains("Join"), s"one aggregate chain, no join:\n${p.take(600)}")
