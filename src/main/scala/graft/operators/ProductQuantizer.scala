@@ -103,14 +103,15 @@ object ProductQuantizer {
       cb: Codebooks): DataFrame =
     df.select(col(idCol).as("id"), codesCol(col(vecCol), cb).as("codes"))
 
-  /** ADC score column: Σ_b table_b(code_b) with the per-block
-    * query→codeword inner-product tables baked in as literals
-    * (driver-side, blocks × codes doubles).
+  /** Per-block query→codeword inner-product tables (driver-side,
+    * blocks × codes doubles; double accumulation left-to-right — the
+    * native expression's order, so baked literals and engine-computed
+    * dots agree bit-for-bit).
     */
-  def adcScoreCol(codesColumn: Column, cb: Codebooks,
-      query: Array[Float]): Column = {
+  private def adcTables(cb: Codebooks,
+      query: Array[Float]): Array[Array[Double]] = {
     require(query.length == cb.dim)
-    val tables: Array[Array[Double]] = Array.tabulate(cb.blocks) { b =>
+    Array.tabulate(cb.blocks) { b =>
       val qb = query.slice(b * cb.blockDim, (b + 1) * cb.blockDim)
       cb.codewords(b).map { cw =>
         var s = 0.0
@@ -119,9 +120,60 @@ object ProductQuantizer {
         s
       }
     }
+  }
+
+  /** ADC score column: Σ_b table_b(code_b) with the per-block
+    * query→codeword inner-product tables baked in as literals
+    * (driver-side, blocks × codes doubles).
+    */
+  def adcScoreCol(codesColumn: Column, cb: Codebooks,
+      query: Array[Float]): Column = {
+    val tables = adcTables(cb, query)
     (0 until cb.blocks).map { b =>
       element_at(lit(tables(b)), element_at(codesColumn, b + 1) + 1)
     }.reduce(_ + _)
+  }
+
+  /** Residual column (`array<float>`): v − coarse(cell), elementwise in
+    * FLOAT. Float subtraction is IEEE-deterministic, so an oracle that
+    * forms the same float residual agrees bit-for-bit before any
+    * (double) dot runs. `coarse` is the cell → centroid codebook baked
+    * as a literal (codebook-sized — the IVF seeds table). Callers must
+    * NAME the result before fanning it into per-block probes (the
+    * CollapseProject duplication guard then keeps it materialized);
+    * left symbolic it re-evaluates per codeword.
+    */
+  def residualCol(vecCol: Column, cellCol: Column,
+      coarse: Array[Array[Float]]): Column =
+    zip_with(vecCol,
+      element_at(array(coarse.toIndexedSeq.map(c => lit(c)): _*),
+        cellCol + 1),
+      (a, b) => a - b)
+
+  /** IVF-PQ-with-residuals ADC score (Jégou/Douze/Schmid 2011, §IV):
+    * score(q, v) ≈ q·centroid(cell) + Σ_b table_b(code_b), where the
+    * codes quantize the RESIDUAL v − centroid(cell). Quantizing the
+    * residual spends the codebook's resolution on the within-cell
+    * displacement instead of re-describing the coarse structure, which
+    * is why production IVF-PQ encodes residuals. Both the coarse term
+    * (cells doubles) and the tables (blocks × codes doubles) are baked
+    * literals; the chain folds LEFT-ASSOCIATIVELY from the coarse term
+    * so the double-addition order is pinned cross-engine.
+    */
+  def adcResidualScoreCol(cellCol: Column, codesColumn: Column,
+      cb: Codebooks, coarse: Array[Array[Float]],
+      query: Array[Float]): Column = {
+    val cellScores: Array[Double] = coarse.map { c =>
+      var s = 0.0
+      var i = 0
+      while (i < query.length) { s += query(i).toDouble * c(i); i += 1 }
+      s
+    }
+    val tables = adcTables(cb, query)
+    (0 until cb.blocks).foldLeft(
+      element_at(lit(cellScores), cellCol + 1)) { (acc, b) =>
+      acc + element_at(lit(tables(b)), element_at(codesColumn, b + 1) + 1)
+    }
   }
 
   /** ADC search over an encoded index: score = Σ_b table_b(code_b),

@@ -227,6 +227,59 @@ object VectorQueries {
     // HOT-CELL SPLIT REBALANCE — the declarative semantics behind
     // [[graft.store.IvfIndex.splitCell]], under the oracle: the v18
     // balance profile names the hottest cell (count DESC, cell ASC),
+    // RESIDUAL-PQ ADC ([[graft.operators.ProductQuantizer
+    // .adcResidualScoreCol]]) — the encoding production IVF-PQ
+    // actually ships (Jégou et al. 2011): codes quantize v −
+    // centroid(cell), not v, so the codebook's 4 codewords describe
+    // within-cell displacement instead of re-describing the coarse
+    // structure v23's raw-PQ codes waste resolution on; score = the
+    // baked q·centroid term + the residual ADC chain, left-assoc
+    // from the coarse term. Determinism protocol: coarse codebook =
+    // the 4 smallest-id vectors, PQ codewords = the residuals of the
+    // first 4 NON-seed vectors (seed self-residuals are zero —
+    // degenerate), residual subtraction in FLOAT on both engines
+    // (IEEE-exact), every dot in left-to-right double. The residual
+    // column is NAMED before the 16 per-codeword probes fan out (the
+    // d79 materialization rule). Scale shape: two broadcast-codebook
+    // argmax projections + one top-k heap over the codes column —
+    // the original vectors are read once to encode, never at search.
+    "v27_residual_adc" -> { (s, d) =>
+      import graft.operators.ProductQuantizer
+      val e = Tables.embeddings(s, d)
+      val coarse = seedPlanes(s, d, 4).toArray
+      val q = probeVec(s, d, 0L)
+      def dotD(a: Array[Float], b: Array[Float]): Double = {
+        var sum = 0.0
+        var i = 0
+        while (i < a.length) { sum += a(i).toDouble * b(i).toDouble; i += 1 }
+        sum
+      }
+      def resOf(v: Array[Float]): Array[Float] = {
+        val ds = coarse.map(dotD(v, _))
+        val cell = ds.indexOf(ds.max) // first max = array_position's tie
+        Array.tabulate(v.length)(i => v(i) - coarse(cell)(i))
+      }
+      val init = seedPlanes(s, d, 8).toArray.drop(4).map(resOf)
+      val bd = coarse.head.length / 4
+      val cb = ProductQuantizer.Codebooks(4, bd,
+        Array.tabulate(4, 4)((b, c) => init(c).slice(b * bd, (b + 1) * bd)))
+      val dots = array(coarse.toIndexedSeq.map(sv =>
+        vectors.dotProduct(col("embedding"), lit(sv))): _*)
+      val assigned = e.select(col("vec_id"), col("embedding"),
+        (array_position(dots, array_max(dots)) - 1).cast("int").as("cell"))
+      val withRes = assigned.select(col("vec_id"), col("cell"),
+        ProductQuantizer.residualCol(col("embedding"), col("cell"), coarse)
+          .as("rv"))
+      val encoded = withRes.select(col("vec_id"), col("cell"),
+        ProductQuantizer.codesCol(col("rv"), cb).as("codes"))
+      encoded
+        .withColumn("score", ProductQuantizer.adcResidualScoreCol(
+          col("cell"), col("codes"), cb, coarse, q))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("score"))
+    },
+
     // two sub-seeds initialize deterministically from the cell's two
     // smallest ids ([[graft.store.IvfIndex.trainSeeds]]' init, iters
     // = 0 so the oracle replays it exactly — refinement is v08's
@@ -906,6 +959,63 @@ object VectorQueries {
         |      FROM p WHERE score >= 0.35e0)
         |SELECT train_id, eval_id, score FROM f WHERE rn = 1
         |ORDER BY train_id""".stripMargin,
+
+    // v27: v23's codebook CTEs over FLOAT residuals (v − seed(cell),
+    // float subtraction, then DOUBLE dots); codewords from the first
+    // four non-seed residuals; score chain left-assoc from the coarse
+    // q·centroid term.
+    "v27_residual_adc" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS FLOAT[]) AS vf,
+        |            CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |seeds AS (SELECT vec_id AS cell, vf AS cw, v AS cwd
+        |          FROM e WHERE vec_id < 4),
+        |cs AS (SELECT e.vec_id, s.cell,
+        |        list_inner_product(e.v, s.cwd) AS sc
+        |       FROM e CROSS JOIN seeds s),
+        |cells AS (SELECT vec_id, cell FROM (
+        |           SELECT vec_id, cell,
+        |            ROW_NUMBER() OVER (PARTITION BY vec_id
+        |             ORDER BY sc DESC, cell) AS rn
+        |           FROM cs) x WHERE rn = 1),
+        |r AS (SELECT e.vec_id, c.cell,
+        |       list_transform(range(1, len(e.vf)+1),
+        |        i -> CAST(e.vf[i] - s.cw[i] AS DOUBLE)) AS rv
+        |      FROM e JOIN cells c ON e.vec_id = c.vec_id
+        |      JOIN seeds s ON c.cell = s.cell),
+        |blocks AS (SELECT unnest(range(4)) AS b),
+        |cw AS (SELECT b.b, rr.vec_id - 4 AS code,
+        |        rr.rv[b.b*16+1 : b.b*16+16] AS w
+        |       FROM blocks b
+        |       CROSS JOIN (SELECT vec_id, rv FROM r
+        |                   WHERE vec_id >= 4 AND vec_id < 8) rr),
+        |sc2 AS (SELECT r.vec_id, cw.b, cw.code,
+        |        list_inner_product(r.rv[cw.b*16+1 : cw.b*16+16], cw.w) AS s
+        |       FROM r CROSS JOIN cw),
+        |codes AS (SELECT vec_id, b, code FROM (
+        |           SELECT vec_id, b, code,
+        |            ROW_NUMBER() OVER (PARTITION BY vec_id, b
+        |             ORDER BY s DESC, code) AS rn
+        |           FROM sc2) x WHERE rn = 1),
+        |tabs AS (SELECT cw.b, cw.code,
+        |          list_inner_product(q.qv[cw.b*16+1 : cw.b*16+16], cw.w) AS t
+        |         FROM cw CROSS JOIN q),
+        |cellsc AS (SELECT s.cell, list_inner_product(q.qv, s.cwd) AS csc
+        |           FROM seeds s CROSS JOIN q),
+        |adc AS (SELECT c.vec_id,
+        |         (((MAX(z.csc)
+        |           + MAX(CASE WHEN c.b = 0 THEN t.t END))
+        |           + MAX(CASE WHEN c.b = 1 THEN t.t END))
+        |           + MAX(CASE WHEN c.b = 2 THEN t.t END))
+        |           + MAX(CASE WHEN c.b = 3 THEN t.t END) AS score
+        |        FROM codes c
+        |        JOIN cells cl ON c.vec_id = cl.vec_id
+        |        JOIN cellsc z ON cl.cell = z.cell
+        |        JOIN tabs t ON c.b = t.b AND c.code = t.code
+        |        GROUP BY c.vec_id)
+        |SELECT vec_id, score FROM adc
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     // v26: v05's assignment CTE, the (count DESC, cell) hot pick, two
     // smallest-id sub-seeds, and the members-only reassignment — ties

@@ -107,4 +107,73 @@ class ProductQuantizerSpec extends AnyFunSuite {
     assert(!plan.contains("vec#") && !plan.contains("dot_product"),
       "ADC search must not read or rescore raw vectors")
   }
+
+  test("residual ADC at a tiny code budget beats raw ADC on recall") {
+    // Fixture where coarse and fine structure land in the SAME block:
+    // cluster c puts mass on dims (c, 8+c), sub-pattern s on dims
+    // (s, 12+s) — block 0 carries c×s = 16 combined patterns, so a
+    // 4-codeword raw codebook cannot cover it, while the residual
+    // (sub-pattern + noise, 4 patterns per block) fits exactly — the
+    // Jégou IVF-PQ argument, observable as a recall gap.
+    def vec2(i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(1000 + i)
+      val v = Array.fill(16)((rnd.nextDouble() * 0.1 - 0.05).toFloat)
+      val c = i % 4
+      val s = (i / 4) % 4
+      v(c) += 1.0f
+      v(8 + c) += 0.8f
+      v(s) += 0.5f
+      v(12 + s) += 0.4f
+      v
+    }
+    val corpus2 = (0 until 160).map(i => (i.toLong, vec2(i)))
+      .toDF("id", "vec")
+    val coarse = Array.tabulate(4) { c =>
+      val v = Array.fill(16)(0.0f)
+      v(c) = 1.0f
+      v(8 + c) = 0.8f
+      v
+    }
+    val dots = array(coarse.toIndexedSeq.map(cv =>
+      vectors.dotProduct(col("vec"), lit(cv))): _*)
+    val withRes = corpus2
+      .select(col("id"), col("vec"),
+        (array_position(dots, array_max(dots)) - 1).cast("int").as("cell"))
+      .select(col("id"), col("cell"),
+        ProductQuantizer.residualCol(col("vec"), col("cell"), coarse)
+          .as("rv"))
+      .cache()
+    try {
+      val cbRes = ProductQuantizer.train(withRes, "id", "rv",
+        blocks = 4, codes = 4, iters = 3)
+      val cbRaw = ProductQuantizer.train(corpus2, "id", "vec",
+        blocks = 4, codes = 4, iters = 3)
+      val encRes = withRes.select(col("id"), col("cell"),
+        ProductQuantizer.codesCol(col("rv"), cbRes).as("codes")).cache()
+      val encRaw = ProductQuantizer.encode(corpus2, "id", "vec", cbRaw)
+        .cache()
+      try {
+        val (resHits, rawHits) = (0 until 8).map { probe =>
+          val q = vec2(probe * 17)
+          val exact = corpus2
+            .withColumn("s", vectors.dotProduct(col("vec"), lit(q)))
+            .orderBy(col("s").desc, col("id")).limit(10)
+            .collect().map(_.getLong(0)).toSet
+          val res = encRes
+            .withColumn("score", ProductQuantizer.adcResidualScoreCol(
+              col("cell"), col("codes"), cbRes, coarse, q))
+            .orderBy(col("score").desc, col("id")).limit(10)
+            .collect().map(_.getLong(0)).toSet
+          val raw = ProductQuantizer.search(encRaw, cbRaw, q, k = 10)
+            .collect().map(_.getLong(0)).toSet
+          ((exact & res).size, (exact & raw).size)
+        }.unzip
+        assert(resHits.sum >= rawHits.sum,
+          s"residual recall must not lose to raw at the same budget: " +
+            s"res=$resHits raw=$rawHits")
+        assert(resHits.sum.toDouble / 80 >= 0.5,
+          s"residual ADC recall@10 floor: ${resHits.sum / 80.0}")
+      } finally { encRes.unpersist(); encRaw.unpersist() }
+    } finally withRes.unpersist()
+  }
 }

@@ -896,6 +896,16 @@ class PlanSpec extends AnyFunSuite {
       s"the pair build must stay a fingerprint equi-join:\n${p.take(600)}")
   }
 
+  test("v27: residual ADC is two literal-codebook projections + one top-k heap") {
+    val p = plan("v27_residual_adc")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must heap, not globally sort:\n${p.take(600)}")
+    assert(!p.contains("Join"),
+      s"coarse and PQ codebooks are literals — no join at encode or search:\n${p.take(600)}")
+    assert("Window \\[".r.findAllIn(p).isEmpty,
+      "code argmax is array_position, never a rank window")
+  }
+
   test("d87: OLS is scans + 1-row broadcasts — the corpus reduces to sufficient statistics") {
     val p = plan("d87_ols_fit")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
