@@ -510,6 +510,98 @@ object EventStreams {
       (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
     }
 
+  /** One forecast row from [[HoltLedger.forecast]] — e36's row shape
+    * over the ledger's observed hours.
+    */
+  final case class HoltRow(event_type: String, n_hours: Long,
+      level_micro: Long, trend_micro: Long, forecast_micro: Long,
+      mae_micro: Long, max_abs_err_micro: Long)
+
+  /** Driver-held ledger for [[holtSink]]: e36's Holt double smoothing
+    * run CONTINUOUSLY — the forecasting leg of the monitor family
+    * ([[AnomalyLedger]] spikes, [[DriftLedger]] drift, [[CusumLedger]]
+    * sustained shifts; this one answers "what does next hour look
+    * like", which is what capacity alerts threshold against). State is
+    * one long per CLOSED (type, hour); idempotent per batchId.
+    * [[forecast]] replays e36's exact integer recurrence (alpha 1/5,
+    * beta 1/10, truncate-toward-zero division — Scala `/` on Long IS
+    * the engines' div) over the type's hours in order, so on closed
+    * hours the rows match the batch query bit for bit (StreamingSpec
+    * pins it against a driver replay).
+    *
+    * Eviction RESTARTS the recurrence at the horizon (the CusumLedger
+    * contract): level and trend are functions of the full prefix, so a
+    * truncated prefix re-initializes l = first surviving hour's count,
+    * b = 0. Explicit, not silent — forecasts stabilize again after
+    * ~1/alpha surviving hours.
+    */
+  final class HoltLedger {
+    private[streaming] var counts: Map[(String, Long), Long] = Map.empty
+    private[streaming] var lastBatchId: Long = -1L
+    private val hourUs = 3600L * 1000 * 1000
+
+    /** Folds one micro-batch of closed [[hourlyRollup]] windows;
+      * idempotent per batchId.
+      */
+    def ingest(batch: DataFrame, batchId: Long): Unit =
+      if (batchId > lastBatchId) {
+        batch.select(col("event_type"), col("hour"), col("n")).collect()
+          .foreach { r =>
+            counts += (r.getString(0),
+              r.getTimestamp(1).getTime * 1000L / hourUs) -> r.getLong(2)
+          }
+        lastBatchId = batchId
+      }
+
+    /** e36 over the ledger: per type, final level/trend, the next-hour
+      * forecast, and the one-step-ahead error profile, folded over
+      * observed hours in order. Pure driver arithmetic over
+      * catalog-sized state; exact integers end to end.
+      */
+    def forecast(): Seq[HoltRow] =
+      counts.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (t, m) =>
+        val hs = m.toSeq.map { case ((_, hr), n) => (hr, n) }.sortBy(_._1)
+        var l = 0L
+        var b = 0L
+        var sae = 0L
+        var maxae = 0L
+        var i = 0L
+        hs.foreach { case (_, n) =>
+          val y = n * 1000000L
+          if (i == 0L) { l = y; b = 0L }
+          else {
+            val pred = l + b
+            val ae = math.abs(y - pred)
+            sae += ae
+            if (ae > maxae) maxae = ae
+            val lNew = (y + 4L * pred) / 5L
+            b = (lNew - l + 9L * b) / 10L
+            l = lNew
+          }
+          i += 1
+        }
+        val nh = hs.size.toLong
+        HoltRow(t, nh, l, b, l + b,
+          if (nh > 1) sae / (nh - 1) else 0L, maxae)
+      }
+
+    /** Drops every closed (type, hour) strictly before `minHourIdx`;
+      * the recurrence re-initializes at the horizon (see class doc).
+      */
+    def evictBefore(minHourIdx: Long): Unit =
+      counts = counts.filter { case ((_, hr), _) => hr >= minHourIdx }
+  }
+
+  /** Streaming face of e36: [[hourlyRollup]]'s finalized windows feed
+    * the [[HoltLedger]] — wire as
+    * `holtSink(hourlyRollup(events), ledger).outputMode("append")`.
+    */
+  def holtSink(closedWindows: DataFrame, ledger: HoltLedger)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    closedWindows.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
+    }
+
   /** Per-day exact DAU + KMV user state, finalized at watermark close —
     * the streaming reduce that feeds [[ActivesLedger]] (e29's face).
     * Two CHAINED stateful aggregations (the [[hourlyLeaderboard]]

@@ -1537,6 +1537,77 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("holtSink: ledger forecasts equal the batch e36 recurrence on closed hours") {
+    implicit val sq = spark.sqlContext
+    val hourUs = 3600L * 1000 * 1000
+    // type 'a' ramps 5 → 34 events/hour (a real trend the level-only
+    // monitors miss); type 'b' stays flat at 8.
+    val evts = (for (hr <- 0L until 30L; i <- 0L until (5L + hr)) yield
+      (hr * 1000 + i, hr * hourUs + i * 1000000L, "a", 1.0)) ++
+      (for (hr <- 0L until 30L; i <- 0L until 8L) yield
+        (50000 + hr * 1000 + i, hr * hourUs + i * 1000000L, "b", 1.0))
+    // driver replay of e36's exact recurrence = the batch truth
+    def replay(t: String, minHr: Long = 0L): EventStreams.HoltRow = {
+      val hours = evts.filter(e => e._3 == t && e._2 / hourUs >= minHr)
+        .groupBy(_._2 / hourUs).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      var l = 0L; var b = 0L; var sae = 0L; var mx = 0L; var i = 0L
+      hours.foreach { case (_, n) =>
+        val y = n * 1000000L
+        if (i == 0L) { l = y; b = 0L }
+        else {
+          val pred = l + b
+          val ae = math.abs(y - pred)
+          sae += ae; if (ae > mx) mx = ae
+          val lNew = (y + 4L * pred) / 5L
+          b = (lNew - l + 9L * b) / 10L
+          l = lNew
+        }
+        i += 1
+      }
+      val nh = hours.size.toLong
+      EventStreams.HoltRow(t, nh, l, b, l + b,
+        if (nh > 1) sae / (nh - 1) else 0L, mx)
+    }
+    val want = Seq(replay("a"), replay("b"))
+    assert(want.head.trend_micro > 500000L && want(1).trend_micro == 0L,
+      s"fixture must give 'a' a real trend and 'b' none: $want")
+
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val ledger = new EventStreams.HoltLedger
+    val stream = in.toDS().toDF("event_id", "ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStreams.holtSink(
+        EventStreams.hourlyRollup(stream, "1 hour"), ledger)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      val ordered = evts.sortBy(_._2)
+      ordered.grouped(ordered.length / 4 + 1).foreach { g =>
+        in.addData(g: _*); q.processAllAvailable()
+      }
+      // watermark pushers so the final real hours close
+      in.addData((999999L, 100L * hourUs, "a", 1.0)); q.processAllAvailable()
+      in.addData((999998L, 100L * hourUs + 1L, "a", 1.0)); q.processAllAvailable()
+      val got = ledger.forecast()
+      assert(got == want,
+        s"holt ledger diverged from the batch recurrence:\n got: $got\nwant: $want")
+      // replayed batchId is a no-op
+      val before = ledger.counts
+      ledger.ingest(Seq(("a", new java.sql.Timestamp(0L), 999L))
+        .toDF("event_type", "hour", "n"), ledger.lastBatchId)
+      assert(ledger.counts == before)
+      // eviction restarts the recurrence at the horizon: the surviving
+      // suffix forecasts exactly as a fresh fold over that suffix
+      ledger.evictBefore(10L)
+      val after = ledger.forecast().find(_.event_type == "a").get
+      assert(after == replay("a", minHr = 10L),
+        s"post-eviction fold must equal the suffix recurrence: $after")
+    } finally q.stop()
+  }
+
   test("bitmapSink: ledger exact actives equal COUNT DISTINCT on closed days") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.{countDistinct, expr => fexpr}
