@@ -770,6 +770,43 @@ object RelationalQueries {
     // rows is a stack over the single aggregate row — free. This is
     // the feature-selection / multicollinearity profile; Spark's own
     // corr() would be merge-order-dependent and never hash-checkable.
+    // BUCKETIZED PRICE-BAND SELF-JOIN — the non-equi join class
+    // (|price_a − price_b| ≤ band, same priority) executed the way a
+    // cluster must: NOT as a nested-loop over the theta predicate but
+    // as an EQUI join on (priority, price-bucket), with the probe side
+    // exploded to its 3 adjacent buckets — a pair within the band
+    // always lands within one bucket of width = band, so bucket
+    // adjacency is a complete candidate generator (no recall loss) and
+    // the band predicate filters exactly inside the join. Cost model:
+    // 3× probe duplication + one keyed exchange, vs the O(n²/priority)
+    // BNLJ Spark would otherwise pick for a pure theta join; a hot
+    // price point degenerates that bucket toward quadratic — the e06
+    // maxBucket/df-cap family lever if it ever matters. Prices go
+    // through DECIMAL(12,2)→cents BIGINT so the band arithmetic is
+    // exact on both engines. Output: each order with at least one
+    // same-priority near-price neighbor, its neighbor count and the
+    // nearest gap — duplicate-pricing / price-collision audit shape.
+    "q44_price_band" -> { (s, d) =>
+      val W = 1000L // band = $10.00 in cents; also the bucket width
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("pr"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("c"))
+      val probe = o.select(col("k"), col("pr"), col("c"),
+        explode(array(expr(s"c div $W") - 1, expr(s"c div $W"),
+          expr(s"c div $W") + 1)).as("bucket"))
+      val build = o.select(col("k").as("k2"), col("pr"), col("c").as("c2"),
+        expr(s"c div $W").as("bucket"))
+      probe.join(build, Seq("pr", "bucket"))
+        .filter(col("k") =!= col("k2") && abs(col("c") - col("c2")) <= W)
+        .groupBy(col("k"), col("pr"))
+        .agg(count(lit(1)).as("n_neighbors"),
+          min(abs(col("c") - col("c2"))).as("min_gap_cents"))
+        .select(col("k").as("o_orderkey"), col("pr").as("o_orderpriority"),
+          col("n_neighbors"), col("min_gap_cents"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // REFERENTIAL ACTIVITY PROFILE — the FK-health / coverage check a
     // warehouse runs per reporting window: customer→orders fan-out
     // inside 1995 (how many customers ordered, how many went dark, the
@@ -1490,6 +1527,20 @@ object RelationalQueries {
         | CAST(COUNT(*) AS DOUBLE) / MAX(cnt) AS share
         |FROM lineitem, b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q44: the oracle states the THETA join directly — the bucketized
+    // plan must reproduce the naive band semantics exactly.
+    "q44_price_band" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |          AS BIGINT) AS c
+        |       FROM orders)
+        |SELECT a.k AS o_orderkey, a.pr AS o_orderpriority,
+        | CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+        | CAST(MIN(ABS(a.c - b.c)) AS BIGINT) AS min_gap_cents
+        |FROM o a JOIN o b
+        | ON a.pr = b.pr AND a.k <> b.k AND ABS(a.c - b.c) <= 1000
+        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin,
 
     "q43_activity_profile" ->
       """WITH fan AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n

@@ -896,6 +896,18 @@ class PlanSpec extends AnyFunSuite {
       s"the pair build must stay a fingerprint equi-join:\n${p.take(600)}")
   }
 
+  test("q44: the band join runs as a keyed equi-join on (priority, bucket) — never a nested loop") {
+    val p = plan("q44_price_band")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the theta band must bucketize into an equi join:\n${p.take(600)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"expected a hash-keyed join on (pr, bucket):\n${p.take(600)}")
+    assert(scans("q44_price_band").forall(
+      _._1.sorted == Seq("o_orderkey", "o_orderpriority", "o_totalprice")),
+      "both sides must read exactly (orderkey, priority, totalprice)")
+  }
+
   test("v27: residual ADC is two literal-codebook projections + one top-k heap") {
     val p = plan("v27_residual_adc")
     assert(p.contains("TakeOrderedAndProject"),
