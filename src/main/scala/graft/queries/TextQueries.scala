@@ -291,6 +291,30 @@ object TextQueries {
         .orderBy(col("media_id"))
     },
 
+    // KEYFRAME SAMPLING FAN-OUT ([[graft.multimodal.Multimodal
+    // .sampleFramesAll]]) — d21's sibling over the frame axis: each
+    // medium yields up to 3 evenly-spaced frames (i·total/n source
+    // indices, the keyframe extractor's spacing), 1 → N row-local like
+    // the splitters, so the fan-out runs map-side at input parallelism
+    // with NO shuffle — at 100 TB of video the only exchange is
+    // whatever the consumer does next, never the sampling. The stub
+    // codec's frames are md5(bytes ++ ":frame:i") digests, so the
+    // oracle re-derives frame count, spacing, and every frame hash in
+    // SQL — the plumbing (binary column in, (media, frame) rows out)
+    // is what the pin proves; a real decoder slots in behind the
+    // codec trait without touching the plan.
+    "d88_frame_sample" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+      graft.multimodal.Multimodal
+        .sampleFramesAll(media, () => graft.multimodal.StubCodec, n = 3)
+        .select(col("media_id"), col("frame_idx"),
+          lower(hex(col("frame"))).as("frame_md5"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+
     // E2 contract: embed a query *string* (deterministic hashing
     // embedder), kNN over stored vectors, project document attributes.
     "d07_knn_text_query" -> { (s, d) =>
@@ -4107,6 +4131,29 @@ object TextQueries {
         | CAST(1 + CAST(('0x'||substr(md5(text),7,2)) AS INT) % 30 AS INT) AS n_frames,
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // d88: frame count and spacing re-derived from the digest bytes
+    // (d21's hex-slice idiom), frame hash = md5(text || ':frame:' || i);
+    // position = rank of the strictly-increasing source indices.
+    "d88_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |        (CAST(('0x'||substr(md5(text),7,2)) AS INT) % 30) + 1
+        |          AS total
+        |       FROM documents),
+        |i AS (SELECT media_id, text,
+        |       CASE WHEN total <= 3 THEN range(CAST(total AS BIGINT))
+        |            ELSE [CAST(0 AS BIGINT), CAST(total AS BIGINT) // 3,
+        |                  (2 * CAST(total AS BIGINT)) // 3] END AS idxs
+        |      FROM m),
+        |f AS (SELECT media_id, unnest(idxs) AS src FROM i),
+        |r AS (SELECT media_id, src,
+        |       ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY src) - 1
+        |         AS fi
+        |      FROM f)
+        |SELECT r.media_id AS media_id, CAST(r.fi AS BIGINT) AS frame_idx,
+        | md5(i.text || ':frame:' || r.src) AS frame_md5
+        |FROM r JOIN i ON r.media_id = i.media_id
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "d07_knn_text_query" -> {
       val qlit = embedder.embed(RagQueryText)

@@ -896,6 +896,16 @@ class PlanSpec extends AnyFunSuite {
       s"the pair build must stay a fingerprint equi-join:\n${p.take(600)}")
   }
 
+  test("d88: frame sampling fans out map-side — no shuffle before the presentation sort") {
+    val p = plan("d88_frame_sample")
+    assert(p.contains("MapPartitions"),
+      s"the codec must run per-partition:\n${p.take(600)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"1→N frame fan-out is row-local; only the output range sort may exchange:\n${p.take(600)}")
+    assert(scans("d88_frame_sample").forall(_._1.sorted == Seq("doc_id", "text")),
+      "the media scan must read exactly (doc_id, text)")
+  }
+
   test("q44: the band join runs as a keyed equi-join on (priority, bucket) — never a nested loop") {
     val p = plan("q44_price_band")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
