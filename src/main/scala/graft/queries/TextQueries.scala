@@ -1443,6 +1443,35 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // N-GRAM NOVELTY SCORING — first-occurrence attribution, the
+    // corpus-ordering metric behind "how much NEW content does each
+    // document contribute": a trigram belongs to the smallest doc_id
+    // containing it (d33's global first-keep rule, lifted from span
+    // rewriting to per-doc scoring), and novelty = owned / total
+    // distinct trigrams, exact integer micro. Near-dup cluster
+    // members after their earliest score ~0; the corpus decays from
+    // 1.0 as position grows — the curve a curator reads to decide
+    // where marginal data stops paying. Shape: one shingle-keyed
+    // partial+final MIN (map-side combine absorbs zipfian hot
+    // shingles — the reason this is a groupBy+join and NOT a window
+    // over sh partitions, which would materialize whole posting lists
+    // per key), one shingle-keyed join back, one doc-keyed rollup.
+    "d89_ngram_novelty" -> { (s, d) =>
+      val posts = Tables.documents(s, d).select(col("doc_id"),
+          explode(array_distinct(TF.shingles(TF.tokens(col("text")), 3)))
+            .as("sh"))
+      val first = posts.groupBy(col("sh"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      posts.join(first, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          expr("(n_novel * 1000000) DIV n_shingles").as("novelty_micro"))
+        .orderBy(col("doc_id"))
+    },
+
     // DISTRIBUTED OLS VIA EXACT NORMAL EQUATIONS — the linear-model
     // trainer in its true cluster shape: the corpus is never
     // iterated, it is REDUCED to the d(d+1)/2 + d sufficient
@@ -3248,6 +3277,26 @@ object TextQueries {
         |JOIN sz sb ON b_id = sb.doc_id
         |WHERE (n_shared * 1000000) // (sa.n + sb.n - n_shared) >= 500000
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // d89: d35's shingle CTEs + a MIN-per-shingle first-owner table;
+    // novelty in integer micro so DIV matches.
+    "d89_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+        |           FROM documents),
+        |ss AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(toks)-1),
+        |         i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS ss
+        |       FROM t),
+        |p AS (SELECT doc_id, unnest(ss) AS sh FROM ss),
+        |f AS (SELECT sh, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |      FROM p GROUP BY 1)
+        |SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        | CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_novel,
+        | (CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+        |   AS BIGINT) * 1000000) // COUNT(*) AS novelty_micro
+        |FROM p JOIN f ON p.sh = f.sh
+        |GROUP BY 1 ORDER BY p.doc_id""".stripMargin,
 
     // d87: the same sufficient statistics and Cramer expansion —
     // all-BIGINT, so the two engines agree bit-for-bit; HUGEINT sums

@@ -906,6 +906,16 @@ class PlanSpec extends AnyFunSuite {
       "the media scan must read exactly (doc_id, text)")
   }
 
+  test("d89: novelty is keyed min + join — map-side combine, no window over posting lists") {
+    val p = plan("d89_ngram_novelty")
+    assert("Window \\[".r.findAllIn(p).isEmpty,
+      s"first-owner must be a partial+final MIN, never a per-shingle window:\n${p.take(600)}")
+    assert(p.contains("partial_min"),
+      s"the shingle MIN must combine map-side:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the join back is shingle-keyed")
+  }
+
   test("q44: the band join runs as a keyed equi-join on (priority, bucket) — never a nested loop") {
     val p = plan("q44_price_band")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
