@@ -453,6 +453,64 @@ object EventQueries {
         .orderBy(col("type_a"), col("type_b"))
     },
 
+    // PEAK CONCURRENT SESSIONS VIA DISTRIBUTED SWEEP-LINE — the
+    // interval-stabbing max ("how many sessions were open at once")
+    // computed the only way it parallelizes: a naive sweep needs ONE
+    // globally ordered prefix sum (the banished single-partition
+    // sort), but (total, maxPrefix) summaries of delta buckets are
+    // ASSOCIATIVE — a bucket's peak seen from outside is
+    // carry + maxPrefix, and carries chain by summing totals — so the
+    // sweep runs as day-keyed folds over each day's sorted ±1 deltas
+    // (e02's sessions: +1 at start, −1 after end, starts before ends
+    // on ties) plus ONE window over the days-sized summary frame
+    // (e34's life-table license). Deeper scale = more levels (hour
+    // buckets inside days), same algebra. peak = carry_in + maxPrefix
+    // with maxPrefix floored at 0, so a drain-only day correctly
+    // peaks at its carry-in. Exact integers end to end.
+    "e37_peak_concurrency" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prevTs = lag(col("ts_us"), 1).over(w)
+      val sess = Tables.events(s, d)
+        .withColumn("ts_us", tsUs)
+        .withColumn("is_new",
+          when(prevTs.isNull || col("ts_us") - prevTs > SessionGapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      // ±1 deltas via a 1→2 row-local explode, NOT a union — a union
+      // would consume `sess` twice and replay the whole session
+      // window subtree per branch.
+      val deltas = sess.select(explode(array(
+          struct(col("start_us").as("t"), lit(1L).as("delta")),
+          struct(col("end_us").as("t"), lit(-1L).as("delta")))).as("x"))
+        .select(expr(s"x.t div $DayUs").as("day_idx"),
+          col("x.t").as("t"), col("x.delta").as("delta"))
+      val daySum = deltas.groupBy(col("day_idx"))
+        .agg(
+          array_sort(collect_list(struct(col("t"),
+            (-col("delta")).as("ord"), col("delta")))).as("ds"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L))
+            .as("n_sessions_start"))
+      val zero = struct(lit(0L).as("run"), lit(0L).as("maxp"))
+      val folded = aggregate(col("ds"), zero, (st, x) => {
+        val run = st.getField("run") + x.getField("delta")
+        struct(run.as("run"),
+          greatest(st.getField("maxp"), run).as("maxp"))
+      })
+      val days = daySum.select(col("day_idx"), col("n_sessions_start"),
+        folded.getField("run").as("tot"), folded.getField("maxp").as("maxp"))
+      val wd = Window.orderBy(col("day_idx"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      days
+        .withColumn("carry_in", coalesce(sum(col("tot")).over(wd), lit(0L)))
+        .select(col("day_idx"), col("n_sessions_start"), col("carry_in"),
+          (col("carry_in") + col("maxp")).as("peak_concurrency"))
+        .orderBy(col("day_idx"))
+    },
+
     // HOLT DOUBLE-SMOOTHING FORECAST — the trend-aware counterpart to
     // e32's CUSUM: per event type, Holt's linear method over the
     // hourly count series (level alpha = 1/5, trend beta = 1/10, both
@@ -1525,6 +1583,49 @@ object EventQueries {
         |FROM p JOIN n na ON p.type_a = na.event_type
         |JOIN n nb ON p.type_b = nb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // e37: e02's session CTEs, the ±1 delta union, a per-day running
+    // sum (ties: starts before ends via delta DESC — intermediate tie
+    // orderings differ but the day MAX is invariant), and the same
+    // days-frame carry window.
+    "e37_peak_concurrency" ->
+      """WITH o AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |   ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM o),
+        |sess AS (SELECT user_id, session_id, MIN(ts_us) AS start_us,
+        |          MAX(ts_us) AS end_us
+        |         FROM s GROUP BY 1, 2),
+        |d AS (SELECT start_us AS t, CAST(1 AS BIGINT) AS delta FROM sess
+        |      UNION ALL
+        |      SELECT end_us AS t, CAST(-1 AS BIGINT) AS delta FROM sess),
+        |run AS (SELECT t // 86400000000 AS day_idx, delta,
+        |         SUM(delta) OVER (PARTITION BY t // 86400000000
+        |           ORDER BY t, delta DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+        |        FROM d),
+        |ds AS (SELECT day_idx,
+        |        CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_sessions_start,
+        |        CAST(SUM(delta) AS BIGINT) AS tot,
+        |        GREATEST(CAST(0 AS BIGINT), CAST(MAX(r) AS BIGINT)) AS maxp
+        |       FROM run GROUP BY 1),
+        |fin AS (SELECT day_idx, n_sessions_start,
+        |         CAST(COALESCE(SUM(tot) OVER (ORDER BY day_idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS carry_in,
+        |         maxp
+        |        FROM ds)
+        |SELECT day_idx, n_sessions_start, carry_in,
+        | carry_in + maxp AS peak_concurrency
+        |FROM fin ORDER BY day_idx""".stripMargin,
 
     // e36: the same recurrence unrolled as a recursive CTE over the
     // indexed hourly series — step i+1 consumes state i; DuckDB's

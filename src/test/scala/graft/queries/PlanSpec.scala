@@ -949,6 +949,18 @@ class PlanSpec extends AnyFunSuite {
         "down to text alone")
   }
 
+  test("e37: the sweep runs as day folds + one days-frame window — never a global event sort") {
+    val p = plan("e37_peak_concurrency")
+    // exactly two windows: e02's user-keyed session pair collapses to
+    // one WindowExec group (lag + running sum share the user sort) and
+    // the carry window runs over the days-sized summary frame.
+    assert("Window \\[".r.findAllIn(p).length <= 3,
+      s"only the session windows (user-keyed) and the days-frame carry:\n${p.take(800)}")
+    assert(!p.contains("Join"), s"one aggregate chain, no join:\n${p.take(600)}")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      "sessionization pays exactly one user exchange")
+  }
+
   test("e36: the Holt recurrence folds per-type rows after one hourly reduce") {
     val p = plan("e36_holt_forecast")
     assert(!p.contains("Join"), s"one aggregate chain, no join:\n${p.take(600)}")
