@@ -1443,6 +1443,68 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // SHARD SIMILARITY MATRIX FROM MERGED MINHASH SIGNATURES — the
+    // corpus-vs-corpus MinHash face of q27's mergeable-state rule:
+    // each shard owns a 16-permutation signature (per-perm MIN over
+    // its distinct trigrams — a state that merges by LEAST, so
+    // shard signatures roll up to any coarser grouping without
+    // rescanning), every pairwise estimate is matching-perm counting
+    // on the collected 4×16 signature table (e35's driver codebook
+    // arithmetic — shards² × perms, no data motion), and the EXACT
+    // per-pair Jaccard rides along as the calibration column the
+    // estimate must bracket (d46 does this with KMV
+    // inclusion–exclusion; this is the signature-matching estimator
+    // a dedup pipeline already has lying around). The 4 digests per
+    // shingle each donate 4 independent 8-hex-slice perms (d05's
+    // one-digest-four-hashes trick). The distinct posting frame
+    // feeds three consumers → checkpointed once (the d86 rule).
+    "d90_shard_minhash" -> { (s, d) =>
+      val p = new graft.operators.LineageCheckpoint(s, None)(
+        Tables.documents(s, d)
+          .select((col("doc_id") % 4).cast("long").as("shard"),
+            explode(array_distinct(TF.shingles(TF.tokens(col("text")), 3)))
+              .as("sh"))
+          .distinct())
+      // 4 digests materialized ONCE below the agg — 16 per-(j,b)
+      // min(md5(...)) children would re-digest 4× per slice (no CSE
+      // across aggregate expressions).
+      val digested = p.select(col("shard") +: (0 until 4).map(j =>
+        md5(concat(lit(s"p$j:"), col("sh"))).as(s"h$j")): _*)
+      val minCols = for (j <- 0 until 4; b <- 0 until 4) yield
+        min(conv(substring(col(s"h$j"), b * 8 + 1, 8), 16, 10)
+          .cast("long")).as(s"m${j * 4 + b}")
+      val sig = digested.groupBy(col("shard"))
+        .agg(minCols.head, minCols.tail: _*)
+        .collect()
+        .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toVector)
+        .sortBy(_._1)
+      val matches = for {
+        i <- sig.indices
+        j <- (i + 1) until sig.length
+      } yield {
+        val n = sig(i)._2.zip(sig(j)._2).count { case (a, b) => a == b }
+        (sig(i)._1, sig(j)._1, n.toLong, n.toLong * 1000000L / 16L)
+      }
+      import s.implicits._
+      val est = matches.toSeq
+        .toDF("shard_a", "shard_b", "n_perm_match", "est_jaccard_micro")
+      val sz = p.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      val ix = p.as("x").join(p.as("y"),
+          col("x.sh") === col("y.sh") && col("x.shard") < col("y.shard"))
+        .groupBy(col("x.shard").as("shard_a"), col("y.shard").as("shard_b"))
+        .agg(count(lit(1)).as("nb"))
+      est.join(ix, Seq("shard_a", "shard_b"))
+        .join(sz.select(col("shard").as("shard_a"), col("n").as("na")),
+          "shard_a")
+        .join(sz.select(col("shard").as("shard_b"), col("n").as("nb2")),
+          "shard_b")
+        .select(col("shard_a"), col("shard_b"), col("n_perm_match"),
+          col("est_jaccard_micro"),
+          expr("(nb * 1000000) DIV (na + nb2 - nb)")
+            .as("exact_jaccard_micro"))
+        .orderBy(col("shard_a"), col("shard_b"))
+    },
+
     // N-GRAM NOVELTY SCORING — first-occurrence attribution, the
     // corpus-ordering metric behind "how much NEW content does each
     // document contribute": a trigram belongs to the smallest doc_id
@@ -3277,6 +3339,46 @@ object TextQueries {
         |JOIN sz sb ON b_id = sb.doc_id
         |WHERE (n_shared * 1000000) // (sa.n + sb.n - n_shared) >= 500000
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // d90: the 4×16 signature table built by per-shard MINs over the
+    // same prefixed digest slices; pair cells by perm-equality sums;
+    // exact arm from the distinct posting self-join.
+    "d90_shard_minhash" -> {
+      val mins = (for (j <- 0 until 4; b <- 0 until 4) yield
+        s"MIN(CAST(('0x'||substr(md5('p$j:'||sh),${b * 8 + 1},8)) " +
+          s"AS BIGINT)) AS m${j * 4 + b}").mkString(",\n        | ")
+      val matches = (0 until 16)
+        .map(k => s"(CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END)")
+        .mkString("\n        |  + ")
+      s"""WITH t AS (SELECT doc_id % 4 AS shard,
+         |        string_split(text,' ') AS toks FROM documents),
+         |p AS (SELECT DISTINCT shard,
+         |       unnest(list_transform(range(1, len(toks)-1),
+         |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS sh
+         |      FROM t),
+         |sig AS (SELECT shard,
+         | $mins
+         | FROM p GROUP BY 1),
+         |pairs AS (SELECT a.shard AS shard_a, b.shard AS shard_b,
+         |  $matches AS n_perm_match
+         | FROM sig a JOIN sig b ON a.shard < b.shard),
+         |sz AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM p GROUP BY 1),
+         |ix AS (SELECT x.shard AS shard_a, y.shard AS shard_b,
+         |        CAST(COUNT(*) AS BIGINT) AS nb
+         |       FROM p x JOIN p y
+         |        ON x.sh = y.sh AND x.shard < y.shard GROUP BY 1, 2)
+         |SELECT pr.shard_a AS shard_a, pr.shard_b AS shard_b,
+         | CAST(pr.n_perm_match AS BIGINT) AS n_perm_match,
+         | CAST(pr.n_perm_match AS BIGINT) * 1000000 // 16
+         |   AS est_jaccard_micro,
+         | ix.nb * 1000000 // (sa.n + sb.n - ix.nb) AS exact_jaccard_micro
+         |FROM pairs pr
+         |JOIN ix ON pr.shard_a = ix.shard_a AND pr.shard_b = ix.shard_b
+         |JOIN sz sa ON pr.shard_a = sa.shard
+         |JOIN sz sb ON pr.shard_b = sb.shard
+         |ORDER BY shard_a, shard_b""".stripMargin
+    },
 
     // d89: d35's shingle CTEs + a MIN-per-shingle first-owner table;
     // novelty in integer micro so DIV matches.

@@ -916,6 +916,16 @@ class PlanSpec extends AnyFunSuite {
       "the join back is shingle-keyed")
   }
 
+  test("d90: signature estimates are driver codebook arithmetic; exact arm reads the checkpointed postings") {
+    val p = plan("d90_shard_minhash")
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      s"the perm-match cells are a driver-built table:\n${p.take(600)}")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "the exact arm must read the materialized distinct postings")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair build stays shingle-keyed:\n${p.take(600)}")
+  }
+
   test("q44: the band join runs as a keyed equi-join on (priority, bucket) — never a nested loop") {
     val p = plan("q44_price_band")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
