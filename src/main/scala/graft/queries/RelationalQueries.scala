@@ -807,6 +807,53 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // DISTRIBUTED 2-D SKYLINE (Pareto frontier: minimize price AND
+    // order date) — the preference-query operator, built on e37's
+    // associative-prefix algebra instead of the single global sort
+    // every textbook skyline pass assumes: bucket by price range
+    // (price div W — deterministic, and the RESULT is provably
+    // independent of W), compute in-bucket strict-smaller-price
+    // running MINs with bucket-keyed windows (bounded partitions),
+    // then chain a carry MIN over the ~50-row bucket summary frame
+    // (e34's small-frame license) and broadcast it back. A row
+    // survives iff its date equals its price group's min AND beats
+    // both the in-bucket and carried cross-bucket minima strictly —
+    // exactly the NOT EXISTS dominance definition, which the oracle
+    // states via the independent one-window formulation. Ties:
+    // identical (price, date) points do not dominate each other, so
+    // duplicates co-survive. Cents via DECIMAL for exactness.
+    "q45_skyline" -> { (s, d) =>
+      val W = 1000000L // $10k price buckets
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("c"),
+        // NTZ → session-UTC timestamp, then exact epoch-day (the
+        // Tables.events convention)
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("day"))
+      val b = o.withColumn("bucket", expr(s"c div $W"))
+      val wSm = Window.partitionBy(col("bucket")).orderBy(col("c"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wSame = Window.partitionBy(col("bucket"), col("c"))
+      val scored = b
+        .withColumn("m_sm_local", min(col("day")).over(wSm))
+        .withColumn("m_same", min(col("day")).over(wSame))
+      val wc = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = o.groupBy(expr(s"c div $W").as("bucket"))
+        .agg(min(col("day")).as("bmin"))
+        .withColumn("carry", min(col("bmin")).over(wc))
+        .select(col("bucket"), col("carry"))
+      scored.join(broadcast(carry), Seq("bucket"))
+        .filter(col("day") === col("m_same") &&
+          (col("m_sm_local").isNull || col("day") < col("m_sm_local")) &&
+          (col("carry").isNull || col("day") < col("carry")))
+        .select(col("k").as("o_orderkey"), col("c").as("price_cents"),
+          col("day").as("order_day"))
+        .orderBy(col("price_cents"), col("o_orderkey"))
+    },
+
     // REFERENTIAL ACTIVITY PROFILE — the FK-health / coverage check a
     // warehouse runs per reporting window: customer→orders fan-out
     // inside 1995 (how many customers ordered, how many went dark, the
@@ -1527,6 +1574,24 @@ object RelationalQueries {
         | CAST(COUNT(*) AS DOUBLE) / MAX(cnt) AS share
         |FROM lineitem, b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q45: the independent one-window dominance formulation — min day
+    // over strictly-smaller prices (RANGE frame) + per-price min.
+    "q45_skyline" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |          AS BIGINT) AS c,
+        |        epoch_us(o_orderdate) // 86400000000 AS day
+        |       FROM orders),
+        |w AS (SELECT k, c, day,
+        |       MIN(day) OVER (ORDER BY c RANGE BETWEEN UNBOUNDED
+        |         PRECEDING AND 1 PRECEDING) AS m_smaller,
+        |       MIN(day) OVER (PARTITION BY c) AS m_same
+        |      FROM o)
+        |SELECT k AS o_orderkey, c AS price_cents, day AS order_day
+        |FROM w
+        |WHERE day = m_same AND (m_smaller IS NULL OR day < m_smaller)
+        |ORDER BY price_cents, o_orderkey""".stripMargin,
 
     // q44: the oracle states the THETA join directly — the bucketized
     // plan must reproduce the naive band semantics exactly.

@@ -938,6 +938,17 @@ class PlanSpec extends AnyFunSuite {
       "both sides must read exactly (orderkey, priority, totalprice)")
   }
 
+  test("q45: skyline windows are bucket-keyed; the carry chains over the bucket summary frame") {
+    val p = plan("q45_skyline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dominance must never become an all-pairs join:\n${p.take(600)}")
+    // the only unpartitioned window is the ~50-row bucket-summary carry
+    assert("windowspecdefinition\\(bucket".r.findAllIn(p).length >= 2,
+      s"in-bucket minima must partition by bucket:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the carry joins back as a broadcast of the bucket summary")
+  }
+
   test("v27: residual ADC is two literal-codebook projections + one top-k heap") {
     val p = plan("v27_residual_adc")
     assert(p.contains("TakeOrderedAndProject"),
