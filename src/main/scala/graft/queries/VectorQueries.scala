@@ -227,6 +227,35 @@ object VectorQueries {
     // HOT-CELL SPLIT REBALANCE — the declarative semantics behind
     // [[graft.store.IvfIndex.splitCell]], under the oracle: the v18
     // balance profile names the hottest cell (count DESC, cell ASC),
+    // COLD-CELL MERGE PROFILE — v26's inverse and the other half of
+    // the [[graft.store.IvfIndex]] capacity pair ([[IvfIndex
+    // .mergeCells]]'s declarative, SQL-provable face): the two
+    // lowest-occupancy cells (ties to the smaller id) retire into one
+    // new cell at the next free id, every other cell's count passes
+    // through untouched, and the output is the post-merge balance
+    // profile a capacity planner reads to confirm the probe fan-out
+    // actually shrank. Scale shape: one broadcast-codebook argmax
+    // projection, one codebook-sized count aggregate, the coldest
+    // pick collected driver-side (codebook pattern), and a row-local
+    // CASE relabel — the merge itself never shuffles the corpus.
+    "v28_merge_rebalance" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding",
+        seeds, "seed_id", "seed_vec")
+        .select(col("vec_id"), col("cell"))
+      val cold = assigned.groupBy(col("cell")).count()
+        .orderBy(col("count"), col("cell")).limit(2)
+        .collect().map(_.getLong(0)).sorted
+      assigned
+        .withColumn("cell",
+          when(col("cell").isin(cold(0), cold(1)), lit(8L))
+            .otherwise(col("cell")))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("cell"))
+    },
+
     // RESIDUAL-PQ ADC ([[graft.operators.ProductQuantizer
     // .adcResidualScoreCol]]) — the encoding production IVF-PQ
     // actually ships (Jégou et al. 2011): codes quantize v −
@@ -1021,6 +1050,28 @@ object VectorQueries {
     // smallest-id sub-seeds, and the members-only reassignment — ties
     // in both argmaxes go to the smaller cell id, matching
     // ivfAssign's first-max convention.
+    // v28: v26's assignment CTE, the two (count ASC, cell) coldest,
+    // and the CASE relabel to the next free id.
+    "v28_merge_rebalance" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, s.cell,
+        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) AS cs
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |   SELECT vec_id, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+        |   FROM scored) r WHERE rn = 1),
+        |cold AS (SELECT cell FROM assigned GROUP BY cell
+        |         ORDER BY COUNT(*), cell LIMIT 2)
+        |SELECT CASE WHEN cell IN (SELECT cell FROM cold)
+        |        THEN CAST(8 AS BIGINT) ELSE cell END AS cell,
+        | CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |FROM assigned GROUP BY 1 ORDER BY cell""".stripMargin,
+
     "v26_split_rebalance" ->
       """WITH seeds AS (
         |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv

@@ -325,21 +325,7 @@ object IvfIndex {
     val hot = spark.read.parquet(s"$path/vectors")
       .filter(col("cell") === cell) // partition-pruned: only this cell's IO
       .drop("cell")
-    // New ids must never collide with STAGED partitions a crashed
-    // predecessor left behind (appended at step 1, seeds flip at step
-    // 2 never landed): those cell=N dirs are dead-by-invariant but
-    // physically present, and an id derived from the codebook alone
-    // would append live rows into them — resurrecting duplicate (or
-    // another cell's) vectors when this split's flip lands. So the
-    // floor is max(codebook, on-disk cell dirs) + 1: collision-proof
-    // against every crash point without requiring a compact first.
-    val fsV = new Path(s"$path/vectors")
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val diskMax = fsV.listStatus(new Path(s"$path/vectors"))
-      .iterator.map(_.getPath.getName)
-      .collect { case n if n.startsWith("cell=") => n.drop(5).toLong }
-      .foldLeft(Long.MinValue)(math.max)
-    val nextId = math.max(cellIds.max, diskMax) + 1
+    val nextId = nextCellId(spark, path, cellIds)
     val sub = trainSeeds(hot, idCol, vecCol, k = 2, iters = iters)
       .select((col("cell_id") + nextId).as("cell_id"), col("seed_vec"))
     // 1) append the reassigned halves (invisible: not in seeds yet)
@@ -363,6 +349,84 @@ object IvfIndex {
     oldDir.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(oldDir, true)
     (nextId, nextId + 1)
+  }
+
+  /** Smallest cell id safe for staged writes: new ids must never
+    * collide with STAGED partitions a crashed predecessor left behind
+    * (appended at step 1, seeds flip at step 2 never landed) — those
+    * cell=N dirs are dead-by-invariant but physically present, and an
+    * id derived from the codebook alone would append live rows into
+    * them, resurrecting duplicate (or another cell's) vectors when
+    * the new flip lands. The floor is max(codebook, on-disk cell
+    * dirs) + 1: collision-proof against every crash point without
+    * requiring a compact first. Shared by [[splitCell]] and
+    * [[mergeCells]].
+    */
+  private def nextCellId(spark: SparkSession, path: String,
+      cellIds: Array[Long]): Long = {
+    import org.apache.hadoop.fs.Path
+    val fsV = new Path(s"$path/vectors")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val diskMax = fsV.listStatus(new Path(s"$path/vectors"))
+      .iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("cell=") => n.drop(5).toLong }
+      .foldLeft(Long.MinValue)(math.max)
+    math.max(cellIds.max, diskMax) + 1
+  }
+
+  /** Merge two COLD cells in place — [[splitCell]]'s inverse, run when
+    * the v18 balance profile shows two low-occupancy cells each paying
+    * probe fan-out for a handful of vectors: both cells' rows move
+    * under ONE new cell id whose seed is the elementwise mean of the
+    * two retired seed vectors (codebook-local arithmetic — no data
+    * pass trains anything, which is the point of a maintenance merge;
+    * if the merged region later runs hot, [[splitCell]] re-learns real
+    * sub-structure from the rows themselves). Same commit protocol and
+    * crash contract as the split: append both cells' rows under the
+    * new id (invisible — not in seeds), flip the codebook (the single
+    * commit point: both old entries out, the mean entry in), then
+    * best-effort drop of the two retired dirs; every crash point
+    * leaves at worst dead extra bytes for [[compact]] to reclaim, and
+    * [[nextCellId]]'s disk floor keeps retries collision-proof.
+    * Tombstones key on id and ride along untouched. Float layout only,
+    * matching [[splitCell]]. Returns the merged cell id.
+    */
+  def mergeCells(spark: SparkSession, path: String, a: Long,
+      b: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    require(a != b, s"mergeCells needs two distinct cells, got $a twice")
+    val seeds = spark.read.parquet(s"$path/seeds")
+    val cellIds = seeds.select(col("cell")).collect().map(_.getLong(0))
+    Seq(a, b).foreach(c => require(cellIds.contains(c),
+      s"no such cell in the codebook: $c"))
+    val nextId = nextCellId(spark, path, cellIds)
+    // 1) append both cells' rows under the new id (invisible)
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(a, b)) // partition-pruned: two cells' IO
+      .drop("cell")
+      .withColumn("cell", lit(nextId))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(s"$path/vectors")
+    // 2) flip the codebook — the commit point (collected first, as in
+    // splitCell: overwriting the seeds dir from a plan reading it
+    // would fail/corrupt).
+    val rows = seeds.collect()
+      .map(r => (r.getLong(r.fieldIndex("cell")),
+        r.getSeq[Float](r.fieldIndex("seed_vec"))))
+    val sa = rows.find(_._1 == a).get._2
+    val sb = rows.find(_._1 == b).get._2
+    val mean = sa.zip(sb).map { case (x, y) => (x + y) / 2f }
+    val kept = rows.filterNot(r => r._1 == a || r._1 == b)
+    import spark.implicits._
+    writeSeeds((kept :+ (nextId, mean)).toSeq.toDF("cell", "seed_vec"),
+      "cell", "seed_vec", path)
+    // 3) drop the retired source cells (best-effort; dead if they stay)
+    val fs = new Path(s"$path/vectors")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(a, b).foreach(c =>
+      fs.delete(new Path(s"$path/vectors/cell=$c"), true))
+    nextId
   }
 
   /** The index's id column, recorded at [[build]] time as a 1-row

@@ -949,6 +949,14 @@ class PlanSpec extends AnyFunSuite {
       "the carry joins back as a broadcast of the bucket summary")
   }
 
+  test("v28: the merge relabel rides the scan — no corpus shuffle beyond the profile") {
+    val p = plan("v28_merge_rebalance")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"codebook is a literal; relabel must not join:\n${p.take(600)}")
+    assert("Window \\[".r.findAllIn(p).isEmpty,
+      "the argmax is ivfAssign's array projection, never a rank window")
+  }
+
   test("v27: residual ADC is two literal-codebook projections + one top-k heap") {
     val p = plan("v27_residual_adc")
     assert(p.contains("TakeOrderedAndProject"),

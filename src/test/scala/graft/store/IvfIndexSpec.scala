@@ -375,6 +375,50 @@ class IvfIndexSpec extends AnyFunSuite {
       "reclamation must not touch live rows")
   }
 
+  test("mergeCells: two cold cells consolidate; content exact; split round-trips") {
+    val p2 = Files.createTempDirectory("graft-ivf-merge").toString
+    val e = Tables.embeddings(spark, sf)
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+    IvfIndex.build(e, "vec_id", "embedding", seeds, "seed_id", "seed_vec", p2)
+    def profile(pp: String) = spark.read.parquet(s"$pp/vectors")
+      .groupBy(col("cell")).count().collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    def allRows(pp: String) = spark.read.parquet(s"$pp/vectors")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val before = profile(p2)
+    val contentBefore = allRows(p2)
+    // the two coldest cells — the pair the v18 profile would flag
+    val Seq(a, b) = before.toSeq.sortBy { case (c, n) => (n, c) }
+      .take(2).map(_._1).sorted
+    val merged = IvfIndex.mergeCells(spark, p2, a, b)
+    val after = profile(p2)
+    assert(!after.contains(a) && !after.contains(b) && after.contains(merged))
+    assert(after(merged) == before(a) + before(b),
+      s"merge must conserve both cells' rows: $before -> $after")
+    (before - a - b).foreach { case (c, n) => assert(after(c) == n) }
+    assert(allRows(p2) == contentBefore, "no vector may change or vanish")
+    // the codebook flipped: one mean seed replaces the two retired ones
+    val seedRows = spark.read.parquet(s"$p2/seeds")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(!seedRows.contains(a) && !seedRows.contains(b)
+      && seedRows.contains(merged))
+    // pruning still works against the merged cell
+    val q = spark.read.parquet(s"$p2/vectors")
+      .filter(col("cell") === merged).head().getSeq[Float](1).toArray
+    val plan = IvfIndex.search(spark, p2, "vec_id", "embedding", q, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(400))
+    // splitCell round-trips the merged cell (ids keep advancing — the
+    // shared collision-proof floor)
+    val (s1, s2) = IvfIndex.splitCell(spark, p2, "vec_id", "embedding", merged)
+    assert(s1 > merged && s2 > merged)
+    val post = profile(p2)
+    assert(post(s1) + post(s2) == before(a) + before(b))
+    assert(allRows(p2) == contentBefore)
+  }
+
   test("splitCell: staged leftovers from a crashed split never collide with new ids") {
     val p2 = Files.createTempDirectory("graft-ivf-split-crash").toString
     val e = Tables.embeddings(spark, sf)
