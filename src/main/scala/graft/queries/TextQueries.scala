@@ -1443,6 +1443,40 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // TRIGRAM FREQUENCY-OF-FREQUENCIES SPECTRUM + GOOD–TURING — the
+    // frequency spectrum (N_k = how many distinct trigrams occur
+    // exactly k times) is the LM-smoothing datasheet d40/d68/d84
+    // implicitly price against, and Good–Turing reads off it
+    // directly: the unseen-event mass estimate N_1/N (36% at sf0.01
+    // — this corpus is far from saturating its trigram space, the
+    // number a crawl-sizing decision wants) and the smoothed
+    // next-count c* = (k+1)·N_{k+1}/N_k per row, exact integer
+    // micro. Shape: two chained keyed aggregates (trigram counts,
+    // then count-of-counts — the second input is vocabulary-sized),
+    // with the spectrum CHECKPOINTED for its three consumers (self
+    // left-join on k+1 for N_{k+1}, and the N_1 row — the d86 rule),
+    // and the unseen-mass scalar a 1-row broadcast.
+    "d91_term_spectrum" -> { (s, d) =>
+      val g = Tables.documents(s, d).select(
+        explode(TF.shingles(TF.tokens(col("text")), 3)).as("sh"))
+      val sp = new graft.operators.LineageCheckpoint(s, None)(
+        g.groupBy(col("sh")).agg(count(lit(1)).as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_types")))
+      val uRow = sp.filter(col("k") === 1)
+        .select(col("n_types").as("n1"))
+        .crossJoin(g.agg(count(lit(1)).as("n_grams")))
+        .select(expr("(n1 * 1000000) DIV n_grams").as("unseen_mass_micro"))
+      sp.join(sp.select((col("k") - 1).as("k"), col("n_types").as("nx")),
+          Seq("k"), "left")
+        .crossJoin(broadcast(uRow))
+        .select(col("k"), col("n_types"),
+          (col("k") * col("n_types")).as("mass"),
+          coalesce(expr("((k + 1) * nx * 1000000) DIV n_types"), lit(0L))
+            .as("gt_next_micro"),
+          col("unseen_mass_micro"))
+        .orderBy(col("k"))
+    },
+
     // SHARD SIMILARITY MATRIX FROM MERGED MINHASH SIGNATURES — the
     // corpus-vs-corpus MinHash face of q27's mergeable-state rule:
     // each shard owns a 16-permutation signature (per-perm MIN over
@@ -3339,6 +3373,28 @@ object TextQueries {
         |JOIN sz sb ON b_id = sb.doc_id
         |WHERE (n_shared * 1000000) // (sa.n + sb.n - n_shared) >= 500000
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // d91: count-of-counts CTEs + the k+1 self left-join; unseen mass
+    // and smoothed counts in integer micro so DIV matches.
+    "d91_term_spectrum" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, len(toks)-1),
+        |       i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS sh
+        |      FROM t),
+        |c AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS k FROM g GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_grams FROM g),
+        |sp AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_types
+        |       FROM c GROUP BY 1),
+        |u AS (SELECT COALESCE((SELECT n_types FROM sp WHERE k = 1), 0)
+        |        * 1000000 // n_grams AS unseen_mass_micro FROM tot)
+        |SELECT sp.k AS k, sp.n_types AS n_types,
+        | sp.k * sp.n_types AS mass,
+        | COALESCE((sp.k + 1) * nx.n_types * 1000000 // sp.n_types, 0)
+        |   AS gt_next_micro,
+        | u.unseen_mass_micro AS unseen_mass_micro
+        |FROM sp LEFT JOIN sp nx ON nx.k = sp.k + 1 CROSS JOIN u
+        |ORDER BY k""".stripMargin,
 
     // d90: the 4×16 signature table built by per-shard MINs over the
     // same prefixed digest slices; pair cells by perm-equality sums;

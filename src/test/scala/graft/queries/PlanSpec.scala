@@ -916,6 +916,16 @@ class PlanSpec extends AnyFunSuite {
       "the join back is shingle-keyed")
   }
 
+  test("d91: the spectrum checkpoints once; Good-Turing joins run over spectrum-sized frames") {
+    val p = plan("d91_term_spectrum")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"all three spectrum consumers must read the materialized frame:\n${p.take(600)}")
+    assert("Window \\[".r.findAllIn(p).isEmpty,
+      "N_{k+1} is a keyed self-join, never a lead window")
+    assert(!p.contains("SortMergeJoin"),
+      s"spectrum-sized joins must broadcast:\n${p.take(600)}")
+  }
+
   test("d90: signature estimates are driver codebook arithmetic; exact arm reads the checkpointed postings") {
     val p = plan("d90_shard_minhash")
     assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
