@@ -510,6 +510,89 @@ object EventStreams {
       (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
     }
 
+  /** Closed per-(hour, user) spend windows — the input of
+    * [[leaderboardSink]]; e19's first aggregate as a watermarked
+    * tumbling window. Append mode emits each (hour, user) total
+    * exactly once, on close.
+    */
+  def hourlyUserValue(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("user_id"),
+        col("total_value"))
+
+  /** One ranked row from [[LeaderboardLedger.top]] — e19's row shape
+    * over the ledger's closed hours.
+    */
+  final case class LeaderboardRow(hour_idx: Long, rank: Long,
+      user_id: Long, total_value: Double)
+
+  /** Driver-held ledger for [[leaderboardSink]]: e19's hourly
+    * top-spender leaderboard run CONTINUOUSLY. State is one double per
+    * CLOSED (hour, user) — the first-level aggregate the stream
+    * already paid; ranking is [[graft.operators.Sketches.TopKByScore]]
+    * order (value DESC, user ASC) replayed per hour over
+    * catalog-sized state, so on closed hours the rows match the batch
+    * query exactly (values arrive as the stream's own decimal-summed
+    * doubles — the ledger never re-adds them, so there is no
+    * merge-order drift to reconcile). Idempotent per batchId.
+    *
+    * Unlike the CUSUM/Holt recurrences, hours are INDEPENDENT here, so
+    * [[evictBefore]] is score-invariant for every surviving hour — the
+    * eviction contract is free.
+    */
+  final class LeaderboardLedger(k: Int = 3) {
+    require(k >= 1, s"leaderboard needs k >= 1, got $k")
+    private[streaming] var totals: Map[(Long, Long), Double] = Map.empty
+    private[streaming] var lastBatchId: Long = -1L
+    private val hourUs = 3600L * 1000 * 1000
+
+    /** Folds one micro-batch of closed [[hourlyUserValue]] windows;
+      * idempotent per batchId.
+      */
+    def ingest(batch: DataFrame, batchId: Long): Unit =
+      if (batchId > lastBatchId) {
+        batch.select(col("hour"), col("user_id"), col("total_value"))
+          .collect()
+          .foreach { r =>
+            totals += (r.getTimestamp(0).getTime * 1000L / hourUs,
+              r.getLong(1)) -> r.getDouble(2)
+          }
+        lastBatchId = batchId
+      }
+
+    /** e19 over the ledger: per closed hour, the top-k spenders ranked
+      * (value DESC, user ASC).
+      */
+    def top(): Seq[LeaderboardRow] =
+      totals.groupBy(_._1._1).toSeq.sortBy(_._1).flatMap { case (h, m) =>
+        m.toSeq.map { case ((_, u), v) => (u, v) }
+          .sortBy { case (u, v) => (-v, u) }
+          .take(k).zipWithIndex
+          .map { case ((u, v), i) => LeaderboardRow(h, i + 1L, u, v) }
+      }
+
+    /** Drops every closed (hour, user) strictly before `minHourIdx`;
+      * surviving hours' rankings are unchanged (hours independent).
+      */
+    def evictBefore(minHourIdx: Long): Unit =
+      totals = totals.filter { case ((h, _), _) => h >= minHourIdx }
+  }
+
+  /** Streaming face of e19: [[hourlyUserValue]]'s finalized windows
+    * feed the [[LeaderboardLedger]] — wire as
+    * `leaderboardSink(hourlyUserValue(events), ledger)
+    * .outputMode("append")`.
+    */
+  def leaderboardSink(closedWindows: DataFrame, ledger: LeaderboardLedger)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    closedWindows.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
+    }
+
   /** One forecast row from [[HoltLedger.forecast]] — e36's row shape
     * over the ledger's observed hours.
     */

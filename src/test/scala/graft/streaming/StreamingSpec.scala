@@ -1537,6 +1537,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("leaderboardSink: ledger rankings equal the batch e19 top-k on closed hours") {
+    implicit val sq = spark.sqlContext
+    val hourUs = 3600L * 1000 * 1000
+    // users 0-5 spend distinct amounts per hour, with ties on value
+    // (users 3 and 4 — rank must break to the smaller id) and hourly
+    // rotation so the podium changes.
+    val evts = for {
+      hr <- 0L until 6L
+      u <- 0L until 6L
+      rep <- 0L until (1L + (u + hr) % 3)
+    } yield (hr * 100 + u * 10 + rep, hr * hourUs + u * 60000000L +
+        rep * 1000000L, u, if (u == 3 || u == 4) 50.0 else (u + hr) % 5 * 25.0)
+    def replay(): Seq[EventStreams.LeaderboardRow] = {
+      val totals = evts.groupBy(e => (e._2 / hourUs, e._3))
+        .view.mapValues(_.map(_._4).sum).toMap
+      totals.groupBy(_._1._1).toSeq.sortBy(_._1).flatMap { case (h, m) =>
+        m.toSeq.map { case ((_, u), v) => (u, v) }
+          .sortBy { case (u, v) => (-v, u) }
+          .take(3).zipWithIndex
+          .map { case ((u, v), i) =>
+            EventStreams.LeaderboardRow(h, i + 1L, u, v) }
+      }
+    }
+    val want = replay()
+    assert(want.exists(r => r.user_id == 3L) &&
+      want.filter(_.rank == 1L).map(_.user_id).distinct.length > 1,
+      s"fixture must exercise ties and podium rotation: $want")
+
+    val in = MemoryStream[(Long, Long, Long, Double)]
+    val ledger = new EventStreams.LeaderboardLedger(3)
+    val stream = in.toDS().toDF("event_id", "ts_us", "user_id", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStreams.leaderboardSink(
+        EventStreams.hourlyUserValue(stream, "1 hour"), ledger)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      val ordered = evts.sortBy(_._2)
+      ordered.grouped(ordered.length / 3 + 1).foreach { g =>
+        in.addData(g: _*); q.processAllAvailable()
+      }
+      in.addData((999999L, 100L * hourUs, 0L, 1.0)); q.processAllAvailable()
+      in.addData((999998L, 100L * hourUs + 1L, 0L, 1.0)); q.processAllAvailable()
+      val got = ledger.top()
+      assert(got == want,
+        s"leaderboard ledger diverged from batch:\n got: $got\nwant: $want")
+      // replayed batchId is a no-op
+      val before = ledger.totals
+      ledger.ingest(Seq((new java.sql.Timestamp(0L), 0L, 999.0))
+        .toDF("hour", "user_id", "total_value"), ledger.lastBatchId)
+      assert(ledger.totals == before)
+      // hours are independent: eviction leaves surviving ranks intact
+      ledger.evictBefore(2L)
+      assert(ledger.top() == want.filter(_.hour_idx >= 2L),
+        "post-eviction rankings must equal the surviving hours' batch rows")
+    } finally q.stop()
+  }
+
   test("holtSink: ledger forecasts equal the batch e36 recurrence on closed hours") {
     implicit val sq = spark.sqlContext
     val hourUs = 3600L * 1000 * 1000
