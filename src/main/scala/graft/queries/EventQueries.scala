@@ -453,6 +453,48 @@ object EventQueries {
         .orderBy(col("type_a"), col("type_b"))
     },
 
+    // NET REVENUE RETENTION COHORT MATRIX — e08's dollar-based
+    // sibling and the metric a revenue team actually tracks: cohort =
+    // first-ACTIVITY day (any event), revenue = purchase value only,
+    // and each (cohort, day-offset) cell reports its purchase revenue
+    // as a micro-ratio of the cohort's day-0 purchase revenue (NDR;
+    // cells of a cohort with zero day-0 revenue report 0 rather than
+    // divide — the branch bites at sf0.01). Values go through
+    // DECIMAL(12,2)→cents BIGINTs at the row level so every sum and
+    // ratio is exact integer arithmetic. Shape: one user-keyed min
+    // (cohort assignment), one user-keyed join back, one
+    // (cohort, offset)-keyed sum — then the day-0 base is recovered
+    // with a window over `cohort_day` on the CELLS frame rather than a
+    // self-join: cells is (cohorts × offsets)-sized, so each window
+    // partition is calendar-bounded (≤ #days rows), while the join
+    // form would replay the whole scan+join+agg subtree a second time
+    // (the d86/e37 branch-replay lesson). events pays exactly the two
+    // scans the cohort assignment inherently needs (e08's shape).
+    "e38_revenue_retention" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr(s"(ts_ns div 1000) div $DayUs").as("day"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long")
+            .as("cents"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      val cells = ev.filter(col("event_type") === "purchase")
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(sum(col("cents")).as("rev_cents"))
+      val wb = Window.partitionBy(col("cohort_day"))
+      cells
+        .withColumn("base_cents",
+          coalesce(
+            max(when(col("day_offset") === 0, col("rev_cents"))).over(wb),
+            lit(0L)))
+        .withColumn("ndr_micro",
+          when(col("base_cents") > 0,
+            expr("(rev_cents * 1000000) DIV base_cents")).otherwise(0L))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
     // PEAK CONCURRENT SESSIONS VIA DISTRIBUTED SWEEP-LINE — the
     // interval-stabbing max ("how many sessions were open at once")
     // computed the only way it parallelizes: a naive sweep needs ONE
@@ -1583,6 +1625,30 @@ object EventQueries {
         |FROM p JOIN n na ON p.type_a = na.event_type
         |JOIN n nb ON p.type_b = nb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // e38: cohort CTE over all events, purchase-only cents cells, the
+    // day-0 base left-joined back; ratios in integer micro.
+    "e38_revenue_retention" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |        epoch_us(ts) // 86400000000 AS day,
+        |        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |          AS cents
+        |       FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1),
+        |cells AS (SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+        |        CAST(SUM(e.cents) AS BIGINT) AS rev_cents
+        |       FROM ev e JOIN c ON e.user_id = c.user_id
+        |       WHERE e.event_type = 'purchase'
+        |       GROUP BY 1, 2),
+        |b AS (SELECT cohort_day, rev_cents AS base_cents FROM cells
+        |      WHERE day_offset = 0)
+        |SELECT cells.cohort_day, cells.day_offset, cells.rev_cents,
+        | COALESCE(b.base_cents, 0) AS base_cents,
+        | CASE WHEN COALESCE(b.base_cents, 0) > 0
+        |      THEN (cells.rev_cents * 1000000) // b.base_cents
+        |      ELSE CAST(0 AS BIGINT) END AS ndr_micro
+        |FROM cells LEFT JOIN b ON cells.cohort_day = b.cohort_day
+        |ORDER BY cells.cohort_day, cells.day_offset""".stripMargin,
 
     // e37: e02's session CTEs, the ±1 delta union, a per-day running
     // sum (ties: starts before ends via delta DESC — intermediate tie

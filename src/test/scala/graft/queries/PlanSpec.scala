@@ -1009,6 +1009,23 @@ class PlanSpec extends AnyFunSuite {
       "the hourly rollup must read exactly (event_type, ts)")
   }
 
+  test("e38: NDR base is a days-matrix window, not a replayed-subtree self-join") {
+    val p = plan("e38_revenue_retention")
+    // events pays exactly the two scans the cohort assignment needs
+    // (min-day over all events + the purchase cells); a third scan
+    // would mean the day-0 base re-ran the scan+join+agg subtree.
+    val sc = scans("e38_revenue_retention")
+    assert(sc.length == 2, s"expected 2 events scans, got ${sc.length}")
+    assert(sc.forall(_._1.toSet.subsetOf(
+        Set("ts", "user_id", "event_type", "value"))),
+      s"scans must prune to (ts, user_id, event_type, value): $sc")
+    // one window, over the (cohorts × offsets)-sized cells frame —
+    // its partitions are calendar-bounded regardless of event volume.
+    assert("Window \\[".r.findAllIn(p).length == 1,
+      s"exactly the cohort_day base window:\n${p.take(800)}")
+    assert(!p.contains("Expand"), "no distinct/rollup Expand anywhere")
+  }
+
   test("v24: both recall arms are per-partition top-k heaps; codes never join at score time") {
     val p = plan("v24_pq_recall")
     assert(p.contains("TakeOrderedAndProject"),
