@@ -854,6 +854,50 @@ object RelationalQueries {
         .orderBy(col("price_cents"), col("o_orderkey"))
     },
 
+    // LORENZ CURVE + GINI over customer revenue — the concentration
+    // profile ("what share of revenue do the bottom k deciles hold")
+    // that needs EXACT global ranks, i.e. the textbook
+    // `row_number() OVER (ORDER BY revenue)` whose no-PARTITION window
+    // is the banished move-everything-to-one-task shape. Ranks come
+    // from [[graft.operators.Ranks.globalRowNumber]] instead: range
+    // repartition + per-partition counts (one long per partition on
+    // the driver) + broadcast prefix offsets. Everything is exact
+    // integer arithmetic: revenue in cents, cumulative shares and the
+    // Gini coefficient as micro-ratios, the Gini numerator
+    // 2·Σrk·cents − (n+1)·tot (nonnegative for ascending ranks by
+    // Chebyshev's sum inequality) widened to DECIMAL(38,0) before the
+    // ×1e6 so it cannot overflow a long at large SF. The only Window
+    // is the 10-row decile cumulative (e34's small-frame license);
+    // the totals frame is one broadcast row.
+    "q46_lorenz_gini" -> { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("cents"))
+        .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+      val ranked = graft.operators.Ranks.globalRowNumber(
+        rev, Seq(col("cents"), col("o_custkey")), "rk")
+      val tot = ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("tot"),
+        sum(col("rk") * col("cents")).as("w"))
+      val dec = ranked.crossJoin(broadcast(tot))
+        .groupBy(expr("((rk - 1) * 10) div n").as("decile"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("cents")).as("rev_cents"))
+      val wc = Window.orderBy(col("decile"))
+      dec.withColumn("cum", sum(col("rev_cents")).over(wc))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_cust"), col("rev_cents"),
+          expr("(CAST(cum AS DECIMAL(38,0)) * 1000000) div tot")
+            .as("cum_share_micro"),
+          expr("""((CAST(2 AS DECIMAL(38,0)) * w
+                   - CAST(n + 1 AS DECIMAL(38,0)) * tot) * 1000000)
+                  div (CAST(n AS DECIMAL(38,0)) * tot)""")
+            .as("gini_micro"))
+        .orderBy(col("decile"))
+    },
+
     // REFERENTIAL ACTIVITY PROFILE — the FK-health / coverage check a
     // warehouse runs per reporting window: customer→orders fan-out
     // inside 1995 (how many customers ordered, how many went dark, the
@@ -1592,6 +1636,34 @@ object RelationalQueries {
         |FROM w
         |WHERE day = m_same AND (m_smaller IS NULL OR day < m_smaller)
         |ORDER BY price_cents, o_orderkey""".stripMargin,
+
+    // q46: the oracle uses the window row_number the engine avoids;
+    // HUGEINT widenings mirror the Spark DECIMAL(38,0) ones, sums cast
+    // back to BIGINT (HUGEINT→float64 dtype trap).
+    "q46_lorenz_gini" ->
+      """WITH rev AS (SELECT o_custkey,
+        |        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |          AS BIGINT)) AS BIGINT) AS cents
+        |       FROM orders GROUP BY 1),
+        |r AS (SELECT o_custkey, cents,
+        |       ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rk
+        |      FROM rev),
+        |t AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS tot,
+        |       CAST(SUM(rk * cents) AS BIGINT) AS w FROM r),
+        |d AS (SELECT ((r.rk - 1) * 10) // t.n AS decile,
+        |       CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |       CAST(SUM(r.cents) AS BIGINT) AS rev_cents
+        |      FROM r CROSS JOIN t GROUP BY 1),
+        |c AS (SELECT decile, n_cust, rev_cents,
+        |       CAST(SUM(rev_cents) OVER (ORDER BY decile) AS BIGINT) AS cum
+        |      FROM d)
+        |SELECT c.decile, c.n_cust, c.rev_cents,
+        | CAST((CAST(c.cum AS HUGEINT) * 1000000) // t.tot AS BIGINT)
+        |  AS cum_share_micro,
+        | CAST(((CAST(2 AS HUGEINT) * t.w - CAST(t.n + 1 AS HUGEINT) * t.tot)
+        |       * 1000000) // (CAST(t.n AS HUGEINT) * t.tot) AS BIGINT)
+        |  AS gini_micro
+        |FROM c CROSS JOIN t ORDER BY c.decile""".stripMargin,
 
     // q44: the oracle states the THETA join directly — the bucketized
     // plan must reproduce the naive band semantics exactly.

@@ -1009,6 +1009,23 @@ class PlanSpec extends AnyFunSuite {
       "the hourly rollup must read exactly (event_type, ts)")
   }
 
+  test("q46: ranks come from the two-pass operator, never a global window") {
+    val p = plan("q46_lorenz_gini")
+    // The ranked frame enters the plan as the materialized RDD from
+    // Ranks.globalRowNumber; a WindowExec with an empty partition spec
+    // over the customer frame would be the banished one-task sort. The
+    // only window allowed is the 10-row decile cumulative, which sits
+    // ABOVE the decile aggregate — so the plan has exactly one Window
+    // and at least one ExistingRDD scan.
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"ranked frame must be the checkpointed two-pass RDD:\n${p.take(600)}")
+    assert("Window \\[".r.findAllIn(p).length == 1,
+      s"exactly the decile-frame cumulative window:\n${p.take(800)}")
+    assert(scans("q46_lorenz_gini").forall(
+        _._1.sorted == Seq("o_custkey", "o_totalprice")),
+      "the revenue rollup must read exactly (o_custkey, o_totalprice)")
+  }
+
   test("e38: NDR base is a days-matrix window, not a replayed-subtree self-join") {
     val p = plan("e38_revenue_retention")
     // events pays exactly the two scans the cohort assignment needs
