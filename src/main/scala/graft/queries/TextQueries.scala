@@ -1456,6 +1456,23 @@ object TextQueries {
     // with the spectrum CHECKPOINTED for its three consumers (self
     // left-join on k+1 for N_{k+1}, and the N_1 row — the d86 rule),
     // and the unseen-mass scalar a 1-row broadcast.
+    // EXACT SET-SIMILARITY JOIN VIA PREFIX FILTERING
+    // ([[graft.text.Dedup.prefixFilterJaccardPairs]]) — d35's pair set
+    // (exact Jaccard ≥ t on distinct 3-shingle sets, completeness a
+    // THEOREM) through the SSJoin/All-Pairs candidate pruning: only
+    // each document's p = n − ⌈t·n⌉ + 1 globally-RAREST shingles enter
+    // the shingle-keyed self-join, so boilerplate shingles (the df²
+    // blowup d36 caps away lossily) never generate candidates, and the
+    // exact score is verified row-locally on the candidate pairs.
+    // Higher threshold than d35 (0.6) so the prefix is short and the
+    // pruning bites at test scale; the oracle is the naive full join —
+    // the equality IS the completeness theorem, end-to-end.
+    "d92_prefix_filter_pairs" -> { (s, d) =>
+      graft.text.Dedup.prefixFilterJaccardPairs(
+        Tables.documents(s, d), "doc_id", "text", threshold = 0.6)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     "d91_term_spectrum" -> { (s, d) =>
       val g = Tables.documents(s, d).select(
         explode(TF.shingles(TF.tokens(col("text")), 3)).as("sh"))
@@ -3376,6 +3393,23 @@ object TextQueries {
 
     // d91: count-of-counts CTEs + the k+1 self left-join; unseen mass
     // and smoothed counts in integer micro so DIV matches.
+    // d92: the naive full-posting join at t=0.6 — the prefix-filtered
+    // plan must reproduce it exactly (completeness theorem).
+    "d92_prefix_filter_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |ss AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS ss FROM t),
+        |p AS (SELECT doc_id, unnest(ss) AS sh FROM ss),
+        |ix AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS ix
+        |       FROM p x JOIN p y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |       GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(ss) AS n FROM ss)
+        |SELECT a_id, b_id,
+        | CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) AS jaccard
+        |FROM ix JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        |WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.6e0
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "d91_term_spectrum" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
         |           FROM documents),

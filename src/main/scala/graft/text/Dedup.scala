@@ -206,6 +206,81 @@ object Dedup {
           / (col("_nj_na") + col("_nj_nb") - col("_nj_ix"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
+  /** [[ngramJaccardPairs]]'s pair set through PREFIX FILTERING (the
+    * SSJoin/All-Pairs/PPJoin candidate-pruning family: Chaudhuri et
+    * al. ICDE'06, Bayardo et al. WWW'07) — exact, like d35, but the
+    * shingle-keyed self-join consumes only each document's PREFIX
+    * instead of its full posting list.
+    *
+    * Order the universe of shingles globally by rarity (df asc, then
+    * shingle — any fixed total order works; rare-first minimizes
+    * candidates) and sort each document's set in that order. If
+    * J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so A's matches cannot all hide
+    * in A's last ⌈t·|A|⌉−1 shingles: any qualifying pair MUST share a
+    * shingle within the first p = |A| − ⌈t·|A|⌉ + 1 of each side.
+    * Candidates = prefix⋈prefix on the shingle; the exact Jaccard is
+    * then verified per candidate with a row-local array intersection
+    * after two id-keyed joins back to the full sets. Completeness is
+    * a theorem, not a tuning outcome — unlike the `maxDf` cap (lower
+    * bound) or MinHash banding (probabilistic recall), the output
+    * equals the naive join's EXACTLY at every threshold (DedupSpec
+    * pins ≡ on the corpus fixture).
+    *
+    * 100-TB shape: the join-side posting volume drops from Σ|doc| to
+    * Σ(|doc|−⌈t·|doc|⌉+1) ≈ (1−t)·Σ|doc|, and because prefixes take
+    * the RAREST shingles first, the candidate volume Σ_s df_pref(s)²
+    * collapses — boilerplate shingles (the df² blowup d36 caps away
+    * lossily) land in suffixes and never generate candidates at all.
+    * The per-doc prefix pick is a row_number over doc-keyed windows
+    * (partitions bounded by document length); the verify step's array
+    * intersection is row-local on candidate pairs only. Threshold is
+    * taken in exact micro units so ⌈t·n⌉ is integer arithmetic.
+    */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleLen: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefix filtering needs a threshold in (0, 1], got $threshold")
+    val tMicro = math.round(threshold * 1e6)
+    val sets = df.select(col(idCol).as("_pf_id"),
+      array_distinct(TF.shingles(TF.tokens(col(textCol)), shingleLen))
+        .as("_pf_ss"))
+    // Set size rides through the explode (one long per posting row) so
+    // the prefix cut needs only the row_number window, not a second
+    // count-over-doc window.
+    val posting = sets
+      .select(col("_pf_id"), size(col("_pf_ss")).as("_pf_n"),
+        explode(col("_pf_ss")).as("_pf_sh"))
+    val dfreq = posting.groupBy(col("_pf_sh"))
+      .agg(count(lit(1)).as("_pf_df"))
+    val wDoc = Window.partitionBy(col("_pf_id"))
+      .orderBy(col("_pf_df"), col("_pf_sh"))
+    val prefix = posting.join(dfreq, "_pf_sh")
+      .withColumn("_pf_pos", row_number().over(wDoc))
+      // p = n − ⌈t·n⌉ + 1, with ⌈t·n⌉ = (T·n + 999999) div 1e6 exact.
+      .filter(col("_pf_pos") <=
+        col("_pf_n") - expr(s"(${tMicro}L * _pf_n + 999999) div 1000000")
+          + lit(1))
+      .select(col("_pf_id"), col("_pf_sh"))
+    val cand = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x._pf_sh") === col("y._pf_sh") &&
+          col("x._pf_id") < col("y._pf_id"))
+      .select(col("x._pf_id").as("a_id"), col("y._pf_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sets.select(col("_pf_id").as("a_id"), col("_pf_ss").as("_pf_sa")),
+        "a_id")
+      .join(sets.select(col("_pf_id").as("b_id"), col("_pf_ss").as("_pf_sb")),
+        "b_id")
+      .withColumn("_pf_ix",
+        size(array_intersect(col("_pf_sa"), col("_pf_sb"))).cast("long"))
+      .select(col("a_id"), col("b_id"),
+        (col("_pf_ix").cast("double")
+          / (size(col("_pf_sa")) + size(col("_pf_sb")) - col("_pf_ix")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Asymmetric near-dup: CONTAINMENT — intersection over the SMALLER
     * shingle set, C = |A∩B| / min(|A|,|B|). Catches the duplications
     * Jaccard structurally cannot: a short document quoted or excerpted

@@ -72,6 +72,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d92: prefix-filter join — equi joins only, prefixes picked below the shingle join") {
+    val p = plan("d92_prefix_filter_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate join degenerated to a cross product:\n${p.take(600)}")
+    // The doc-keyed prefix windows (row_number + per-doc count share
+    // one sort) must sit BELOW the candidate self-join: the plan has
+    // window nodes AND the join count stays the prefix shape's five
+    // (posting⋈df, the prefix self-join, candidates⋈sets twice, plus
+    // nothing else) — a sixth join would mean the verify step stopped
+    // being row-local.
+    assert("Window \\[".r.findAllIn(p).nonEmpty,
+      "prefix selection must be the doc-keyed window")
+    val joins = "Join ".r.findAllIn(p).length
+    assert(joins <= 5, s"expected ≤5 equi joins, found $joins:\n${p.take(800)}")
+    assert(scans("d92_prefix_filter_pairs").forall(
+        _._1.toSet.subsetOf(Set("doc_id", "text"))),
+      "every pass over documents must read at most (doc_id, text) — " +
+        "the df branch prunes down to text alone")
+  }
+
   test("q06: pure scan-aggregate — no join, no window") {
     val p = plan("q06_revenue_delta")
     assert(!p.contains("Join") && !p.contains("Window"))

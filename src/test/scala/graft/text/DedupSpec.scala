@@ -40,6 +40,41 @@ class DedupSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("prefixFilterJaccardPairs equals the naive full-posting join") {
+    import org.apache.spark.sql.functions.col
+    // A corpus with overlap structure at several levels: clusters of
+    // near-identical docs, partial overlaps, and disjoint docs — plus
+    // heavy shared boilerplate so rare-first prefix ordering matters.
+    val corpus = ((0 until 30).map { i =>
+      (i.toLong, s"shared boilerplate header text body word$i word${i % 7} " +
+        s"word${i % 3} tail piece number ${i / 10}")
+    } ++ Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta mu nu xi omicron pi theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta mu nu xi omicron pi iota"),
+      (102L, "alpha beta gamma delta epsilon unrelated totally different"),
+      (103L, "nothing in common with anyone else at all whatsoever")))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.4, 0.6, 0.8)) {
+      val naive = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val pref = Dedup.prefixFilterJaccardPairs(corpus, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(pref == naive,
+        s"t=$t: prefix ${pref.size} vs naive ${naive.size}; " +
+          s"diff=${(pref diff naive) ++ (naive diff pref)}")
+      assert(naive.nonEmpty, s"t=$t fixture must produce pairs to pin anything")
+    }
+    // Edge: t = 1.0 ⇒ prefix length exactly 1 (the rarest shingle) —
+    // still complete for exact-duplicate sets.
+    val dupes = Seq((1L, base), (2L, base), (3L, "other words entirely x y z"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.prefixFilterJaccardPairs(dupes, "doc_id", "text", 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)))
+  }
+
   test("dropExactDuplicates keeps the smallest id per identical text") {
     val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
       .select("doc_id").as[Long].collect().sorted.toSeq
