@@ -262,6 +262,143 @@ object BpeOps {
   }
 }
 
+/** Single-pass multi-pattern substring counting via an Aho–Corasick
+  * automaton — the blocklist/contamination-phrase scan a training
+  * pipeline runs over every document. P regex or `replace`-count
+  * passes cost P scans of the corpus; this is ONE scan per document
+  * regardless of blocklist size, emitting one occurrence count per
+  * pattern (every match position counts, overlapping included — the
+  * standard AC output, and the semantics the oracle states
+  * position-by-position).
+  *
+  * The automaton is built ONCE on the driver from the constant pattern
+  * list and shipped to generated code as a reference object (the
+  * [[BpeSegment]] pattern), so the per-row cost is a byte loop over
+  * the text: `state = delta(state)(b)`, then bump the counts of every
+  * pattern ending at that state. Matching is on UTF-8 BYTES — exact
+  * for substring equality, since a pattern's leading byte can never
+  * match a continuation byte mid-codepoint.
+  *
+  * The goto function is precomputed into a dense 256-wide DFA
+  * (fail links folded at build time), trading memory
+  * (~1 KB per trie node) for a branchless scan loop — right for the
+  * bounded blocklists this models (thousands of phrases); a
+  * million-pattern dictionary would want sorted-edge nodes instead.
+  */
+case class AhoCounts(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "aho_counts needs a non-empty list of non-empty patterns")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "aho_counts"
+
+  @transient private lazy val automaton: AhoAutomaton =
+    new AhoAutomaton(patterns.map(_.getBytes("UTF-8")).toArray)
+
+  override def nullSafeEval(v: Any): Any =
+    automaton.counts(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ahoAutomaton", automaton,
+      classOf[AhoAutomaton].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.counts($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Byte-level Aho–Corasick automaton with the goto function folded
+  * into a dense DFA at build time. Build: trie insert, BFS fail
+  * links, output lists merged down fail chains, transitions completed
+  * so the scan never consults a fail link.
+  */
+final class AhoAutomaton(patterns: Array[Array[Byte]]) extends Serializable {
+  private val nPatterns = patterns.length
+
+  // Trie build with growable dense nodes.
+  private var cap = math.max(16, patterns.map(_.length).sum + 1)
+  private var delta = Array.ofDim[Int](cap, 256)
+  private var ends: Array[List[Int]] = Array.fill(cap)(Nil)
+  private var nNodes = 1
+  locally { // inserts: delta holds raw trie edges (0 = absent; node 0 = root)
+    var p = 0
+    while (p < nPatterns) {
+      val bytes = patterns(p)
+      var s = 0
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        if (delta(s)(b) == 0) {
+          if (nNodes == cap) {
+            cap *= 2
+            delta = delta ++ Array.ofDim[Int](cap - nNodes, 256)
+            ends = ends ++ Array.fill(cap - nNodes)(List.empty[Int])
+          }
+          delta(s)(b) = nNodes
+          nNodes += 1
+        }
+        s = delta(s)(b)
+        i += 1
+      }
+      ends(s) = p :: ends(s)
+      p += 1
+    }
+  }
+
+  // BFS: fail links, merged outputs, and DFA completion in one order.
+  private val out: Array[Array[Int]] = {
+    val fail = new Array[Int](nNodes)
+    val o = new Array[Array[Int]](nNodes)
+    o(0) = ends(0).toArray
+    val queue = new java.util.ArrayDeque[Int]()
+    var b = 0
+    while (b < 256) {
+      val c = delta(0)(b)
+      if (c != 0) { fail(c) = 0; queue.add(c) }
+      b += 1
+    }
+    while (!queue.isEmpty) {
+      val s = queue.poll()
+      o(s) = (ends(s) ++ o(fail(s)).toList).toArray
+      var b2 = 0
+      while (b2 < 256) {
+        val c = delta(s)(b2)
+        if (c != 0) {
+          fail(c) = delta(fail(s))(b2)
+          queue.add(c)
+        } else {
+          delta(s)(b2) = delta(fail(s))(b2) // fold the fail transition
+        }
+        b2 += 1
+      }
+    }
+    o
+  }
+
+  ends = null // build-only state; never ships to executors
+
+  /** One pass over the text's UTF-8 bytes; one count per pattern. */
+  def counts(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val res = new Array[Long](nPatterns)
+    val bytes = text.getBytes
+    var s = 0
+    var i = 0
+    while (i < bytes.length) {
+      s = delta(s)(bytes(i) & 0xff)
+      val hits = out(s)
+      var j = 0
+      while (j < hits.length) { res(hits(j)) += 1L; j += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(res)
+  }
+}
+
 object text {
   /** Array of `nBands` minhash values for a string-array column. */
   def minhashSlices(shingles: Column, nBands: Int = 4): Column =
@@ -279,4 +416,8 @@ object text {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Per-pattern overlapping substring counts in one Aho–Corasick pass. */
+  def ahoCounts(textCol: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(AhoCounts(ColumnBridge.expression(textCol), patterns))
 }

@@ -1456,6 +1456,32 @@ object TextQueries {
     // with the spectrum CHECKPOINTED for its three consumers (self
     // left-join on k+1 for N_{k+1}, and the N_1 row — the d86 rule),
     // and the unseen-mass scalar a 1-row broadcast.
+    // BLOCKLIST PHRASE SCAN VIA AHO–CORASICK
+    // ([[graft.functions.AhoCounts]]) — the contamination-phrase /
+    // banned-content screen: ONE codegen'd automaton pass per document
+    // counts every occurrence of every blocklist pattern (overlapping
+    // included — "batch batch batch" holds TWO "batch batch"es; nested
+    // patterns both fire — "table scan" also bumps "scan" via the
+    // suffix-output links), where the P-regex alternative costs P
+    // corpus scans. The automaton is driver-built from the constant
+    // list and ships as a codegen reference object; the pattern axis
+    // fans out row-locally (posexplode over the counts array), so the
+    // whole query is a scan projection — no join, no hash shuffle.
+    // "zz never" pins the zero row; "a" pins sub-token substring
+    // semantics (22+ hits per doc).
+    "d93_blocklist_scan" -> { (s, d) =>
+      val pats = Seq("table scan", "scan", "batch batch", "sort merge",
+        "a", "zz never")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(graft.functions.text.ahoCounts(col("text"), pats)))
+        .select(col("doc_id"),
+          element_at(array(pats.map(lit): _*), col("pos") + 1)
+            .as("pattern"),
+          col("col").as("n_hits"))
+        .orderBy(col("doc_id"), col("pattern"))
+    },
+
     // EXACT SET-SIMILARITY JOIN VIA PREFIX FILTERING
     // ([[graft.text.Dedup.prefixFilterJaccardPairs]]) — d35's pair set
     // (exact Jaccard ≥ t on distinct 3-shingle sets, completeness a
@@ -3393,6 +3419,18 @@ object TextQueries {
 
     // d91: count-of-counts CTEs + the k+1 self left-join; unseen mass
     // and smoothed counts in integer micro so DIV matches.
+    // d93: position-by-position overlapping substring counts — the
+    // exact semantics AC emits, stated without any automaton.
+    "d93_blocklist_scan" ->
+      """WITH pats AS (SELECT * FROM (VALUES ('table scan'),('scan'),
+        |  ('batch batch'),('sort merge'),('a'),('zz never')) AS t(pattern))
+        |SELECT d.doc_id, p.pattern,
+        | CAST(len(list_filter(range(1, length(d.text) - length(p.pattern) + 2),
+        |      i -> substr(d.text, i, length(p.pattern)) = p.pattern))
+        |   AS BIGINT) AS n_hits
+        |FROM documents d CROSS JOIN pats p
+        |ORDER BY d.doc_id, p.pattern""".stripMargin,
+
     // d92: the naive full-posting join at t=0.6 — the prefix-filtered
     // plan must reproduce it exactly (completeness theorem).
     "d92_prefix_filter_pairs" ->

@@ -72,6 +72,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d93: blocklist scan is a pure scan projection — no join, no hash shuffle") {
+    val p = plan("d93_blocklist_scan")
+    assert(!p.contains("Join"), s"pattern fan-out must be row-local:\n${p.take(600)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no aggregation/join shuffle — only the presentation sort:\n${p.take(600)}")
+    assert(p.contains("aho_counts"),
+      "the native AC expression must survive into the physical plan")
+    assert(scans("d93_blocklist_scan").forall(_._1.sorted == Seq("doc_id", "text")),
+      "the scan must read exactly (doc_id, text)")
+  }
+
   test("d92: prefix-filter join — equi joins only, prefixes picked below the shingle join") {
     val p = plan("d92_prefix_filter_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
