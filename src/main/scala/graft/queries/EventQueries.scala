@@ -614,6 +614,69 @@ object EventQueries {
         .orderBy(col("event_type"))
     },
 
+    // HOLT-WINTERS ADDITIVE SEASONAL FORECAST — e36's Holt recurrence
+    // plus a 24-slot hour-of-day seasonal vector (alpha=1/5, beta=1/10,
+    // gamma=1/10, all exact integer micro DIVs): l' = (y − s[h%24] +
+    // 4(l+b)) div 5, b' = (l' − l + 9b) div 10, s'[h%24] = (y − l' +
+    // 9s[h%24]) div 10; init l=y₁, b=0, s=0⃗ — fully deterministic, no
+    // first-cycle averaging. Same scale contract as e36: ONE hourly
+    // rollup over the log, then the fold runs over catalog-sized
+    // (type, hours) rows; the seasonal vector is a 24-long array
+    // updated via an indexed transform INSIDE the fold (row-local,
+    // never a shuffle). The next-hour forecast adds the upcoming
+    // hour-of-day's seasonal. Truncate-toward-zero div on both
+    // engines, pinned by this fixture's negative trends.
+    "e39_holt_winters" -> { (s, d) =>
+      def tdiv(a: Column, b: Long): Column =
+        ((a - (a % lit(b))) / lit(b)).cast("long")
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr(s"ts_ns div 1000 div $HourUs").as("hour_idx"))
+        .agg(count(lit(1)).as("n"))
+      val typed = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          array_sort(collect_list(struct(col("hour_idx"), col("n"))))
+            .as("hs"))
+      val zero = struct(lit(0L).as("i"), lit(0L).as("l"), lit(0L).as("b"),
+        array_repeat(lit(0L), 24).as("s"), lit(0L).as("lasth"),
+        lit(0L).as("sae"))
+      val folded = aggregate(col("hs"), zero, (st, x) => {
+        val y = x.getField("n") * lit(1000000L)
+        val idx = (x.getField("hour_idx") % 24L).cast("int")
+        val first = st.getField("i") === 0L
+        val so = element_at(st.getField("s"), idx + 1)
+        val lb = st.getField("l") + st.getField("b")
+        val ae = abs(y - lb - so)
+        val lNew = tdiv(y - so + lit(4L) * lb, 5L)
+        val bNew = tdiv(lNew - st.getField("l")
+          + lit(9L) * st.getField("b"), 10L)
+        val sNew = tdiv(y - lNew + lit(9L) * so, 10L)
+        struct(
+          (st.getField("i") + 1L).as("i"),
+          when(first, y).otherwise(lNew).as("l"),
+          when(first, lit(0L)).otherwise(bNew).as("b"),
+          when(first, st.getField("s"))
+            .otherwise(transform(st.getField("s"), (v, j) =>
+              when(j === idx, sNew).otherwise(v))).as("s"),
+          x.getField("hour_idx").as("lasth"),
+          when(first, lit(0L))
+            .otherwise(st.getField("sae") + ae).as("sae"))
+      })
+      typed.select(col("event_type"), col("n_hours"),
+          folded.getField("l").as("level_micro"),
+          folded.getField("b").as("trend_micro"),
+          (folded.getField("l") + folded.getField("b")
+            + element_at(folded.getField("s"),
+              ((folded.getField("lasth") + 1L) % 24L).cast("int") + 1))
+            .as("forecast_micro"),
+          folded.getField("sae").as("sae"))
+        .select(col("event_type"), col("n_hours"), col("level_micro"),
+          col("trend_micro"), col("forecast_micro"),
+          when(col("n_hours") > 1, expr("sae div (n_hours - 1)"))
+            .otherwise(0L).as("mae_micro"))
+        .orderBy(col("event_type"))
+    },
+
     // KAPLAN-MEIER TIME-TO-CONVERSION SURVIVAL — the estimator that
     // handles CENSORING honestly, on the question a growth team
     // actually asks: how long from first activity to the first
@@ -1725,6 +1788,53 @@ object EventQueries {
         |      THEN CAST(r.sae // (m.n_hours - 1) AS BIGINT)
         |      ELSE CAST(0 AS BIGINT) END AS mae_micro,
         | r.maxae AS max_abs_err_micro
+        |FROM r JOIN m ON r.event_type = m.event_type AND r.i = m.n_hours
+        |ORDER BY event_type""".stripMargin,
+
+    // e39: e36's recursive CTE with the 24-slot seasonal list carried
+    // as recursion state (list_transform with index = the indexed
+    // transform in the Spark fold).
+    "e39_holt_winters" ->
+      """WITH RECURSIVE
+        |h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour_idx,
+        |       CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |i AS (SELECT event_type, hour_idx, n,
+        |       ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY hour_idx) AS i
+        |      FROM h),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours
+        |      FROM i GROUP BY 1),
+        |r(event_type, i, l, b, s, lasth, sae) AS (
+        |  SELECT i.event_type, CAST(1 AS BIGINT), i.n*1000000,
+        |   CAST(0 AS BIGINT),
+        |   list_transform(range(24), x -> CAST(0 AS BIGINT)),
+        |   i.hour_idx, CAST(0 AS BIGINT)
+        |  FROM i WHERE i.i = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.i + 1,
+        |   (i.n*1000000 - r.s[CAST(i.hour_idx % 24 AS INT) + 1]
+        |    + 4*(r.l + r.b)) // 5,
+        |   (((i.n*1000000 - r.s[CAST(i.hour_idx % 24 AS INT) + 1]
+        |      + 4*(r.l + r.b)) // 5) - r.l + 9*r.b) // 10,
+        |   list_transform(r.s, (x, j) ->
+        |     CASE WHEN j = CAST(i.hour_idx % 24 AS INT) + 1
+        |     THEN (i.n*1000000
+        |           - ((i.n*1000000 - r.s[CAST(i.hour_idx % 24 AS INT) + 1]
+        |              + 4*(r.l + r.b)) // 5)
+        |           + 9*x) // 10
+        |     ELSE x END),
+        |   i.hour_idx,
+        |   r.sae + ABS(i.n*1000000 - r.l - r.b
+        |               - r.s[CAST(i.hour_idx % 24 AS INT) + 1])
+        |  FROM r JOIN i ON i.event_type = r.event_type AND i.i = r.i + 1
+        |)
+        |SELECT r.event_type AS event_type, m.n_hours,
+        | r.l AS level_micro, r.b AS trend_micro,
+        | r.l + r.b + r.s[CAST((r.lasth + 1) % 24 AS INT) + 1]
+        |  AS forecast_micro,
+        | CASE WHEN m.n_hours > 1
+        |      THEN CAST(r.sae // (m.n_hours - 1) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS mae_micro
         |FROM r JOIN m ON r.event_type = m.event_type AND r.i = m.n_hours
         |ORDER BY event_type""".stripMargin,
 

@@ -1040,6 +1040,15 @@ class PlanSpec extends AnyFunSuite {
       "the hourly rollup must read exactly (event_type, ts)")
   }
 
+  test("e39: the seasonal recurrence folds per-type rows after one hourly reduce") {
+    val p = plan("e39_holt_winters")
+    assert(!p.contains("Join"), s"one aggregate chain, no join:\n${p.take(600)}")
+    assert("Window \\[".r.findAllIn(p).isEmpty,
+      "the sequential recurrence is an array fold, never a running window")
+    assert(scans("e39_holt_winters").forall(_._1.sorted == Seq("event_type", "ts")),
+      "the hourly rollup must read exactly (event_type, ts)")
+  }
+
   test("q46: ranks come from the two-pass operator, never a global window") {
     val p = plan("q46_lorenz_gini")
     // The ranked frame enters the plan as the materialized RDD from
