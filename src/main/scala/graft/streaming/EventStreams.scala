@@ -685,6 +685,95 @@ object EventStreams {
       (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
     }
 
+  /** One forecast row from [[HoltWintersLedger.forecast]] — e39's row
+    * shape over the ledger's observed hours.
+    */
+  final case class HoltWintersRow(event_type: String, n_hours: Long,
+      level_micro: Long, trend_micro: Long, forecast_micro: Long,
+      mae_micro: Long)
+
+  /** [[HoltLedger]] with e39's 24-slot hour-of-day seasonal vector —
+    * the continuous face of the Holt-Winters query, for the capacity
+    * alerts where "is this hour unusual" depends on which hour of the
+    * day it is. Same state shape (one long per closed (type, hour),
+    * idempotent per batchId), same eviction contract (the recurrence —
+    * level, trend AND seasonals — re-initializes at the horizon; the
+    * seasonal vector refills over the next cycle). [[forecast]]
+    * replays e39's exact integer recurrence (alpha 1/5, beta 1/10,
+    * gamma 1/10; Scala Long `/` IS both engines' truncate-toward-zero
+    * div), so closed hours match the batch query bit for bit
+    * (StreamingSpec pins it against a driver replay).
+    */
+  final class HoltWintersLedger {
+    private[streaming] var counts: Map[(String, Long), Long] = Map.empty
+    private[streaming] var lastBatchId: Long = -1L
+    private val hourUs = 3600L * 1000 * 1000
+
+    /** Folds one micro-batch of closed [[hourlyRollup]] windows;
+      * idempotent per batchId.
+      */
+    def ingest(batch: DataFrame, batchId: Long): Unit =
+      if (batchId > lastBatchId) {
+        batch.select(col("event_type"), col("hour"), col("n")).collect()
+          .foreach { r =>
+            counts += (r.getString(0),
+              r.getTimestamp(1).getTime * 1000L / hourUs) -> r.getLong(2)
+          }
+        lastBatchId = batchId
+      }
+
+    /** e39 over the ledger: per type, final level/trend, the next-hour
+      * forecast WITH the upcoming hour-of-day's seasonal, and the MAE.
+      * Pure driver arithmetic over catalog-sized state.
+      */
+    def forecast(): Seq[HoltWintersRow] =
+      counts.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (t, m) =>
+        val hs = m.toSeq.map { case ((_, hr), n) => (hr, n) }.sortBy(_._1)
+        val s = Array.fill(24)(0L)
+        var l = 0L
+        var b = 0L
+        var sae = 0L
+        var lasth = 0L
+        var i = 0L
+        hs.foreach { case (hr, n) =>
+          val y = n * 1000000L
+          val idx = (((hr % 24) + 24) % 24).toInt
+          if (i == 0L) { l = y; b = 0L }
+          else {
+            val so = s(idx)
+            sae += math.abs(y - l - b - so)
+            val lNew = (y - so + 4L * (l + b)) / 5L
+            b = (lNew - l + 9L * b) / 10L
+            s(idx) = (y - lNew + 9L * so) / 10L
+            l = lNew
+          }
+          lasth = hr
+          i += 1
+        }
+        val nh = hs.size.toLong
+        HoltWintersRow(t, nh, l, b,
+          l + b + s(((((lasth + 1) % 24) + 24) % 24).toInt),
+          if (nh > 1) sae / (nh - 1) else 0L)
+      }
+
+    /** Drops every closed (type, hour) strictly before `minHourIdx`;
+      * the full recurrence re-initializes at the horizon (class doc).
+      */
+    def evictBefore(minHourIdx: Long): Unit =
+      counts = counts.filter { case ((_, hr), _) => hr >= minHourIdx }
+  }
+
+  /** Streaming face of e39: [[hourlyRollup]]'s finalized windows feed
+    * the [[HoltWintersLedger]] — wire as
+    * `holtWintersSink(hourlyRollup(events), ledger)
+    * .outputMode("append")`.
+    */
+  def holtWintersSink(closedWindows: DataFrame, ledger: HoltWintersLedger)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    closedWindows.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
+    }
+
   /** Per-day exact DAU + KMV user state, finalized at watermark close —
     * the streaming reduce that feeds [[ActivesLedger]] (e29's face).
     * Two CHAINED stateful aggregations (the [[hourlyLeaderboard]]

@@ -1668,6 +1668,81 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("holtWintersSink: ledger equals the batch e39 recurrence; seasonality bites") {
+    implicit val sq = spark.sqlContext
+    val hourUs = 3600L * 1000 * 1000
+    // 60 hours = 2.5 daily cycles: type 'a' carries a real hour-of-day
+    // pattern (nights 6/hour, days 14/hour) plus a slow ramp, so the
+    // seasonal vector materially changes the forecast; 'b' is flat.
+    def aCount(hr: Long): Long = 4L + (if (hr % 24 < 8) 14L else 0L) + hr / 10
+    val evts = (for (hr <- 0L until 60L; i <- 0L until aCount(hr)) yield
+      (hr * 1000 + i, hr * hourUs + i * 1000000L, "a", 1.0)) ++
+      (for (hr <- 0L until 60L; i <- 0L until 7L) yield
+        (90000 + hr * 1000 + i, hr * hourUs + i * 1000000L, "b", 1.0))
+    def replay(t: String, minHr: Long = 0L): EventStreams.HoltWintersRow = {
+      val hours = evts.filter(e => e._3 == t && e._2 / hourUs >= minHr)
+        .groupBy(_._2 / hourUs).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val s = Array.fill(24)(0L)
+      var l = 0L; var b = 0L; var sae = 0L; var lasth = 0L; var i = 0L
+      hours.foreach { case (hr, n) =>
+        val y = n * 1000000L
+        val idx = (hr % 24).toInt
+        if (i == 0L) { l = y; b = 0L }
+        else {
+          val so = s(idx)
+          sae += math.abs(y - l - b - so)
+          val lNew = (y - so + 4L * (l + b)) / 5L
+          b = (lNew - l + 9L * b) / 10L
+          s(idx) = (y - lNew + 9L * so) / 10L
+          l = lNew
+        }
+        lasth = hr; i += 1
+      }
+      val nh = hours.size.toLong
+      EventStreams.HoltWintersRow(t, nh, l, b,
+        l + b + s(((lasth + 1) % 24).toInt),
+        if (nh > 1) sae / (nh - 1) else 0L)
+    }
+    val want = Seq(replay("a"), replay("b"))
+    // the seasonal component must actually move the forecast off l + b
+    assert(math.abs(want.head.forecast_micro
+        - want.head.level_micro - want.head.trend_micro) > 500000L,
+      s"fixture's seasonality too weak to pin anything: $want")
+
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val ledger = new EventStreams.HoltWintersLedger
+    val stream = in.toDS().toDF("event_id", "ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStreams.holtWintersSink(
+        EventStreams.hourlyRollup(stream, "1 hour"), ledger)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      val ordered = evts.sortBy(_._2)
+      ordered.grouped(ordered.length / 5 + 1).foreach { g =>
+        in.addData(g: _*); q.processAllAvailable()
+      }
+      in.addData((999999L, 200L * hourUs, "a", 1.0)); q.processAllAvailable()
+      in.addData((999998L, 200L * hourUs + 1L, "a", 1.0)); q.processAllAvailable()
+      val got = ledger.forecast()
+      assert(got == want,
+        s"HW ledger diverged from the batch recurrence:\n got: $got\nwant: $want")
+      // replayed batchId is a no-op
+      val before = ledger.counts
+      ledger.ingest(Seq(("a", new java.sql.Timestamp(0L), 999L))
+        .toDF("event_type", "hour", "n"), ledger.lastBatchId)
+      assert(ledger.counts == before)
+      // eviction re-initializes level, trend AND seasonals at the horizon
+      ledger.evictBefore(24L)
+      val after = ledger.forecast().find(_.event_type == "a").get
+      assert(after == replay("a", minHr = 24L),
+        s"post-eviction fold must equal the suffix recurrence: $after")
+    } finally q.stop()
+  }
+
   test("bitmapSink: ledger exact actives equal COUNT DISTINCT on closed days") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.{countDistinct, expr => fexpr}
