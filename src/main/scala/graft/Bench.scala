@@ -245,12 +245,16 @@ object Bench {
     // visibly complete since it went fixed-size, yet the harness's
     // parsed field still read null (capture-side last-line selection or
     // the sbt "[info] " prefix) — a file needs no stdout parsing at all.
-    // Same best-effort discipline as BENCH_SPREADS.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_SUMMARY.json"),
-      summary.getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write BENCH_SUMMARY.json: $e")
+    // Same best-effort discipline as BENCH_SPREADS. FULL sweeps only:
+    // a hand-run SPARK_GRAFT_ONLY audit must not clobber the committed
+    // full-suite summary with an n_queries=2 partial (round-16 bite).
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+        summary.getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write BENCH_SUMMARY.json: $e")
+      }
     }
     println(summary)
     spark.stop()
