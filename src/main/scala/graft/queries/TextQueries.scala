@@ -57,6 +57,7 @@ object TextQueries {
   private val WinnowK = 4 // d86 shingle width (tokens per k-gram)
   private val WinnowW = 5 // d86 window width (hashes per min-window)
   private val WinnowMaxDf = 2 // d86 posting cap (bites: 29 fps at df 3)
+  private val MinColloc = 25 // d94 bigram count floor (bites at both SFs)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T2 declarative form: fixed-stride substring windows (chunk i covers
@@ -1480,6 +1481,49 @@ object TextQueries {
             .as("pattern"),
           col("col").as("n_hits"))
         .orderBy(col("doc_id"), col("pattern"))
+    },
+
+    // PMI COLLOCATION MINING — the corpus-linguistics face of d48's
+    // phrase surface: which adjacent word pairs co-occur MORE than
+    // their unigram frequencies predict (multiword expressions,
+    // entity names — the units a tokenizer or phrase-merge pass
+    // should learn), ranked by association strength rather than raw
+    // count. Lift = p(xy) / (p(x)·p(y)) is kept as an EXACT integer
+    // (micro-units via DECIMAL(38,0) products then integral division
+    // — c·N²·10⁶ ≈ 10²² at sf0.1, far under 10³⁸), because lift
+    // orders identically to PMI = ln(lift) and ln is the one op the
+    // two engines disagree on in the last ulp (the BM25 lesson,
+    // without needing BM25's rounding). Shape: two corpus scans
+    // (token explode, bigram explode) each folding into a map-side
+    // partial count; both count tables and both totals are
+    // vocabulary-sized from there — the unigram joins broadcast, the
+    // totals are 1-row broadcasts; nothing data-scale is joined or
+    // windowed. MinColloc prunes the long tail BEFORE the joins
+    // (bites: 718 of 916 bigrams at sf0.01, 900 of 931 at sf0.1).
+    "d94_pmi_collocations" -> { (s, d) =>
+      val uni = Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val big = Tables.documents(s, d)
+        .select(explode(TF.shingles(TF.tokens(col("text")), 2)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
+      // Totals fold the COUNT TABLES, not the corpus — no third scan.
+      val totals = big.agg(sum(col("c_xy")).cast("long").as("n_bi"))
+        .crossJoin(uni.agg(sum(col("c1")).cast("long").as("n_uni")))
+      big.filter(col("c_xy") >= MinColloc)
+        .select(element_at(split(col("bg"), " "), 1).as("w1"),
+          element_at(split(col("bg"), " "), 2).as("w2"),
+          col("c_xy"))
+        .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("c1a"))),
+          Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("c1b"))),
+          Seq("w2"))
+        .crossJoin(broadcast(totals))
+        .select(col("w1"), col("w2"), col("c_xy"),
+          expr("CAST((CAST(c_xy AS DECIMAL(38,0)) * n_uni * n_uni" +
+            " * 1000000) DIV (CAST(n_bi AS DECIMAL(38,0)) * c1a * c1b)" +
+            " AS BIGINT)").as("lift_micro"))
+        .orderBy(col("w1"), col("w2"))
     },
 
     // EXACT SET-SIMILARITY JOIN VIA PREFIX FILTERING
@@ -3419,6 +3463,31 @@ object TextQueries {
 
     // d91: count-of-counts CTEs + the k+1 self left-join; unseen mass
     // and smoothed counts in integer micro so DIV matches.
+    // d94: counts and totals stated naively; lift in exact HUGEINT
+    // micro-units — the integral division mirrors Spark's
+    // DECIMAL(38,0) DIV bit for bit (both are exact integers).
+    "d94_pmi_collocations" ->
+      s"""WITH t AS (SELECT string_split(text,' ') AS toks FROM documents),
+         |u AS (SELECT unnest(toks) AS w FROM t),
+         |uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM u GROUP BY 1),
+         |g AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |       i -> toks[i]||' '||toks[i+1])) AS bg FROM t),
+         |bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_xy
+         |       FROM g GROUP BY 1),
+         |tot AS (SELECT (SELECT SUM(c_xy) FROM bc) AS n_bi,
+         |        (SELECT SUM(c1) FROM uc) AS n_uni),
+         |bs AS (SELECT string_split(bg,' ')[1] AS w1,
+         |        string_split(bg,' ')[2] AS w2, c_xy
+         |       FROM bc WHERE c_xy >= $MinColloc)
+         |SELECT bs.w1 AS w1, bs.w2 AS w2, bs.c_xy AS c_xy,
+         | CAST((CAST(bs.c_xy AS HUGEINT) * n_uni * n_uni * 1000000)
+         |   // (CAST(n_bi AS HUGEINT) * a.c1 * b.c1) AS BIGINT)
+         |   AS lift_micro
+         |FROM bs CROSS JOIN tot
+         | JOIN uc a ON a.w = bs.w1
+         | JOIN uc b ON b.w = bs.w2
+         |ORDER BY w1, w2""".stripMargin,
+
     // d93: position-by-position overlapping substring counts — the
     // exact semantics AC emits, stated without any automaton.
     "d93_blocklist_scan" ->
