@@ -79,4 +79,67 @@ object Ranks {
     }
     spark.createDataFrame(ranked, schema)
   }
+
+  /** Exact per-group k-th smallest of a LONG column WITHOUT sorting
+    * data-scale rows — the distributed selection primitive (medians,
+    * MADs, exact percentiles) where a per-group sort window would move
+    * every group through one task's sort buffer.
+    *
+    * Two passes, both declarative:
+    *
+    *   1. histogram: count rows per (group, value div bucketWidth) —
+    *      a map-side partial count whose result is bounded by
+    *      value-range / bucketWidth per group, NOT by the row count;
+    *      a running sum over that aggregated frame (a window over the
+    *      HISTOGRAM, the d47/q46 "catalog-sized window" rule) finds
+    *      the one bucket holding rank k and the count below it;
+    *   2. refine: rescan ONLY that bucket's rows (one broadcast join
+    *      against the group-count-sized target frame — the filter is
+    *      scan-local) and take the (k − below)-th smallest inside it
+    *      with a per-group window whose partitions are bucket-sized.
+    *
+    * `bucketWidth` is the memory lever: the refine window sorts at
+    * most (rows in the densest bucket) per group — shrink the width if
+    * a value hot-spot concentrates a group, exactly like a shuffle
+    * partition-count tune. Ties are safe: rank k among duplicates of a
+    * value still selects that value, whatever row the window visits
+    * first.
+    *
+    * `ks`: one row per group — (groupCol, `k`), 1-based rank to
+    * select (e.g. (n+1) div 2 for the low median). Groups absent from
+    * `ks` are dropped; a k outside [1, group size] yields no row for
+    * that group (loud in any equality test downstream).
+    *
+    * Returns one row per group: (groupCol, `kth` long).
+    */
+  def groupedKthSmallest(df: DataFrame, groupCol: String, valueCol: String,
+      ks: DataFrame, bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(bucketWidth >= 1L, s"bucketWidth must be >= 1, got $bucketWidth")
+    val g = col(groupCol)
+    val hist = df
+      .select(g, expr(s"`$valueCol` div $bucketWidth").as("bucket"))
+      .groupBy(g, col("bucket")).agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(g).orderBy(col("bucket"))
+    val target = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .join(broadcast(ks.select(g, col("k"))), Seq(groupCol))
+      .filter(col("cum") >= col("k"))
+      // earliest qualifying bucket = the one holding rank k
+      .groupBy(g).agg(min(struct(col("bucket"), col("cum"), col("cnt"),
+        col("k"))).as("t"))
+      .select(g, col("t.bucket").as("bucket"),
+        (col("t.k") - (col("t.cum") - col("t.cnt"))).as("k_in"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(g).orderBy(col(valueCol))
+    df.select(g, col(valueCol))
+      .join(broadcast(target),
+        df(groupCol) === target(groupCol) &&
+          expr(s"`$valueCol` div $bucketWidth") === col("bucket"))
+      .drop(target(groupCol)).drop("bucket")
+      .withColumn("rn", row_number().over(wIn))
+      .filter(col("rn") === col("k_in"))
+      .select(g, col(valueCol).as("kth"))
+  }
 }

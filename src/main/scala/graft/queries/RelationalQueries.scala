@@ -41,6 +41,11 @@ object RelationalQueries {
   private val R = "DECIMAL(4,2)"
   private def msumSql(x: String) = s"CAST(SUM(CAST($x AS $M)) AS DOUBLE)"
 
+  // q47 selection bucket width in cents: totalprice spans ~[900, 56k]
+  // dollars, so ~$655 buckets keep the histogram ≈90 rows/group while
+  // the densest bucket stays small enough to refine-sort.
+  private val MadBucket = 65536L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1-style pricing summary: full-scan partial+final aggregation.
     "q01_pricing_summary" -> { (s, d) =>
@@ -898,6 +903,50 @@ object RelationalQueries {
         .orderBy(col("decile"))
     },
 
+    // ROBUST OUTLIER PROFILE VIA EXACT MAD — median absolute deviation
+    // is the robust-statistics spread measure (unlike stddev, one
+    // fat-finger price can't move it), and computing it EXACTLY at
+    // scale is a selection problem, not a sort problem:
+    // [[graft.operators.Ranks.groupedKthSmallest]] finds each group's
+    // low median in two passes (bucket histogram + one-bucket refine —
+    // the only windows run over the HISTOGRAM and over one bucket's
+    // rows, never over the data-scale frame a per-group sort window
+    // would buffer), then the same primitive selects the median of
+    // |x − median|. The final outlier count (> 3 MAD, the standard
+    // robust z-gate) is one more scan against the broadcast 5-row
+    // (median, mad) frame. Prices as exact cents; every output column
+    // an integer.
+    "q47_mad_outliers" -> { (s, d) =>
+      import graft.operators.{LineageCheckpoint, Ranks}
+      // The ks/median/mad frames are GROUP-sized (5 rows) but their
+      // subtrees each embed corpus scans — checkpoint them so every
+      // downstream reference reads 5 materialized rows instead of
+      // re-running a selection pass (13 scans collapse to the honest 6).
+      def pin(df: DataFrame) = new LineageCheckpoint(s, None)(df)
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("pr"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("c"))
+      val ks = pin(o.groupBy(col("pr")).agg(count(lit(1)).as("n"))
+        .select(col("pr"), col("n"), expr("(n + 1) div 2").as("k")))
+      val med = pin(Ranks.groupedKthSmallest(o, "pr", "c", ks, MadBucket)
+        .select(col("pr"), col("kth").as("med")))
+      val dev = o.join(broadcast(med), Seq("pr"))
+        .select(col("pr"), abs(col("c") - col("med")).as("dv"))
+      val mad = pin(Ranks.groupedKthSmallest(dev, "pr", "dv", ks, MadBucket)
+        .select(col("pr"), col("kth").as("mad")))
+      o.join(broadcast(med), Seq("pr")).join(broadcast(mad), Seq("pr"))
+        .groupBy(col("pr"))
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("med")).as("median_cents"),
+          max(col("mad")).as("mad_cents"),
+          sum(when(abs(col("c") - col("med")) > lit(3L) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("pr").as("o_orderpriority"), col("n_orders"),
+          col("median_cents"), col("mad_cents"), col("n_outliers"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // REFERENTIAL ACTIVITY PROFILE — the FK-health / coverage check a
     // warehouse runs per reporting window: customer→orders fan-out
     // inside 1995 (how many customers ordered, how many went dark, the
@@ -1664,6 +1713,32 @@ object RelationalQueries {
         |       * 1000000) // (CAST(t.n AS HUGEINT) * t.tot) AS BIGINT)
         |  AS gini_micro
         |FROM c CROSS JOIN t ORDER BY c.decile""".stripMargin,
+
+    // q47: the oracle states both selections as plain ranked windows —
+    // the two-pass histogram selection must reproduce them exactly.
+    "q47_mad_outliers" ->
+      """WITH o AS (SELECT o_orderpriority AS pr,
+        |        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |          AS BIGINT) AS c
+        |       FROM orders),
+        |n AS (SELECT pr, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1),
+        |r AS (SELECT pr, c,
+        |       ROW_NUMBER() OVER (PARTITION BY pr ORDER BY c) AS rn FROM o),
+        |med AS (SELECT r.pr, r.c AS med FROM r JOIN n ON n.pr = r.pr
+        |        WHERE r.rn = (n.n + 1) // 2),
+        |d AS (SELECT o.pr, ABS(o.c - med.med) AS dv
+        |      FROM o JOIN med ON med.pr = o.pr),
+        |rd AS (SELECT pr, dv,
+        |       ROW_NUMBER() OVER (PARTITION BY pr ORDER BY dv) AS rn FROM d),
+        |mad AS (SELECT rd.pr, rd.dv AS mad FROM rd JOIN n ON n.pr = rd.pr
+        |        WHERE rd.rn = (n.n + 1) // 2)
+        |SELECT o.pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(MAX(med.med) AS BIGINT) AS median_cents,
+        | CAST(MAX(mad.mad) AS BIGINT) AS mad_cents,
+        | CAST(SUM(CASE WHEN ABS(o.c - med.med) > 3 * mad.mad
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM o JOIN med ON med.pr = o.pr JOIN mad ON mad.pr = o.pr
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     // q44: the oracle states the THETA join directly — the bucketized
     // plan must reproduce the naive band semantics exactly.

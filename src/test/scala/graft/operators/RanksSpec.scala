@@ -55,4 +55,57 @@ class RanksSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("id", "v", "rk"))
     assert(out.count() == 0L)
   }
+
+  // Heavy duplication (v % 97) so in-bucket rank-k lands on tied values;
+  // group sizes differ so per-group k differs.
+  private lazy val grouped = (0 until 900)
+    .map(i => (s"g${i % 3}", ((i * 613) % 900 % 97).toLong))
+    .filter { case (g, _) => g != "g2" || true }
+    .toDF("grp", "v")
+
+  test("groupedKthSmallest equals the per-group window selection for every k") {
+    val n = grouped.groupBy($"grp").agg(count(lit(1)).as("n"))
+    for (kExpr <- Seq("(n + 1) div 2", "1", "n")) {
+      val ks = n.select($"grp", expr(kExpr).as("k"))
+      val got = Ranks.groupedKthSmallest(grouped, "grp", "v", ks, 8L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val want = grouped
+        .withColumn("rn",
+          row_number().over(Window.partitionBy($"grp").orderBy($"v")))
+        .join(ks, Seq("grp")).filter($"rn" === $"k")
+        .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("v")))
+        .toMap
+      assert(got == want, s"selection disagrees with the window at k = $kExpr")
+    }
+  }
+
+  test("groupedKthSmallest: width 1 (exact histogram) and huge width (one bucket) agree") {
+    val ks = grouped.groupBy($"grp").agg(count(lit(1)).as("n"))
+      .select($"grp", expr("(n + 1) div 2").as("k"))
+    val narrow = Ranks.groupedKthSmallest(grouped, "grp", "v", ks, 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val wide = Ranks.groupedKthSmallest(grouped, "grp", "v", ks, 1000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(narrow == wide)
+  }
+
+  test("groupedKthSmallest: k outside the group yields no row; absent groups drop") {
+    val ks = Seq(("g0", 100000L), ("g1", 5L)).toDF("grp", "k")
+    val got = Ranks.groupedKthSmallest(grouped, "grp", "v", ks, 8L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq == Seq("g1"), s"got: ${got.toSeq}")
+  }
+
+  test("groupedKthSmallest plan: every window is group-partitioned; the tiny frames broadcast") {
+    val ks = grouped.groupBy($"grp").agg(count(lit(1)).as("n"))
+      .select($"grp", expr("(n + 1) div 2").as("k"))
+    val p = Ranks.groupedKthSmallest(grouped, "grp", "v", ks, 8L)
+      .queryExecution.executedPlan.toString
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("grp")),
+      s"a selection window without the group partition key buffers " +
+        s"data-scale rows in one task:\n${windows.mkString("\n")}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the ks/target frames are group-sized — they must broadcast:\n${p.take(800)}")
+  }
 }
