@@ -36,6 +36,7 @@ object EventQueries {
   private val HourlyKmvK = 16 // e11 sketch size (bites: busiest hours reach 28 users)
   private val GapQuantK = 128 // e18 rank-sketch size (≪ per-type gap counts at sf0.01)
   private val DriftCutUs = 1705363200000000L // e28 baseline cut: 2024-01-16 UTC
+  private val OverlapKmvK = 32 // e41 sketch size (bites: audiences 64-75 at sf0.01)
 
   private def dsum(c: Column) = sum(c.cast(DecimalType(12, 2))).cast("double")
 
@@ -675,6 +676,101 @@ object EventQueries {
           when(col("n_hours") > 1, expr("sae div (n_hours - 1)"))
             .otherwise(0L).as("mae_micro"))
         .orderBy(col("event_type"))
+    },
+
+    // A/B COMPARISON VIA WELCH'S T — the unequal-variance two-sample
+    // test an experimentation platform runs per metric: does purchase
+    // value differ from click value, with the evidence quantified
+    // (t statistic + Welch–Satterthwaite degrees of freedom), not
+    // eyeballed from two means. Shape: ONE scan with a pushed-down
+    // two-type predicate folding into a single conditional aggregate
+    // row (per-arm n / Σx / Σx² — the mergeable moment state, exact:
+    // values floor-quantized to micros, sums in DECIMAL(38,0) ↔
+    // HUGEINT); the t/df arithmetic is a 1-row projection of +‑*‑/‑√ —
+    // every one correctly rounded IEEE, so the doubles are
+    // bit-identical cross-engine with NO rounding step as long as both
+    // arms state the identical expression tree (the formulas below
+    // mirror the oracle token for token). Means are exact integer
+    // micro-ratios. 100-TB: the scan is the whole cost; the moment
+    // state partial-aggregates map-side.
+    "e40_ab_welch" -> { (s, d) =>
+      val m = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" ||
+          col("event_type") === "click")
+        .select(col("event_type"),
+          floor(col("value") * 1000000).cast("long").as("m"))
+      val isA = col("event_type") === "purchase"
+      val row = m.agg(
+        sum(when(isA, 1L)).as("na"),
+        sum(when(isA, col("m")).cast("decimal(38,0)")).as("sa"),
+        sum(when(isA, col("m") * col("m")).cast("decimal(38,0)")).as("qa"),
+        sum(when(!isA, 1L)).as("nb"),
+        sum(when(!isA, col("m")).cast("decimal(38,0)")).as("sb"),
+        sum(when(!isA, col("m") * col("m")).cast("decimal(38,0)")).as("qb"))
+      row
+        .withColumn("va", expr("(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)" +
+          " * CAST(sa AS DOUBLE) / na) / (na - 1)"))
+        .withColumn("vb", expr("(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)" +
+          " * CAST(sb AS DOUBLE) / nb) / (nb - 1)"))
+        .select(col("na").cast("long").as("n_a"),
+          col("nb").cast("long").as("n_b"),
+          expr("CAST(sa DIV na AS BIGINT)").as("mean_a_micro"),
+          expr("CAST(sb DIV nb AS BIGINT)").as("mean_b_micro"),
+          expr("(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)" +
+            " / SQRT(va / na + vb / nb)").as("t_stat"),
+          expr("((va / na + vb / nb) * (va / na + vb / nb))" +
+            " / ((va / na) * (va / na) / (na - 1)" +
+            " + (vb / nb) * (vb / nb) / (nb - 1))").as("df_welch"))
+    },
+
+    // PAIRWISE AUDIENCE OVERLAP FROM KMV STATES — e35's sketch face
+    // (the d75→d80-style exact/sketch pairing): the same engaged-tail
+    // audience matrix, but from one O(k) KMV state per type instead
+    // of user-capacity bitmaps, so it scales to audiences that don't
+    // fit a bitmap and to states persisted by earlier jobs (q27's
+    // rule: the expensive scan is paid once; pair arithmetic touches
+    // only states). Everything after the one scan is DECLARATIVE over
+    // the 5-row state frame: union state = bottom-k of the merged
+    // sorted arrays (array_union/array_sort/slice — exact set
+    // semantics of KMV), estimates are the (k−1)·2³²/kth density
+    // formula, intersection by inclusion–exclusion clamped at 0 —
+    // d46's arithmetic, generalized to the full pairwise matrix with
+    // NO driver collect and no UDF in the pair step. The estimator
+    // path bites: every audience (64–75 users at sf0.01) exceeds
+    // k = 32. Estimates are doubles from exact integer state — one
+    // division each, cross-engine safe.
+    "e41_overlap_kmv" -> { (s, d) =>
+      val k = OverlapKmvK
+      val st = udaf(new graft.operators.Sketches.KmvState(k),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val states = Tables.events(s, d)
+        .filter(col("value") >= 150)
+        .select(col("event_type"),
+          graft.operators.Sketches.kmvInput(
+            graft.text.TextFunctions.hash32(col("user_id").cast("string")))
+            .as("h"))
+        .groupBy(col("event_type")).agg(st(col("h")).as("st"))
+      def est(arr: Column): Column =
+        when(size(arr) < k, size(arr).cast("double"))
+          .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+            element_at(arr, k))
+      val a = states.select(col("event_type").as("type_a"),
+        col("st").as("sa"))
+      val b = states.select(col("event_type").as("type_b"),
+        col("st").as("sb"))
+      a.join(broadcast(b), col("type_a") < col("type_b"))
+        .withColumn("su",
+          slice(array_sort(array_union(col("sa"), col("sb"))), 1, k))
+        .select(col("type_a"), col("type_b"),
+          est(col("sa")).as("est_a"), est(col("sb")).as("est_b"),
+          est(col("su")).as("est_union"))
+        .withColumn("est_inter",
+          greatest(lit(0.0), col("est_a") + col("est_b")
+            - col("est_union")))
+        .withColumn("jaccard",
+          when(col("est_union") > lit(0.0),
+            col("est_inter") / col("est_union")).otherwise(lit(0.0)))
+        .orderBy(col("type_a"), col("type_b"))
     },
 
     // KAPLAN-MEIER TIME-TO-CONVERSION SURVIVAL — the estimator that
@@ -1837,6 +1933,83 @@ object EventQueries {
         |      ELSE CAST(0 AS BIGINT) END AS mae_micro
         |FROM r JOIN m ON r.event_type = m.event_type AND r.i = m.n_hours
         |ORDER BY event_type""".stripMargin,
+
+    // e40: moment sums stated naively per arm; the t/df projection is
+    // the IDENTICAL double expression tree as the Spark arm — every op
+    // correctly-rounded IEEE, so no rounding step is needed.
+    "e40_ab_welch" ->
+      """WITH m AS (SELECT event_type,
+        |        CAST(FLOOR(value * 1000000) AS BIGINT) AS m
+        |       FROM events
+        |       WHERE event_type IN ('purchase', 'click')),
+        |g AS (SELECT
+        |   COUNT(*) FILTER (WHERE event_type = 'purchase') AS na,
+        |   SUM(CAST(m AS HUGEINT)) FILTER (WHERE event_type = 'purchase') AS sa,
+        |   SUM(CAST(m * m AS HUGEINT)) FILTER (WHERE event_type = 'purchase') AS qa,
+        |   COUNT(*) FILTER (WHERE event_type = 'click') AS nb,
+        |   SUM(CAST(m AS HUGEINT)) FILTER (WHERE event_type = 'click') AS sb,
+        |   SUM(CAST(m * m AS HUGEINT)) FILTER (WHERE event_type = 'click') AS qb
+        |  FROM m),
+        |v AS (SELECT *,
+        |   (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)
+        |      * CAST(sa AS DOUBLE) / na) / (na - 1) AS va,
+        |   (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)
+        |      * CAST(sb AS DOUBLE) / nb) / (nb - 1) AS vb
+        |  FROM g)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        | CAST(sa // na AS BIGINT) AS mean_a_micro,
+        | CAST(sb // nb AS BIGINT) AS mean_b_micro,
+        | (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+        |   / SQRT(va / na + vb / nb) AS t_stat,
+        | ((va / na + vb / nb) * (va / na + vb / nb))
+        |   / ((va / na) * (va / na) / (na - 1)
+        |      + (vb / nb) * (vb / nb) / (nb - 1)) AS df_welch
+        |FROM v""".stripMargin,
+
+    // e41: per-type bottom-k replayed with ranked windows over the
+    // distinct hash sets; pair unions from the shared distinct-hash
+    // frame; the same density/inclusion-exclusion arithmetic as d46.
+    "e41_overlap_kmv" ->
+      s"""WITH dh AS (SELECT DISTINCT event_type,
+         |        CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))
+         |          AS BIGINT) AS h
+         |       FROM events WHERE value >= 150),
+         |r AS (SELECT event_type, h,
+         |       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |       COUNT(*) OVER (PARTITION BY event_type) AS nd
+         |      FROM dh),
+         |est AS (SELECT event_type,
+         |        CASE WHEN MAX(nd) < $OverlapKmvK THEN CAST(MAX(nd) AS DOUBLE)
+         |        ELSE ${OverlapKmvK - 1}e0 * 4294967296e0
+         |             / MAX(CASE WHEN rn = $OverlapKmvK THEN h END) END AS est
+         |       FROM r GROUP BY 1),
+         |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+         |          FROM est a JOIN est b ON a.event_type < b.event_type),
+         |uh AS (SELECT DISTINCT p.type_a, p.type_b, dh.h
+         |       FROM pairs p JOIN dh
+         |        ON dh.event_type IN (p.type_a, p.type_b)),
+         |ur AS (SELECT type_a, type_b, h,
+         |        ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+         |                           ORDER BY h) AS rn,
+         |        COUNT(*) OVER (PARTITION BY type_a, type_b) AS nd
+         |       FROM uh),
+         |uest AS (SELECT type_a, type_b,
+         |        CASE WHEN MAX(nd) < $OverlapKmvK THEN CAST(MAX(nd) AS DOUBLE)
+         |        ELSE ${OverlapKmvK - 1}e0 * 4294967296e0
+         |             / MAX(CASE WHEN rn = $OverlapKmvK THEN h END) END AS est
+         |       FROM ur GROUP BY 1, 2)
+         |SELECT p.type_a AS type_a, p.type_b AS type_b,
+         | a.est AS est_a, b.est AS est_b,
+         | u.est AS est_union,
+         | greatest(0.0e0, a.est + b.est - u.est) AS est_inter,
+         | CASE WHEN u.est > 0.0e0
+         |      THEN greatest(0.0e0, a.est + b.est - u.est) / u.est
+         |      ELSE 0.0e0 END AS jaccard
+         |FROM pairs p
+         | JOIN est a ON a.event_type = p.type_a
+         | JOIN est b ON b.event_type = p.type_b
+         | JOIN uest u ON u.type_a = p.type_a AND u.type_b = p.type_b
+         |ORDER BY p.type_a, p.type_b""".stripMargin,
 
     // e34: the life table — per-user first activity and first
     // qualifying conversion, the horizon and N as scalars, prefix-sum

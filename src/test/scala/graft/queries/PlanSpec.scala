@@ -1220,4 +1220,61 @@ class PlanSpec extends AnyFunSuite {
     assert(scans("q29_copurchase_rank").isEmpty,
       "no parquet scan may survive the checkpoint — the self-join ran inside pageRank")
   }
+
+  test("d94: collocation joins broadcast the vocabulary; no window anywhere") {
+    val p = plan("d94_pmi_collocations")
+    assert(!p.contains("Window"),
+      s"PMI is counts + joins, never a window:\n${p.take(600)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"both unigram joins must broadcast the vocab-sized side:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing data-scale may shuffle for a join:\n${p.take(600)}")
+    assert(scans("d94_pmi_collocations").forall(_._1 == Seq("text")),
+      "both corpus passes must read exactly (text)")
+  }
+
+  test("q47: the final plan is ONE pruned scan against checkpointed 5-row selection frames") {
+    // The ks/median/mad subtrees (each embedding selection passes) are
+    // LineageCheckpoint-pinned at build time — the q29 rule — so the
+    // returned plan must be a single orders scan joined against
+    // materialized group-sized frames, never a re-derivation.
+    val p = plan("q47_mad_outliers")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the median/mad frames are group-sized — they must broadcast:\n${p.take(600)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+      s"expected exactly the med + mad broadcast joins:\n${p.take(600)}")
+    assert(!p.contains("Window"),
+      s"no selection window may leak into the final plan:\n${p.take(600)}")
+    val sc = scans("q47_mad_outliers")
+    assert(sc.map(_._1.sorted) == Seq(Seq("o_orderpriority", "o_totalprice")),
+      s"the outlier pass reads exactly (priority, totalprice) once, got: $sc")
+  }
+
+  test("e40: Welch folds into ONE conditional aggregate over one pushed-down scan") {
+    val p = plan("e40_ab_welch")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"two-sample moments need no window and no join:\n${p.take(600)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"a global 1-row aggregate needs no hash exchange:\n${p.take(600)}")
+    val Seq((cols, pushed)) = scans("e40_ab_welch")
+    assert(cols.sorted == Seq("event_type", "value"),
+      s"the moment scan reads exactly (event_type, value), got: $cols")
+    assert(pushed.contains("event_type"),
+      s"the two-arm predicate must push into the scan, got: $pushed")
+  }
+
+  test("e41: pair arithmetic touches only the 5-row state frame — no window, one event exchange") {
+    val p = plan("e41_overlap_kmv")
+    assert(!p.contains("Window"),
+      s"KMV replaces the ranked-window replay the oracle uses:\n${p.take(600)}")
+    // The only hash exchange partial-aggregates the per-type states;
+    // the a<b pair join is a BNLJ over two 5-row frames (types-sized).
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"only the state aggregation may shuffle:\n${p.take(600)}")
+    val sc = scans("e41_overlap_kmv")
+    assert(sc.forall(_._1.sorted == Seq("event_type", "user_id", "value")),
+      s"the state scan reads exactly (type, user, value), got: $sc")
+    assert(sc.forall(_._2.contains("value")),
+      s"the engaged-tail gate must push into the scan, got: ${sc.map(_._2)}")
+  }
 }
