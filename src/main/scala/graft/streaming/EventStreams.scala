@@ -979,6 +979,121 @@ object EventStreams {
       (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
     }
 
+  /** Daily per-arm exact moment partials — the streaming reduce that
+    * feeds [[WelfordLedger]] (e40's continuous face): per closed
+    * (day, event_type) the (n, Σm, Σm²) triple over micro-quantized
+    * values, the textbook MERGEABLE state for means/variances (moments
+    * add across any partition of the data — days, shards, batches —
+    * because they are plain integer sums; a running mean/var would
+    * not). Sums ride DECIMAL(38,0) so Σm² cannot overflow a long at
+    * any event rate. Types other than the two arms are filtered before
+    * the window state, so open-day state is exactly 2 rows per day.
+    */
+  def dailyValueMoments(events: DataFrame, typeA: String, typeB: String,
+      watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .filter(col("event_type") === typeA || col("event_type") === typeB)
+      .withColumn("m", floor(col("value") * 1000000).cast("long"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("m").cast("decimal(38,0)")).as("s"),
+        sum((col("m") * col("m")).cast("decimal(38,0)")).as("q"))
+      .select(col("w.start").as("day"), col("event_type"),
+        col("n"), col("s"), col("q"))
+
+  /** e40's one-row output over the ledger's closed days. */
+  final case class WelchRow(n_a: Long, n_b: Long, mean_a_micro: Long,
+      mean_b_micro: Long, t_stat: Double, df_welch: Double)
+
+  /** Driver-held ledger for [[welfordSink]]: e40's Welch test run
+    * CONTINUOUSLY — the always-on experiment monitor that re-scores
+    * the A/B comparison as each day closes, without ever rescanning
+    * history. State is one exact moment triple per closed
+    * (arm, day) — calendar-bounded, never event-sized — idempotent
+    * per batchId (the [[ProfileLedger]] discipline); Σ and Σ² live as
+    * BigInt on the driver (Σm² exceeds a long at ~10⁹ events/arm).
+    * [[welch]] folds the retained days by integer ADDITION (moments
+    * merge exactly — the associativity IS the correctness argument)
+    * and then states e40's t/df arithmetic token for token, so on
+    * closed data the row equals the batch query's bit for bit
+    * (StreamingSpec pins it against the batch expression chain).
+    * [[evictBefore]] turns the all-time test into a trailing-window
+    * test: surviving days' moments are untouched, so the re-fold is
+    * exact for the window.
+    */
+  final class WelfordLedger(typeA: String, typeB: String) {
+    private[streaming] var moments: Map[(String, Long), (Long, BigInt, BigInt)] =
+      Map.empty
+    private[streaming] var lastBatchId: Long = -1L
+    private val dayUs = 24L * 3600 * 1000 * 1000
+
+    /** Folds one micro-batch of closed [[dailyValueMoments]] rows;
+      * idempotent per batchId.
+      */
+    def ingest(batch: DataFrame, batchId: Long): Unit =
+      if (batchId > lastBatchId) {
+        batch.select(col("event_type"), col("day"), col("n"), col("s"),
+          col("q")).collect()
+          .foreach { r =>
+            moments += (r.getString(0),
+              r.getTimestamp(1).getTime * 1000L / dayUs) ->
+              ((r.getLong(2),
+                BigInt(r.getDecimal(3).toBigInteger),
+                BigInt(r.getDecimal(4).toBigInteger)))
+          }
+        lastBatchId = batchId
+      }
+
+    private def arm(t: String): (Long, BigInt, BigInt) =
+      moments.collect { case ((`t`, _), m) => m }
+        .foldLeft((0L, BigInt(0), BigInt(0))) { case ((n, s, q), (dn, ds, dq)) =>
+          (n + dn, s + ds, q + dq)
+        }
+
+    /** The e40 row over every retained closed day, or None while
+      * either arm has fewer than 2 observations (variance undefined —
+      * absence is the honest answer, not a NaN row).
+      */
+    def welch(): Option[WelchRow] = {
+      val (na, sa, qa) = arm(typeA)
+      val (nb, sb, qb) = arm(typeB)
+      if (na < 2 || nb < 2) None
+      else {
+        // Token-for-token the batch query's double tree: every op is
+        // correctly-rounded IEEE, so bit-equality needs only identical
+        // shape (BigInt.doubleValue rounds nearest-even, as both
+        // engines' DECIMAL/HUGEINT -> DOUBLE casts do).
+        val va = (qa.doubleValue - sa.doubleValue * sa.doubleValue / na) /
+          (na - 1)
+        val vb = (qb.doubleValue - sb.doubleValue * sb.doubleValue / nb) /
+          (nb - 1)
+        val se2 = va / na + vb / nb
+        Some(WelchRow(na, nb, (sa / na).longValue, (sb / nb).longValue,
+          (sa.doubleValue / na - sb.doubleValue / nb) / math.sqrt(se2),
+          (se2 * se2) / ((va / na) * (va / na) / (na - 1) +
+            (vb / nb) * (vb / nb) / (nb - 1))))
+      }
+    }
+
+    /** Drops every closed (arm, day) strictly before `minDayIdx` —
+      * the trailing-window form; survivors' moments are exact.
+      */
+    def evictBefore(minDayIdx: Long): Unit =
+      moments = moments.filter { case ((_, d), _) => d >= minDayIdx }
+  }
+
+  /** Streaming face of e40: [[dailyValueMoments]]'s finalized days
+    * feed the [[WelfordLedger]] — wire as
+    * `welfordSink(dailyValueMoments(events, a, b), ledger)
+    * .outputMode("append")`.
+    */
+  def welfordSink(closedDays: DataFrame, ledger: WelfordLedger)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    closedDays.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
+    }
+
   /** Open-session state carried between micro-batches by
     * [[statefulSessionize]]: bounded per open session (counters + the
     * capped path), keyed by user — the state store holds one entry per

@@ -1813,6 +1813,87 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("welfordSink: ledger Welch row equals the batch e40 arithmetic on closed days") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{floor => ffloor, sum => fsum, when => fwhen, expr => fexpr}
+    val dayUs = 24L * 3600 * 1000 * 1000
+    // Two arms with different spreads + a non-arm type that must be
+    // filtered before any state; values exercise the floor quantizer.
+    val evts = for (d <- 0L to 9L; i <- 0L until 30L; t <- Seq("a", "b", "x"))
+      yield (d * 1000 + i, d * dayUs + i * 1000000L, t,
+        (if (t == "a") 50.0 else 40.0) + ((d * 31 + i * 7) % 23) * 0.77)
+    val batchDf = evts.toDF("event_id", "ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    // Batch truth: the e40 expression chain, stated identically.
+    def wantOver(df: org.apache.spark.sql.DataFrame) = {
+      val isA = col("event_type") === "a"
+      val m = df.filter(col("event_type") === "a" || col("event_type") === "b")
+        .withColumn("m", ffloor(col("value") * 1000000).cast("long"))
+      val r = m.agg(
+        fsum(fwhen(isA, 1L)).as("na"),
+        fsum(fwhen(isA, col("m")).cast("decimal(38,0)")).as("sa"),
+        fsum(fwhen(isA, col("m") * col("m")).cast("decimal(38,0)")).as("qa"),
+        fsum(fwhen(!isA, 1L)).as("nb"),
+        fsum(fwhen(!isA, col("m")).cast("decimal(38,0)")).as("sb"),
+        fsum(fwhen(!isA, col("m") * col("m")).cast("decimal(38,0)")).as("qb"))
+        .withColumn("va", fexpr("(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)" +
+          " * CAST(sa AS DOUBLE) / na) / (na - 1)"))
+        .withColumn("vb", fexpr("(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)" +
+          " * CAST(sb AS DOUBLE) / nb) / (nb - 1)"))
+        .select(col("na").cast("long"), col("nb").cast("long"),
+          fexpr("CAST(sa DIV na AS BIGINT)"), fexpr("CAST(sb DIV nb AS BIGINT)"),
+          fexpr("(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)" +
+            " / SQRT(va / na + vb / nb)"),
+          fexpr("((va / na + vb / nb) * (va / na + vb / nb))" +
+            " / ((va / na) * (va / na) / (na - 1)" +
+            " + (vb / nb) * (vb / nb) / (nb - 1))"))
+        .head()
+      EventStreams.WelchRow(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))
+    }
+    val want = wantOver(batchDf)
+
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val ledger = new EventStreams.WelfordLedger("a", "b")
+    val stream = in.toDS().toDF("event_id", "ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStreams.welfordSink(
+        EventStreams.dailyValueMoments(stream, "a", "b", "1 day"), ledger)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      val ordered = evts.sortBy(_._2)
+      val (h1, h2) = ordered.splitAt(ordered.length / 2)
+      in.addData(h1: _*); q.processAllAvailable()
+      in.addData(h2: _*); q.processAllAvailable()
+      // close every fixture day; the pushers' own day-40 stays open
+      in.addData((999999L, 40L * dayUs, "a", 1.0))
+      q.processAllAvailable()
+      in.addData((999998L, 40L * dayUs + 1L, "a", 1.0))
+      q.processAllAvailable()
+      assert(ledger.welch().contains(want),
+        s"ledger drifted from the batch chain: ${ledger.welch()} vs $want")
+      // idempotence: replaying an already-folded batchId is a no-op
+      val before = ledger.moments
+      ledger.ingest(
+        Seq(("a", new java.sql.Timestamp(0L), 5L,
+          new java.math.BigDecimal(999), new java.math.BigDecimal(999)))
+          .toDF("event_type", "day", "n", "s", "q"),
+        ledger.lastBatchId)
+      assert(ledger.moments == before)
+      // eviction = the trailing-window test: survivors re-fold exactly
+      ledger.evictBefore(5L)
+      val wantTail = wantOver(batchDf.filter(col("ts_us") >= 5L * dayUs))
+      assert(ledger.welch().contains(wantTail),
+        s"post-eviction row must equal batch over surviving days")
+      // degenerate arm: everything evicted -> no row, not a NaN row
+      ledger.evictBefore(1000L)
+      assert(ledger.welch().isEmpty)
+    } finally q.stop()
+  }
+
   test("statefulQuotaGate: budgets enforce across batches in (ts, id) order") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, Long, Long)] // (key, doc_id, ts_us)
