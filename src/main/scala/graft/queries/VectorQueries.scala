@@ -30,6 +30,24 @@ object VectorQueries {
       .orderBy(col("vec_id")).collect()
       .map(_.getSeq[Float](1).toArray).toSeq
 
+  private val JlIn = 64 // v29 input dimensionality (the table's)
+  private val JlOut = 16 // v29 projected dimensionality (4x reduction)
+
+  /** v29's ±1 sign matrix (Achlioptas's database-friendly JL variant —
+    * "Database-friendly random projections", PODS 2001): entries are a
+    * pure md5 parity of the cell coordinates, so BOTH engines receive
+    * the identical matrix as literals and no RNG state exists anywhere.
+    */
+  private lazy val JlSigns: IndexedSeq[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until JlOut).map { j =>
+      Array.tabulate(JlIn) { i =>
+        val h = md.digest(s"jl:$i:$j".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1.0f else -1.0f
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force kNN -> TakeOrderedAndProject (per-partition heap).
     "v01_knn_exact" -> { (s, d) =>
@@ -254,6 +272,48 @@ object VectorQueries {
             .otherwise(col("cell")))
         .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
         .orderBy(col("cell"))
+    },
+
+    // JOHNSON–LINDENSTRAUSS RECALL FACE — dimensionality reduction as
+    // a first-class index structure: project 64-d embeddings to 16-d
+    // through the deterministic ±1 sign matrix ([[JlSigns]] —
+    // Achlioptas's variant, which needs no Gaussian sampling and keeps
+    // every arithmetic step a float-exact ±add), search in the reduced
+    // space, and score recall@5 against the exact arm (v16's pattern —
+    // the calibration row a serving team reads before turning the
+    // reduction on). The projection is a pure SCAN PROJECTION of 16
+    // codegen'd dot products — no shuffle, no UDF; at 100 TB it cuts
+    // every downstream byte 4× and is where an LSH bucketer would hang
+    // (the reduced vectors, not the originals, get bucketed). Brute
+    // in-reduced-space search stands in as the baseline arm here, same
+    // as v01 does for the float path. Cosine over float-cast
+    // projections keeps both engines on the proven float→double
+    // widening path; ranking ties break on vec_id in both arms.
+    "v29_jl_recall" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val projCols = (0 until JlOut).map { j =>
+        vectors.dotProduct(col("embedding"), typedLit(JlSigns(j)))
+          .as(s"p$j")
+      }
+      val proj = e.select(col("vec_id") +: projCols: _*)
+        .select(col("vec_id"),
+          array((0 until JlOut).map(j => col(s"p$j")): _*)
+            .cast("array<float>").as("pv"))
+      def isProbe = col("vec_id") % 100 === 0 && col("vec_id") < 500
+      val approx = Similarity.similarityJoin(
+          proj.filter(isProbe), proj, "vec_id", "pv", k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+        .withColumn("_hit", lit(1L))
+      Similarity.similarityJoin(
+          e.filter(isProbe), e, "vec_id", "embedding", k = 5)
+        // probes×5 rows — without the hint the static planner SMJs two
+        // post-window frames it can't size.
+        .join(broadcast(approx), Seq("probe_id", "neighbor_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+        .select(col("probe_id"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(5.0)).as("recall"))
+        .orderBy(col("probe_id"))
     },
 
     // RESIDUAL-PQ ADC ([[graft.operators.ProductQuantizer
@@ -1050,6 +1110,47 @@ object VectorQueries {
     // smallest-id sub-seeds, and the members-only reassignment — ties
     // in both argmaxes go to the smaller cell id, matching
     // ivfAssign's first-max convention.
+    // v29: the sign matrix is injected as literal lists (both engines
+    // receive the identical matrix — no hash mirroring), projections
+    // are float-cast inner products, both arms are ranked windows.
+    "v29_jl_recall" -> {
+      val lists = (0 until JlOut).map(j => "[" +
+        JlSigns(j).map(v => if (v > 0) "1.0" else "-1.0").mkString(",") +
+        "]")
+      val projList = "[" +
+        lists.map(l => s"list_inner_product(ev, $l)").mkString(",\n        |   ") +
+        "]"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+         |           FROM embeddings),
+         |p AS (SELECT vec_id,
+         |       CAST(CAST($projList AS REAL[]) AS DOUBLE[]) AS pv
+         |      FROM e),
+         |pp AS (SELECT vec_id AS probe_id, pv AS qpv FROM p
+         |       WHERE vec_id % 100 = 0 AND vec_id < 500),
+         |ep AS (SELECT vec_id AS probe_id, ev AS qv FROM e
+         |       WHERE vec_id % 100 = 0 AND vec_id < 500),
+         |ap AS (SELECT probe_id, vec_id FROM (
+         |   SELECT pr.probe_id, p.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY pr.probe_id
+         |     ORDER BY list_cosine_similarity(p.pv, pr.qpv) DESC,
+         |      p.vec_id) AS rn
+         |   FROM p CROSS JOIN pp pr) r WHERE rn <= 5),
+         |ex AS (SELECT probe_id, vec_id FROM (
+         |   SELECT pr.probe_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY pr.probe_id
+         |     ORDER BY list_cosine_similarity(e.ev, pr.qv) DESC,
+         |      e.vec_id) AS rn
+         |   FROM e CROSS JOIN ep pr) r WHERE rn <= 5)
+         |SELECT ex.probe_id,
+         | CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_hit,
+         | CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS DOUBLE) / 5.0e0 AS recall
+         |FROM ex LEFT JOIN ap
+         | ON ex.probe_id = ap.probe_id AND ex.vec_id = ap.vec_id
+         |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin
+    },
+
     // v28: v26's assignment CTE, the two (count ASC, cell) coldest,
     // and the CASE relabel to the next free id.
     "v28_merge_rebalance" ->

@@ -1263,6 +1263,20 @@ class PlanSpec extends AnyFunSuite {
       s"the two-arm predicate must push into the scan, got: $pushed")
   }
 
+  test("v29: the JL projection rides the scan — 16 codegen'd dots, no exchange below the probe join") {
+    val p = plan("v29_jl_recall")
+    assert(p.contains("dot_product"),
+      s"projection must be the native codegen'd expression:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"probes are broadcast; the corpus must never shuffle for a join:\n${p.take(600)}")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("probe_id")),
+      s"both top-k windows must partition by probe:\n${windows.mkString("\n")}")
+    assert(scans("v29_jl_recall").forall(
+      _._1.sorted == Seq("embedding", "vec_id")),
+      "every pass reads exactly (vec_id, embedding)")
+  }
+
   test("e41: pair arithmetic touches only the 5-row state frame — no window, one event exchange") {
     val p = plan("e41_overlap_kmv")
     assert(!p.contains("Window"),
