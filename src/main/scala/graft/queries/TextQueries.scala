@@ -1483,6 +1483,46 @@ object TextQueries {
         .orderBy(col("doc_id"), col("pattern"))
     },
 
+    // SOURCE DISTRIBUTION SHIFT VIA CHI-SQUARE — "which ingestion
+    // sources are off-distribution against the corpus" (the feed-level
+    // screen run before d67's budgets decide admission): per source,
+    // χ² = Σ_w (p_sw − p_gw)²/p_gw over the GLOBAL vocabulary grid —
+    // zero-count cells included, they contribute p_gw. Chi-square is
+    // chosen over KL deliberately: no transcendental anywhere, so each
+    // term is the same +−*/ double chain on both engines (bit-exact)
+    // and only then floor-quantized to micro — none of d40's
+    // ln-ulp exposure. Shape: ONE corpus scan into the (source, word)
+    // count table, CHECKPOINTED for its three consumers (the d86
+    // rule: row totals, column totals, and the grid join all fold the
+    // 620-cell table, never the corpus); the grid is a broadcast
+    // cross of two catalog-sized frames; the total is a 1-row
+    // broadcast.
+    "d95_source_chisq" -> { (s, d) =>
+      val sc = new graft.operators.LineageCheckpoint(s, None)(
+        Tables.documents(s, d)
+          .select(col("source"), explode(TF.tokens(col("text"))).as("w"))
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c_sw")))
+      val ns = sc.groupBy(col("source"))
+        .agg(sum(col("c_sw")).cast("long").as("n_s"))
+      val gw = sc.groupBy(col("w"))
+        .agg(sum(col("c_sw")).cast("long").as("c_w"))
+      val ng = gw.agg(sum(col("c_w")).cast("long").as("n_g"))
+      ns.crossJoin(broadcast(gw))
+        .join(broadcast(sc), Seq("source", "w"), "left")
+        .crossJoin(broadcast(ng))
+        .withColumn("term", expr(
+          "CAST(FLOOR((CAST(COALESCE(c_sw, 0) AS DOUBLE) / n_s" +
+            " - CAST(c_w AS DOUBLE) / n_g)" +
+            " * (CAST(COALESCE(c_sw, 0) AS DOUBLE) / n_s" +
+            " - CAST(c_w AS DOUBLE) / n_g)" +
+            " / (CAST(c_w AS DOUBLE) / n_g) * 1e6) AS BIGINT)"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          sum(col("term")).cast("long").as("chisq_micro"))
+        .orderBy(col("source"))
+    },
+
     // PMI COLLOCATION MINING — the corpus-linguistics face of d48's
     // phrase surface: which adjacent word pairs co-occur MORE than
     // their unigram frequencies predict (multiword expressions,
@@ -3463,6 +3503,33 @@ object TextQueries {
 
     // d91: count-of-counts CTEs + the k+1 self left-join; unseen mass
     // and smoothed counts in integer micro so DIV matches.
+    // d95: the same grid and the same +−*/ double chain term for
+    // term; floors land on identical doubles, so the integer sums
+    // match exactly.
+    "d95_source_chisq" ->
+      """WITH t AS (SELECT source, unnest(string_split(text,' ')) AS w
+        |           FROM documents),
+        |sc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+        |       FROM t GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s
+        |       FROM sc GROUP BY 1),
+        |gw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w
+        |       FROM sc GROUP BY 1),
+        |ng AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_g FROM gw),
+        |terms AS (SELECT g.source, g.n_s,
+        |   CAST(FLOOR((CAST(COALESCE(sc.c_sw, 0) AS DOUBLE) / g.n_s
+        |      - CAST(g.c_w AS DOUBLE) / ng.n_g)
+        |     * (CAST(COALESCE(sc.c_sw, 0) AS DOUBLE) / g.n_s
+        |      - CAST(g.c_w AS DOUBLE) / ng.n_g)
+        |     / (CAST(g.c_w AS DOUBLE) / ng.n_g) * 1e6) AS BIGINT) AS term
+        |  FROM (SELECT ns.source, ns.n_s, gw.w, gw.c_w
+        |        FROM ns CROSS JOIN gw) g
+        |   CROSS JOIN ng
+        |   LEFT JOIN sc ON sc.source = g.source AND sc.w = g.w)
+        |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+        | CAST(SUM(term) AS BIGINT) AS chisq_micro
+        |FROM terms GROUP BY 1 ORDER BY source""".stripMargin,
+
     // d94: counts and totals stated naively; lift in exact HUGEINT
     // micro-units — the integral division mirrors Spark's
     // DECIMAL(38,0) DIV bit for bit (both are exact integers).

@@ -274,6 +274,36 @@ object VectorQueries {
         .orderBy(col("cell"))
     },
 
+    // HARD-NEGATIVE MINING — the contrastive-training data op: for
+    // every vector, the most-similar vector carrying a DIFFERENT
+    // label (the negative an embedding trainer most needs to see;
+    // easy random negatives teach nothing). All-pairs argmax is the
+    // naive form; here candidates come from v03's LSH buckets — the
+    // shuffle is on bucket id, candidate pairs are O(Σ bucket²), and
+    // a vector whose bucket holds no cross-label mate simply has no
+    // row (at 6 planes / 64 buckets every sf0.01 vector finds one;
+    // the miss path is fixture-independent because both arms share
+    // the bucket semantics). The per-vector argmax is a struct MAX
+    // (score DESC, then smaller neg id via negation) — a map-side
+    // mergeable aggregate, never a rank window over the pair frame.
+    "v30_hard_negatives" -> { (s, d) =>
+      val b = Similarity.lshBuckets(Tables.embeddings(s, d), "embedding",
+        seedPlanes(s, d, 6))
+      val a = b.select(col("bucket"), col("vec_id"), col("label"),
+        col("embedding").as("av"))
+      val c = b.select(col("bucket").as("bb"), col("vec_id").as("nid"),
+        col("label").as("nl"), col("embedding").as("nv"))
+      a.join(c, col("bucket") === col("bb") && col("label") =!= col("nl"))
+        .withColumn("score", vectors.cosineSimilarity(col("av"), col("nv")))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(max(struct(col("score"), (-col("nid")).as("neg"),
+          col("nid").as("pos"), col("nl"))).as("t"))
+        .select(col("vec_id"), col("label"),
+          col("t.pos").as("neg_id"), col("t.nl").as("neg_label"),
+          col("t.score").as("score"))
+        .orderBy(col("vec_id"))
+    },
+
     // JOHNSON–LINDENSTRAUSS RECALL FACE — dimensionality reduction as
     // a first-class index structure: project 64-d embeddings to 16-d
     // through the deterministic ±1 sign matrix ([[JlSigns]] —
@@ -1110,6 +1140,29 @@ object VectorQueries {
     // smallest-id sub-seeds, and the members-only reassignment — ties
     // in both argmaxes go to the smaller cell id, matching
     // ivfAssign's first-max convention.
+    // v30: v03's bucket CTE, cross-label same-bucket pairs, ranked
+    // window argmax (score DESC, neg id) — the struct-max mirror.
+    "v30_hard_negatives" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS si, CAST(embedding AS DOUBLE[]) AS sv
+        |  FROM embeddings WHERE vec_id < 6),
+        |b AS (
+        |  SELECT e.vec_id, e.label, e.embedding,
+        |   CAST(SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), s.sv) > 0
+        |     THEN (CAST(1 AS BIGINT) << si) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e CROSS JOIN seeds s
+        |  GROUP BY e.vec_id, e.label, e.embedding)
+        |SELECT vec_id, label, neg_id, neg_label, score FROM (
+        | SELECT x.vec_id, x.label, y.vec_id AS neg_id, y.label AS neg_label,
+        |  list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |    CAST(y.embedding AS DOUBLE[])) AS score,
+        |  ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        |   ORDER BY list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |     CAST(y.embedding AS DOUBLE[])) DESC, y.vec_id) AS rn
+        | FROM b x JOIN b y
+        |  ON x.bucket = y.bucket AND x.label <> y.label) t
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
     // v29: the sign matrix is injected as literal lists (both engines
     // receive the identical matrix — no hash mirroring), projections
     // are float-cast inner products, both arms are ranked windows.

@@ -1263,6 +1263,26 @@ class PlanSpec extends AnyFunSuite {
       s"the two-arm predicate must push into the scan, got: $pushed")
   }
 
+  test("v30: hard negatives shuffle on bucket id; the argmax is an aggregate, not a rank window") {
+    val p = plan("v30_hard_negatives")
+    assert(!p.contains("Window"),
+      s"the per-vector argmax must be the mergeable struct-max:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates come from the bucket equi-join, never all-pairs:\n${p.take(600)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"expected the bucket-keyed join:\n${p.take(600)}")
+  }
+
+  test("d95: one corpus scan; everything else folds the checkpointed count table") {
+    val p = plan("d95_source_chisq")
+    assert(scans("d95_source_chisq").isEmpty,
+      "the (source, word) table is checkpointed — no parquet scan may survive")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"grid joins are catalog-sized broadcasts:\n${p.take(600)}")
+  }
+
   test("v29: the JL projection rides the scan — 16 codegen'd dots, no exchange below the probe join") {
     val p = plan("v29_jl_recall")
     assert(p.contains("dot_product"),
