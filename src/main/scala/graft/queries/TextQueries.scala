@@ -1483,6 +1483,58 @@ object TextQueries {
         .orderBy(col("doc_id"), col("pattern"))
     },
 
+    // LEAKAGE-SAFE TRAIN/TEST SPLIT — the split a benchmark-honest
+    // pipeline needs: a naive per-document hash split puts near-
+    // duplicates on BOTH sides (the test set leaks into training and
+    // eval numbers inflate); here the split unit is the NEAR-DUP
+    // COMPONENT (d19's machinery), every document inherits its
+    // component's hash-assigned side (singletons are their own
+    // component), and the output carries the PROOF: n_cross_pairs
+    // counts candidate pairs straddling the splits — zero by
+    // construction, witnessed, not assumed (q43's orphan-row
+    // discipline). Shape: the pair frame is checkpointed for its two
+    // consumers (components + witness); the component frame is
+    // pairs-member-sized, so the witness joins and the per-split
+    // component distinct both fold small frames; the one corpus-scale
+    // step is the doc→component left join keyed on doc_id.
+    "d96_leakage_split" -> { (s, d) =>
+      val p = new graft.operators.LineageCheckpoint(s, None)(
+        graft.text.Dedup.nearDupPairs(
+          Tables.documents(s, d), "doc_id", "text", threshold = 0.0)
+          .select(col("a_id"), col("b_id")))
+      val comp = graft.text.Dedup.dupComponents(p)
+      def splitOf(c: Column): Column =
+        when(TF.hash32(c.cast("string")) % 5 <= 3, "train")
+          .otherwise("test")
+      val spl = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TF.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(broadcast(comp), col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"),
+          col("n_tokens"))
+        .withColumn("split", splitOf(col("component")))
+      val pairSplit = comp.withColumn("split", splitOf(col("component")))
+      val witness = p
+        .join(broadcast(
+          pairSplit.select(col("id").as("a_id"), col("split").as("sa"))),
+          Seq("a_id"))
+        .join(broadcast(
+          pairSplit.select(col("id").as("b_id"), col("split").as("sb"))),
+          Seq("b_id"))
+        .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+          lit(0L)).as("n_cross_pairs"))
+      val nComp = spl.select(col("split"), col("component")).distinct()
+        .groupBy(col("split")).agg(count(lit(1)).as("n_components"))
+      spl.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .join(broadcast(nComp), Seq("split"))
+        .crossJoin(broadcast(witness))
+        .select(col("split"), col("n_docs"), col("n_components"),
+          col("n_tokens"), col("n_cross_pairs"))
+        .orderBy(col("split"))
+    },
+
     // SOURCE DISTRIBUTION SHIFT VIA CHI-SQUARE — "which ingestion
     // sources are off-distribution against the corpus" (the feed-level
     // screen run before d67's budgets decide admission): per source,
@@ -3503,6 +3555,42 @@ object TextQueries {
 
     // d91: count-of-counts CTEs + the k+1 self left-join; unseen mass
     // and smoothed counts in integer micro so DIV matches.
+    // d96: d19's recursive-closure components, singleton fallback,
+    // the same md5-mod split of the COMPONENT, and the straddle
+    // witness counted over the same candidate pairs.
+    "d96_leakage_split" ->
+      s"""WITH RECURSIVE $CandCtes,
+         |e AS (SELECT a_id AS src, b_id AS dst FROM cand
+         |      UNION SELECT b_id, a_id FROM cand),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+         |docs AS (SELECT doc_id,
+         |          CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+         |         FROM documents),
+         |spl AS (SELECT d.doc_id,
+         |         COALESCE(c.component, d.doc_id) AS component, d.n_tokens,
+         |         CASE WHEN CAST(('0x'||substr(md5(CAST(
+         |            COALESCE(c.component, d.doc_id) AS VARCHAR)),1,8))
+         |            AS BIGINT) % 5 <= 3 THEN 'train' ELSE 'test' END AS split
+         |        FROM docs d LEFT JOIN comp c ON c.id = d.doc_id),
+         |wit AS (SELECT COALESCE(CAST(SUM(CASE WHEN sa.split <> sb.split
+         |           THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_cross_pairs
+         |        FROM cand
+         |         JOIN spl sa ON sa.doc_id = cand.a_id
+         |         JOIN spl sb ON sb.doc_id = cand.b_id),
+         |nc AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_components
+         |       FROM (SELECT DISTINCT split, component FROM spl) u
+         |       GROUP BY 1)
+         |SELECT s.split AS split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(MAX(nc.n_components) AS BIGINT) AS n_components,
+         | CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
+         | CAST(MAX(w.n_cross_pairs) AS BIGINT) AS n_cross_pairs
+         |FROM spl s JOIN nc ON nc.split = s.split CROSS JOIN wit w
+         |GROUP BY s.split ORDER BY split""".stripMargin,
+
     // d95: the same grid and the same +−*/ double chain term for
     // term; floors land on identical doubles, so the integer sums
     // match exactly.

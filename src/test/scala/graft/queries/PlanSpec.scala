@@ -1263,6 +1263,21 @@ class PlanSpec extends AnyFunSuite {
       s"the two-arm predicate must push into the scan, got: $pushed")
   }
 
+  test("d96: split joins read the checkpointed pair/component frames; only the 1-row witness cross-joins") {
+    val p = plan("d96_leakage_split")
+    assert(p.contains("ExistingRDD"),
+      s"pairs/components must be materialized, not re-derived:\n${p.take(600)}")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      s"only the 1-row witness may cross-join:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"component frames are pairs-member-sized — they broadcast:\n${p.take(600)}")
+    // The component-distinct branch prunes text away entirely; no pass
+    // may read more than (doc_id, text).
+    assert(scans("d96_leakage_split").forall(
+      _._1.forall(Seq("doc_id", "text").contains)),
+      s"no corpus pass may read beyond (doc_id, text): ${scans("d96_leakage_split")}")
+  }
+
   test("v30: hard negatives shuffle on bucket id; the argmax is an aggregate, not a rank window") {
     val p = plan("v30_hard_negatives")
     assert(!p.contains("Window"),
