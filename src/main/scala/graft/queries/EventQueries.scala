@@ -37,6 +37,7 @@ object EventQueries {
   private val GapQuantK = 128 // e18 rank-sketch size (≪ per-type gap counts at sf0.01)
   private val DriftCutUs = 1705363200000000L // e28 baseline cut: 2024-01-16 UTC
   private val OverlapKmvK = 32 // e41 sketch size (bites: audiences 64-75 at sf0.01)
+  private val GapBucket = 1L << 24 // e42 selection bucket (~16.8 s of gap per cell)
 
   private def dsum(c: Column) = sum(c.cast(DecimalType(12, 2))).cast("double")
 
@@ -721,6 +722,50 @@ object EventQueries {
           expr("((va / na + vb / nb) * (va / na + vb / nb))" +
             " / ((va / na) * (va / na) / (na - 1)" +
             " + (vb / nb) * (vb / nb) / (nb - 1))").as("df_welch"))
+    },
+
+    // EXACT ROBUST GAP PROFILE VIA DISTRIBUTED SELECTION — the third
+    // face of the inter-arrival family and the one that is BOTH exact
+    // AND scale-honest: e17's exact quantiles sort each type's whole
+    // gap column in one window task (the banished shape, kept as the
+    // exact contrast); e18's sketch is mergeable but approximate; this
+    // runs [[graft.operators.Ranks.groupedKthSmallest]] twice (median,
+    // then MAD) so the only data-scale windows are the (user, type)
+    // lag — paid ONCE into a checkpointed gap frame that all selection
+    // passes fold — and the bucket-sized refines. The >3-MAD count is
+    // the robust outlier gate (q47's rule) over the same frame; gaps
+    // are exact micros end to end.
+    "e42_gap_mad" -> { (s, d) =>
+      import graft.operators.{LineageCheckpoint, Ranks}
+      def pin(df: DataFrame) = new LineageCheckpoint(s, None)(df)
+      val wSeq = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val gaps = pin(Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), tsUs.as("ts_us"),
+          col("event_id"))
+        .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(wSeq))
+        .filter(col("gap").isNotNull)
+        .select(col("event_type"), col("gap")))
+      val ks = pin(gaps.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"), expr("(n + 1) div 2").as("k")))
+      val med = pin(Ranks.groupedKthSmallest(
+          gaps, "event_type", "gap", ks, GapBucket)
+        .select(col("event_type"), col("kth").as("med")))
+      val dev = gaps.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), abs(col("gap") - col("med")).as("dv"))
+      val mad = pin(Ranks.groupedKthSmallest(
+          dev, "event_type", "dv", ks, GapBucket)
+        .select(col("event_type"), col("kth").as("mad")))
+      gaps.join(broadcast(med), Seq("event_type"))
+        .join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          max(col("med")).as("median_gap_us"),
+          max(col("mad")).as("mad_gap_us"),
+          sum(when(abs(col("gap") - col("med")) > lit(3L) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
     },
 
     // PAIRWISE AUDIENCE OVERLAP FROM KMV STATES — e35's sketch face
@@ -1965,6 +2010,40 @@ object EventQueries {
         |   / ((va / na) * (va / na) / (na - 1)
         |      + (vb / nb) * (vb / nb) / (nb - 1)) AS df_welch
         |FROM v""".stripMargin,
+
+    // e42: the same lag-gap CTE as e17, then both selections stated as
+    // plain ranked windows (q47's mirror) and the 3-MAD gate.
+    "e42_gap_mad" ->
+      """WITH g AS (
+        | SELECT event_type,
+        |  CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |   PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |   AS BIGINT) AS gap
+        | FROM events),
+        |o AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM o GROUP BY 1),
+        |r AS (SELECT event_type, gap, ROW_NUMBER() OVER (
+        |       PARTITION BY event_type ORDER BY gap) AS rn FROM o),
+        |med AS (SELECT r.event_type, r.gap AS med FROM r
+        |        JOIN n ON n.event_type = r.event_type
+        |        WHERE r.rn = (n.n + 1) // 2),
+        |d AS (SELECT o.event_type, ABS(o.gap - med.med) AS dv
+        |      FROM o JOIN med ON med.event_type = o.event_type),
+        |rd AS (SELECT event_type, dv, ROW_NUMBER() OVER (
+        |        PARTITION BY event_type ORDER BY dv) AS rn FROM d),
+        |mad AS (SELECT rd.event_type, rd.dv AS mad FROM rd
+        |        JOIN n ON n.event_type = rd.event_type
+        |        WHERE rd.rn = (n.n + 1) // 2)
+        |SELECT o.event_type AS event_type,
+        | CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        | CAST(MAX(med.med) AS BIGINT) AS median_gap_us,
+        | CAST(MAX(mad.mad) AS BIGINT) AS mad_gap_us,
+        | CAST(SUM(CASE WHEN ABS(o.gap - med.med) > 3 * mad.mad
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM o JOIN med ON med.event_type = o.event_type
+        | JOIN mad ON mad.event_type = o.event_type
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // e41: per-type bottom-k replayed with ranked windows over the
     // distinct hash sets; pair unions from the shared distinct-hash

@@ -1483,6 +1483,51 @@ object TextQueries {
         .orderBy(col("doc_id"), col("pattern"))
     },
 
+    // FEATURE AUC VIA EXACT DISTRIBUTED RANKS — "which cheap quality
+    // features actually separate English from the rest" scored the way
+    // a classifier team scores them: AUC = Mann–Whitney U from rank
+    // sums, EXACTLY, per feature. The global rank is the q46 two-pass
+    // [[graft.operators.Ranks.globalRowNumber]] (range-partitioned
+    // sort + broadcast offsets), never a single-partition window; U =
+    // Σ over positives of (global rank − positive-only rank) — each
+    // positive's count of strictly-below negatives under the total
+    // order (feature, doc_id). Ties break on doc_id — a deterministic
+    // policy both engines replay identically (NOT midrank-adjusted
+    // AUC; the fixture's integer features tie often, and a policy the
+    // oracle can restate beats a convention it can't). Integer
+    // features, integer U, integer micro-AUC — nothing to round.
+    // The scored frame is checkpointed once; each feature pays two
+    // rank passes over it (the documented cost of exactness — d47's
+    // sketch is the approximate face of this family).
+    "d97_feature_auc" -> { (s, d) =>
+      import graft.operators.{LineageCheckpoint, Ranks}
+      val toks = TF.tokens(col("text"))
+      val sc0 = new LineageCheckpoint(s, None)(
+        Tables.documents(s, d).select(col("doc_id"),
+          col("n_chars").cast("long").as("f_chars"),
+          size(toks).cast("long").as("f_tokens"),
+          size(array_distinct(toks)).cast("long").as("f_types"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos")))
+      val totals = sc0.agg(sum(col("pos")).as("n_pos"),
+        (count(lit(1)) - sum(col("pos"))).as("n_neg"))
+      val rows = Seq("f_chars", "f_tokens", "f_types").map { c =>
+        val f = sc0.select(col("doc_id"), col(c).as("v"), col("pos"))
+        val all = Ranks.globalRowNumber(f,
+          Seq(col("v"), col("doc_id")), "rk")
+        Ranks.globalRowNumber(all.filter(col("pos") === 1L),
+            Seq(col("v"), col("doc_id")), "pk")
+          .agg(sum(col("rk") - col("pk")).as("u_stat"))
+          .withColumn("feature", lit(c))
+      }.reduce(_.unionByName(_))
+      rows.crossJoin(broadcast(totals))
+        .select(col("feature"), col("n_pos"), col("n_neg"),
+          col("u_stat"),
+          expr("CAST((CAST(u_stat AS DECIMAL(38,0)) * 1000000)" +
+            " DIV (CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)")
+            .as("auc_micro"))
+        .orderBy(col("feature"))
+    },
+
     // LEAKAGE-SAFE TRAIN/TEST SPLIT — the split a benchmark-honest
     // pipeline needs: a naive per-document hash split puts near-
     // duplicates on BOTH sides (the test set leaks into training and
@@ -3555,6 +3600,38 @@ object TextQueries {
 
     // d91: count-of-counts CTEs + the k+1 self left-join; unseen mass
     // and smoothed counts in integer micro so DIV matches.
+    // d97: both rank passes as ranked windows per feature; U and the
+    // micro-AUC in exact HUGEINT arithmetic.
+    "d97_feature_auc" ->
+      """WITH sc AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS f_chars,
+        |   CAST(len(string_split(text,' ')) AS BIGINT) AS f_tokens,
+        |   CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)
+        |     AS f_types,
+        |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |f AS (SELECT doc_id, 'f_chars' AS feature, f_chars AS v, pos FROM sc
+        |      UNION ALL
+        |      SELECT doc_id, 'f_tokens', f_tokens, pos FROM sc
+        |      UNION ALL
+        |      SELECT doc_id, 'f_types', f_types, pos FROM sc),
+        |r AS (SELECT feature, doc_id, v, pos,
+        |       ROW_NUMBER() OVER (PARTITION BY feature
+        |        ORDER BY v, doc_id) AS rk
+        |      FROM f),
+        |p AS (SELECT feature, rk,
+        |       ROW_NUMBER() OVER (PARTITION BY feature
+        |        ORDER BY v, doc_id) AS pk
+        |      FROM r WHERE pos = 1),
+        |n AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |       CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+        |      FROM sc),
+        |u AS (SELECT feature, CAST(SUM(rk - pk) AS BIGINT) AS u_stat
+        |      FROM p GROUP BY 1)
+        |SELECT u.feature, n.n_pos, n.n_neg, u.u_stat,
+        | CAST((CAST(u.u_stat AS HUGEINT) * 1000000)
+        |   // (CAST(n.n_pos AS HUGEINT) * n.n_neg) AS BIGINT) AS auc_micro
+        |FROM u CROSS JOIN n ORDER BY feature""".stripMargin,
+
     // d96: d19's recursive-closure components, singleton fallback,
     // the same md5-mod split of the COMPONENT, and the straddle
     // witness counted over the same candidate pairs.

@@ -1263,6 +1263,30 @@ class PlanSpec extends AnyFunSuite {
       s"the two-arm predicate must push into the scan, got: $pushed")
   }
 
+  test("e42: the outlier pass folds the checkpointed gap frame — no lag window in the final plan") {
+    val p = plan("e42_gap_mad")
+    assert(p.contains("ExistingRDD"),
+      s"gaps must be materialized once, not re-derived per pass:\n${p.take(600)}")
+    assert(!p.contains("Window"),
+      s"the (user,type) lag was paid at build time:\n${p.take(600)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2 &&
+      !p.contains("SortMergeJoin"),
+      s"exactly the med + mad broadcast joins:\n${p.take(600)}")
+    assert(scans("e42_gap_mad").isEmpty,
+      "no parquet scan may survive the gap checkpoint")
+  }
+
+  test("d97: AUC rows read materialized rank frames; only the 1-row totals cross-join") {
+    val p = plan("d97_feature_auc")
+    assert(p.contains("ExistingRDD"),
+      s"rank frames come from the two-pass operator, pre-materialized:\n${p.take(600)}")
+    assert(!p.contains("Window"),
+      s"no rank window may appear — globalRowNumber owns the ordering:\n${p.take(600)}")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1 &&
+      !p.contains("SortMergeJoin"),
+      s"only the 1-row totals may cross-join:\n${p.take(600)}")
+  }
+
   test("d96: split joins read the checkpointed pair/component frames; only the 1-row witness cross-joins") {
     val p = plan("d96_leakage_split")
     assert(p.contains("ExistingRDD"),
