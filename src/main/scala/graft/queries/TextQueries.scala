@@ -1483,6 +1483,40 @@ object TextQueries {
         .orderBy(col("doc_id"), col("pattern"))
     },
 
+    // DUP-CLUSTER QUALITY AUDIT — the check that catches CHAINING, the
+    // known failure mode of LSH + connected components (A~B and B~C
+    // collapse A,B,C even when A and C share nothing): per component,
+    // its size, its internal candidate-pair count, the WEAKEST LINK
+    // (min exact Jaccard over its scored pairs — a chained cluster
+    // shows a near-zero floor) and the edge density in micro units
+    // (2·pairs / n·(n−1) — 1.0 means a clique, sparse means a chain).
+    // A curation pipeline reads this before trusting d69's
+    // survivorship to delete. Shape: the scored pair frame is
+    // checkpointed (components + audit both fold it); everything
+    // after is component-keyed aggregation over pair-sized frames —
+    // broadcast joins, exact integers plus the already-proven exact
+    // Jaccard doubles.
+    "d98_dup_cluster_audit" -> { (s, d) =>
+      val pairs = new graft.operators.LineageCheckpoint(s, None)(
+        graft.text.Dedup.nearDupPairs(
+          Tables.documents(s, d), "doc_id", "text", threshold = 0.0))
+      val comp = graft.text.Dedup.dupComponents(
+        pairs.select(col("a_id"), col("b_id")))
+      val pc = pairs
+        .join(broadcast(comp.select(col("id").as("a_id"), col("component"))),
+          Seq("a_id"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("jaccard")).as("min_jaccard"))
+      comp.groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
+        .join(broadcast(pc), Seq("component"))
+        .select(col("component"), col("n_docs"), col("n_pairs"),
+          col("min_jaccard"),
+          expr("CAST((CAST(n_pairs AS DECIMAL(38,0)) * 2 * 1000000)" +
+            " DIV (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1))" +
+            " AS BIGINT)").as("density_micro"))
+        .orderBy(col("component"))
+    },
+
     // FEATURE AUC VIA EXACT DISTRIBUTED RANKS — "which cheap quality
     // features actually separate English from the rest" scored the way
     // a classifier team scores them: AUC = Mann–Whitney U from rank
@@ -3600,6 +3634,38 @@ object TextQueries {
 
     // d91: count-of-counts CTEs + the k+1 self left-join; unseen mass
     // and smoothed counts in integer micro so DIV matches.
+    // d98: the candidate CTEs + per-pair exact Jaccard (d35's formula)
+    // + the recursive-closure components, folded per component.
+    "d98_dup_cluster_audit" ->
+      s"""WITH RECURSIVE $CandCtes,
+         |ds AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh),
+         |scored AS (SELECT c.a_id, c.b_id,
+         |   CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+         |     / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))
+         |     AS jaccard
+         |  FROM cand c
+         |   JOIN ds a ON a.doc_id = c.a_id
+         |   JOIN ds b ON b.doc_id = c.b_id),
+         |e AS (SELECT a_id AS src, b_id AS dst FROM cand
+         |      UNION SELECT b_id, a_id FROM cand),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+         |sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |          FROM comp GROUP BY 1),
+         |pc AS (SELECT comp.component,
+         |        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |        MIN(s.jaccard) AS min_jaccard
+         |       FROM scored s JOIN comp ON comp.id = s.a_id GROUP BY 1)
+         |SELECT sizes.component, sizes.n_docs, pc.n_pairs, pc.min_jaccard,
+         | CAST((CAST(pc.n_pairs AS HUGEINT) * 2 * 1000000)
+         |   // (CAST(sizes.n_docs AS HUGEINT) * (sizes.n_docs - 1))
+         |   AS BIGINT) AS density_micro
+         |FROM sizes JOIN pc ON pc.component = sizes.component
+         |ORDER BY sizes.component""".stripMargin,
+
     // d97: both rank passes as ranked windows per feature; U and the
     // micro-AUC in exact HUGEINT arithmetic.
     "d97_feature_auc" ->

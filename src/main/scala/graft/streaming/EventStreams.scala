@@ -875,6 +875,110 @@ object EventStreams {
       (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
     }
 
+  /** Per-(day, type) KMV audience state, finalized at watermark close —
+    * the streaming reduce that feeds [[OverlapLedger]] (e41's face).
+    * ONE stateful aggregation: KMV state is a pure SET function, so
+    * feeding raw events (a user split across micro-batches hits the
+    * state twice, idempotently) is exact — no dedup stage needed
+    * (contrast [[dailyUserStates]], whose second stage exists only for
+    * the exact DAU). State per open (day, type) is k longs.
+    */
+  def dailyTypeUserStates(events: DataFrame, k: Int = 32,
+      watermark: String = "2 days"): DataFrame = {
+    val st = udaf(new graft.operators.Sketches.KmvState(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .withWatermark("ts", watermark)
+      .filter(col("value") >= 150)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(st(graft.operators.Sketches.kmvInput(
+        graft.text.TextFunctions.hash32(col("user_id").cast("string"))))
+        .as("state"))
+      .select(col("window.start").as("day"), col("event_type"), col("state"))
+  }
+
+  /** One audience-overlap cell from [[OverlapLedger.overlaps]] —
+    * e41's row.
+    */
+  final case class OverlapRow(type_a: String, type_b: String,
+      est_a: Double, est_b: Double, est_union: Double,
+      est_inter: Double, jaccard: Double)
+
+  /** Driver-held ledger for [[overlapSink]]: e41's pairwise engaged-
+    * audience matrix run CONTINUOUSLY — segment overlap kept current
+    * as days close, without rescanning the event log per pair or per
+    * day. State is one k-longs KMV state per CLOSED (type, day) —
+    * calendar×types-sized; idempotent per batchId. [[overlaps]] merges
+    * each type's retained day states (set semantics: bottom-k of a
+    * union IS the merge of bottom-ks, so ingest order and micro-batch
+    * boundaries cannot matter), then states e41's density /
+    * inclusion–exclusion arithmetic — on closed data the matrix
+    * equals the batch query's bit for bit (StreamingSpec pins it
+    * against the batch expression chain). [[evictBefore]] gives the
+    * trailing-window audience matrix, exact for survivors.
+    */
+  final class OverlapLedger(k: Int = 32) {
+    private[streaming] var states: Map[(String, Long), Array[Long]] = Map.empty
+    private[streaming] var lastBatchId: Long = -1L
+    private val dayUs = 24L * 3600 * 1000 * 1000
+    private val kmv = new graft.operators.Sketches.KmvDistinct(k)
+
+    /** Folds one micro-batch of closed [[dailyTypeUserStates]] rows;
+      * idempotent per batchId.
+      */
+    def ingest(batch: DataFrame, batchId: Long): Unit =
+      if (batchId > lastBatchId) {
+        batch.select(col("event_type"), col("day"), col("state")).collect()
+          .foreach { r =>
+            states += (r.getString(0),
+              r.getTimestamp(1).getTime * 1000L / dayUs) ->
+              r.getSeq[Long](2).toArray
+          }
+        lastBatchId = batchId
+      }
+
+    /** e41 over the ledger: every type pair (a < b) with estimates,
+      * inclusion–exclusion intersection and Jaccard — e41's exact
+      * double arithmetic over the merged per-type states.
+      */
+    def overlaps(): Seq[OverlapRow] = {
+      val byType = states.groupBy(_._1._1).toSeq.sortBy(_._1)
+        .map { case (t, m) =>
+          t -> m.values.foldLeft(kmv.zero)(kmv.merge)
+        }
+      for {
+        i <- byType.indices
+        j <- (i + 1) until byType.length
+      } yield {
+        val (ta, sa) = byType(i)
+        val (tb, sb) = byType(j)
+        val ea = kmv.finish(sa)
+        val eb = kmv.finish(sb)
+        val eu = kmv.finish(kmv.merge(sa, sb))
+        val inter = math.max(0.0, ea + eb - eu)
+        OverlapRow(ta, tb, ea, eb, eu, inter,
+          if (eu > 0.0) inter / eu else 0.0)
+      }
+    }
+
+    /** Drops every closed (type, day) strictly before `minDayIdx` —
+      * the trailing-window matrix; surviving days' states are exact.
+      */
+    def evictBefore(minDayIdx: Long): Unit =
+      states = states.filter { case ((_, d), _) => d >= minDayIdx }
+  }
+
+  /** Streaming face of e41: [[dailyTypeUserStates]]'s finalized days
+    * feed the [[OverlapLedger]] — wire as
+    * `overlapSink(dailyTypeUserStates(events), ledger)
+    * .outputMode("append")`.
+    */
+  def overlapSink(closedDays: DataFrame, ledger: OverlapLedger)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    closedDays.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
+    }
+
   /** Per-day EXACT user bitmap, finalized at watermark close — the
     * streaming reduce that feeds [[BitmapActivesLedger]] (e33's face,
     * and the exact sibling of [[dailyUserStates]]). ONE stateful

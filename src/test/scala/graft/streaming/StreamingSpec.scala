@@ -1894,6 +1894,89 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("overlapSink: ledger audience matrix equals the batch e41 arithmetic on closed days") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{array_sort, array_union, element_at, greatest, size => fsize, slice, udaf, when => fwhen}
+    val dayUs = 24L * 3600 * 1000 * 1000
+    val K = 8 // below every audience (30/26/22 users) so the estimator bites
+    // type 'a': users 0..29; 'b': 4..29; 'c': 8..29 — nested audiences
+    // with distinct overlaps; sub-threshold rows must not count.
+    val evts = for (d <- 0L to 9L; u <- 0L until 30L;
+        (t, lo) <- Seq(("a", 0L), ("b", 4L), ("c", 8L)) if u >= lo)
+      yield (d * 1000 + u, d * dayUs + u * 1000000L, t, u,
+        if (u % 5 == 4) 10.0 else 200.0) // every 5th row fails the gate
+    val batchDf = evts.toDF("event_id", "ts_us", "event_type", "user_id", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    def wantOver(df: org.apache.spark.sql.DataFrame) = {
+      val st = udaf(new graft.operators.Sketches.KmvState(K),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val states = df.filter(col("value") >= 150)
+        .select(col("event_type"),
+          graft.operators.Sketches.kmvInput(
+            graft.text.TextFunctions.hash32(col("user_id").cast("string")))
+            .as("h"))
+        .groupBy(col("event_type")).agg(st(col("h")).as("st"))
+      def est(arr: org.apache.spark.sql.Column) =
+        fwhen(fsize(arr) < K, fsize(arr).cast("double"))
+          .otherwise(lit((K - 1).toDouble * 4294967296.0) /
+            element_at(arr, K))
+      val a = states.select(col("event_type").as("type_a"), col("st").as("sa"))
+      val b = states.select(col("event_type").as("type_b"), col("st").as("sb"))
+      a.join(b, col("type_a") < col("type_b"))
+        .withColumn("su", slice(array_sort(array_union(col("sa"), col("sb"))), 1, K))
+        .select(col("type_a"), col("type_b"),
+          est(col("sa")).as("ea"), est(col("sb")).as("eb"),
+          est(col("su")).as("eu"))
+        .withColumn("inter", greatest(lit(0.0), col("ea") + col("eb") - col("eu")))
+        .collect()
+        .map(r => EventStreams.OverlapRow(r.getString(0), r.getString(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          if (r.getDouble(4) > 0.0) r.getDouble(5) / r.getDouble(4) else 0.0))
+        .sortBy(r => (r.type_a, r.type_b)).toSeq
+    }
+    val want = wantOver(batchDf)
+
+    val in = MemoryStream[(Long, Long, String, Long, Double)]
+    val ledger = new EventStreams.OverlapLedger(K)
+    val stream = in.toDS()
+      .toDF("event_id", "ts_us", "event_type", "user_id", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStreams.overlapSink(
+        EventStreams.dailyTypeUserStates(stream, K, "1 day"), ledger)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      val ordered = evts.sortBy(_._2)
+      val (h1, h2) = ordered.splitAt(ordered.length / 2)
+      in.addData(h1: _*); q.processAllAvailable()
+      in.addData(h2: _*); q.processAllAvailable()
+      in.addData((999999L, 40L * dayUs, "a", 1L, 200.0))
+      q.processAllAvailable()
+      in.addData((999998L, 40L * dayUs + 1L, "a", 1L, 200.0))
+      q.processAllAvailable()
+      assert(ledger.overlaps() == want,
+        s"ledger drifted from the batch chain:\n got: ${ledger.overlaps()}\nwant: $want")
+      // the nesting must be visible: a∩c audience ⊂ a∩b audience
+      val cells = ledger.overlaps().map(r => (r.type_a, r.type_b) -> r).toMap
+      assert(cells(("b", "c")).jaccard >= cells(("a", "c")).jaccard,
+        s"nested audiences must order the jaccards: $cells")
+      // idempotence: replaying an already-folded batchId is a no-op
+      val before = ledger.states
+      ledger.ingest(
+        Seq(("a", new java.sql.Timestamp(0L), Seq(1L, 2L)))
+          .toDF("event_type", "day", "state"),
+        ledger.lastBatchId)
+      assert(ledger.states == before)
+      // eviction = the trailing-window matrix, exact for survivors
+      ledger.evictBefore(5L)
+      assert(ledger.overlaps() ==
+        wantOver(batchDf.filter(col("ts_us") >= 5L * dayUs)),
+        "post-eviction matrix must equal batch over surviving days")
+    } finally q.stop()
+  }
+
   test("statefulQuotaGate: budgets enforce across batches in (ts, id) order") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, Long, Long)] // (key, doc_id, ts_us)
