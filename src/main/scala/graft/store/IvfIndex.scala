@@ -362,12 +362,12 @@ object IvfIndex {
     * requiring a compact first. Shared by [[splitCell]] and
     * [[mergeCells]].
     */
-  private def nextCellId(spark: SparkSession, path: String,
-      cellIds: Array[Long]): Long = {
+  private[store] def nextCellId(spark: SparkSession, path: String,
+      cellIds: Array[Long], layout: String = "vectors"): Long = {
     import org.apache.hadoop.fs.Path
-    val fsV = new Path(s"$path/vectors")
+    val fsV = new Path(s"$path/$layout")
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val diskMax = fsV.listStatus(new Path(s"$path/vectors"))
+    val diskMax = fsV.listStatus(new Path(s"$path/$layout"))
       .iterator.map(_.getPath.getName)
       .collect { case n if n.startsWith("cell=") => n.drop(5).toLong }
       .foldLeft(Long.MinValue)(math.max)
@@ -451,7 +451,7 @@ object IvfIndex {
     spark.read.parquet(p.toString).head().getString(0)
   }
 
-  private def writeSeeds(seeds: DataFrame, seedIdCol: String,
+  private[store] def writeSeeds(seeds: DataFrame, seedIdCol: String,
       seedVecCol: String, path: String): Unit =
     seeds.select(col(seedIdCol).as("cell"), col(seedVecCol).as("seed_vec"))
       .coalesce(1)

@@ -107,6 +107,59 @@ object IvfPqIndex {
   def compact(spark: SparkSession, path: String): (Long, Long) =
     IvfIndex.compactLayout(spark, path, "codes", "id")
 
+  /** Merge two cold cells — [[IvfIndex.mergeCells]]'s PQ twin, SOUND
+    * for this layout precisely because [[build]] quantizes the RAW
+    * vector (codes carry no dependence on the owning cell's centroid),
+    * so moving a code row to another cell changes nothing it encodes.
+    * A residual-encoded layout (v27's form) could NOT do this without
+    * re-encoding every row against the new centroid — which is the
+    * maintenance trade-off between the two encodings, stated here so
+    * nobody ports this method there blindly. Same commit protocol and
+    * crash contract as the float index: append both cells' code rows
+    * under the collision-proof next id (invisible — not in seeds),
+    * flip the codebook in one write (the commit point; the merged seed
+    * is the elementwise mean), best-effort drop of the retired dirs —
+    * every crash point leaves at worst dead extra bytes for
+    * [[compact]]. Returns the merged cell id.
+    */
+  def mergeCells(spark: SparkSession, path: String, a: Long,
+      b: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    require(a != b, s"mergeCells needs two distinct cells, got $a twice")
+    val seeds = spark.read.parquet(s"$path/seeds")
+    val cellIds = seeds.select(col("cell")).collect().map(_.getLong(0))
+    Seq(a, b).foreach(c => require(cellIds.contains(c),
+      s"no such cell in the codebook: $c"))
+    val nextId = IvfIndex.nextCellId(spark, path, cellIds, "codes")
+    // 1) append both cells' code rows under the new id (invisible)
+    spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(a, b)) // partition-pruned: two cells' IO
+      .drop("cell")
+      .withColumn("cell", lit(nextId))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(s"$path/codes")
+    // 2) flip the codebook — the commit point (collected first:
+    // overwriting the seeds dir from a plan reading it would corrupt).
+    val rows = seeds.collect()
+      .map(r => (r.getLong(r.fieldIndex("cell")),
+        r.getSeq[Float](r.fieldIndex("seed_vec"))))
+    val sa = rows.find(_._1 == a).get._2
+    val sb = rows.find(_._1 == b).get._2
+    val mean = sa.zip(sb).map { case (x, y) => (x + y) / 2f }
+    val kept = rows.filterNot(r => r._1 == a || r._1 == b)
+    import spark.implicits._
+    IvfIndex.writeSeeds(
+      (kept :+ ((nextId, mean))).toSeq.toDF("cell", "seed_vec"),
+      "cell", "seed_vec", path)
+    // 3) drop the retired source cells (best-effort; dead if they stay)
+    val fs = new Path(s"$path/codes")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(a, b).foreach(c =>
+      fs.delete(new Path(s"$path/codes/cell=$c"), true))
+    nextId
+  }
+
   /** Probe the `nProbe` nearest cells (partition-pruned) and ADC-score
     * their codes; `(cell, id, score)` top-k. The scan touches codes
     * only — no vector column exists on disk to read. Tombstoned ids

@@ -147,6 +147,41 @@ class IvfPqIndexSpec extends AnyFunSuite {
       "post-compact search must equal the tombstone-filtered search")
   }
 
+  test("mergeCells: full-probe results are bit-identical; retired cells vanish; tombstones survive") {
+    val p2 = Files.createTempDirectory("graft-ivfpq-merge").toString
+    val seeds = IvfIndex.trainSeeds(corpus, "id", "vec", k = 4, iters = 3)
+    val cb = ProductQuantizer.train(corpus, "id", "vec",
+      blocks = 4, codes = 16, iters = 3)
+    IvfPqIndex.build(corpus, "id", "vec", seeds, "cell_id", "seed_vec", cb, p2)
+    val q = vec(34)
+    def full(n: Int) = IvfPqIndex.search(spark, p2, q, k = 160, nProbe = n)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val before = full(4)
+    // tombstone BEFORE the merge — it keys on id and must ride along
+    val dead = before.head._1
+    IvfPqIndex.delete(spark, p2, Seq(dead))
+    val cells = spark.read.parquet(s"$p2/seeds")
+      .select(col("cell")).collect().map(_.getLong(0)).sorted
+    val merged = IvfPqIndex.mergeCells(spark, p2, cells(0), cells(1))
+    // codes encode the raw vector, so every surviving (id, score) pair
+    // is unchanged under recellation — only the dead id is gone
+    assert(full(3) == before.filterNot(_._1 == dead),
+      "full-probe search must be bit-identical after the merge")
+    val after = spark.read.parquet(s"$p2/seeds")
+      .select(col("cell")).collect().map(_.getLong(0)).sorted
+    assert(after.length == 3 && after.contains(merged) &&
+      !after.contains(cells(0)) && !after.contains(cells(1)))
+    assert(!new java.io.File(s"$p2/codes/cell=${cells(0)}").exists &&
+      !new java.io.File(s"$p2/codes/cell=${cells(1)}").exists,
+      "retired cell directories must be dropped")
+    // merged seed is the elementwise mean of the two retired seeds
+    val sv = spark.read.parquet(s"$p2/seeds")
+      .filter(col("cell") === merged).head().getSeq[Float](1)
+    val Seq(sa, sb) = seeds.filter(col("cell_id").isin(cells(0), cells(1)))
+      .orderBy(col("cell_id")).collect().map(_.getSeq[Float](1)).toSeq
+    assert(sv == sa.zip(sb).map { case (x, y) => (x + y) / 2f })
+  }
+
   test("single-cell probe stays inside one cell and is ADC-exact there") {
     val q = vec(34)
     val rows = IvfPqIndex.search(spark, path, q, k = 5, nProbe = 1).collect()
