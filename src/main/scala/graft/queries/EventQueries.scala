@@ -768,6 +768,33 @@ object EventQueries {
         .orderBy(col("event_type"))
     },
 
+    // ENGAGEMENT RATE WITH WILSON INTERVALS — the uncertainty-honest
+    // version of a rate dashboard: per type, the share of high-value
+    // events (the e35/e41 ≥150 gate) with its Wilson 95% score
+    // interval, the CI that stays inside [0,1] and behaves at small n
+    // where the naive ±z√(p̂q̂/n) does not. One conditional aggregate
+    // per type (pushed-down scan, map-side partial); the interval is
+    // a per-row projection of +−*/√ — correctly-rounded IEEE ops
+    // stated token-for-token in both engines (the e40 discipline), so
+    // the bounds are bit-identical with no rounding step. The point
+    // rate is an exact integer micro-ratio.
+    "e43_engagement_ci" -> { (s, d) =>
+      val row = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") >= 150, 1L).otherwise(0L)).as("k"))
+      row
+        .withColumn("p", expr("CAST(k AS DOUBLE) / n"))
+        .withColumn("z2n", expr("1.96e0 * 1.96e0 / n"))
+        .select(col("event_type"), col("n"), col("k"),
+          expr("(k * 1000000) DIV n").as("rate_micro"),
+          expr("(p + z2n / 2 - 1.96e0 * SQRT(p * (1 - p) / n" +
+            " + z2n / (4 * n))) / (1 + z2n)").as("wilson_lo"),
+          expr("(p + z2n / 2 + 1.96e0 * SQRT(p * (1 - p) / n" +
+            " + z2n / (4 * n))) / (1 + z2n)").as("wilson_hi"))
+        .orderBy(col("event_type"))
+    },
+
     // PAIRWISE AUDIENCE OVERLAP FROM KMV STATES — e35's sketch face
     // (the d75→d80-style exact/sketch pairing): the same engaged-tail
     // audience matrix, but from one O(k) KMV state per type instead
@@ -2010,6 +2037,23 @@ object EventQueries {
         |   / ((va / na) * (va / na) / (na - 1)
         |      + (vb / nb) * (vb / nb) / (nb - 1)) AS df_welch
         |FROM v""".stripMargin,
+
+    // e43: the identical double expression tree (the e40 discipline);
+    // 1.96e0 keeps the z literal DOUBLE on both engines.
+    "e43_engagement_ci" ->
+      """WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CASE WHEN value >= 150 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS k
+        |       FROM events GROUP BY 1),
+        |v AS (SELECT *, CAST(k AS DOUBLE) / n AS p,
+        |       1.96e0 * 1.96e0 / n AS z2n FROM g)
+        |SELECT event_type, n, k,
+        | CAST((k * 1000000) // n AS BIGINT) AS rate_micro,
+        | (p + z2n / 2 - 1.96e0 * SQRT(p * (1 - p) / n
+        |    + z2n / (4 * n))) / (1 + z2n) AS wilson_lo,
+        | (p + z2n / 2 + 1.96e0 * SQRT(p * (1 - p) / n
+        |    + z2n / (4 * n))) / (1 + z2n) AS wilson_hi
+        |FROM v ORDER BY event_type""".stripMargin,
 
     // e42: the same lag-gap CTE as e17, then both selections stated as
     // plain ranked windows (q47's mirror) and the 3-MAD gate.

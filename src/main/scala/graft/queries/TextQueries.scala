@@ -1483,6 +1483,39 @@ object TextQueries {
         .orderBy(col("doc_id"), col("pattern"))
     },
 
+    // VOCABULARY COVERAGE CURVE — the Zipf question a tokenizer
+    // designer asks before fixing a vocab size: how many types cover
+    // 50 / 90 / 99% of the token mass? One corpus scan folds into the
+    // vocabulary count table; the rank and running-mass windows run
+    // over THAT table (the d47/q46 catalog-window rule — vocabulary-
+    // sized, never corpus-sized), and each threshold's answer is a
+    // min over the qualifying rows (cum is monotone in rank, so
+    // min-rank and min-cum select the same row). Exact integers end
+    // to end.
+    "d99_vocab_coverage" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // Two consumers (total + windows) → checkpoint the count table
+      // (the d86 rule), or the corpus scan runs twice.
+      val uc = new graft.operators.LineageCheckpoint(s, None)(
+        Tables.documents(s, d)
+          .select(explode(TF.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c")))
+      val tot = uc.agg(sum(col("c")).cast("long").as("n_g"))
+      val wOrd = Window.orderBy(col("c").desc, col("w"))
+      uc.withColumn("rk", row_number().over(wOrd).cast("long"))
+        .withColumn("cum", sum(col("c")).over(wOrd).cast("long"))
+        .crossJoin(broadcast(tot))
+        .select(col("rk"), col("cum"), col("n_g"),
+          explode(array(lit(50L), lit(90L), lit(99L))).as("threshold_pct"))
+        .filter(col("cum") * 100 >= col("threshold_pct") * col("n_g"))
+        .groupBy(col("threshold_pct"))
+        .agg(min(col("rk")).as("n_types"),
+          expr("CAST((CAST(MIN(cum) AS DECIMAL(38,0)) * 1000000)" +
+            " DIV MAX(n_g) AS BIGINT)").as("mass_micro"),
+          max(col("n_g")).as("n_tokens"))
+        .orderBy(col("threshold_pct"))
+    },
+
     // DUP-CLUSTER QUALITY AUDIT — the check that catches CHAINING, the
     // known failure mode of LSH + connected components (A~B and B~C
     // collapse A,B,C even when A and C share nothing): per component,
@@ -3634,6 +3667,27 @@ object TextQueries {
 
     // d91: count-of-counts CTEs + the k+1 self left-join; unseen mass
     // and smoothed counts in integer micro so DIV matches.
+    // d99: ranked/running windows over the vocabulary count table;
+    // min-rank == min-cum on the monotone frame.
+    "d99_vocab_coverage" ->
+      """WITH u AS (SELECT unnest(string_split(text,' ')) AS w
+        |           FROM documents),
+        |uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_g FROM uc),
+        |r AS (SELECT w, c,
+        |       ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk,
+        |       CAST(SUM(c) OVER (ORDER BY c DESC, w) AS BIGINT) AS cum
+        |      FROM uc),
+        |th AS (SELECT unnest(CAST([50, 90, 99] AS BIGINT[]))
+        |        AS threshold_pct)
+        |SELECT th.threshold_pct, CAST(MIN(r.rk) AS BIGINT) AS n_types,
+        | CAST((CAST(MIN(r.cum) AS HUGEINT) * 1000000) // MAX(t.n_g)
+        |   AS BIGINT) AS mass_micro,
+        | CAST(MAX(t.n_g) AS BIGINT) AS n_tokens
+        |FROM r CROSS JOIN tot t
+        | JOIN th ON r.cum * 100 >= th.threshold_pct * t.n_g
+        |GROUP BY 1 ORDER BY threshold_pct""".stripMargin,
+
     // d98: the candidate CTEs + per-pair exact Jaccard (d35's formula)
     // + the recursive-closure components, folded per component.
     "d98_dup_cluster_audit" ->

@@ -1287,6 +1287,39 @@ class PlanSpec extends AnyFunSuite {
       s"only the 1-row totals may cross-join:\n${p.take(600)}")
   }
 
+  test("d99: one text scan; the rank/mass windows run over the vocabulary table") {
+    val p = plan("d99_vocab_coverage")
+    assert(scans("d99_vocab_coverage").isEmpty && p.contains("ExistingRDD"),
+      s"the count table is checkpointed — no parquet scan may survive:\n${p.take(400)}")
+    // The windows consume the materialized count table, never a raw
+    // corpus explode.
+    assert(p.contains("Window"),
+      s"the rank/mass windows must survive in the final plan:\n${p.take(800)}")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1 &&
+      !p.contains("SortMergeJoin"),
+      s"only the 1-row total may cross-join:\n${p.take(600)}")
+  }
+
+  test("e43: Wilson CI is one conditional aggregate + a per-row projection") {
+    val p = plan("e43_engagement_ci")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"rates need no window and no join:\n${p.take(600)}")
+    val Seq((cols, _)) = scans("e43_engagement_ci")
+    assert(cols.sorted == Seq("event_type", "value"),
+      s"the rate scan reads exactly (event_type, value), got: $cols")
+  }
+
+  test("d98: the audit folds the checkpointed pair frame — component joins broadcast, no window") {
+    val p = plan("d98_dup_cluster_audit")
+    assert(p.contains("ExistingRDD"),
+      s"pairs/components must be materialized, not re-derived:\n${p.take(600)}")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"),
+      s"everything after the pair frame is component-keyed folding:\n${p.take(600)}")
+    assert(scans("d98_dup_cluster_audit").isEmpty,
+      "no parquet scan may survive the pair checkpoint")
+  }
+
   test("d96: split joins read the checkpointed pair/component frames; only the 1-row witness cross-joins") {
     val p = plan("d96_leakage_split")
     assert(p.contains("ExistingRDD"),
