@@ -1287,6 +1287,17 @@ class PlanSpec extends AnyFunSuite {
       s"only the 1-row totals may cross-join:\n${p.take(600)}")
   }
 
+  test("d100: the index search prunes to the query terms' bucket partitions") {
+    val p = plan("d100_bm25_index")
+    assert(p.contains("PartitionFilters") &&
+      "bucket#\\d+ IN|bucket#\\d+ =".r.findFirstIn(p).isDefined,
+      s"the posting scan must prune on the term buckets:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"dl rides the posting row — nothing corpus-scale joins or sorts:\n${p.take(600)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be the per-partition heap:\n${p.take(600)}")
+  }
+
   test("d99: one text scan; the rank/mass windows run over the vocabulary table") {
     val p = plan("d99_vocab_coverage")
     assert(scans("d99_vocab_coverage").isEmpty && p.contains("ExistingRDD"),
