@@ -239,7 +239,8 @@ object IvfIndex {
     * float layout's crash-safety story.
     */
   private[store] def compactLayout(spark: SparkSession, path: String,
-      dirName: String, idCol: => String): (Long, Long) = {
+      dirName: String, idCol: => String,
+      partCol: String = "cell"): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     val dir = s"$path/$dirName"
     val tmp = s"$path/${dirName}_compacting"
@@ -279,9 +280,9 @@ object IvfIndex {
     tombstones(spark, path).fold(src) { t =>
       src.join(broadcast(t), src(idCol) === t("id"), "left_anti")
     }
-      .repartition(col("cell"))
+      .repartition(col(partCol))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("cell")
+      .partitionBy(partCol)
       .parquet(tmp)
     require(fs.rename(new Path(dir), new Path(old)),
       s"compaction swap failed: could not move $dir aside")

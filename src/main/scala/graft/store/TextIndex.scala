@@ -21,10 +21,21 @@ import graft.text.{Bm25, TextFunctions => TF}
   * Layout under `path`:
   *   - `postings/bucket=<b>/` — (term, doc_id, dl, tf): one row per
   *     (term, doc) with the term frequency and the document's length;
-  *   - `stats/` — one row (n_docs, avgdl): the corpus-level BM25
-  *     globals, paid once at build;
+  *   - `doclens/` — (doc_id, dl): the per-doc lengths, read only by
+  *     [[delete]]'s one-time stats correction and [[compact]];
+  *   - `stats/` — one row (n_docs, sum_dl): the corpus-level BM25
+  *     globals as a MERGEABLE integer pair (appends fold by addition);
   *   - `meta/` — one row (n_buckets): the modulus is part of the
-  *     layout; reading it back beats trusting the caller to remember.
+  *     layout; reading it back beats trusting the caller to remember;
+  *   - `tombstones/` + `tombstone_stats/` — deleted ids and their
+  *     (count, length) corrections, cleared by [[compact]].
+  *
+  * Maintenance parity with [[IvfIndex]]: [[append]] (delta batches fold
+  * into the existing buckets, append ≡ one-shot rebuild bit for bit),
+  * [[delete]] (tombstones — invisible immediately, df/n/avgdl corrected
+  * so the scores equal a rebuild without the doc), [[compact]] (one
+  * file per bucket, tombstoned rows reclaimed physically,
+  * rename-aside→rename-in→delete-old swap).
   *
   * Determinism: [[search]] reproduces [[Bm25.score]] BIT FOR BIT on the
   * candidate set — per-term score parts are identical IEEE expressions
@@ -48,12 +59,47 @@ object TextIndex {
     java.lang.Long.parseLong(hex, 16)
   }
 
-  /** One corpus scan → bucketed postings + corpus stats. Tokenization
-    * is [[TF.tokens]] (the corpus contract); re-building overwrites.
+  /** One corpus scan → bucketed postings + doc lengths + corpus stats.
+    * Tokenization is [[TF.tokens]] (the corpus contract); re-building
+    * overwrites. Stats persist as the MERGEABLE pair (n_docs, sum_dl)
+    * — integer sums, so [[append]] folds a delta batch exactly and
+    * avgdl = sum/n reproduces the scan path's `avg` bit for bit (both
+    * are an exact-integer-valued double divided by the count).
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    writeParts(docs, idCol, textCol, path, nBuckets, SaveMode.Overwrite)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  /** INCREMENTAL maintenance: index a delta batch into the existing
+    * layout (the [[IvfIndex.append]] shape — postings land inside
+    * existing `bucket=N` directories, doclens and the stats pair fold
+    * by addition). Append ≡ one-shot rebuild BIT FOR BIT, pinned in
+    * TextIndexSpec: n/avgdl/df/tf all come out to the same numbers, so
+    * every score matches. (BM25 scores legitimately SHIFT as the
+    * corpus grows — idf and avgdl are corpus globals; that is index
+    * freshness, not drift.)
+    */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    // Fold the old stats pair with the delta's — collected BEFORE the
+    // overwrite, a 1-row read.
+    val old = spark.read.parquet(s"$path/stats").head()
+    val (oldN, oldSum) = (old.getAs[Long]("n_docs"), old.getAs[Long]("sum_dl"))
+    writeParts(docs, idCol, textCol, path, nBuckets, SaveMode.Append,
+      statsBase = (oldN, oldSum))
+  }
+
+  private def writeParts(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int, mode: SaveMode,
+      statsBase: (Long, Long) = (0L, 0L)): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
@@ -63,14 +109,100 @@ object TextIndex {
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", TF.hash32(col("term")) % nBuckets)
-      .write.mode(SaveMode.Overwrite)
+      .write.mode(mode)
       .partitionBy("bucket")
       .parquet(s"$path/postings")
-    base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      .coalesce(1)
+    base.select(col("doc_id"), col("dl"))
+      .write.mode(mode).parquet(s"$path/doclens")
+    val delta = base
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+      .head()
+    Seq((statsBase._1 + delta.getLong(0),
+      statsBase._2 + delta.getAs[Long]("s")))
+      .toDF("n_docs", "sum_dl").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
-    Seq(nBuckets).toDF("n_buckets").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  /** Per-document DELETE as a tombstone write ([[IvfIndex.delete]]'s
+    * contract): one tiny parquet append, immediately invisible to
+    * [[search]] — candidates anti-join the set out BEFORE document
+    * frequencies are counted, and the stored stats pair is corrected
+    * by the tombstoned docs' (count, length) from `doclens`, so a
+    * post-delete search equals a rebuild WITHOUT those docs bit for
+    * bit (TextIndexSpec pins it). Physical reclamation is
+    * [[compact]]'s job.
+    */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    val fresh0 = ids.distinct.toDF("id")
+    // Ignore ids already tombstoned — a double delete must not
+    // double-subtract from the stats correction.
+    val fresh = IvfIndex.tombstones(spark, path)
+      .fold(fresh0)(t =>
+        fresh0.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti"))
+      .localCheckpoint() // we append to the directory it was read from
+    // The stats correction is paid ONCE here (one doclens lookup per
+    // bulk delete), so search never scans doclens: it reads the tiny
+    // correction rows instead. Ids absent from the index contribute 0.
+    val doclens = spark.read.parquet(s"$path/doclens")
+    val c = doclens
+      .join(broadcast(fresh), doclens("doc_id") === fresh("id"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+      .head()
+    fresh.write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+    Seq((c.getLong(0), c.getAs[Long]("s")))
+      .toDF("n_docs", "sum_dl")
+      .write.mode(SaveMode.Append).parquet(s"$path/tombstone_stats")
+  }
+
+  /** Fold appended small files back to one per bucket and drop
+    * tombstoned postings physically — [[IvfIndex.compactLayout]]'s
+    * core applied to the `postings` directory, then the doclens and
+    * stats are refreshed to exclude the reclaimed docs. The stats
+    * refresh is the LAST step: a crash between the swap (which clears
+    * tombstones) and the refresh leaves n/avgdl including the
+    * reclaimed docs until the next compact — per-term df and tf are
+    * always live, only the two corpus globals can lag, and the window
+    * is one small write.
+    */
+  def compact(spark: SparkSession, path: String): (Long, Long) = {
+    val dead = IvfIndex.tombstones(spark, path)
+      .map(_.select(col("id")).distinct().localCheckpoint())
+    val counts = IvfIndex.compactLayout(spark, path, "postings", "doc_id",
+      partCol = "bucket")
+    dead.foreach { t =>
+      val doclens = spark.read.parquet(s"$path/doclens")
+      val kept = doclens
+        .join(broadcast(t), doclens("doc_id") === t("id"), "left_anti")
+        .localCheckpoint() // the source dir is about to be overwritten
+      kept.write.mode(SaveMode.Overwrite).parquet(s"$path/doclens")
+      import spark.implicits._
+      val s = kept.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+      Seq((s.getLong(0), s.getAs[Long]("s")))
+        .toDF("n_docs", "sum_dl").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+      // The corrections are baked into the refreshed stats now.
+      val p = new org.apache.hadoop.fs.Path(s"$path/tombstone_stats")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    counts
+  }
+
+  /** The summed live-stats pair after tombstone corrections. */
+  private def liveStats(spark: SparkSession, path: String): (Long, Long) = {
+    val stats = spark.read.parquet(s"$path/stats").head()
+    val (n0, s0) = (stats.getAs[Long]("n_docs"), stats.getAs[Long]("sum_dl"))
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstone_stats")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) (n0, s0)
+    else {
+      val c = spark.read.parquet(p.toString)
+        .agg(coalesce(sum(col("n_docs")), lit(0L)),
+          coalesce(sum(col("sum_dl")), lit(0L))).head()
+      (n0 - c.getLong(0), s0 - c.getLong(1))
+    }
   }
 
   /** BM25 top-k for a token-list query, reading ONLY the query terms'
@@ -85,13 +217,14 @@ object TextIndex {
     require(query.nonEmpty, "empty query")
     val terms = query.distinct
     val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
-    val stats = spark.read.parquet(s"$path/stats").head()
-    val n = stats.getAs[Long]("n_docs")
-    val avgdl = stats.getAs[Double]("avgdl")
+    val (n, sumDl) = liveStats(spark, path)
+    val avgdl = sumDl.toDouble / n
     val buckets = terms.map(t => hash32Of(t) % nBuckets).distinct
-    val pruned = spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(buckets: _*)) // partition pruning
-      .filter(col("term").isin(terms: _*))
+    val pruned = IvfIndex.dropTombstoned(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("bucket").isin(buckets: _*)) // partition pruning
+        .filter(col("term").isin(terms: _*)),
+      "doc_id", spark, path)
     // df per term from the pruned postings — driver state bounded by
     // |terms|, exactly like Bm25.score's single stats row.
     val dfs = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))

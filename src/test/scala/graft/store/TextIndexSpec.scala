@@ -53,6 +53,41 @@ class TextIndexSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
 
+  test("append ≡ one-shot rebuild bit for bit; delete ≡ rebuild without the doc; compact folds files") {
+    val docs = Tables.documents(spark, sf)
+    def searchAll(p: String) = TextIndex.search(spark, p, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // append: base(first 80%) + delta(rest) must equal one-shot.
+    val pInc = Files.createTempDirectory("graft-ti-inc").toString
+    val cut = 400L
+    TextIndex.build(docs.filter(col("doc_id") < cut), "doc_id", "text",
+      pInc, nBuckets = 16)
+    TextIndex.append(docs.filter(col("doc_id") >= cut), "doc_id", "text",
+      pInc)
+    val oneShot = searchAll(path)
+    assert(searchAll(pInc) == oneShot,
+      "append must reproduce the one-shot index bit for bit")
+    // delete: scores must equal a REBUILD without the docs (df, n and
+    // avgdl all corrected), not just hide the rows.
+    val dead = oneShot.take(2).map(_._1)
+    TextIndex.delete(spark, pInc, dead)
+    TextIndex.delete(spark, pInc, dead) // double delete: no double-correction
+    val pWithout = Files.createTempDirectory("graft-ti-wo").toString
+    TextIndex.build(docs.filter(!col("doc_id").isin(dead: _*)),
+      "doc_id", "text", pWithout, nBuckets = 16)
+    assert(searchAll(pInc) == searchAll(pWithout),
+      "a tombstoned index must score exactly like a rebuild without the docs")
+    // compact: files fold, tombstoned postings reclaimed, search unchanged.
+    val want = searchAll(pInc)
+    val (before, after) = TextIndex.compact(spark, pInc)
+    assert(after < before, s"compact must fold files: $before -> $after")
+    assert(spark.read.parquet(s"$pInc/postings")
+      .filter(col("doc_id").isin(dead: _*)).count() == 0L,
+      "tombstoned postings must be physically gone")
+    assert(searchAll(pInc) == want,
+      "post-compact search must equal the tombstone-filtered search")
+  }
+
   test("only candidate documents appear; absent terms contribute df 0 without poisoning idf") {
     // 'zz' appears in no document: the query must still score the
     // other term's candidates (df 0 term folds in as part 0).
