@@ -123,6 +123,36 @@ object TextIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
   }
 
+  /** Micro-batch ingest step — [[graft.streaming.EventStreams
+    * .textIndexSink]]'s body, REPLAY-IDEMPOTENT by construction:
+    * foreachBatch re-delivers a batch after a failure, and a blind
+    * [[append]] would then double-count postings INTO df (wrong
+    * scores, not dead bytes), so the batch is first anti-joined
+    * against `doclens` — a document already indexed is skipped
+    * entirely. Requires the ingest contract every store face here
+    * shares: doc ids are unique across the stream. The first batch
+    * creates the index. (The per-batch doclens lookup is the price of
+    * disk-level idempotence; at corpus scales where it hurts, front
+    * it with the ingest gates' Bloom snapshot pattern.)
+    */
+  def appendBatch(batch: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val metaP = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaP.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(metaP)) {
+      build(batch, idCol, textCol, path, nBuckets)
+    } else {
+      val seen = spark.read.parquet(s"$path/doclens")
+        .select(col("doc_id"))
+      val fresh = batch.join(broadcast(batch.select(col(idCol)).distinct()
+          .join(seen, batch(idCol) === seen("doc_id"), "left_anti")),
+        Seq(idCol))
+        .localCheckpoint() // the append overwrites stats it also reads
+      if (fresh.head(1).nonEmpty) append(fresh, idCol, textCol, path)
+    }
+  }
+
   /** Per-document DELETE as a tombstone write ([[IvfIndex.delete]]'s
     * contract): one tiny parquet append, immediately invisible to
     * [[search]] — candidates anti-join the set out BEFORE document

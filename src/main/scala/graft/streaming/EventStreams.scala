@@ -774,6 +774,25 @@ object EventStreams {
       (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
     }
 
+  /** Streaming ingest into the on-disk inverted text index
+    * ([[graft.store.TextIndex]]): each micro-batch of documents folds
+    * into the bucketed posting layout via
+    * [[graft.store.TextIndex.appendBatch]] — replay-idempotent at the
+    * DISK level (already-indexed doc ids skip entirely, so a
+    * foreachBatch re-delivery cannot double-count df), first batch
+    * creates the index, and because append ≡ one-shot build bit for
+    * bit, the streamed index equals a batch build over everything
+    * ingested so far (TextIndexSpec + StreamingSpec pin both halves).
+    */
+  def textIndexSink(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.store.TextIndex.appendBatch(batch, idCol, textCol, path,
+          nBuckets)
+    }
+
   /** Per-day exact DAU + KMV user state, finalized at watermark close —
     * the streaming reduce that feeds [[ActivesLedger]] (e29's face).
     * Two CHAINED stateful aggregations (the [[hourlyLeaderboard]]

@@ -1977,6 +1977,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("textIndexSink: streamed index equals the one-shot build; replayed docs can't double-count") {
+    implicit val sq = spark.sqlContext
+    val docsAll = graft.Tables.documents(spark, TestSession.sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+      .take(120)
+    val p = Files.createTempDirectory("graft-ti-stream").toString
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.textIndexSink(
+        in.toDS().toDF("doc_id", "text"), "doc_id", "text", p,
+        nBuckets = 16)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      val Seq(b1, b2, b3) = docsAll.grouped(40).toSeq
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // replay: a re-delivered overlap (all of b2 again + b3) must not
+      // double-count any posting into df
+      in.addData((b2 ++ b3): _*); q.processAllAvailable()
+      val pRef = Files.createTempDirectory("graft-ti-ref").toString
+      graft.store.TextIndex.build(
+        graft.Tables.documents(spark, TestSession.sf)
+          .filter(col("doc_id") < 120), "doc_id", "text", pRef,
+        nBuckets = 16)
+      val query = Seq("table", "scan", "query")
+      def top(path: String) = graft.store.TextIndex
+        .search(spark, path, query, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(top(p) == top(pRef),
+        "the streamed index must equal the one-shot build bit for bit")
+    } finally q.stop()
+  }
+
   test("statefulQuotaGate: budgets enforce across batches in (ts, id) order") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, Long, Long)] // (key, doc_id, ts_us)
