@@ -293,6 +293,52 @@ object TextQueries {
         .limit(10)
     },
 
+    // HYBRID RETRIEVAL OVER THE ON-DISK SERVING STACK — d25's fusion
+    // with BOTH arms served from persisted indexes: dense top-K from
+    // the cell-partitioned [[graft.store.IvfIndex]], lexical top-K
+    // from the bucket-partitioned [[graft.store.TextIndex]], RRF-fused
+    // exactly as d25. This is the query a production RAG system runs
+    // against stores built by earlier jobs — no arm touches the corpus
+    // tables at search time. nProbe covers every cell here so the
+    // dense arm is deterministically the exhaustive rank (cell PRUNING
+    // is v05/v16's pinned property; what d101 pins is the composed
+    // serving stack end to end); the lexical arm serves candidates
+    // only, the index contract. Bench-honest: timings include both
+    // index builds, the cost production amortizes.
+    "d101_hybrid_index" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = embedder.embed(RagQueryText)
+      val e = Tables.embeddings(s, d)
+      val vp = java.nio.file.Files
+        .createTempDirectory("graft-ivf-hybrid").toString
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+      graft.store.IvfIndex.build(e, "vec_id", "embedding",
+        seeds, "seed_id", "seed_vec", vp)
+      val vr = graft.store.IvfIndex
+        .search(s, vp, "vec_id", "embedding", q, k = HybridTopK, nProbe = 8)
+        .select(col("vec_id"), row_number()
+          .over(Window.orderBy(col("score").desc, col("vec_id")))
+          .cast("long").as("vrank"))
+      val tp = java.nio.file.Files
+        .createTempDirectory("graft-ti-hybrid").toString
+      graft.store.TextIndex.build(Tables.documents(s, d),
+        "doc_id", "text", tp, nBuckets = 16)
+      val br = graft.store.TextIndex
+        .search(s, tp, QueryTerms, k = HybridTopK)
+        .select(col("doc_id"), row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("brank"))
+      vr.join(br, col("vec_id") === col("doc_id"), "full_outer")
+        .select(coalesce(col("vec_id"), col("doc_id")).as("doc_id"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("vrank").cast("double")),
+            lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("brank").cast("double")),
+              lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
+
     // Multimodal decode under the oracle: document text re-encoded as an
     // opaque binary column, pushed through the real mapPartitions decode
     // path (one codec per partition). The stub codec derives every field
@@ -3159,6 +3205,33 @@ object TextQueries {
     "d24_bm25" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, score FROM bm ORDER BY doc_id""".stripMargin,
+
+    // d101: exhaustive dense rank (nProbe = all cells) + the d100
+    // candidate-restricted lexical rank, RRF-fused as d25.
+    "d101_hybrid_index" -> {
+      val qlit = embedder.embed(RagQueryText)
+        .map(_.toDouble.toString).mkString("[", ", ", "]")
+      val anyTerm = QueryTerms.distinct
+        .map(t => s"list_contains(bt.toks, '$t')").mkString(" OR ")
+      s"""WITH $bm25Ctes,
+         |vr AS (SELECT vec_id, rn AS vrank FROM (
+         |   SELECT e.vec_id,
+         |    ROW_NUMBER() OVER (ORDER BY
+         |     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), $qlit)
+         |      DESC, e.vec_id) AS rn
+         |   FROM embeddings e) t WHERE rn <= $HybridTopK),
+         |br AS (SELECT doc_id, rn AS brank FROM (
+         |   SELECT bm.doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY bm.score DESC, bm.doc_id) AS rn
+         |   FROM bm JOIN bt ON bt.doc_id = bm.doc_id
+         |   WHERE $anyTerm) t WHERE rn <= $HybridTopK)
+         |SELECT COALESCE(vr.vec_id, br.doc_id) AS doc_id,
+         | COALESCE(1.0e0 / (60.0e0 + CAST(vr.vrank AS DOUBLE)), 0.0e0)
+         |  + COALESCE(1.0e0 / (60.0e0 + CAST(br.brank AS DOUBLE)), 0.0e0)
+         |  AS rrf
+         |FROM vr FULL OUTER JOIN br ON vr.vec_id = br.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+    },
 
     // d100: d24's scores restricted to candidate docs (≥1 query term
     // present), top-10 by (score DESC, doc_id) — the index serves

@@ -1287,6 +1287,23 @@ class PlanSpec extends AnyFunSuite {
       s"only the 1-row totals may cross-join:\n${p.take(600)}")
   }
 
+  test("d101: both hybrid arms scan their INDEXES — no corpus table reaches the fused plan") {
+    val p = plan("d101_hybrid_index")
+    // Scans read only index layouts: posting columns or the
+    // cell-partitioned vector layout — never documents.text.
+    val sc = scans("d101_hybrid_index")
+    assert(sc.nonEmpty && sc.forall(_._1.forall(c =>
+      Seq("term", "doc_id", "dl", "tf", "vec_id", "embedding").contains(c))),
+      s"only index columns may be scanned at search time, got: $sc")
+    // The one SMJ is the FULL OUTER fuse of the two K-row rank frames
+    // (Spark cannot broadcast a full outer); nothing else may sort-merge.
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1 &&
+      !p.contains("CartesianProduct"),
+      s"only the K-row full-outer fuse may sort-merge:\n${p.take(600)}")
+    assert(p.contains("PartitionFilters"),
+      s"the lexical arm must prune on its term buckets:\n${p.take(600)}")
+  }
+
   test("d100: the index search prunes to the query terms' bucket partitions") {
     val p = plan("d100_bm25_index")
     assert(p.contains("PartitionFilters") &&
