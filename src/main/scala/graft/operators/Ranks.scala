@@ -142,4 +142,61 @@ object Ranks {
       .filter(col("rn") === col("k_in"))
       .select(g, col(valueCol).as("kth"))
   }
+
+  /** Exact per-group WEIGHTED (low) median of a LONG column — the
+    * [[groupedKthSmallest]] two-pass shape with integer WEIGHTS in
+    * place of row counts: the selected value v is the smallest value
+    * whose cumulative weight reaches half = (W + 1) div 2 of the
+    * group's total. Pass 1 histograms the weight mass per (group,
+    * value div bucketWidth) and walks the HISTOGRAM's running sum to
+    * the one bucket holding the half-point (plus the mass strictly
+    * below it); pass 2 rescans only that bucket and takes the first
+    * value whose in-bucket running weight crosses the remainder. Rows
+    * tied on the value are interchangeable for the CROSSING VALUE (the
+    * crossing row lands somewhere inside the equal-value block, and
+    * the value is what's returned), so the result is deterministic
+    * without a tie-break column. Weights must be positive.
+    *
+    * Returns one row per group: (groupCol, `wmedian` long,
+    * `w_total` long).
+    */
+  def groupedWeightedMedian(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String, bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(bucketWidth >= 1L, s"bucketWidth must be >= 1, got $bucketWidth")
+    val g = col(groupCol)
+    val hist = df
+      .select(g, expr(s"`$valueCol` div $bucketWidth").as("bucket"),
+        col(weightCol).as("w"))
+      .groupBy(g, col("bucket")).agg(sum(col("w")).as("bw"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(g).orderBy(col("bucket"))
+    // w_total comes from a whole-partition window over the HISTOGRAM
+    // frame, not a separate aggregate — a second consumer of `hist`
+    // would re-execute its scan subtree (the q47/q48 plan-pin lesson).
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g)
+    val target = hist
+      .withColumn("cum", sum(col("bw")).over(wCum))
+      .withColumn("w_total", sum(col("bw")).over(wAll))
+      .withColumn("half", expr("(w_total + 1) div 2"))
+      .filter(col("cum") >= col("half"))
+      .groupBy(g).agg(min(struct(col("bucket"), col("cum"), col("bw"),
+        col("half"), col("w_total"))).as("t"))
+      .select(g, col("t.bucket").as("bucket"),
+        (col("t.half") - (col("t.cum") - col("t.bw"))).as("need"),
+        col("t.w_total").as("w_total"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(g).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(g, col(valueCol), col(weightCol).as("w"))
+      .join(broadcast(target),
+        df(groupCol) === target(groupCol) &&
+          expr(s"`$valueCol` div $bucketWidth") === col("bucket"))
+      .drop(target(groupCol)).drop("bucket")
+      .withColumn("runw", sum(col("w")).over(wIn))
+      .filter(col("runw") >= col("need"))
+      .groupBy(g).agg(min(col(valueCol)).as("wmedian"),
+        max(col("w_total")).as("w_total"))
+  }
 }

@@ -903,6 +903,29 @@ object RelationalQueries {
         .orderBy(col("decile"))
     },
 
+    // QUANTITY-WEIGHTED MEDIAN PRICE — the "typical price per unit
+    // SOLD" statistic (a plain median over rows answers a different
+    // question: typical price per ORDER LINE), exact and distributed
+    // via [[graft.operators.Ranks.groupedWeightedMedian]]: the weight
+    // histogram and its running sum walk to the half-mass bucket, one
+    // bucket-bounded refine picks the crossing value — the q47
+    // selection shape with integer weight mass in place of row counts,
+    // so no per-group sort of data-scale rows exists anywhere. Exact
+    // cents, exact integer weights.
+    "q48_weighted_median" -> { (s, d) =>
+      import graft.operators.Ranks
+      val li = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("rf"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("c"),
+        col("l_quantity").cast("long").as("w"))
+      Ranks.groupedWeightedMedian(li, "rf", "c", "w", MadBucket)
+        .select(col("rf").as("l_returnflag"),
+          col("w_total").as("qty_total"),
+          col("wmedian").as("wmedian_cents"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ROBUST OUTLIER PROFILE VIA EXACT MAD — median absolute deviation
     // is the robust-statistics spread measure (unlike stddev, one
     // fat-finger price can't move it), and computing it EXACTLY at
@@ -1713,6 +1736,25 @@ object RelationalQueries {
         |       * 1000000) // (CAST(t.n AS HUGEINT) * t.tot) AS BIGINT)
         |  AS gini_micro
         |FROM c CROSS JOIN t ORDER BY c.decile""".stripMargin,
+
+    // q48: the oracle states the weighted selection as one running-sum
+    // window — smallest value whose cumulative weight reaches half.
+    "q48_weighted_median" ->
+      """WITH o AS (SELECT l_returnflag AS rf,
+        |        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |          AS BIGINT) AS c,
+        |        CAST(l_quantity AS BIGINT) AS w
+        |       FROM lineitem),
+        |t AS (SELECT rf, CAST(SUM(w) AS BIGINT) AS wt FROM o GROUP BY 1),
+        |r AS (SELECT rf, c,
+        |       SUM(w) OVER (PARTITION BY rf ORDER BY c
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runw
+        |      FROM o)
+        |SELECT r.rf AS l_returnflag, CAST(MAX(t.wt) AS BIGINT) AS qty_total,
+        | CAST(MIN(r.c) AS BIGINT) AS wmedian_cents
+        |FROM r JOIN t ON t.rf = r.rf
+        |WHERE r.runw >= (t.wt + 1) // 2
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     // q47: the oracle states both selections as plain ranked windows —
     // the two-pass histogram selection must reproduce them exactly.

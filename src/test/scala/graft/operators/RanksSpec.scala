@@ -96,6 +96,41 @@ class RanksSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq("g1"), s"got: ${got.toSeq}")
   }
 
+  test("groupedWeightedMedian equals the brute weighted selection, ties and widths included") {
+    // Heavy value ties + varied positive weights.
+    val wdf = (0 until 600)
+      .map(i => (s"g${i % 3}", ((i * 613) % 600 % 31).toLong, (i % 7 + 1).toLong))
+      .toDF("grp", "v", "w")
+    val rows = wdf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def brute(g: String): (Long, Long) = {
+      val vs = rows.filter(_._1 == g).sortBy(_._2)
+      val total = vs.map(_._3).sum
+      val half = (total + 1) / 2
+      var acc = 0L
+      val med = vs.find { case (_, _, w) => acc += w; acc >= half }.get._2
+      (med, total)
+    }
+    for (width <- Seq(1L, 4L, 1000000L)) {
+      val got = Ranks.groupedWeightedMedian(wdf, "grp", "v", "w", width)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got == Seq("g0", "g1", "g2").map(g => g -> brute(g)).toMap,
+        s"weighted median disagrees with the brute fold at width $width")
+    }
+  }
+
+  test("groupedWeightedMedian: unit weights reduce to the low median") {
+    val unit = grouped.withColumn("w", lit(1L))
+    val ks = grouped.groupBy($"grp").agg(count(lit(1)).as("n"))
+      .select($"grp", expr("(n + 1) div 2").as("k"))
+    val want = Ranks.groupedKthSmallest(grouped, "grp", "v", ks, 8L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = Ranks.groupedWeightedMedian(unit, "grp", "v", "w", 8L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
   test("groupedKthSmallest plan: every window is group-partitioned; the tiny frames broadcast") {
     val ks = grouped.groupBy($"grp").agg(count(lit(1)).as("n"))
       .select($"grp", expr("(n + 1) div 2").as("k"))

@@ -1233,6 +1233,19 @@ class PlanSpec extends AnyFunSuite {
       "both corpus passes must read exactly (text)")
   }
 
+  test("q48: weighted selection reads 3 columns twice; every window carries the group key") {
+    val p = plan("q48_weighted_median")
+    val sc = scans("q48_weighted_median")
+    assert(sc.length == 2 && sc.forall(_._1.sorted ==
+      Seq("l_extendedprice", "l_quantity", "l_returnflag")),
+      s"histogram + refine passes read exactly the 3 columns, got: $sc")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the halves/target frames are group-sized — they broadcast:\n${p.take(600)}")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("rf")),
+      s"no window may sort without the group partition key:\n${windows.mkString("\n")}")
+  }
+
   test("q47: the final plan is ONE pruned scan against checkpointed 5-row selection frames") {
     // The ks/median/mad subtrees (each embedding selection passes) are
     // LineageCheckpoint-pinned at build time — the q29 rule — so the
