@@ -679,6 +679,79 @@ object EventQueries {
         .orderBy(col("event_type"))
     },
 
+    // SEASONAL RESIDUAL ANOMALIES — e39's Holt-Winters fold re-run
+    // with every one-step-ahead prediction EMITTED: per (type, hour)
+    // the observed count, the seasonal forecast made before seeing it,
+    // the residual, and the 3×MAE anomaly flag — "which hours were
+    // unusual GIVEN the hour-of-day cycle", where e23's z-scores would
+    // flag every rush hour. The fold state carries three parallel
+    // long arrays (hour, observed, predicted) — bounded by the
+    // CALENDAR (hours observed), never by events — exploded after the
+    // fold via arrays_zip; the recurrence is e39's exact integer
+    // arithmetic, so every emitted prediction is the state e39 passed
+    // through. First observation per type initializes and emits
+    // nothing (exactly the step e39's MAE skips).
+    "e44_seasonal_residuals" -> { (s, d) =>
+      def tdiv(a: Column, b: Long): Column =
+        ((a - (a % lit(b))) / lit(b)).cast("long")
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr(s"ts_ns div 1000 div $HourUs").as("hour_idx"))
+        .agg(count(lit(1)).as("n"))
+      val typed = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          array_sort(collect_list(struct(col("hour_idx"), col("n"))))
+            .as("hs"))
+      val emptyL = array_repeat(lit(0L), 0)
+      val zero = struct(lit(0L).as("i"), lit(0L).as("l"), lit(0L).as("b"),
+        array_repeat(lit(0L), 24).as("s"),
+        emptyL.as("hrs"), emptyL.as("ys"), emptyL.as("ps"),
+        lit(0L).as("sae"))
+      val folded = aggregate(col("hs"), zero, (st, x) => {
+        val y = x.getField("n") * lit(1000000L)
+        val idx = (x.getField("hour_idx") % 24L).cast("int")
+        val first = st.getField("i") === 0L
+        val so = element_at(st.getField("s"), idx + 1)
+        val lb = st.getField("l") + st.getField("b")
+        val pred = lb + so
+        val ae = abs(y - pred)
+        val lNew = tdiv(y - so + lit(4L) * lb, 5L)
+        val bNew = tdiv(lNew - st.getField("l")
+          + lit(9L) * st.getField("b"), 10L)
+        val sNew = tdiv(y - lNew + lit(9L) * so, 10L)
+        struct(
+          (st.getField("i") + 1L).as("i"),
+          when(first, y).otherwise(lNew).as("l"),
+          when(first, lit(0L)).otherwise(bNew).as("b"),
+          when(first, st.getField("s"))
+            .otherwise(transform(st.getField("s"), (v, j) =>
+              when(j === idx, sNew).otherwise(v))).as("s"),
+          when(first, st.getField("hrs"))
+            .otherwise(concat(st.getField("hrs"),
+              array(x.getField("hour_idx")))).as("hrs"),
+          when(first, st.getField("ys"))
+            .otherwise(concat(st.getField("ys"), array(y))).as("ys"),
+          when(first, st.getField("ps"))
+            .otherwise(concat(st.getField("ps"), array(pred))).as("ps"),
+          when(first, lit(0L))
+            .otherwise(st.getField("sae") + ae).as("sae"))
+      })
+      typed
+        .withColumn("f", folded)
+        .withColumn("mae_micro",
+          when(col("n_hours") > 1, expr("f.sae div (n_hours - 1)"))
+            .otherwise(0L))
+        .select(col("event_type"), col("mae_micro"),
+          explode(arrays_zip(col("f.hrs"), col("f.ys"), col("f.ps")))
+            .as("z"))
+        .select(col("event_type"), col("z.hrs").as("hour_idx"),
+          col("z.ys").as("y_micro"), col("z.ps").as("pred_micro"),
+          (col("z.ys") - col("z.ps")).as("resid_micro"),
+          (abs(col("z.ys") - col("z.ps")) > lit(3L) * col("mae_micro"))
+            .as("is_anomaly"))
+        .orderBy(col("event_type"), col("hour_idx"))
+    },
+
     // A/B COMPARISON VIA WELCH'S T — the unequal-variance two-sample
     // test an experimentation platform runs per metric: does purchase
     // value differ from click value, with the evidence quantified
@@ -2005,6 +2078,62 @@ object EventQueries {
         |      ELSE CAST(0 AS BIGINT) END AS mae_micro
         |FROM r JOIN m ON r.event_type = m.event_type AND r.i = m.n_hours
         |ORDER BY event_type""".stripMargin,
+
+    // e44: e39's recursive state rows joined one step FORWARD — the
+    // prediction for step i+1 is a pure projection of row i's state —
+    // with the final row's MAE as the 3x gate.
+    "e44_seasonal_residuals" ->
+      """WITH RECURSIVE
+        |h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour_idx,
+        |       CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |i AS (SELECT event_type, hour_idx, n,
+        |       ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY hour_idx) AS i
+        |      FROM h),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours
+        |      FROM i GROUP BY 1),
+        |r(event_type, i, l, b, s, lasth, sae) AS (
+        |  SELECT i.event_type, CAST(1 AS BIGINT), i.n*1000000,
+        |   CAST(0 AS BIGINT),
+        |   list_transform(range(24), x -> CAST(0 AS BIGINT)),
+        |   i.hour_idx, CAST(0 AS BIGINT)
+        |  FROM i WHERE i.i = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.i + 1,
+        |   (i.n*1000000 - r.s[CAST(i.hour_idx % 24 AS INT) + 1]
+        |    + 4*(r.l + r.b)) // 5,
+        |   (((i.n*1000000 - r.s[CAST(i.hour_idx % 24 AS INT) + 1]
+        |      + 4*(r.l + r.b)) // 5) - r.l + 9*r.b) // 10,
+        |   list_transform(r.s, (x, j) ->
+        |     CASE WHEN j = CAST(i.hour_idx % 24 AS INT) + 1
+        |     THEN (i.n*1000000
+        |           - ((i.n*1000000 - r.s[CAST(i.hour_idx % 24 AS INT) + 1]
+        |              + 4*(r.l + r.b)) // 5)
+        |           + 9*x) // 10
+        |     ELSE x END),
+        |   i.hour_idx,
+        |   r.sae + ABS(i.n*1000000 - r.l - r.b
+        |               - r.s[CAST(i.hour_idx % 24 AS INT) + 1])
+        |  FROM r JOIN i ON i.event_type = r.event_type AND i.i = r.i + 1
+        |),
+        |mae AS (SELECT r.event_type,
+        |        CASE WHEN m.n_hours > 1
+        |             THEN CAST(r.sae // (m.n_hours - 1) AS BIGINT)
+        |             ELSE CAST(0 AS BIGINT) END AS mae_micro
+        |       FROM r JOIN m ON r.event_type = m.event_type
+        |        AND r.i = m.n_hours),
+        |rows_ AS (SELECT r.event_type, i.hour_idx,
+        |        CAST(i.n * 1000000 AS BIGINT) AS y_micro,
+        |        CAST(r.l + r.b + r.s[CAST(i.hour_idx % 24 AS INT) + 1]
+        |          AS BIGINT) AS pred_micro
+        |       FROM r JOIN i ON i.event_type = r.event_type
+        |        AND i.i = r.i + 1)
+        |SELECT w.event_type, CAST(w.hour_idx AS BIGINT) AS hour_idx,
+        | w.y_micro, w.pred_micro,
+        | w.y_micro - w.pred_micro AS resid_micro,
+        | ABS(w.y_micro - w.pred_micro) > 3 * mae.mae_micro AS is_anomaly
+        |FROM rows_ w JOIN mae ON mae.event_type = w.event_type
+        |ORDER BY w.event_type, hour_idx""".stripMargin,
 
     // e40: moment sums stated naively per arm; the t/df projection is
     // the IDENTICAL double expression tree as the Spark arm — every op

@@ -1049,6 +1049,16 @@ class PlanSpec extends AnyFunSuite {
       "the hourly rollup must read exactly (event_type, ts)")
   }
 
+  test("e44: the residual emission rides e39's fold — one hourly reduce, no join, no window") {
+    val p = plan("e44_seasonal_residuals")
+    assert(!p.contains("Join"), s"one aggregate chain, no join:\n${p.take(600)}")
+    assert("Window \\[".r.findAllIn(p).isEmpty,
+      "the sequential recurrence is an array fold, never a running window")
+    assert(scans("e44_seasonal_residuals").forall(
+      _._1.sorted == Seq("event_type", "ts")),
+      "the hourly rollup must read exactly (event_type, ts)")
+  }
+
   test("q46: ranks come from the two-pass operator, never a global window") {
     val p = plan("q46_lorenz_gini")
     // The ranked frame enters the plan as the materialized RDD from
