@@ -903,6 +903,47 @@ object RelationalQueries {
         .orderBy(col("decile"))
     },
 
+    // EXACT INTERDECILE (TRIMMED) MEAN — the robust center estimate a
+    // pricing team trusts over the raw mean (one fat-finger order
+    // moves a mean; it cannot move a decile cut): per priority, the
+    // exact P10/P90 cut VALUES come from two
+    // [[graft.operators.Ranks.groupedKthSmallest]] selections (rank
+    // ⌈n/10⌉ and ⌈9n/10⌉ — never a per-group sort), and the mean of
+    // the in-range rows is exact integer micro arithmetic over one
+    // more pruned scan against the broadcast 5-row cut frame.
+    // Trimming by VALUE RANGE (all rows within [p10, p90], ties
+    // included) rather than by row count keeps the definition total
+    // and engine-independent under duplicate prices.
+    "q49_trimmed_mean" -> { (s, d) =>
+      import graft.operators.{LineageCheckpoint, Ranks}
+      def pin(df: DataFrame) = new LineageCheckpoint(s, None)(df)
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("pr"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("c"))
+      val n = pin(o.groupBy(col("pr")).agg(count(lit(1)).as("n")))
+      val kLo = n.select(col("pr"), col("n"), expr("(n + 9) div 10").as("k"))
+      val kHi = n.select(col("pr"), col("n"),
+        expr("(9 * n + 9) div 10").as("k"))
+      val lo = pin(Ranks.groupedKthSmallest(o, "pr", "c", kLo, MadBucket)
+        .select(col("pr"), col("kth").as("lo")))
+      val hi = pin(Ranks.groupedKthSmallest(o, "pr", "c", kHi, MadBucket)
+        .select(col("pr"), col("kth").as("hi")))
+      o.join(broadcast(lo), Seq("pr")).join(broadcast(hi), Seq("pr"))
+        .groupBy(col("pr"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("c") >= col("lo") && col("c") <= col("hi"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when(col("c") >= col("lo") && col("c") <= col("hi"),
+            col("c")).otherwise(0L)).cast("decimal(38,0)").as("kept_sum"),
+          max(col("lo")).as("p10_cents"), max(col("hi")).as("p90_cents"))
+        .select(col("pr").as("o_orderpriority"), col("n_total"),
+          col("n_kept"), col("p10_cents"), col("p90_cents"),
+          expr("CAST((kept_sum * 1000000) DIV n_kept AS BIGINT)")
+            .as("trimmed_mean_micro_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // QUANTITY-WEIGHTED MEDIAN PRICE — the "typical price per unit
     // SOLD" statistic (a plain median over rows answers a different
     // question: typical price per ORDER LINE), exact and distributed
@@ -1736,6 +1777,33 @@ object RelationalQueries {
         |       * 1000000) // (CAST(t.n AS HUGEINT) * t.tot) AS BIGINT)
         |  AS gini_micro
         |FROM c CROSS JOIN t ORDER BY c.decile""".stripMargin,
+
+    // q49: both decile cuts as ranked windows, then the value-range
+    // trim and the exact micro mean.
+    "q49_trimmed_mean" ->
+      """WITH o AS (SELECT o_orderpriority AS pr,
+        |        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |          AS BIGINT) AS c
+        |       FROM orders),
+        |n AS (SELECT pr, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1),
+        |r AS (SELECT pr, c,
+        |       ROW_NUMBER() OVER (PARTITION BY pr ORDER BY c) AS rn FROM o),
+        |lo AS (SELECT r.pr, r.c AS lo FROM r JOIN n ON n.pr = r.pr
+        |       WHERE r.rn = (n.n + 9) // 10),
+        |hi AS (SELECT r.pr, r.c AS hi FROM r JOIN n ON n.pr = r.pr
+        |       WHERE r.rn = (9 * n.n + 9) // 10)
+        |SELECT o.pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_total,
+        | CAST(SUM(CASE WHEN o.c >= lo.lo AND o.c <= hi.hi
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(MAX(lo.lo) AS BIGINT) AS p10_cents,
+        | CAST(MAX(hi.hi) AS BIGINT) AS p90_cents,
+        | CAST((SUM(CASE WHEN o.c >= lo.lo AND o.c <= hi.hi
+        |        THEN CAST(o.c AS HUGEINT) ELSE 0 END) * 1000000)
+        |   // SUM(CASE WHEN o.c >= lo.lo AND o.c <= hi.hi
+        |        THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS trimmed_mean_micro_cents
+        |FROM o JOIN lo ON lo.pr = o.pr JOIN hi ON hi.pr = o.pr
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     // q48: the oracle states the weighted selection as one running-sum
     // window — smallest value whose cumulative weight reaches half.

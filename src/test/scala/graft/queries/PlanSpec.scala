@@ -1243,6 +1243,18 @@ class PlanSpec extends AnyFunSuite {
       "both corpus passes must read exactly (text)")
   }
 
+  test("q49: the trim pass is ONE pruned scan against checkpointed cut frames") {
+    val p = plan("q49_trimmed_mean")
+    assert(!p.contains("Window"),
+      s"no selection window may leak into the final plan:\n${p.take(600)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2 &&
+      !p.contains("SortMergeJoin"),
+      s"exactly the lo + hi broadcast joins:\n${p.take(600)}")
+    assert(scans("q49_trimmed_mean").map(_._1.sorted) ==
+      Seq(Seq("o_orderpriority", "o_totalprice")),
+      "the trim pass reads exactly (priority, totalprice) once")
+  }
+
   test("q48: weighted selection reads 3 columns twice; every window carries the group key") {
     val p = plan("q48_weighted_median")
     val sc = scans("q48_weighted_median")
