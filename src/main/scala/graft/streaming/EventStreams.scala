@@ -778,7 +778,9 @@ object EventStreams {
     * ([[graft.store.TextIndex]]): each micro-batch of documents folds
     * into the bucketed posting layout via
     * [[graft.store.TextIndex.appendBatch]] — replay-idempotent at the
-    * DISK level (already-indexed doc ids skip entirely, so a
+    * DISK level (the batchId marker skips a re-delivered batch
+    * wholesale, the staged commit makes a partially-written batch
+    * replayable, and already-indexed doc ids skip individually, so a
     * foreachBatch re-delivery cannot double-count df), first batch
     * creates the index, and because append ≡ one-shot build bit for
     * bit, the streamed index equals a batch build over everything
@@ -788,9 +790,25 @@ object EventStreams {
       path: String, nBuckets: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         graft.store.TextIndex.appendBatch(batch, idCol, textCol, path,
-          nBuckets)
+          nBuckets, batchId)
+    }
+
+  /** Streaming DELETES against the on-disk inverted text index — the
+    * other half of [[textIndexSink]]'s maintenance story (IvfIndex
+    * parity): each micro-batch of doc ids becomes one staged
+    * tombstone + stats-correction publish via
+    * [[graft.store.TextIndex.deleteBatch]], so a stream-deleted doc's
+    * scores equal a batch `delete` bit for bit and a re-delivered or
+    * half-written batch can never double-subtract the corrections
+    * (StreamingSpec pins both; `compact` reclaims as usual).
+    */
+  def textIndexDeleteSink(ids: DataFrame, idCol: String, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ids.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.store.TextIndex.deleteBatch(batch, idCol, path, batchId)
     }
 
   /** Per-day exact DAU + KMV user state, finalized at watermark close —

@@ -88,6 +88,172 @@ class TextIndexSpec extends AnyFunSuite {
       "post-compact search must equal the tombstone-filtered search")
   }
 
+  test("appendBatch: staged commit survives partial stages, staged-unpublished and mid-publish crashes") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.SaveMode
+    val docs = Tables.documents(spark, sf)
+    def searchAll(p: String) = TextIndex.search(spark, p, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pRef = Files.createTempDirectory("graft-ti-cref").toString
+    TextIndex.build(docs.filter(col("doc_id") < 200), "doc_id", "text",
+      pRef, nBuckets = 16)
+    val p = Files.createTempDirectory("graft-ti-crash").toString
+    val fs = TextIndex.fsOf(spark, p)
+    // batch 0 creates the index (build is Overwrite — replay-safe).
+    TextIndex.appendBatch(docs.filter(col("doc_id") < 100),
+      "doc_id", "text", p, 16, batchId = 0L)
+    // batch 1 — crash BEFORE staging completed: a partial staging dir
+    // with no STAGED marker must be wiped and redone, never published.
+    fs.mkdirs(new Path(s"$p/staging/a1/postings"))
+    docs.filter(col("doc_id") < 5).select(col("doc_id").as("junk"))
+      .write.parquet(s"$p/staging/a1/doclens")
+    TextIndex.appendBatch(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 150),
+      "doc_id", "text", p, 16, batchId = 1L)
+    // batch 2 — crash AFTER the stage, BEFORE any publish: the replay
+    // must resume from the staged files (no recompute, no doubles).
+    val b2 = docs.filter(col("doc_id") >= 150 && col("doc_id") < 180)
+    TextIndex.writeParts(b2, "doc_id", "text", s"$p/staging/a2", 16,
+      SaveMode.Overwrite)
+    TextIndex.touch(fs, new Path(s"$p/staging/a2/STAGED"))
+    TextIndex.appendBatch(b2, "doc_id", "text", p, 16, batchId = 2L)
+    // batch 3 — crash MID-publish: one staged file already moved; the
+    // resumed publish must move the rest and not re-move (or lose) it.
+    val b3 = docs.filter(col("doc_id") >= 180 && col("doc_id") < 200)
+    val stg3 = s"$p/staging/a3"
+    TextIndex.writeParts(b3, "doc_id", "text", stg3, 16, SaveMode.Overwrite)
+    TextIndex.touch(fs, new Path(s"$stg3/STAGED"))
+    val it = fs.listFiles(new Path(stg3), true)
+    var moved = false
+    while (it.hasNext && !moved) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val rel = fs.makeQualified(f).toString
+          .stripPrefix(fs.makeQualified(new Path(stg3)).toString)
+          .stripPrefix("/")
+        val cut = rel.lastIndexOf('/')
+        val destDir =
+          if (cut < 0) new Path(p) else new Path(s"$p/${rel.take(cut)}")
+        fs.mkdirs(destDir)
+        assert(fs.rename(f, new Path(destDir, s"a3-${f.getName}")))
+        moved = true
+      }
+    }
+    assert(moved, "fixture must simulate a half-done publish")
+    TextIndex.appendBatch(b3, "doc_id", "text", p, 16, batchId = 3L)
+    // replay of a fully-published batch: wholesale skip, still equal.
+    TextIndex.appendBatch(b3, "doc_id", "text", p, 16, batchId = 3L)
+    assert(searchAll(p) == searchAll(pRef),
+      "every crash-replay path must reproduce the one-shot build bit for bit")
+    Seq("a1", "a2", "a3").foreach { t =>
+      assert(!fs.exists(new Path(s"$p/staging/$t")),
+        s"staging/$t must be cleaned after publish")
+    }
+  }
+
+  test("deleteBatch ≡ batch delete bit for bit; replays and cross-batch doubles cannot double-subtract") {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 150)
+    def searchAll(p: String) = TextIndex.search(spark, p, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pStream = Files.createTempDirectory("graft-ti-dstream").toString
+    val pBatch = Files.createTempDirectory("graft-ti-dbatch").toString
+    TextIndex.build(docs, "doc_id", "text", pStream, nBuckets = 16)
+    TextIndex.build(docs, "doc_id", "text", pBatch, nBuckets = 16)
+    val dead = searchAll(pStream).take(2).map(_._1)
+    val deadDf = dead.toDF("doc_id")
+    // crash sim: a partial delete staging dir with no STAGED marker.
+    val fs = TextIndex.fsOf(spark, pStream)
+    fs.mkdirs(new Path(s"$pStream/staging/d7"))
+    deadDf.write.parquet(s"$pStream/staging/d7/tombstones")
+    TextIndex.deleteBatch(deadDf, "doc_id", pStream, batchId = 7L)
+    TextIndex.deleteBatch(deadDf, "doc_id", pStream, batchId = 7L) // replay
+    TextIndex.deleteBatch(deadDf, "doc_id", pStream, batchId = 8L) // double delete
+    TextIndex.delete(spark, pBatch, dead)
+    assert(searchAll(pStream) == searchAll(pBatch),
+      "a streamed delete must equal the batch delete bit for bit")
+    val pWo = Files.createTempDirectory("graft-ti-dwo").toString
+    TextIndex.build(docs.filter(!col("doc_id").isin(dead: _*)),
+      "doc_id", "text", pWo, nBuckets = 16)
+    assert(searchAll(pStream) == searchAll(pWo),
+      "…and therefore a rebuild without the docs")
+    // compact reclaims the streamed tombstones too.
+    TextIndex.compact(spark, pStream)
+    assert(spark.read.parquet(s"$pStream/postings")
+      .filter(col("doc_id").isin(dead: _*)).count() == 0L)
+    assert(searchAll(pStream) == searchAll(pWo),
+      "post-compact scores must be unchanged")
+  }
+
+  test("top tier ≡ exact search when every query term's list fits; reads stay tier-bounded") {
+    TextIndex.buildTopTier(spark, path, topN = 2000)
+    // theorem precondition: every query term's full posting list is in
+    // the tier (df ≤ topN) — holds at test scale by construction.
+    val dfs = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(query: _*))
+      .groupBy(col("term")).count().collect().map(_.getLong(1))
+    assert(dfs.nonEmpty && dfs.forall(_ <= 2000L), dfs.toSeq)
+    val got = TextIndex.searchTop(spark, path, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = TextIndex.search(spark, path, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want,
+      s"df ≤ topN must make the tier exact:\n got: $got\nwant: $want")
+    // the stored df is the TRUE df, not the tier-capped count.
+    val storedDf = spark.read.parquet(s"$path/postings_top")
+      .filter(col("term") === query.head).select(col("df_full"))
+      .head().getLong(0)
+    val trueDf = spark.read.parquet(s"$path/postings")
+      .filter(col("term") === query.head).count()
+    assert(storedDf == trueDf)
+    // the serving read bound: ≤ topN rows per term, bucket-pruned plan.
+    val perTerm = spark.read.parquet(s"$path/postings_top")
+      .groupBy(col("term")).count().agg(max(col("count"))).head().getLong(0)
+    assert(perTerm <= 2000L)
+    val plan = TextIndex.searchTop(spark, path, query, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "bucket#\\d+ IN|bucket#\\d+ =".r.findFirstIn(plan).isDefined,
+      "the tier scan must prune on the term buckets:\n" + plan.take(800))
+  }
+
+  test("top tier under-recall witness: a hot term's below-cut posting loses its contribution") {
+    val docs = Seq((1L, "hot hot hot hot"), (2L, "hot hot hot hot"),
+      (3L, "hot hot hot hot"), (4L, "hot rare"), (5L, "rare zz"))
+      .toDF("doc_id", "text")
+    val p = Files.createTempDirectory("graft-ti-hot").toString
+    TextIndex.build(docs, "doc_id", "text", p, nBuckets = 8)
+    TextIndex.buildTopTier(spark, p, topN = 3)
+    // df(hot) = 4 > 3: the tier keeps the three tf-4 docs; doc 4's
+    // low-impact "hot" posting falls below the cut.
+    val full = TextIndex.search(spark, p, Seq("hot", "rare"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val top = TextIndex.searchTop(spark, p, Seq("hot", "rare"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(top(4L) < full(4L),
+      s"doc 4 must lose its below-cut hot contribution: $top vs $full")
+    assert(top.keySet.contains(4L),
+      "doc 4 stays a candidate through the rare tier")
+    // a query of only df ≤ topN terms is exact even on this index.
+    val wantRare = TextIndex.search(spark, p, Seq("rare"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val gotRare = TextIndex.searchTop(spark, p, Seq("rare"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotRare == wantRare)
+  }
+
+  test("an index with every live doc tombstoned returns empty instead of NaN-poisoned scores") {
+    val docs = Seq((1L, "one two"), (2L, "two three"), (3L, "three four"))
+      .toDF("doc_id", "text")
+    val p = Files.createTempDirectory("graft-ti-empty").toString
+    TextIndex.build(docs, "doc_id", "text", p, nBuckets = 4)
+    TextIndex.delete(spark, p, Seq(1L, 2L, 3L))
+    val res = TextIndex.search(spark, p, Seq("two"), k = 5)
+    assert(res.columns.toSeq == Seq("doc_id", "score"))
+    assert(res.count() == 0L,
+      "n = 0 must short-circuit to an empty frame, never divide by zero")
+  }
+
   test("only candidate documents appear; absent terms contribute df 0 without poisoning idf") {
     // 'zz' appears in no document: the query must still score the
     // other term's candidates (df 0 term folds in as part 0).

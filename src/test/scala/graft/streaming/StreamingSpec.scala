@@ -2013,6 +2013,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("textIndexDeleteSink: stream-deleted docs score like batch deletes; compact reclaims") {
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.documents(spark, TestSession.sf)
+      .filter(col("doc_id") < 120)
+    val p = Files.createTempDirectory("graft-ti-delstream").toString
+    graft.store.TextIndex.build(docs, "doc_id", "text", p, nBuckets = 16)
+    val query = Seq("table", "scan", "query")
+    def top(path: String) = graft.store.TextIndex
+      .search(spark, path, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dead = top(p).take(3).map(_._1)
+    val in = MemoryStream[Long]
+    val q = EventStreams.textIndexDeleteSink(
+        in.toDS().toDF("doc_id"), "doc_id", p)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      in.addData(dead(0), dead(1)); q.processAllAvailable()
+      // second batch re-deletes dead(0): the cross-batch double must
+      // not double-subtract the stats correction.
+      in.addData(dead(0), dead(2)); q.processAllAvailable()
+      val pRef = Files.createTempDirectory("graft-ti-delref").toString
+      graft.store.TextIndex.build(docs, "doc_id", "text", pRef,
+        nBuckets = 16)
+      graft.store.TextIndex.delete(spark, pRef, dead)
+      assert(top(p) == top(pRef),
+        "stream-deleted docs must score exactly like a batch delete")
+      graft.store.TextIndex.compact(spark, p)
+      assert(spark.read.parquet(s"$p/postings")
+        .filter(col("doc_id").isin(dead: _*)).count() == 0L,
+        "compact must reclaim stream-written tombstones")
+      assert(top(p) == top(pRef),
+        "post-compact scores must be unchanged")
+    } finally q.stop()
+  }
+
   test("statefulQuotaGate: budgets enforce across batches in (ts, id) order") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, Long, Long)] // (key, doc_id, ts_us)
