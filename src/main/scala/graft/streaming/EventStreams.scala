@@ -531,14 +531,22 @@ object EventStreams {
       user_id: Long, total_value: Double)
 
   /** Driver-held ledger for [[leaderboardSink]]: e19's hourly
-    * top-spender leaderboard run CONTINUOUSLY. State is one double per
-    * CLOSED (hour, user) — the first-level aggregate the stream
-    * already paid; ranking is [[graft.operators.Sketches.TopKByScore]]
-    * order (value DESC, user ASC) replayed per hour over
-    * catalog-sized state, so on closed hours the rows match the batch
-    * query exactly (values arrive as the stream's own decimal-summed
-    * doubles — the ledger never re-adds them, so there is no
-    * merge-order drift to reconcile). Idempotent per batchId.
+    * top-spender leaderboard run CONTINUOUSLY. State is a BOUNDED
+    * top-k heap per CLOSED hour — k×horizon entries, never
+    * hourly-actives×horizon (a user-keyed driver map is the one
+    * driver-state shape that does NOT survive 100 TB: hourly actives
+    * are data-scale). The bound loses nothing: [[hourlyUserValue]]'s
+    * closed append-mode windows deliver each (hour, user) total
+    * EXACTLY ONCE, and the exact top-k of a set folds one element at a
+    * time under the [[graft.operators.Sketches.TopKByScore]] order
+    * (value DESC, user ASC — total because users are unique per hour),
+    * so on closed hours the rows still match the batch query exactly
+    * (values arrive as the stream's own decimal-summed doubles — the
+    * ledger never re-adds them, so there is no merge-order drift to
+    * reconcile). Idempotent per batchId: a bounded fold is NOT
+    * re-entrant per row, which is precisely why the batchId gate must
+    * stay (and StreamingSpec pins both the equality and the ≤ k state
+    * bound).
     *
     * Unlike the CUSUM/Holt recurrences, hours are INDEPENDENT here, so
     * [[evictBefore]] is score-invariant for every surviving hour — the
@@ -546,40 +554,49 @@ object EventStreams {
     */
   final class LeaderboardLedger(k: Int = 3) {
     require(k >= 1, s"leaderboard needs k >= 1, got $k")
-    private[streaming] var totals: Map[(Long, Long), Double] = Map.empty
+    private[streaming] var heaps: Map[Long, Vector[(Double, Long)]] =
+      Map.empty
     private[streaming] var lastBatchId: Long = -1L
     private val hourUs = 3600L * 1000 * 1000
 
-    /** Folds one micro-batch of closed [[hourlyUserValue]] windows;
-      * idempotent per batchId.
+    /** Strict "ranks ahead of": value DESC then user ASC. */
+    private def ahead(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    /** Folds one micro-batch of closed [[hourlyUserValue]] windows
+      * into the per-hour heaps; idempotent per batchId.
       */
     def ingest(batch: DataFrame, batchId: Long): Unit =
       if (batchId > lastBatchId) {
         batch.select(col("hour"), col("user_id"), col("total_value"))
           .collect()
           .foreach { r =>
-            totals += (r.getTimestamp(0).getTime * 1000L / hourUs,
-              r.getLong(1)) -> r.getDouble(2)
+            val h = r.getTimestamp(0).getTime * 1000L / hourUs
+            val pair = (r.getDouble(2), r.getLong(1))
+            val heap = heaps.getOrElse(h, Vector.empty)
+            if (heap.length < k || ahead(pair, heap.last)) {
+              val (better, rest) = heap.span(ahead(_, pair))
+              heaps += h -> ((better :+ pair) ++ rest).take(k)
+            }
           }
         lastBatchId = batchId
       }
 
     /** e19 over the ledger: per closed hour, the top-k spenders ranked
-      * (value DESC, user ASC).
+      * (value DESC, user ASC) — the heaps are already in rank order.
       */
     def top(): Seq[LeaderboardRow] =
-      totals.groupBy(_._1._1).toSeq.sortBy(_._1).flatMap { case (h, m) =>
-        m.toSeq.map { case ((_, u), v) => (u, v) }
-          .sortBy { case (u, v) => (-v, u) }
-          .take(k).zipWithIndex
-          .map { case ((u, v), i) => LeaderboardRow(h, i + 1L, u, v) }
+      heaps.toSeq.sortBy(_._1).flatMap { case (h, heap) =>
+        heap.zipWithIndex.map { case ((v, u), i) =>
+          LeaderboardRow(h, i + 1L, u, v)
+        }
       }
 
-    /** Drops every closed (hour, user) strictly before `minHourIdx`;
+    /** Drops every closed hour strictly before `minHourIdx`;
       * surviving hours' rankings are unchanged (hours independent).
       */
     def evictBefore(minHourIdx: Long): Unit =
-      totals = totals.filter { case ((h, _), _) => h >= minHourIdx }
+      heaps = heaps.filter { case (h, _) => h >= minHourIdx }
   }
 
   /** Streaming face of e19: [[hourlyUserValue]]'s finalized windows

@@ -1585,11 +1585,20 @@ class StreamingSpec extends AnyFunSuite {
       val got = ledger.top()
       assert(got == want,
         s"leaderboard ledger diverged from batch:\n got: $got\nwant: $want")
-      // replayed batchId is a no-op
-      val before = ledger.totals
+      // THE STATE BOUND: the fixture closes hours with 6 distinct
+      // users (> k = 3), yet no heap may ever hold more than k entries
+      // — driver state is k×horizon, never hourly-actives×horizon.
+      assert(want.groupBy(_.hour_idx).values.exists(_.size == 3),
+        "fixture must close hours with more users than k")
+      assert(ledger.heaps.nonEmpty &&
+        ledger.heaps.values.forall(_.length <= 3),
+        s"per-hour state must stay ≤ k: ${ledger.heaps.view.mapValues(_.length).toMap}")
+      // replayed batchId is a no-op (the bounded fold is not
+      // re-entrant per row, so the gate carries the idempotence)
+      val before = ledger.heaps
       ledger.ingest(Seq((new java.sql.Timestamp(0L), 0L, 999.0))
         .toDF("hour", "user_id", "total_value"), ledger.lastBatchId)
-      assert(ledger.totals == before)
+      assert(ledger.heaps == before)
       // hours are independent: eviction leaves surviving ranks intact
       ledger.evictBefore(2L)
       assert(ledger.top() == want.filter(_.hour_idx >= 2L),
