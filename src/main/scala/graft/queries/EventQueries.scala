@@ -56,6 +56,56 @@ object EventQueries {
   private def dayStart(us: Column): Column =
     timestamp_micros(us - us % DayUs)
 
+  /** Level 1 of e37's nested sweep-line: fold each (day, HOUR)'s
+    * sorted ±1 deltas into the associative (total, maxPrefix) summary.
+    * The collected array is bounded by ONE HOUR's deltas — the hot-day
+    * defense (a single-level sweep collects whole days; SweepSpec pins
+    * the bound on a hot-day fixture). Input: (day_idx, t, delta);
+    * sort key (t, −delta) puts starts before ends on ties.
+    */
+  private[graft] def sweepHourSummaries(deltas: DataFrame): DataFrame = {
+    val hourSum = deltas
+      .groupBy(col("day_idx"), expr(s"t div $HourUs").as("hour_idx"))
+      .agg(
+        array_sort(collect_list(struct(col("t"),
+          (-col("delta")).as("ord"), col("delta")))).as("ds"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_start"))
+    val zero = struct(lit(0L).as("run"), lit(0L).as("maxp"))
+    val folded = aggregate(col("ds"), zero, (st, x) => {
+      val run = st.getField("run") + x.getField("delta")
+      struct(run.as("run"),
+        greatest(st.getField("maxp"), run).as("maxp"))
+    })
+    hourSum.select(col("day_idx"), col("hour_idx"), col("n_start"),
+      col("ds"),
+      folded.getField("run").as("tot"), folded.getField("maxp").as("maxp"))
+  }
+
+  /** Level 2: fold each day's ≤ 24 hour summaries (sorted by hour) —
+    * same algebra one level up: the day's peak seen from its start is
+    * max over hours of (run-in to the hour + the hour's maxPrefix),
+    * and totals chain by addition. Returns the days frame the single
+    * carry window consumes: (day_idx, n_sessions_start, tot, maxp).
+    * maxp stays floored at 0 (both levels' folds start at 0), so a
+    * drain-only day still peaks at its carry-in.
+    */
+  private[graft] def sweepDaySummaries(deltas: DataFrame): DataFrame = {
+    val hours = sweepHourSummaries(deltas)
+    val daySum = hours.groupBy(col("day_idx"))
+      .agg(
+        array_sort(collect_list(struct(col("hour_idx"),
+          col("tot"), col("maxp")))).as("hs"),
+        sum(col("n_start")).as("n_sessions_start"))
+    val zero = struct(lit(0L).as("run"), lit(0L).as("maxp"))
+    val folded = aggregate(col("hs"), zero, (st, x) => {
+      struct((st.getField("run") + x.getField("tot")).as("run"),
+        greatest(st.getField("maxp"),
+          st.getField("run") + x.getField("maxp")).as("maxp"))
+    })
+    daySum.select(col("day_idx"), col("n_sessions_start"),
+      folded.getField("run").as("tot"), folded.getField("maxp").as("maxp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour windows per event type.
     "e01_hourly_rollup" -> { (s, d) =>
@@ -504,13 +554,16 @@ object EventQueries {
     // sort), but (total, maxPrefix) summaries of delta buckets are
     // ASSOCIATIVE — a bucket's peak seen from outside is
     // carry + maxPrefix, and carries chain by summing totals — so the
-    // sweep runs as day-keyed folds over each day's sorted ±1 deltas
-    // (e02's sessions: +1 at start, −1 after end, starts before ends
-    // on ties) plus ONE window over the days-sized summary frame
-    // (e34's life-table license). Deeper scale = more levels (hour
-    // buckets inside days), same algebra. peak = carry_in + maxPrefix
-    // with maxPrefix floored at 0, so a drain-only day correctly
-    // peaks at its carry-in. Exact integers end to end.
+    // algebra NESTS: ±1 deltas (e02's sessions: +1 at start, −1 after
+    // end, starts before ends on ties) fold per (day, HOUR) first, the
+    // per-day fold then consumes ≤ 24 hour-summary structs, and ONE
+    // window runs over the days-sized summary frame (e34's life-table
+    // license). The two-level fold is the hot-day defense: no
+    // collect_list array ever exceeds one HOUR's deltas (pinned in
+    // SweepSpec), where the single-level version collected whole days.
+    // peak = carry_in + maxPrefix with maxPrefix floored at 0, so a
+    // drain-only day correctly peaks at its carry-in. Exact integers
+    // end to end; output identical to the flat sweep by associativity.
     "e37_peak_concurrency" -> { (s, d) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us"), col("event_id"))
@@ -532,20 +585,7 @@ object EventQueries {
           struct(col("end_us").as("t"), lit(-1L).as("delta")))).as("x"))
         .select(expr(s"x.t div $DayUs").as("day_idx"),
           col("x.t").as("t"), col("x.delta").as("delta"))
-      val daySum = deltas.groupBy(col("day_idx"))
-        .agg(
-          array_sort(collect_list(struct(col("t"),
-            (-col("delta")).as("ord"), col("delta")))).as("ds"),
-          sum(when(col("delta") === 1L, 1L).otherwise(0L))
-            .as("n_sessions_start"))
-      val zero = struct(lit(0L).as("run"), lit(0L).as("maxp"))
-      val folded = aggregate(col("ds"), zero, (st, x) => {
-        val run = st.getField("run") + x.getField("delta")
-        struct(run.as("run"),
-          greatest(st.getField("maxp"), run).as("maxp"))
-      })
-      val days = daySum.select(col("day_idx"), col("n_sessions_start"),
-        folded.getField("run").as("tot"), folded.getField("maxp").as("maxp"))
+      val days = sweepDaySummaries(deltas)
       val wd = Window.orderBy(col("day_idx"))
         .rowsBetween(Window.unboundedPreceding, -1)
       days
