@@ -54,10 +54,34 @@ object TextQueries {
   private val CmW = 16 // d49 count-min width (< |vocab| = 31: collisions bite)
   private val PackGroups = 4 // d26 parallel packing groups
   private val SourceBudget = 8 // d67 docs admitted per (source, lang)
+  private val TopTierN = 64 // d102 impact tier depth (bites: dfs ≈ 390/3.9k)
   private val WinnowK = 4 // d86 shingle width (tokens per k-gram)
   private val WinnowW = 5 // d86 window width (hashes per min-window)
   private val WinnowMaxDf = 2 // d86 posting cap (bites: 29 fps at df 3)
   private val MinColloc = 25 // d94 bigram count floor (bites at both SFs)
+
+  /** Session-lifetime scratch for the query faces that build on-disk
+    * indexes (d100/d101/d102): one base directory per JVM, deleted
+    * recursively at exit, a fresh subdirectory per invocation — the
+    * bench-honest build-included timing stays, while repeated sweeps
+    * and CI runs can no longer accumulate full index copies in /tmp
+    * (ADVICE r17).
+    */
+  private lazy val scratchBase: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-qscratch")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles()
+        if (cs != null) cs.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+
+  private def scratchDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(scratchBase, tag).toString
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T2 declarative form: fixed-stride substring windows (chunk i covers
@@ -254,11 +278,34 @@ object TextQueries {
     // the timing includes the index BUILD each run — the one-time cost
     // the serving path amortizes in production.
     "d100_bm25_index" -> { (s, d) =>
-      val p = java.nio.file.Files
-        .createTempDirectory("graft-textindex-q").toString
+      val p = scratchDir("graft-textindex-q")
       graft.store.TextIndex.build(Tables.documents(s, d),
         "doc_id", "text", p, nBuckets = 16)
       graft.store.TextIndex.search(s, p, QueryTerms, k = 10)
+    },
+
+    // BM25 THROUGH THE IMPACT-ORDERED SERVING TIER — d100's hot-term
+    // defense ([[graft.store.TextIndex.buildTopTier]]): every query
+    // term here sits in ~78% of the corpus, so the EXACT index's
+    // posting read is data-scale even after bucket pruning — the
+    // stopword problem. The tier keeps only the top-64 postings per
+    // term by the BM25 tf-part impact (rank-monotone per term; Anh &
+    // Moffat's impact ordering) with the TRUE df stored alongside, so
+    // idf stays exact and the serving read is ≤ topN rows per term —
+    // a CONFIGURED bound, not a data-dependent one; that is the 100-TB
+    // serving shape. The oracle replays the tier cut declaratively
+    // (per-term ROW_NUMBER by the identical IEEE impact expression,
+    // doc_id tiebreak) and scores candidates with the same
+    // frozen-true-df formula — under-recall vs d100 is the DOCUMENTED
+    // contract (TextIndexSpec holds the witness), and the oracle
+    // proves the cut lands on exactly the same postings. Build
+    // included in the timing, as d100.
+    "d102_bm25_top_tier" -> { (s, d) =>
+      val p = scratchDir("graft-ti-tier")
+      graft.store.TextIndex.build(Tables.documents(s, d),
+        "doc_id", "text", p, nBuckets = 16)
+      graft.store.TextIndex.buildTopTier(s, p, topN = TopTierN)
+      graft.store.TextIndex.searchTop(s, p, QueryTerms, k = 10)
     },
 
     // Hybrid retrieval: dense kNN ranking + BM25 ranking fused with
@@ -309,8 +356,7 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val q = embedder.embed(RagQueryText)
       val e = Tables.embeddings(s, d)
-      val vp = java.nio.file.Files
-        .createTempDirectory("graft-ivf-hybrid").toString
+      val vp = scratchDir("graft-ivf-hybrid")
       val seeds = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
       graft.store.IvfIndex.build(e, "vec_id", "embedding",
@@ -320,8 +366,7 @@ object TextQueries {
         .select(col("vec_id"), row_number()
           .over(Window.orderBy(col("score").desc, col("vec_id")))
           .cast("long").as("vrank"))
-      val tp = java.nio.file.Files
-        .createTempDirectory("graft-ti-hybrid").toString
+      val tp = scratchDir("graft-ti-hybrid")
       graft.store.TextIndex.build(Tables.documents(s, d),
         "doc_id", "text", tp, nBuckets = 16)
       val br = graft.store.TextIndex
@@ -3244,6 +3289,53 @@ object TextQueries {
          | JOIN bt ON bt.doc_id = bm.doc_id
          |WHERE $anyTerm
          |ORDER BY bm.score DESC, bm.doc_id LIMIT 10""".stripMargin
+    },
+
+    // d102: the impact-tier cut replayed declaratively — per term, rank
+    // that term's postings by the SAME IEEE impact expression the Spark
+    // side computes ((tf·2.2)/(tf + 1.2·(0.25 + 0.75·dl/avgdl)) —
+    // pure *,/,+ on doubles, so bit-equal across engines, unlike a
+    // transcendental), keep rn ≤ topN with the doc_id tiebreak, then
+    // score candidates with idf from the TRUE df. avgdl is
+    // SUM(len)/COUNT (not AVG) to mirror the index's stats pair
+    // division exactly. Term parts assemble left-to-right in query
+    // order, ROUND 9 at the end — the d24/d100 convention.
+    "d102_bm25_top_tier" -> {
+      val terms = QueryTerms.distinct
+      val dfs = terms.zipWithIndex.map { case (t, i) =>
+        s"SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
+      }.mkString(",\n  ")
+      val tierCtes = terms.zipWithIndex.map { case (t, i) =>
+        val tf = s"CAST(len(list_filter(bt.toks, x -> x = '$t')) AS DOUBLE)"
+        val dl = "CAST(len(bt.toks) AS DOUBLE)"
+        val imp = s"($tf * 2.2e0) / ($tf + 1.2e0 * (0.25e0 + 0.75e0 * $dl / bs.avgdl))"
+        val part = s"ln((bs.n - bs.df$i + 0.5e0) / (bs.df$i + 0.5e0) + 1.0e0)" +
+          s" * ($tf * 2.2e0)" +
+          s" / ($tf + 1.2e0 * (0.25e0 + 0.75e0 * $dl / bs.avgdl))"
+        s"""p$i AS (SELECT bt.doc_id, $imp AS imp, $part AS part
+           | FROM bt, bs WHERE list_contains(bt.toks, '$t')),
+           |t$i AS (SELECT doc_id, part FROM (
+           |  SELECT doc_id, part,
+           |   ROW_NUMBER() OVER (ORDER BY imp DESC, doc_id) AS rn
+           |  FROM p$i) x WHERE rn <= $TopTierN)""".stripMargin
+      }.mkString(",\n")
+      val unions = terms.indices
+        .map(i => s"SELECT doc_id FROM t$i").mkString(" UNION ALL ")
+      val joins = terms.indices
+        .map(i => s"LEFT JOIN t$i ON t$i.doc_id = c.doc_id").mkString("\n ")
+      val score = terms.indices
+        .map(i => s"COALESCE(t$i.part, 0.0e0)").mkString(" + ")
+      s"""WITH bt AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |bs AS (SELECT COUNT(*) AS n,
+         |  CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl,
+         |  $dfs
+         | FROM bt),
+         |$tierCtes,
+         |cand AS (SELECT DISTINCT doc_id FROM ($unions))
+         |SELECT c.doc_id, ROUND($score, 9) AS score
+         |FROM cand c
+         | $joins
+         |ORDER BY score DESC, c.doc_id LIMIT 10""".stripMargin
     },
 
     // Inverted-index exact Jaccard: the per-pair shared-shingle COUNT is

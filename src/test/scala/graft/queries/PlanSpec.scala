@@ -1350,6 +1350,33 @@ class PlanSpec extends AnyFunSuite {
       s"top-k must be the per-partition heap:\n${p.take(600)}")
   }
 
+  test("d102: the tier search scans postings_top bucket-pruned — the bounded serving read") {
+    val p = plan("d102_bm25_top_tier")
+    assert(p.contains("PartitionFilters") &&
+      "bucket#\\d+ IN|bucket#\\d+ =".r.findFirstIn(p).isDefined,
+      s"the tier scan must prune on the term buckets:\n${p.take(800)}")
+    // the serving read is the TIER layout (df_full was consumed by the
+    // eager per-term df lookup; the final scan prunes down to the
+    // posting columns — no term-frequency recount, nothing
+    // corpus-scale). plan.toString truncates the Location, so read the
+    // scan node's root paths directly.
+    val roots = graft.SparkEntry.queries("d102_bm25_top_tier")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    assert(roots.nonEmpty && roots.forall(_.contains("postings_top")),
+      s"search must read the postings_top layout, got: $roots")
+    val sc = scans("d102_bm25_top_tier")
+    assert(sc.nonEmpty && sc.forall(_._1.toSet.subsetOf(
+      Set("term", "doc_id", "dl", "tf"))),
+      s"the tier scan must prune to the posting columns: $sc")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"dl and df ride the tier row — nothing joins or sorts corpus-scale:\n${p.take(600)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be the per-partition heap:\n${p.take(600)}")
+  }
+
   test("d99: one text scan; the rank/mass windows run over the vocabulary table") {
     val p = plan("d99_vocab_coverage")
     assert(scans("d99_vocab_coverage").isEmpty && p.contains("ExistingRDD"),
