@@ -151,14 +151,20 @@ object EventQueries {
     "e12_rollup_users" -> { (s, d) =>
       val kmv = udaf(new graft.operators.Sketches.KmvDistinct(HourlyKmvK),
         org.apache.spark.sql.Encoders.scalaLong)
+      // The user hash is projected BEFORE the rollup: the lattice
+      // Expand replays each input row once per grouping set (×3 here,
+      // ×6 after the distinct-aggregate rewrite), and an md5 over a
+      // casted string is the one expression in this plan worth paying
+      // exactly once per row instead of once per expanded copy.
       Tables.events(s, d)
         .select(dayStart(tsUs).as("day"), hourStart(tsUs).as("hour"),
-          col("user_id"))
+          col("user_id"),
+          graft.text.TextFunctions.hash32(col("user_id").cast("string"))
+            .as("uh"))
         .rollup(col("day"), col("hour"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
-          kmv(graft.operators.Sketches.kmvInput(
-            graft.text.TextFunctions.hash32(col("user_id").cast("string"))))
+          kmv(graft.operators.Sketches.kmvInput(col("uh")))
             .as("est_users"))
         .select(coalesce(col("day").cast("string"), lit("ALL")).as("day"),
           coalesce(col("hour").cast("string"), lit("ALL")).as("hour"),
