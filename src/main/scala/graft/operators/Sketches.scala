@@ -21,6 +21,27 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object Sketches {
 
+  /** DENSE-ID CODEBOOK for a sparse key domain — the paved path the
+    * [[BitmapState]] capacity guard points at ("dictionary-encode the
+    * key"): the frame's distinct keys get contiguous dense ids [0, n)
+    * via the exact distributed global row number
+    * ([[graft.operators.Ranks.globalRowNumber]] — only per-partition
+    * counts reach the driver), so bitmap set algebra costs n BITS of
+    * state however sparse the raw domain is (UUIDs, 64-bit hashes,
+    * the id shapes whose max+1 capacity the guard rejects).
+    * Deterministic: dense ids follow key order, so the encoding — and
+    * everything built on it — is reproducible run to run. Returns
+    * (keyCol, dense_id); the codebook is entity-sized, joined back to
+    * the data like any dimension.
+    */
+  def dictEncode(keys: org.apache.spark.sql.DataFrame,
+      keyCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Ranks.globalRowNumber(keys.select(col(keyCol)).distinct(),
+      Seq(col(keyCol)), "dense_rk")
+      .select(col(keyCol), (col("dense_rk") - 1L).as("dense_id"))
+  }
+
   /** SQL-surface registration (the UDAF path — typed Aggregators enter
     * the function registry through `spark.udf.register`, not the
     * expression-injection path GraftExtensions uses):

@@ -798,6 +798,61 @@ object EventQueries {
         .orderBy(col("event_type"), col("hour_idx"))
     },
 
+    // AUDIENCE OVERLAP ON A SPARSE ID DOMAIN — e35's bitmap set
+    // algebra with the dense-id contract EARNED instead of assumed:
+    // the audience key here is a 32-bit hash surrogate (the UUID-ish
+    // shape whose max+1 capacity the BitmapState guard rejects —
+    // ~2^32 bits of dead state), so the paved path runs first:
+    // [[graft.operators.Sketches.dictEncode]] builds the exact
+    // distinct-key → [0, n) codebook through the two-pass global row
+    // number (only partition counts touch the driver), the events
+    // join it like any dimension, and the bitmaps are n BITS — sized
+    // by the live audience, not the key space. Everything after the
+    // encode is e35 verbatim (types × n/64-long states collected
+    // driver-side, pairwise AND/OR + popcount, exact integer
+    // micro-Jaccard, zero-overlap pairs dropped by construction).
+    // 100-TB: the codebook is entity-sized and the encode is one
+    // range-repartition of the DISTINCT keys; the event log still
+    // pays exactly one bitmap aggregate. Collisions in the surrogate
+    // hash define the audience key on BOTH arms (the oracle computes
+    // the same md5 surrogate), so the comparison is exact, not
+    // approximate.
+    "e45_bitmap_dict" -> { (s, d) =>
+      val ev = new graft.operators.LineageCheckpoint(s, None)(
+        Tables.events(s, d)
+          .filter(col("value") >= 150)
+          .select(col("event_type"),
+            graft.text.TextFunctions.hash32(col("user_id").cast("string"))
+              .as("suid")))
+      val dict = new graft.operators.LineageCheckpoint(s, None)(
+        graft.operators.Sketches.dictEncode(ev, "suid"))
+      val cap = dict.count().toInt
+      val st = udaf(new graft.operators.Sketches.BitmapState(cap),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val states = ev.join(dict, "suid")
+        .groupBy(col("event_type")).agg(st(col("dense_id")).as("bm"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+        .sortBy(_._1)
+      def pop(a: Array[Long]) = a.map(java.lang.Long.bitCount(_).toLong).sum
+      val rows = (for {
+        i <- states.indices
+        j <- (i + 1) until states.length
+      } yield {
+        val (ta, ba) = states(i)
+        val (tb, bb) = states(j)
+        val both = pop(ba.zip(bb).map { case (x, y) => x & y })
+        val either = pop(ba.zip(bb).map { case (x, y) => x | y })
+        (ta, tb, pop(ba), pop(bb), both, either)
+      }).filter(_._5 > 0).map { case (ta, tb, na, nb, both, either) =>
+        (ta, tb, na, nb, both, both * 1000000L / either)
+      }
+      import s.implicits._
+      rows.toSeq.toDF("type_a", "type_b", "n_a", "n_b", "n_both",
+        "jaccard_micro")
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
     // A/B COMPARISON VIA WELCH'S T — the unequal-variance two-sample
     // test an experimentation platform runs per metric: does purchase
     // value differ from click value, with the evidence quantified
@@ -1968,6 +2023,29 @@ object EventQueries {
         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
         |       CAST(COUNT(*) AS BIGINT) AS n_both
         |      FROM ua a JOIN ua b ON a.user_id = b.user_id
+        |       AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, na.n AS n_a, nb.n AS n_b, p.n_both,
+        | (p.n_both * 1000000) // (na.n + nb.n - p.n_both) AS jaccard_micro
+        |FROM p JOIN n na ON p.type_a = na.event_type
+        |JOIN n nb ON p.type_b = nb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // e45: e35's per-pair distinct counts computed on the SAME md5
+    // surrogate key the Spark side dictionary-encodes — the dense
+    // encoding is a bijection on the live keys, so set algebra on
+    // dense ids ≡ set algebra on surrogates, and bit equality here is
+    // the proof the codebook lost nothing.
+    "e45_bitmap_dict" ->
+      """WITH ua AS (SELECT DISTINCT event_type,
+        |  CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8)) AS BIGINT)
+        |   AS suid
+        | FROM events WHERE value >= 150),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM ua GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_both
+        |      FROM ua a JOIN ua b ON a.suid = b.suid
         |       AND a.event_type < b.event_type
         |      GROUP BY 1, 2)
         |SELECT p.type_a, p.type_b, na.n AS n_a, nb.n AS n_b, p.n_both,

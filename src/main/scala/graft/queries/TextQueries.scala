@@ -308,6 +308,72 @@ object TextQueries {
       graft.store.TextIndex.searchTop(s, p, QueryTerms, k = 10)
     },
 
+    // HYBRID RECALL FLOOR — v16's recall-evaluation pattern applied to
+    // the RRF path: the question a RAG deployment tunes on is not "is
+    // each arm approximate" but "what does the FUSED top-10 lose when
+    // the dense arm prunes cells". Served fusion = nprobe-2-of-8
+    // multi-probe dense arm ([[graft.operators.Similarity
+    // .ivfMultiProbeSearch]] — real pruning, unlike d101's
+    // deterministically-exhaustive serving face) + the exact lexical
+    // arm; reference fusion = d25's brute-force dense arm + the SAME
+    // lexical arm (checkpointed — two fusions must not replay the
+    // corpus BM25 aggregate twice). Output: the reference fusion's
+    // top-10, each row flagged with whether the served fusion kept it
+    // — the per-rank recall witness. Both dense arms score through the
+    // identical cosine expression, so the only divergence is the cell
+    // prune; the oracle replays both fusions declaratively (v16's
+    // assignment/probe-rank CTEs + d25's fusion). 100-TB: every
+    // window here ranks a ≤ K-row frame; the corpus pays one
+    // assignment pass, one pruned probe, one BM25 aggregate.
+    "d103_hybrid_recall" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = embedder.embed(RagQueryText)
+      val e = Tables.embeddings(s, d)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+      val assigned = graft.operators.Similarity.ivfAssign(e, "vec_id",
+        "embedding", seeds, "seed_id", "seed_vec")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val dense2 = graft.operators.Similarity.ivfMultiProbeSearch(assigned,
+        "vec_id", "embedding", seeds, "seed_id", "seed_vec", q,
+        nprobe = 2, k = HybridTopK)
+        .select(col("vec_id"), row_number()
+          .over(Window.orderBy(col("score").desc, col("vec_id")))
+          .cast("long").as("vrank"))
+      val denseX = e
+        .withColumn("vscore",
+          vectors.cosineSimilarity(col("embedding"), lit(q)))
+        .orderBy(col("vscore").desc, col("vec_id")).limit(HybridTopK)
+        .select(col("vec_id"), row_number()
+          .over(Window.orderBy(col("vscore").desc, col("vec_id")))
+          .cast("long").as("vrank"))
+      val br = new graft.operators.LineageCheckpoint(s, None)(
+        graft.text.Bm25.score(Tables.documents(s, d), "doc_id", "text",
+            QueryTerms)
+          .orderBy(col("score").desc, col("doc_id")).limit(HybridTopK)
+          .select(col("doc_id"), row_number()
+            .over(Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("long").as("brank")))
+      def fuse(vr: DataFrame) =
+        vr.join(br, col("vec_id") === col("doc_id"), "full_outer")
+          .select(coalesce(col("vec_id"), col("doc_id")).as("doc_id"),
+            (coalesce(lit(1.0) / (lit(60.0) + col("vrank").cast("double")),
+              lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("brank").cast("double")),
+                lit(0.0))).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      val served = fuse(dense2)
+        .select(col("doc_id").as("s_doc"), lit(1L).as("hit"))
+      fuse(denseX)
+        .select(col("doc_id"), col("rrf"), row_number()
+          .over(Window.orderBy(col("rrf").desc, col("doc_id")))
+          .cast("long").as("exact_rank"))
+        .join(served, col("doc_id") === col("s_doc"), "left")
+        .select(col("exact_rank"), col("doc_id"), col("rrf"),
+          coalesce(col("hit"), lit(0L)).as("in_served"))
+        .orderBy(col("exact_rank"))
+    },
+
     // Hybrid retrieval: dense kNN ranking + BM25 ranking fused with
     // reciprocal-rank fusion (1/(60+rank), the standard RRF constant)
     // over the top-K of each side. Each side's top-K is a
@@ -3336,6 +3402,70 @@ object TextQueries {
          |FROM cand c
          | $joins
          |ORDER BY score DESC, c.doc_id LIMIT 10""".stripMargin
+    },
+
+    // d103: both fusions replayed declaratively — v16's assignment and
+    // probe-cell-rank CTEs give the served dense arm (top-2 cells of
+    // the QUERY vector, ties to the smaller cell), d25's CTEs give the
+    // brute-force arm and the shared lexical arm, and the two RRF
+    // fusions join on doc_id for the per-rank hit flag.
+    "d103_hybrid_recall" -> {
+      val qlit = embedder.embed(RagQueryText)
+        .map(_.toDouble.toString).mkString("[", ", ", "]")
+      s"""WITH $bm25Ctes,
+         |br AS (SELECT doc_id,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS brank
+         |       FROM bm ORDER BY score DESC, doc_id LIMIT $HybridTopK),
+         |seeds AS (
+         |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, s.cell,
+         |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) AS cs
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |   SELECT vec_id, embedding, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+         |   FROM scored) r WHERE rn = 1),
+         |pcell AS (
+         |  SELECT cell FROM (
+         |   SELECT s.cell,
+         |    ROW_NUMBER() OVER (ORDER BY
+         |     list_cosine_similarity($qlit, s.cv) DESC, s.cell) AS rn
+         |   FROM seeds s) r WHERE rn <= 2),
+         |vr2 AS (SELECT vec_id,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY vscore DESC, vec_id) AS BIGINT) AS vrank
+         |       FROM (SELECT a.vec_id,
+         |              list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                $qlit) AS vscore
+         |             FROM assigned a WHERE a.cell IN (SELECT cell FROM pcell)) t
+         |       ORDER BY vscore DESC, vec_id LIMIT $HybridTopK),
+         |vsX AS (SELECT vec_id,
+         |        list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qlit) AS vscore
+         |       FROM embeddings),
+         |vrX AS (SELECT vec_id,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY vscore DESC, vec_id) AS BIGINT) AS vrank
+         |       FROM vsX ORDER BY vscore DESC, vec_id LIMIT $HybridTopK),
+         |fs AS (SELECT COALESCE(vr2.vec_id, br.doc_id) AS doc_id
+         |       FROM vr2 FULL OUTER JOIN br ON vr2.vec_id = br.doc_id
+         |       ORDER BY COALESCE(1.0e0 / (60.0e0 + vr2.vrank), 0.0e0)
+         |        + COALESCE(1.0e0 / (60.0e0 + br.brank), 0.0e0) DESC,
+         |        COALESCE(vr2.vec_id, br.doc_id) LIMIT 10),
+         |fx AS (SELECT COALESCE(vrX.vec_id, br.doc_id) AS doc_id,
+         |        COALESCE(1.0e0 / (60.0e0 + vrX.vrank), 0.0e0)
+         |         + COALESCE(1.0e0 / (60.0e0 + br.brank), 0.0e0) AS rrf
+         |       FROM vrX FULL OUTER JOIN br ON vrX.vec_id = br.doc_id
+         |       ORDER BY rrf DESC, doc_id LIMIT 10),
+         |fxr AS (SELECT doc_id, rrf,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+         |          AS exact_rank
+         |        FROM fx)
+         |SELECT fxr.exact_rank, fxr.doc_id, fxr.rrf,
+         | CASE WHEN fs.doc_id IS NULL THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(1 AS BIGINT) END AS in_served
+         |FROM fxr LEFT JOIN fs ON fs.doc_id = fxr.doc_id
+         |ORDER BY fxr.exact_rank""".stripMargin
     },
 
     // Inverted-index exact Jaccard: the per-pair shared-shingle COUNT is

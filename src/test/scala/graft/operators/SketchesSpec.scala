@@ -17,6 +17,27 @@ class SketchesSpec extends AnyFunSuite {
       .head().getDouble(0)
   }
 
+  test("dictEncode assigns contiguous key-ordered dense ids, partition-invariant") {
+    // sparse 64-bit-ish keys with duplicates across partitions
+    val keys = Seq(9999999999L, 17L, 8888888888L, 17L, 42L, 9999999999L,
+      1234567890123L)
+    val enc = Sketches.dictEncode(
+      keys.toDF("k").repartition(5), "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._2)
+    val want = keys.distinct.sorted.zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }
+    assert(enc == want,
+      s"dense ids must be [0, n) in key order:\n got: $enc\nwant: $want")
+    // the paved path composes with BitmapState: capacity = n, not
+    // max(key)+1 — the exact contract the guard's message points at.
+    val n = enc.length
+    val st = udaf(new Sketches.BitmapState(n),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val bits = enc.map(_._2).toDF("dense_id").repartition(3)
+      .agg(st(col("dense_id"))).head().getSeq[Long](0)
+    assert(bits.map(java.lang.Long.bitCount(_)).sum == n)
+  }
+
   test("KMV is exact below k and partition-invariant always") {
     val small = (1 to 100).map(i => (i % 40) * 104729L) // 40 distinct
     assert(kmvEst(small, k = 256, parts = 1) == 40.0)

@@ -915,6 +915,15 @@ class PlanSpec extends AnyFunSuite {
       "no parquet scan may survive — the event log paid one bitmap aggregate")
   }
 
+  test("e45: the sparse-key overlap matrix is driver state after the dictionary encode") {
+    val p = plan("e45_bitmap_dict")
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      s"the pair cells are a driver-built table:\n${p.take(400)}")
+    assert(scans("e45_bitmap_dict").isEmpty,
+      "no parquet scan may survive — the event log paid one checkpointed " +
+        "pass + one bitmap aggregate over dense ids")
+  }
+
   test("d86: winnowed postings are checkpointed; pairing stays fingerprint-keyed") {
     val p = plan("d86_winnow_pairs")
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
@@ -1375,6 +1384,21 @@ class PlanSpec extends AnyFunSuite {
       s"dl and df ride the tier row — nothing joins or sorts corpus-scale:\n${p.take(600)}")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k must be the per-partition heap:\n${p.take(600)}")
+  }
+
+  test("d103: the recall face scans only embeddings; the lexical arm is checkpointed") {
+    val p = plan("d103_hybrid_recall")
+    assert(p.contains("ExistingRDD"),
+      s"the shared lexical arm must be materialized once, not replayed per fusion:\n${p.take(400)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs anywhere — the codebook is a broadcast literal:\n${p.take(600)}")
+    // full-outer fuses and the 10-row flag join are the only sort-merges.
+    assert("SortMergeJoin".r.findAllIn(p).length <= 3,
+      s"only the K-row fuses may sort-merge:\n${p.take(800)}")
+    val sc = scans("d103_hybrid_recall")
+    assert(sc.nonEmpty && sc.forall(_._1.forall(c =>
+      Seq("vec_id", "embedding").contains(c))),
+      s"documents must never reach the fused plan (BM25 is checkpointed): $sc")
   }
 
   test("d99: one text scan; the rank/mass windows run over the vocabulary table") {
