@@ -55,6 +55,15 @@ object TextQueries {
   private val PackGroups = 4 // d26 parallel packing groups
   private val SourceBudget = 8 // d67 docs admitted per (source, lang)
   private val TopTierN = 64 // d102 impact tier depth (bites: dfs ≈ 390/3.9k)
+  /** d104's fixed serving batch: overlapping term sets so the shared
+    * pruned read genuinely amortizes (terms "big"/"table"/"data" serve
+    * multiple queries from one candidate materialization).
+    */
+  private val QueryBatch: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("big", "data"),
+    2L -> Seq("table", "scan"),
+    3L -> Seq("query", "big", "table"),
+    4L -> Seq("data"))
   private val WinnowK = 4 // d86 shingle width (tokens per k-gram)
   private val WinnowW = 5 // d86 window width (hashes per min-window)
   private val WinnowMaxDf = 2 // d86 posting cap (bites: 29 fps at df 3)
@@ -306,6 +315,24 @@ object TextQueries {
         "doc_id", "text", p, nBuckets = 16)
       graft.store.TextIndex.buildTopTier(s, p, topN = TopTierN)
       graft.store.TextIndex.searchTop(s, p, QueryTerms, k = 10)
+    },
+
+    // BATCH BM25 SERVING — d100's index answering a QUERY BATCH from
+    // one pruned posting read ([[graft.store.TextIndex.searchBatch]]):
+    // the union of the batch's terms prunes the scan, the candidate
+    // rows materialize once, and each query scores its own subset
+    // through the solo-search fixed-order chain, so every row is
+    // bit-identical to running that query alone (TextIndexSpec pins
+    // the equality; the oracle re-derives each query's scores
+    // independently and the union matches). At 100 TB this is the
+    // serving amortization that matters: Q queries sharing hot terms
+    // pay ONE bucket read, not Q. Build included in the timing, as
+    // d100.
+    "d104_bm25_batch" -> { (s, d) =>
+      val p = scratchDir("graft-ti-batchq")
+      graft.store.TextIndex.build(Tables.documents(s, d),
+        "doc_id", "text", p, nBuckets = 16)
+      graft.store.TextIndex.searchBatch(s, p, QueryBatch, k = 5)
     },
 
     // HYBRID RECALL FLOOR — v16's recall-evaluation pattern applied to
@@ -3402,6 +3429,46 @@ object TextQueries {
          |FROM cand c
          | $joins
          |ORDER BY score DESC, c.doc_id LIMIT 10""".stripMargin
+    },
+
+    // d104: each batch query's scores re-derived independently from
+    // the shared (n, avgdl, per-term df) stats row — per-query chains
+    // in the query's own term order, candidates = ≥1 term present,
+    // top-5 with the doc_id tiebreak, unioned.
+    "d104_bm25_batch" -> {
+      val allTerms = QueryBatch.flatMap(_._2).distinct
+      val idx = allTerms.zipWithIndex.toMap
+      val dfs = allTerms.zipWithIndex.map { case (t, i) =>
+        s"SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
+      }.mkString(",\n  ")
+      val qCtes = QueryBatch.map { case (qid, qt0) =>
+        val qt = qt0.distinct
+        val chain = qt.map { t =>
+          val i = idx(t)
+          val tf = s"CAST(len(list_filter(bt.toks, x -> x = '$t')) AS DOUBLE)"
+          s"ln((bs.n - bs.df$i + 0.5e0) / (bs.df$i + 0.5e0) + 1.0e0)" +
+            s" * ($tf * 2.2e0)" +
+            s" / ($tf + 1.2e0 * (0.25e0 + 0.75e0 * CAST(len(bt.toks) AS DOUBLE) / bs.avgdl))"
+        }.mkString("\n   + ")
+        val anyT = qt.map(t => s"list_contains(bt.toks, '$t')")
+          .mkString(" OR ")
+        s"""s$qid AS (SELECT bt.doc_id, ROUND($chain, 9) AS score
+           | FROM bt, bs WHERE $anyT),
+           |r$qid AS (SELECT CAST($qid AS BIGINT) AS query_id,
+           |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+           |  doc_id, score
+           | FROM s$qid ORDER BY score DESC, doc_id LIMIT 5)""".stripMargin
+      }.mkString(",\n")
+      val union = QueryBatch
+        .map { case (qid, _) => s"SELECT * FROM r$qid" }
+        .mkString(" UNION ALL ")
+      s"""WITH bt AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |bs AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl,
+         |  $dfs
+         | FROM bt),
+         |$qCtes
+         |SELECT query_id, rank, doc_id, score FROM ($union) u
+         |ORDER BY query_id, rank""".stripMargin
     },
 
     // d103: both fusions replayed declaratively — v16's assignment and

@@ -381,8 +381,22 @@ object TextIndex {
       .toDF("n_docs", "sum_dl").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
     // (4) physical reclamation; clears tombstones/ as its last step.
-    IvfIndex.compactLayout(spark, path, "postings", "doc_id",
+    val counts = IvfIndex.compactLayout(spark, path, "postings", "doc_id",
       partCol = "bucket")
+    // (5) a serving tier built BEFORE the deletes still carries the
+    // reclaimed docs' rows and their stale df — and with the
+    // tombstones now cleared, [[searchTop]]'s anti-join would no
+    // longer hide them. Rebuilding from the compacted postings (one
+    // pass, the tier's own build cost) restores the tier contract;
+    // crash-safe because buildTopTier overwrites.
+    val topMeta = new Path(s"$path/top_meta")
+    if (fs.exists(topMeta)) {
+      val tm = spark.read.parquet(topMeta.toString)
+        .select(col("top_n"), col("k1"), col("b")).head()
+      buildTopTier(spark, path, tm.getInt(0), tm.getDouble(1),
+        tm.getDouble(2))
+    }
+    counts
   }
 
   /** The summed live-stats pair after tombstone corrections — `stats`
@@ -440,6 +454,64 @@ object TextIndex {
     val dfs = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     scoreCandidates(pruned, terms, dfs, n, sumDl.toDouble / n, k1, b, k)
+  }
+
+  /** BATCH SERVING: answer a whole query batch from ONE pruned posting
+    * read — the [[graft.operators.Similarity.ivfSearchBatch]] shape
+    * applied to the lexical index (production retrieval serves query
+    * BATCHES; paying a disk read per query wastes the bucket layout
+    * when queries share hot terms). The union of the batch's terms
+    * prunes the read to ≤ |terms| bucket partitions, the candidate
+    * rows are locally checkpointed ONCE, and each query then scores
+    * its own candidate subset through the same fixed-order chain as
+    * [[search]] — so per query the rows are BIT-IDENTICAL to a solo
+    * search (TextIndexSpec pins it): n/avgdl/df are frame-independent
+    * numbers, and a term's part column ignores rows carrying other
+    * queries' terms. The batch itself is driver-held — a query batch
+    * is codebook-sized by nature, never data-scale. Output:
+    * (query_id, rank, doc_id, score); the per-query rank window runs
+    * over ≤ k rows (ties on doc_id).
+    */
+  def searchBatch(spark: SparkSession, path: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      k1: Double = Bm25.DefaultK1, b: Double = Bm25.DefaultB): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "empty batch or empty query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "query ids must be unique")
+    import org.apache.spark.sql.expressions.Window
+    val allTerms = queries.flatMap(_._2).distinct
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val (n, sumDl) = liveStats(spark, path)
+    if (n <= 0L) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "rank", "doc_id", "score")
+    }
+    val avgdl = sumDl.toDouble / n
+    val buckets = allTerms.map(t => hash32Of(t) % nBuckets).distinct
+    // one disk read for the whole batch, materialized for Q consumers
+    // (the multi-consumer rule): every per-query aggregate below reads
+    // these candidate rows, never the parquet again.
+    val pruned = IvfIndex.dropTombstoned(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("bucket").isin(buckets: _*))
+        .filter(col("term").isin(allTerms: _*)),
+      "doc_id", spark, path)
+      .localCheckpoint()
+    val dfs = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    queries.map { case (qid, qterms0) =>
+      val qterms = qterms0.distinct
+      scoreCandidates(pruned.filter(col("term").isin(qterms: _*)),
+        qterms, dfs, n, avgdl, k1, b, k)
+        .select(lit(qid).as("query_id"),
+          row_number()
+            .over(Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("long").as("rank"),
+          col("doc_id"), col("score"))
+    }.reduce(_ union _)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** The shared scoring tail: per-term part columns assembled in TERM
@@ -570,7 +642,9 @@ object TextIndex {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(s"$path/postings_top")
-    Seq(topN).toDF("top_n").coalesce(1)
+    // the impact parameters are part of the tier's identity: compact's
+    // rebuild must rank with the same (k1, b) this build did.
+    Seq((topN, k1, b)).toDF("top_n", "k1", "b").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/top_meta")
   }
 

@@ -1386,6 +1386,20 @@ class PlanSpec extends AnyFunSuite {
       s"top-k must be the per-partition heap:\n${p.take(600)}")
   }
 
+  test("d104: the batch serves every query from the one checkpointed candidate read") {
+    val p = plan("d104_bm25_batch")
+    assert(p.contains("ExistingRDD"),
+      s"candidates must be materialized once for the whole batch:\n${p.take(400)}")
+    assert(scans("d104_bm25_batch").isEmpty,
+      "no parquet scan may survive — the bucket-pruned read was paid at " +
+        "checkpoint time")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      s"per-query scoring joins nothing:\n${p.take(600)}")
+    // one per-partition top-k per batch query
+    assert("TakeOrderedAndProject".r.findAllIn(p).length == 4,
+      s"each query's top-k must be its own heap:\n${p.take(800)}")
+  }
+
   test("d103: the recall face scans only embeddings; the lexical arm is checkpointed") {
     val p = plan("d103_hybrid_recall")
     assert(p.contains("ExistingRDD"),

@@ -185,6 +185,29 @@ class TextIndexSpec extends AnyFunSuite {
       "post-compact scores must be unchanged")
   }
 
+  test("searchBatch ≡ per-query solo search bit for bit, off one materialized read") {
+    val batch = Seq(1L -> Seq("table", "scan"), 2L -> Seq("query"),
+      3L -> Seq("scan", "zz", "query"))
+    val df = TextIndex.searchBatch(spark, path, batch, k = 7)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val want = batch.flatMap { case (qid, terms) =>
+      TextIndex.search(spark, path, terms, k = 7)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1L, r.getLong(0), r.getDouble(1)) }
+    }
+    assert(got == want, s"\n got: $got\nwant: $want")
+    // the batch plan consumes the ONE checkpointed candidate read —
+    // no parquet scan may survive into the per-query aggregates.
+    val plan = df.queryExecution.sparkPlan
+    val parquetScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(parquetScans.isEmpty,
+      "the posting read must be paid once at checkpoint time, not per query")
+  }
+
   test("top tier ≡ exact search when every query term's list fits; reads stay tier-bounded") {
     TextIndex.buildTopTier(spark, path, topN = 2000)
     // theorem precondition: every query term's full posting list is in
@@ -215,6 +238,37 @@ class TextIndexSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") &&
       "bucket#\\d+ IN|bucket#\\d+ =".r.findFirstIn(plan).isDefined,
       "the tier scan must prune on the term buckets:\n" + plan.take(800))
+  }
+
+  test("compact rebuilds the tier: reclaimed docs cannot resurface once tombstones clear") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+    val p = Files.createTempDirectory("graft-ti-tiercompact").toString
+    TextIndex.build(docs, "doc_id", "text", p, nBuckets = 16)
+    TextIndex.buildTopTier(spark, p, topN = 2000)
+    val dead = TextIndex.searchTop(spark, p, query, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    TextIndex.delete(spark, p, dead)
+    // pre-compact: the anti-join hides the tombstoned docs
+    val before = TextIndex.searchTop(spark, p, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(before.forall(r => !dead.contains(r._1)))
+    TextIndex.compact(spark, p)
+    // post-compact: the tier was REBUILT — dead docs gone physically
+    // and df REFRESHED. Scores legitimately shift here (the
+    // pre-compact tier served its snapshot's stale-high df — the
+    // documented freshness lag); what must hold is candidate
+    // stability and exactness against the live path.
+    val after = TextIndex.searchTop(spark, p, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after.map(_._1) == before.map(_._1),
+      "the refreshed tier must keep serving the same candidates here " +
+        "(df ≤ topN: nothing was cut)")
+    assert(spark.read.parquet(s"$p/postings_top")
+      .filter(col("doc_id").isin(dead: _*)).count() == 0L,
+      "a reclaimed doc must be physically gone from the tier")
+    val want = TextIndex.search(spark, p, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == want, "the rebuilt tier must equal the exact path")
   }
 
   test("top tier under-recall witness: a hot term's below-cut posting loses its contribution") {
