@@ -213,7 +213,7 @@ object TextIndex {
     * hurts, front it with the ingest gates' Bloom snapshot pattern.)
     */
   def appendBatch(batch: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64, batchId: Long = 0L): Unit = {
+      path: String, nBuckets: Int, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val token = s"a$batchId"
     val fs = fsOf(spark, path)

@@ -271,6 +271,30 @@ class TextIndexSpec extends AnyFunSuite {
     assert(after == want, "the rebuilt tier must equal the exact path")
   }
 
+  test("TopKPostings is layout-invariant: any partitioning yields the sorted top-N") {
+    // deterministic pseudo-random postings: impacts collide on purpose
+    // (same (tf, dl) pairs recur) so the doc_id tiebreak is exercised.
+    val rows = (0 until 400).map { i =>
+      val tf = 1.0 + (i * 2654435761L % 7)
+      val dl = 10.0 + (i * 40503L % 11)
+      (tf / (tf + 1.2 * (0.25 + 0.75 * dl / 30.0)), i.toLong,
+        dl.toLong, tf.toLong)
+    }
+    def ahead(a: (Double, Long, Long, Long), b: (Double, Long, Long, Long)) =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    val want = rows.sortWith(ahead).take(16)
+    val agg = udaf(new TextIndex.TopKPostings(16),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, Long, Long, Long)]())
+    Seq(1, 3, 32).foreach { parts =>
+      val got = rows.toDF("imp", "doc_id", "dl", "tf").repartition(parts)
+        .agg(agg(col("imp"), col("doc_id"), col("dl"), col("tf")))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("top tier under-recall witness: a hot term's below-cut posting loses its contribution") {
     val docs = Seq((1L, "hot hot hot hot"), (2L, "hot hot hot hot"),
       (3L, "hot hot hot hot"), (4L, "hot rare"), (5L, "rare zz"))
@@ -306,6 +330,16 @@ class TextIndexSpec extends AnyFunSuite {
     assert(res.columns.toSeq == Seq("doc_id", "score"))
     assert(res.count() == 0L,
       "n = 0 must short-circuit to an empty frame, never divide by zero")
+    // and an EMPTY first streaming batch must not create an n = 0
+    // index at all — the marker lands, the layout doesn't.
+    val p2 = Files.createTempDirectory("graft-ti-emptyfirst").toString
+    TextIndex.appendBatch(docs.filter(col("doc_id") < 0), "doc_id",
+      "text", p2, 4, batchId = 0L)
+    val fs = TextIndex.fsOf(spark, p2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p2/meta")),
+      "an empty first batch must not create the index")
+    assert(fs.exists(TextIndex.marker(p2, "a0")),
+      "…but the batch must still be marked processed")
   }
 
   test("only candidate documents appear; absent terms contribute df 0 without poisoning idf") {
