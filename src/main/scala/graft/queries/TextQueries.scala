@@ -317,6 +317,41 @@ object TextQueries {
       graft.store.TextIndex.searchTop(s, p, QueryTerms, k = 10)
     },
 
+    // INDEX TERM-HOTNESS PROFILE — the observability face the impact
+    // tier's topN is tuned against (v18's cell-balance profile,
+    // applied to the lexical index): the top-16 terms by df with
+    // corpus share and home bucket, ranked as the MERGEABLE tagged
+    // top-k ([[graft.operators.Sketches.TopKByScoreTagged]], df DESC /
+    // term ASC) — the vocabulary never sorts and never windows; k rows
+    // per task cross the wire. Reads ONLY the index layout (postings +
+    // the 1-row stats pair), never the corpus: a production profile
+    // must audit the serving layout itself, and at 100 TB the corpus
+    // scan is precisely what the index exists to avoid. share_micro =
+    // df·1e6 div n_docs, exact integer; bucket recomputed row-locally
+    // from the layout contract (hash32 % nBuckets, pinned ≡ the stored
+    // partitioning by TextIndexSpec). Build included in the timing, as
+    // the d100 family.
+    "d105_term_hotness" -> { (s, d) =>
+      val p = scratchDir("graft-ti-hotness")
+      graft.store.TextIndex.build(Tables.documents(s, d),
+        "doc_id", "text", p, nBuckets = 16)
+      val nDocs = s.read.parquet(s"$p/stats")
+        .agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0)
+      val topk = udaf(new graft.operators.Sketches.TopKByScoreTagged(16),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(java.lang.Long, String, java.lang.Long)]())
+      s.read.parquet(s"$p/postings")
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .agg(topk(col("df"), col("term"),
+          TF.hash32(col("term")) % 16).as("top"))
+        .select(posexplode(col("top")).as(Seq("r0", "p")))
+        .select((col("r0") + 1).cast("long").as("rank"),
+          col("p._2").as("term"), col("p._1").as("df"),
+          col("p._3").as("bucket"),
+          expr(s"p._1 * 1000000 div $nDocs").as("share_micro"))
+        .orderBy(col("rank"))
+    },
+
     // BATCH BM25 SERVING — d100's index answering a QUERY BATCH from
     // one pruned posting read ([[graft.store.TextIndex.searchBatch]]):
     // the union of the batch's terms prunes the scan, the candidate
@@ -3430,6 +3465,25 @@ object TextQueries {
          | $joins
          |ORDER BY score DESC, c.doc_id LIMIT 10""".stripMargin
     },
+
+    // d105: df per term re-derived from the corpus (distinct (doc,
+    // term) pairs ≡ the index's posting rows), the same (df DESC,
+    // term) rank, the bucket from the md5 hash idiom, integer share.
+    "d105_term_hotness" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |pr AS (SELECT DISTINCT doc_id, term FROM (
+        |        SELECT doc_id, unnest(toks) AS term FROM t)),
+        |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |      FROM pr GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+        |r AS (SELECT term, df,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS BIGINT)
+        |        AS rank
+        |      FROM d)
+        |SELECT r.rank, r.term, r.df,
+        | CAST(('0x'||substr(md5(r.term),1,8)) AS BIGINT) % 16 AS bucket,
+        | r.df * 1000000 // n.n AS share_micro
+        |FROM r, n WHERE r.rank <= 16 ORDER BY r.rank""".stripMargin,
 
     // d104: each batch query's scores re-derived independently from
     // the shared (n, avgdl, per-term df) stats row — per-query chains

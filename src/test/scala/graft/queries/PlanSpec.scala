@@ -1386,6 +1386,23 @@ class PlanSpec extends AnyFunSuite {
       s"top-k must be the per-partition heap:\n${p.take(600)}")
   }
 
+  test("d105: the hotness profile reads the index layout via mergeable top-k — no window, no corpus") {
+    val p = plan("d105_term_hotness")
+    assert(!p.contains("Window"),
+      s"the vocabulary rank must be the tagged top-k aggregate, never a window:\n${p.take(600)}")
+    assert(!p.contains("Join"), s"profile joins nothing:\n${p.take(400)}")
+    val roots = graft.SparkEntry.queries("d105_term_hotness")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    assert(roots.nonEmpty && roots.forall(_.contains("postings")),
+      s"the profile must audit the serving layout, not the corpus: $roots")
+    val sc = scans("d105_term_hotness")
+    assert(sc.nonEmpty && sc.forall(_._1.toSet.subsetOf(Set("term"))),
+      s"the postings scan must prune to the term column: $sc")
+  }
+
   test("d104: the batch serves every query from the one checkpointed candidate read") {
     val p = plan("d104_bm25_batch")
     assert(p.contains("ExistingRDD"),
