@@ -352,6 +352,31 @@ object TextQueries {
         .orderBy(col("rank"))
     },
 
+    // EXACT PHRASE SEARCH through the index's POSITIONAL tier
+    // ([[graft.store.TextIndex.phraseSearch]]) — the lookup
+    // bag-of-words postings cannot answer: docs where "hash" and
+    // "join" occur CONSECUTIVELY, with the occurrence count
+    // (overlaps counted; TextIndexSpec pins the repeated-token case).
+    // Serving shape: the phrase's distinct terms prune the read to ≤ 2
+    // bucket partitions of the positional layout (positions ride the
+    // posting row, doc-bounded arrays), one doc-keyed aggregate builds
+    // each candidate's term→positions map, and adjacency is a
+    // row-local array fold of codegen'd builtins — the corpus is never
+    // read, no window, no join. At 100 TB the read is Σ df(term) rows
+    // over the phrase's terms — [[search]]'s bound for the same terms
+    // — and the one exchange is the candidate groupBy. The oracle
+    // re-derives occurrences from the corpus by sliding a 2-token
+    // window over the token list. Build included in the timing, as
+    // the d100 family.
+    "d106_phrase_search" -> { (s, d) =>
+      val p = scratchDir("graft-ti-phrase")
+      graft.store.TextIndex.build(Tables.documents(s, d),
+        "doc_id", "text", p, nBuckets = 16)
+      graft.store.TextIndex.buildPositions(Tables.documents(s, d),
+        "doc_id", "text", p)
+      graft.store.TextIndex.phraseSearch(s, p, Seq("hash", "join"))
+    },
+
     // BATCH BM25 SERVING — d100's index answering a QUERY BATCH from
     // one pruned posting read ([[graft.store.TextIndex.searchBatch]]):
     // the union of the batch's terms prunes the scan, the candidate
@@ -3484,6 +3509,18 @@ object TextQueries {
         | CAST(('0x'||substr(md5(r.term),1,8)) AS BIGINT) % 16 AS bucket,
         | r.df * 1000000 // n.n AS share_micro
         |FROM r, n WHERE r.rank <= 16 ORDER BY r.rank""".stripMargin,
+
+    // d106: occurrences re-derived from the corpus — a 2-token sliding
+    // window over the token list (p ranges over every window start);
+    // overlapping matches count separately, exactly the positional
+    // tier's adjacency fold.
+    "d106_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |occ AS (SELECT doc_id FROM (
+        |         SELECT doc_id, toks, unnest(range(1, len(toks))) AS p FROM t)
+        |        WHERE toks[p] = 'hash' AND toks[p+1] = 'join')
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+        |FROM occ GROUP BY 1 ORDER BY n_occ DESC, doc_id""".stripMargin,
 
     // d104: each batch query's scores re-derived independently from
     // the shared (n, avgdl, per-term df) stats row — per-query chains

@@ -240,7 +240,8 @@ object IvfIndex {
     */
   private[store] def compactLayout(spark: SparkSession, path: String,
       dirName: String, idCol: => String,
-      partCol: String = "cell"): (Long, Long) = {
+      partCol: String = "cell",
+      clearTombstones: Boolean = true): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     val dir = s"$path/$dirName"
     val tmp = s"$path/${dirName}_compacting"
@@ -289,7 +290,10 @@ object IvfIndex {
     require(fs.rename(new Path(tmp), new Path(dir)),
       s"compaction swap failed: could not rename $tmp into $dir")
     fs.delete(new Path(old), true)
-    fs.delete(new Path(s"$path/tombstones"), true)
+    // A multi-directory layout (TextIndex's postings + postings_pos)
+    // compacts its sibling dirs against the SAME tombstone set first
+    // and clears it only with the last one.
+    if (clearTombstones) fs.delete(new Path(s"$path/tombstones"), true)
     (before, countFiles(dir))
   }
 

@@ -37,6 +37,8 @@ import graft.text.{Bm25, TextFunctions => TF}
   *     (count, length) corrections, cleared by [[compact]];
   *   - `postings_top/bucket=<b>/` — OPTIONAL impact-ordered serving
   *     tier, see [[buildTopTier]];
+  *   - `postings_pos/bucket=<b>/` — OPTIONAL positional tier for
+  *     phrase queries, see [[buildPositions]];
   *   - `staging/<token>/` + `batch_markers/<token>` — the streaming
   *     batch commit protocol, see [[appendBatch]].
   *
@@ -380,6 +382,14 @@ object TextIndex {
     Seq((s.getLong(0), s.getAs[Long]("s")))
       .toDF("n_docs", "sum_dl").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+    // (3b) the POSITIONAL tier reclaims its tombstoned rows BEFORE the
+    // posting compaction clears the tombstone set — positions cannot
+    // be rebuilt from postings (unlike the impact tier, the
+    // corpus-side ordering lives only here), so this tier compacts
+    // against the same tombstones instead of rebuilding.
+    if (fs.exists(new Path(s"$path/postings_pos")))
+      IvfIndex.compactLayout(spark, path, "postings_pos", "doc_id",
+        partCol = "bucket", clearTombstones = false)
     // (4) physical reclamation; clears tombstones/ as its last step.
     val counts = IvfIndex.compactLayout(spark, path, "postings", "doc_id",
       partCol = "bucket")
@@ -646,6 +656,108 @@ object TextIndex {
     // rebuild must rank with the same (k1, b) this build did.
     Seq((topN, k1, b)).toDF("top_n", "k1", "b").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/top_meta")
+  }
+
+  /** POSITIONAL tier — phrase queries are the one lookup the bag-of-
+    * words postings cannot answer (tf says "hash" and "join" both
+    * occur; only positions say "hash join" does). Production inverted
+    * indexes store within-document term positions alongside the
+    * postings exactly for this (Zobel & Moffat, "Inverted files for
+    * text search engines", ACM Computing Surveys 2006, §5 — Lucene's
+    * `IndexOptions.DOCS_AND_FREQS_AND_POSITIONS` is the same switch),
+    * and keep it a SEPARATE opt-in layout because positions roughly
+    * double the index bytes — a cost a pure-ranking deployment must
+    * not pay. Layout: `postings_pos/bucket=<b>/` — (term, doc_id,
+    * positions: sorted array of 0-based token offsets), same bucket
+    * modulus as `postings/`, so a phrase query is partition-pruned to
+    * its distinct terms' buckets; the positions array is doc-bounded
+    * (≤ that document's dl), never corpus-scale. Build AFTER [[build]]
+    * (the modulus is read from `meta`); [[appendPositions]] folds a
+    * delta batch in ([[append]]'s contract — append ≡ rebuild, pinned
+    * in TextIndexSpec); [[delete]] needs nothing here (tombstones are
+    * anti-joined at query time) and [[compact]] reclaims tombstoned
+    * rows physically. The streaming sink does not maintain this tier
+    * (positions cannot be derived from postings after the fact) —
+    * streaming deployments call [[appendPositions]] from the same
+    * foreachBatch that calls [[appendBatch]].
+    */
+  def buildPositions(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    writePositions(docs, idCol, textCol, path, SaveMode.Overwrite)
+
+  /** Incremental positional maintenance — delta batches land inside
+    * existing `bucket=<b>` directories, append ≡ one-shot rebuild
+    * (the [[append]] contract; rows are (term, doc) keyed and a doc
+    * arrives once, so no fold is needed — pure append suffices).
+    */
+  def appendPositions(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    writePositions(docs, idCol, textCol, path, SaveMode.Append)
+
+  private def writePositions(docs: DataFrame, idCol: String,
+      textCol: String, path: String, mode: SaveMode): Unit = {
+    val spark = docs.sparkSession
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TF.tokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("bucket", TF.hash32(col("term")) % nBuckets)
+      .write.mode(mode)
+      .partitionBy("bucket")
+      .parquet(s"$path/postings_pos")
+  }
+
+  /** Exact PHRASE search: documents containing the query tokens
+    * CONSECUTIVELY, with the occurrence count — served entirely from
+    * the positional tier ([[buildPositions]]), never the corpus. Read
+    * shape: the phrase's distinct terms prune the scan to ≤ that many
+    * bucket partitions, one doc_id-keyed aggregate assembles each
+    * candidate's term→positions map, and the adjacency check is a
+    * row-local array fold (`filter`/`array_contains` over doc-bounded
+    * arrays — codegen'd builtins, no UDF): an occurrence is a position
+    * p of the first token with token i sitting at p+i for every i.
+    * Overlapping occurrences count separately and repeated phrase
+    * tokens ("window window") resolve against the SAME positions
+    * array, both pinned in TextIndexSpec. Row volume is Σ df(term)
+    * over the phrase's terms — the same bound as [[search]] over the
+    * identical terms, paid in ONE exchange (the candidate groupBy);
+    * a stopword inside a phrase is the documented hot-term caveat
+    * ([[buildTopTier]]'s analysis; impact ordering cannot pre-rank
+    * adjacency, so production engines pay the full positional read or
+    * gate on the rarest term's df first). Output: (doc_id, n_occ),
+    * n_occ DESC then doc_id.
+    */
+  def phraseSearch(spark: SparkSession, path: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val fs = fsOf(spark, path)
+    require(fs.exists(new Path(s"$path/postings_pos")),
+      s"no positional tier at $path — buildPositions first")
+    val terms = phrase.distinct
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val buckets = terms.map(t => hash32Of(t) % nBuckets).distinct
+    val pruned = IvfIndex.dropTombstoned(
+      spark.read.parquet(s"$path/postings_pos")
+        .filter(col("bucket").isin(buckets: _*)) // partition pruning
+        .filter(col("term").isin(terms: _*)),
+      "doc_id", spark, path)
+    val m = col("m")
+    val first = element_at(m, lit(phrase.head))
+    val occs =
+      if (phrase.length == 1) first
+      else filter(first, p =>
+        phrase.tail.zipWithIndex.map { case (t, i) =>
+          array_contains(element_at(m, lit(t)), p + lit(i + 1))
+        }.reduce(_ && _))
+    pruned
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(
+        collect_list(struct(col("term"), col("positions")))).as("m"))
+      .filter(size(m) === terms.length) // every distinct token present
+      .select(col("doc_id"), size(occs).cast("long").as("n_occ"))
+      .filter(col("n_occ") > 0)
+      .orderBy(col("n_occ").desc, col("doc_id"))
   }
 
   /** BM25 top-k served from the impact-ordered tier — [[search]]'s

@@ -1403,6 +1403,26 @@ class PlanSpec extends AnyFunSuite {
       s"the postings scan must prune to the term column: $sc")
   }
 
+  test("d106: phrase search reads only the pruned positional tier — no corpus, no join, no window") {
+    val p = plan("d106_phrase_search")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"adjacency must be a row-local array fold after one doc-keyed " +
+        s"aggregate:\n${p.take(600)}")
+    val roots = graft.SparkEntry.queries("d106_phrase_search")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    assert(roots.nonEmpty && roots.forall(_.contains("postings_pos")),
+      s"phrase search must read the positional tier, not the corpus: $roots")
+    val sc = scans("d106_phrase_search")
+    assert(sc.nonEmpty &&
+      sc.forall(_._1.toSet.subsetOf(Set("term", "doc_id", "positions"))),
+      s"the positional scan must prune to (term, doc_id, positions): $sc")
+    assert(sc.forall(_._2.contains("In(term")),
+      s"the term filter must push into the positional scan: $sc")
+  }
+
   test("d104: the batch serves every query from the one checkpointed candidate read") {
     val p = plan("d104_bm25_batch")
     assert(p.contains("ExistingRDD"),

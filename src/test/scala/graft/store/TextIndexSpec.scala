@@ -355,4 +355,70 @@ class TextIndexSpec extends AnyFunSuite {
     val hits = TextIndex.search(spark, path, Seq("zz"), k = 5).count()
     assert(hits == 0L, "a query of absent terms must return no rows")
   }
+
+  test("phraseSearch: adjacency, overlaps, repeated tokens, delete and physical reclamation") {
+    val docs = Seq(
+      (1L, "hash join hash join fast"), // two separate occurrences
+      (2L, "window window window"),     // repeated-token overlap case
+      (3L, "hash fast join"),           // both terms, never adjacent
+      (4L, "join hash"),                // reversed order
+      (5L, "hash join"),
+      (6L, "other text entirely")
+    ).toDF("doc_id", "text")
+    val p = Files.createTempDirectory("graft-ti-pos").toString
+    TextIndex.build(docs, "doc_id", "text", p, nBuckets = 4)
+    TextIndex.buildPositions(docs, "doc_id", "text", p)
+    def run(ph: Seq[String]) = TextIndex.phraseSearch(spark, p, ph)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(Seq("hash", "join")) == Seq((1L, 2L), (5L, 1L)),
+      "adjacency must exclude non-adjacent and reversed coincidence")
+    // "window window" inside "window window window": overlapping
+    // occurrences at p=0 and p=1 — the repeated token resolves both
+    // offsets against the SAME positions array.
+    assert(run(Seq("window", "window")) == Seq((2L, 2L)))
+    assert(run(Seq("window", "window", "window")) == Seq((2L, 1L)))
+    // single-token phrase degenerates to tf, ranked (n_occ DESC, doc).
+    assert(run(Seq("hash")) == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+    assert(run(Seq("zz", "join")).isEmpty, "absent term: no candidates")
+    // delete hides immediately (tombstone anti-join)…
+    TextIndex.delete(spark, p, Seq(1L))
+    assert(run(Seq("hash", "join")) == Seq((5L, 1L)))
+    // …and compact reclaims the positional rows physically.
+    TextIndex.compact(spark, p)
+    assert(spark.read.parquet(s"$p/postings_pos")
+      .filter(col("doc_id") === 1L).count() == 0L,
+      "compact must reclaim tombstoned positional rows")
+    assert(run(Seq("hash", "join")) == Seq((5L, 1L)),
+      "post-compact phrase results must be unchanged")
+  }
+
+  test("appendPositions ≡ one-shot buildPositions; phrase plan prunes buckets, joins nothing") {
+    val docs = Tables.documents(spark, sf)
+    val phrase = Seq("hash", "join")
+    def run(p: String) = TextIndex.phraseSearch(spark, p, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pOne = Files.createTempDirectory("graft-ti-pos1").toString
+    TextIndex.build(docs, "doc_id", "text", pOne, nBuckets = 16)
+    TextIndex.buildPositions(docs, "doc_id", "text", pOne)
+    val pInc = Files.createTempDirectory("graft-ti-pos2").toString
+    val cut = 400L
+    TextIndex.build(docs.filter(col("doc_id") < cut), "doc_id", "text",
+      pInc, nBuckets = 16)
+    TextIndex.buildPositions(docs.filter(col("doc_id") < cut), "doc_id",
+      "text", pInc)
+    TextIndex.append(docs.filter(col("doc_id") >= cut), "doc_id", "text",
+      pInc)
+    TextIndex.appendPositions(docs.filter(col("doc_id") >= cut),
+      "doc_id", "text", pInc)
+    assert(run(pInc) == run(pOne),
+      "incremental positional maintenance must equal the one-shot build")
+    val plan = TextIndex.phraseSearch(spark, pOne, phrase)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(400))
+    assert("bucket#\\d+ IN|bucket#\\d+ =".r.findFirstIn(plan).isDefined,
+      "expected a bucket partition filter in:\n" + plan.take(800))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      "phrase matching is one doc-keyed aggregate over the pruned " +
+        s"positional read:\n${plan.take(800)}")
+  }
 }
