@@ -218,6 +218,70 @@ object GraphRank {
     * near-bipartite structure and a truncated oscillation must never
     * silently read as a clustering.
     */
+  /** Per-node TRIANGLE counts + degrees over the undirected simple
+    * graph `edges` induces — the clustering-structure primitive under
+    * local clustering coefficients, community cohesion, and spam/bot
+    * neighborhood signals (the reusable form of the orientation the
+    * d78 transitivity query inlines; d78 keeps its 1-row global
+    * ratio, this emits the per-node face). Non-iterative, so unlike
+    * the loops above it is ONE declarative plan: canonicalize {a < b}
+    * undirected edges,
+    * compute degrees, then count each triangle exactly once via
+    * DEGREE ORDERING (Suri & Vassilvitskii, "Counting triangles and
+    * the curse of the last reducer", WWW 2011): orient every edge from
+    * its (degree, id)-smaller endpoint to the larger, generate wedges
+    * only from ORIENTED out-neighbor pairs, and close each wedge
+    * against the oriented edge set. Orientation is the whole scale
+    * story — a hub of degree d contributes C(d,2) wedges under naive
+    * node-iteration (the "last reducer" that dies on power-law
+    * graphs), but oriented out-degrees are O(√m) for ANY graph, so
+    * wedge volume is bounded by m^{3/2} and, more to the point, no
+    * single key is quadratic in a hub's degree. Every stage is a hash
+    * join or aggregate on node / (x, y) pair keys — no window, no
+    * driver state, nothing collected; the per-node fold explodes each
+    * triangle to its 3 corners (3 rows per triangle, the catalog-sized
+    * tail). Returns (node, degree, triangles) for nodes in ≥ 1
+    * triangle. Parallel/reversed edges collapse; self-loops drop.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val und = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // Orient by the total (deg, id) order: ids are distinct, so the
+    // order has no ties and the oriented graph is acyclic — each
+    // triangle has exactly one wedge-apex (its smallest corner).
+    // identical field names on both sides — casewhen requires the two
+    // branches to be the same struct TYPE, names included.
+    val keyA = struct(col("da").as("d"), col("a").as("i"))
+    val keyB = struct(col("db").as("d"), col("b").as("i"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(keyA < keyB, col("a")).otherwise(col("b")).as("u"),
+        when(keyA < keyB, col("b")).otherwise(col("a")).as("v"),
+        when(keyA < keyB, keyB).otherwise(keyA).as("vkey"))
+    // Wedges from each apex's out-neighbors, canonicalized x < y in
+    // the SAME (deg, id) order the orientation used — so the closing
+    // edge {x, y}, if present, is oriented exactly x → y.
+    val e1 = oriented.select(col("u"), col("v").as("x"), col("vkey").as("xkey"))
+    val e2 = oriented.select(col("u"), col("v").as("y"), col("vkey").as("ykey"))
+    val tri = e1.join(e2, Seq("u"))
+      .filter(col("xkey") < col("ykey"))
+      .select(col("u"), col("x"), col("y"))
+      .join(oriented.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"))
+    tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      .join(deg, "node")
+      .select(col("node"), col("deg").as("degree"), col("triangles"))
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, assumeDistinct: Boolean = false,
       checkpointDir: Option[String] = None,

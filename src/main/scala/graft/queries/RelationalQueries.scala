@@ -944,6 +944,42 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // PER-NODE TRIANGLE COUNTS + LOCAL CLUSTERING COEFFICIENT over
+    // the weight-≥2 co-purchase graph (q40's edge list) via
+    // [[graft.operators.GraphRank.triangleCounts]] — d78 computes the
+    // GLOBAL transitivity of the dedup candidate graph with this
+    // orientation inlined; q50 promotes it to a reusable operator and
+    // emits the per-node face (which node's neighborhood is
+    // clique-like — the recommender/community-cohesion signal the
+    // global ratio can't localize). DEGREE-ORDERED
+    // wedge counting (Suri & Vassilvitskii WWW'11): edges orient from
+    // the (degree, id)-smaller endpoint, wedges come only from
+    // oriented out-neighbor pairs, and each triangle closes exactly
+    // once at its smallest corner. The orientation is the 100-TB
+    // claim: naive node-iteration puts C(d,2) wedges on a degree-d
+    // hub's key (the "last reducer"), while oriented out-degrees are
+    // O(√m) on ANY graph — wedge volume ≤ m^{3/2} with no quadratic
+    // key. All stages are node- or pair-keyed joins/aggregates; no
+    // window, nothing driver-side. lcc_micro = 2·T·1e6 div
+    // (deg·(deg−1)) in exact integers; the oracle replays the
+    // orientation with an explicit (deg, id) lexicographic compare.
+    "q50_triangle_lcc" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"),
+          col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      graft.operators.GraphRank.triangleCounts(edges, "src", "dst")
+        .withColumn("lcc_micro",
+          expr("triangles * 2000000 div (degree * (degree - 1))"))
+        .orderBy(col("triangles").desc, col("node"))
+    },
+
     // QUANTITY-WEIGHTED MEDIAN PRICE — the "typical price per unit
     // SOLD" statistic (a plain median over rows answers a different
     // question: typical price per ORDER LINE), exact and distributed
@@ -1804,6 +1840,47 @@ object RelationalQueries {
         |   AS trimmed_mean_micro_cents
         |FROM o JOIN lo ON lo.pr = o.pr JOIN hi ON hi.pr = o.pr
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // q50: the degree orientation replayed with an explicit (deg, id)
+    // lexicographic compare; each triangle closes once at its
+    // smallest corner, then explodes to its 3 corners for the
+    // per-node fold.
+    "q50_triangle_lcc" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT CAST(a.l_partkey AS BIGINT) AS src,
+        |       CAST(b.l_partkey AS BIGINT) AS dst
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |       AND a.l_partkey <> b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |        FROM e),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |         SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |        GROUP BY 1),
+        |o AS (SELECT CASE WHEN da.deg < db.deg
+        |               OR (da.deg = db.deg AND und.a < und.b)
+        |              THEN und.a ELSE und.b END AS u,
+        |             CASE WHEN da.deg < db.deg
+        |               OR (da.deg = db.deg AND und.a < und.b)
+        |              THEN und.b ELSE und.a END AS v
+        |      FROM und JOIN deg da ON und.a = da.node
+        |       JOIN deg db ON und.b = db.node),
+        |ok AS (SELECT o.u, o.v, deg.deg AS vdeg
+        |       FROM o JOIN deg ON o.v = deg.node),
+        |w AS (SELECT e1.u, e1.v AS x, e2.v AS y
+        |      FROM ok e1 JOIN ok e2 ON e1.u = e2.u
+        |      WHERE e1.vdeg < e2.vdeg
+        |       OR (e1.vdeg = e2.vdeg AND e1.v < e2.v)),
+        |t AS (SELECT w.u, w.x, w.y
+        |      FROM w JOIN o ON w.x = o.u AND w.y = o.v),
+        |pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+        |        SELECT u AS node FROM t
+        |        UNION ALL SELECT x FROM t
+        |        UNION ALL SELECT y FROM t) GROUP BY 1)
+        |SELECT pn.node, deg.deg AS degree, pn.triangles,
+        | pn.triangles * 2000000 // (deg.deg * (deg.deg - 1)) AS lcc_micro
+        |FROM pn JOIN deg ON pn.node = deg.node
+        |ORDER BY triangles DESC, pn.node""".stripMargin,
 
     // q48: the oracle states the weighted selection as one running-sum
     // window — smallest value whose cumulative weight reaches half.

@@ -352,6 +352,52 @@ class GraphRankSpec extends AnyFunSuite {
     assert(err.getMessage.contains("fixed point"))
   }
 
+  test("triangles: hand fixture — K4, a triangle-free square, a pendant, noise edges") {
+    // K4 on {1..4}: every node sits in C(3,2) = 3 triangles, degree 3.
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    // square 5-6-7-8-5 without diagonals: degree 2, no triangles.
+    val square = Seq((5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L))
+    // pendant node 9 on the K4; duplicate/reversed/self edges must
+    // collapse before any counting.
+    val noise = Seq((9L, 1L), (1L, 9L), (2L, 1L), (3L, 3L), (1L, 2L))
+    val got = GraphRank.triangleCounts(
+        (k4 ++ square ++ noise).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(1L -> (4L, 3L), 2L -> (3L, 3L), 3L -> (3L, 3L),
+      4L -> (3L, 3L)),
+      s"only the K4 corners triangulate (node 1 carries the pendant " +
+        s"degree): $got")
+  }
+
+  test("triangles: ≡ naive triple enumeration on a random graph, any layout") {
+    // deterministic pseudo-random graph on 40 nodes, ~20% density
+    val n = 40L
+    val edges = for {
+      i <- 0L until n; j <- (i + 1) until n
+      if (i * 31 + j * 17 + i * j) % 5 == 0
+    } yield (i, j)
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val naive = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for {
+      i <- 0L until n; j <- (i + 1) until n if adj(i)(j)
+      k <- (j + 1) until n if adj(i)(k) && adj(j)(k)
+      v <- Seq(i, j, k)
+    } naive(v) += 1L
+    val degree = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val want = naive.toMap.map { case (v, t) => v -> (degree(v), t) }
+    for (parts <- Seq(1, 7)) {
+      val got = GraphRank.triangleCounts(
+          edges.toDF("src", "dst").repartition(parts), "src", "dst")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got == want, s"parts=$parts: $got vs $want")
+    }
+  }
+
   test("rejects nonsensical parameters loudly") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](GraphRank.pageRank(e, "src", "dst", 0))
