@@ -377,6 +377,30 @@ object TextQueries {
       graft.store.TextIndex.phraseSearch(s, p, Seq("hash", "join"))
     },
 
+    // SORTED-NEIGHBORHOOD blocking ([[graft.text.Dedup
+    // .sortedNeighborhoodPairs]]) — the THIRD blocking family next to
+    // LSH bands (d05) and inverted-index prefixes (d92): candidates =
+    // record pairs within 4 consecutive positions of the corpus
+    // sorted by a 20-char text-prefix key, each flagged with whether
+    // the blocking key actually ties (the precision witness an SN
+    // deployment tunes window/key against). NO unpartitioned window:
+    // positions come from Ranks.globalRowNumber's two-pass rank over
+    // the (id, key) projection, and neighbors meet by RANK-SPACE
+    // bucketing (buckets ⌊r/B⌋ and ⌊r/B⌋+1, B = window−1) — each pair
+    // counted once in the larger rank's home bucket, each bucket
+    // ≤ 2B rows, PERFECTLY balanced under any key skew (a hot key
+    // spreads by position — the failure that melts key-equality
+    // blocking). Candidate volume is exactly n·(w−1) − C(w,2):
+    // linear in n, the SN guarantee. The oracle replays the window
+    // rank + rank-distance join declaratively.
+    "d107_sorted_neighborhood" -> { (s, d) =>
+      graft.text.Dedup.sortedNeighborhoodPairs(Tables.documents(s, d),
+          "doc_id", substring(col("text"), 1, 20), window = 4)
+        .select(col("a_id"), col("b_id"), col("rank_dist"),
+          (col("a_key") === col("b_key")).as("same_key"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // BATCH BM25 SERVING — d100's index answering a QUERY BATCH from
     // one pruned posting read ([[graft.store.TextIndex.searchBatch]]):
     // the union of the batch's terms prunes the scan, the candidate
@@ -3521,6 +3545,18 @@ object TextQueries {
         |        WHERE toks[p] = 'hash' AND toks[p+1] = 'join')
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
         |FROM occ GROUP BY 1 ORDER BY n_occ DESC, doc_id""".stripMargin,
+
+    // d107: the sorted-neighborhood semantics stated directly — one
+    // ROW_NUMBER over (key, id) and a rank-distance self-join.
+    "d107_sorted_neighborhood" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 20) AS k FROM documents),
+        |r AS (SELECT doc_id, k,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS r
+        |      FROM t)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | b.r - a.r AS rank_dist, a.k = b.k AS same_key
+        |FROM r a JOIN r b ON b.r > a.r AND b.r - a.r <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // d104: each batch query's scores re-derived independently from
     // the shared (n, avgdl, per-term df) stats row — per-query chains

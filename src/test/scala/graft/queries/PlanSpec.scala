@@ -1403,6 +1403,31 @@ class PlanSpec extends AnyFunSuite {
       s"the postings scan must prune to the term column: $sc")
   }
 
+  test("q50: triangle counting is node/pair-keyed joins only — no window, no cartesian, pruned scans") {
+    val p = plan("q50_triangle_lcc")
+    assert(!p.contains("Window"),
+      s"degree ordering replaces any per-node rank window:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"every join must be equi-keyed:\n${p.take(600)}")
+    val sc = scans("q50_triangle_lcc")
+    assert(sc.nonEmpty &&
+      sc.forall(_._1.toSet.subsetOf(Set("l_orderkey", "l_partkey"))),
+      s"the edge build must read only (l_orderkey, l_partkey): $sc")
+  }
+
+  test("d107: sorted-neighborhood pairs meet in rank-space buckets — no unpartitioned window, no cartesian") {
+    val p = plan("d107_sorted_neighborhood")
+    assert(!p.contains("Window"),
+      s"positions come from the two-pass global rank, never a " +
+        s"single-partition window:\n${p.take(600)}")
+    assert(p.contains("ExistingRDD"),
+      "the ranked frame is the materialized two-pass barrier")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"neighbors join on the bucket key:\n${p.take(600)}")
+  }
+
   test("d106: phrase search reads only the pruned positional tier — no corpus, no join, no window") {
     val p = plan("d106_phrase_search")
     assert(!p.contains("Join") && !p.contains("Window"),

@@ -300,4 +300,33 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("sortedNeighborhoodPairs ≡ naive ranked window — exact count, hot-key ties, any layout") {
+    import org.apache.spark.sql.functions.col
+    val n = 60
+    // a hot blocking key on half the rows: rank-space bucketing must
+    // spread it by position, and ties must resolve by id.
+    val data = (0 until n).map { i =>
+      (i.toLong, if (i % 2 == 0) "hot" else s"k${i % 7}")
+    }
+    val w = 5
+    val sorted = data.sortBy { case (id, k) => (k, id) }
+    val want = (for {
+      i <- sorted.indices
+      j <- (i + 1) until math.min(i + w, sorted.length)
+    } yield (sorted(i)._1, sorted(j)._1, (j - i).toLong)).toSet
+    assert(want.size == n * (w - 1) - w * (w - 1) / 2,
+      "the fixture must exercise the exact SN candidate-volume formula")
+    for (parts <- Seq(1, 7)) {
+      val got = Dedup.sortedNeighborhoodPairs(
+          data.toDF("id", "k").repartition(parts), "id", col("k"), w)
+        .collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+          r.getAs[Long]("rank_dist"))).toSet
+      assert(got == want, s"parts=$parts: ${got.diff(want)} extra, " +
+        s"${want.diff(got)} missing")
+    }
+    intercept[IllegalArgumentException](
+      Dedup.sortedNeighborhoodPairs(data.toDF("id", "k"), "id", col("k"), 1))
+  }
 }
