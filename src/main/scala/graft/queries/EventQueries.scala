@@ -511,6 +511,41 @@ object EventQueries {
         .orderBy(col("type_a"), col("type_b"))
     },
 
+    // TIME-DECAYED ENGAGEMENT SCORES — recency-weighted activity, the
+    // ranking signal behind re-engagement targeting and churn-risk
+    // ordering (e24's RFM flags recency as a bucket; this weights
+    // EVERY event continuously by age). The decay is an EXACT INTEGER
+    // staircase — weight_micro = 1e6 >> (age_weeks), zero past 20
+    // weeks — i.e. exponential half-life-per-week decay discretized
+    // to the week, chosen over exp(−λΔt) deliberately: the d40 rule
+    // (no transcendental may enter a cross-engine sum) applied to
+    // decay, since both engines replay `1000000 div (1 << weeks)`
+    // bit-for-bit where their libm exp()s differ in the last ulp.
+    // Shape: the anchor (corpus max timestamp) is a 1-row broadcast
+    // (e24's recency-anchor pattern), the weight is a row-local
+    // projection in the scan, and the per-user fold is ONE keyed
+    // exchange of exact integer partials — mergeable, so a streaming
+    // ledger maintains (user, week-bucket) partials and re-weights at
+    // read. Output is the user-entity frame (150 rows at sf0.01;
+    // entity-catalog-sized, ordering is presentation).
+    "e46_decayed_engagement" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), tsUs.as("us"),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+            .as("cents"))
+      val anchor = ev.agg(max(col("us")).as("anchor_us"))
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("weeks", expr(s"((anchor_us - us) div $HourUs) div 168"))
+        .withColumn("w_micro", when(col("weeks") >= 20, lit(0L))
+          .otherwise(expr("1000000L div shiftleft(1L, cast(weeks as int))")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("w_micro")).as("hits_decayed_micro"),
+          sum(col("w_micro") * col("cents"))
+            .as("value_decayed_micro_cents"))
+        .orderBy(col("value_decayed_micro_cents").desc, col("user_id"))
+    },
+
     // NET REVENUE RETENTION COHORT MATRIX — e08's dollar-based
     // sibling and the metric a revenue team actually tracks: cohort =
     // first-ACTIVITY day (any event), revenue = purchase value only,
@@ -2053,6 +2088,25 @@ object EventQueries {
         |FROM p JOIN n na ON p.type_a = na.event_type
         |JOIN n nb ON p.type_b = nb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // e46: the integer decay staircase replayed — weight = 1e6
+    // right-shifted by whole age-weeks from the corpus max timestamp,
+    // every sum exact integer arithmetic.
+    "e46_decayed_engagement" ->
+      """WITH a AS (SELECT MAX(epoch_us(ts)) AS anchor FROM events),
+        |e AS (SELECT user_id,
+        |       ((a.anchor - epoch_us(ts)) // 3600000000) // 168 AS weeks,
+        |       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |      FROM events, a),
+        |w AS (SELECT user_id, cents,
+        |       CASE WHEN weeks >= 20 THEN 0
+        |        ELSE 1000000 // (CAST(1 AS BIGINT) << weeks) END AS w_micro
+        |      FROM e)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(SUM(w_micro) AS BIGINT) AS hits_decayed_micro,
+        | CAST(SUM(w_micro * cents) AS BIGINT) AS value_decayed_micro_cents
+        |FROM w GROUP BY 1
+        |ORDER BY value_decayed_micro_cents DESC, user_id""".stripMargin,
 
     // e38: cohort CTE over all events, purchase-only cents cells, the
     // day-0 base left-joined back; ratios in integer micro.

@@ -1416,6 +1416,18 @@ class PlanSpec extends AnyFunSuite {
       s"the edge build must read only (l_orderkey, l_partkey): $sc")
   }
 
+  test("e46: decayed engagement is one user-keyed exchange; the anchor broadcasts as one row") {
+    val p = plan("e46_decayed_engagement")
+    assert(!p.contains("Window"),
+      s"decay weights are row-local scan projections:\n${p.take(600)}")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected exactly the user_id fold, found $hashExchanges:\n${p.take(800)}")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the max-timestamp anchor must broadcast:\n${p.take(600)}")
+  }
+
   test("d107: sorted-neighborhood pairs meet in rank-space buckets — no unpartitioned window, no cartesian") {
     val p = plan("d107_sorted_neighborhood")
     assert(!p.contains("Window"),
