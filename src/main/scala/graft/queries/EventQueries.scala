@@ -534,8 +534,16 @@ object EventQueries {
           (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
             .as("cents"))
       val anchor = ev.agg(max(col("us")).as("anchor_us"))
+      // age in CLOCK-HOUR index terms (hour_idx = us div HourUs), not
+      // raw-microsecond differences: every event in a calendar hour
+      // shares one age, which is what lets the STREAMING face fold
+      // closed hourly (user, hour) increments to the identical result
+      // (EventStreams.hourlyUserEngagement — an event-level age would
+      // split a closed hour across two weights when the anchor is not
+      // hour-aligned).
       ev.crossJoin(broadcast(anchor))
-        .withColumn("weeks", expr(s"((anchor_us - us) div $HourUs) div 168"))
+        .withColumn("weeks",
+          expr(s"((anchor_us div $HourUs) - (us div $HourUs)) div 168"))
         .withColumn("w_micro", when(col("weeks") >= 20, lit(0L))
           .otherwise(expr("1000000L div shiftleft(1L, cast(weeks as int))")))
         .groupBy(col("user_id"))
@@ -2095,7 +2103,8 @@ object EventQueries {
     "e46_decayed_engagement" ->
       """WITH a AS (SELECT MAX(epoch_us(ts)) AS anchor FROM events),
         |e AS (SELECT user_id,
-        |       ((a.anchor - epoch_us(ts)) // 3600000000) // 168 AS weeks,
+        |       ((a.anchor // 3600000000)
+        |        - (epoch_us(ts) // 3600000000)) // 168 AS weeks,
         |       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
         |      FROM events, a),
         |w AS (SELECT user_id, cents,

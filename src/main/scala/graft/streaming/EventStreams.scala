@@ -524,6 +524,32 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("user_id"),
         col("total_value"))
 
+  /** STREAMING face of e46's time-decayed engagement: closed
+    * per-(hour, user) increments — event count + exact cents sum —
+    * emitted exactly once per window close ([[retentionIncrements]]'s
+    * contract: increments, NOT a driver ledger, because decayed
+    * engagement is USER-keyed and a user-keyed driver map is the one
+    * state shape that does not survive 100 TB — the LeaderboardLedger
+    * lesson). The downstream store folds increments by (user,
+    * week-of(hour_idx)) and re-weights at read with the same integer
+    * staircase (1e6 >> weeks): exact, because batch e46 ages events
+    * by CLOCK-HOUR index, so every event inside a closed hour shares
+    * one age and the hourly increment is weight-homogeneous.
+    * StreamingSpec pins the folded increments ≡ batch e46 bit for bit
+    * under scrambled cross-batch arrival. Output: (hour_idx, user_id,
+    * n, cents) — cents as exact longs, never a double sum.
+    */
+  def hourlyUserEngagement(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(12,2)") * 100).cast("long"))
+          .as("cents"))
+      .select(expr("unix_timestamp(window.start) div 3600").as("hour_idx"),
+        col("user_id"), col("n"), col("cents"))
+
   /** One ranked row from [[LeaderboardLedger.top]] — e19's row shape
     * over the ledger's closed hours.
     */

@@ -589,6 +589,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hourlyUserEngagement increments fold to batch e46's decayed scores bit for bit") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)] // (ts, user_id, value)
+    val hourUs = 3600L * 1000 * 1000
+    // 35-day lateness horizon: the fixture's arrivals jump weeks
+    // backwards across batches (the decay needs week-apart ages).
+    val q = EventStreams.hourlyUserEngagement(
+        in.toDF.toDF("ts", "user_id", "value"), watermark = "35 days")
+      .writeStream.format("memory").queryName("engage")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    // weeks-apart fixture so the decay staircase BITES (ages 0, 1 and
+    // 4 weeks), two events sharing one hour window, scrambled arrival
+    val evts = Seq(
+      (ts("2024-02-01 10:05:00"), 1L, 10.0),
+      (ts("2024-01-25 09:00:00"), 1L, 20.0), // 1 week back
+      (ts("2024-01-04 12:00:00"), 2L, 40.0), // 4 weeks back
+      (ts("2024-02-01 10:55:00"), 2L, 5.5),
+      (ts("2024-01-25 09:30:00"), 1L, 2.25), // same hour as the 2nd
+      (ts("2024-02-01 11:20:00"), 3L, 7.0))
+    try {
+      in.addData(evts(2), evts(0)); q.processAllAvailable()
+      in.addData(evts(4), evts(1), evts(3)); q.processAllAvailable()
+      in.addData(evts(5)); q.processAllAvailable()
+      // close every fixture window; the pusher's own window stays open
+      in.addData((ts("2024-03-15 00:00:00"), 99L, 0.0))
+      q.processAllAvailable()
+      val inc = spark.table("engage").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // exactly one increment per closed (hour, user)
+      val usOf = evts.map { case (t, u, v) => (t.getTime * 1000L, u, v) }
+      assert(inc.length ==
+        usOf.map { case (us, u, _) => (us / hourUs, u) }.distinct.length)
+      // store-side fold: weeks from the hour index vs the max closed
+      // hour, the same integer staircase — vs a driver replay of
+      // batch e46 over the closed events.
+      val anchorHourIdx = usOf.map(_._1 / hourUs).max
+      def w(weeks: Long): Long = if (weeks >= 20) 0L else 1000000L >> weeks
+      val got = inc.groupBy(_._2).map { case (u, rows) =>
+        u -> (rows.map(_._3).sum,
+          rows.map(r => r._3 * w((anchorHourIdx - r._1) / 168)).sum,
+          rows.map(r => r._4 * w((anchorHourIdx - r._1) / 168)).sum)
+      }
+      val want = usOf.groupBy(_._2).map { case (u, rows) =>
+        u -> (rows.length.toLong,
+          rows.map(r => w((anchorHourIdx - r._1 / hourUs) / 168)).sum,
+          rows.map(r => math.round(r._3 * 100) *
+            w((anchorHourIdx - r._1 / hourUs) / 168)).sum)
+      }
+      assert(got == want, s"decayed fold drifted:\n got: $got\nwant: $want")
+    } finally q.stop()
+  }
+
   test("anomalySink: ledger z-scores equal the batch e23 chain on closed hours") {
     implicit val sq = spark.sqlContext
     val hourUs = 3600L * 1000 * 1000
