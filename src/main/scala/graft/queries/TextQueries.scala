@@ -377,6 +377,46 @@ object TextQueries {
       graft.store.TextIndex.phraseSearch(s, p, Seq("hash", "join"))
     },
 
+    // K-ANONYMITY AUDIT with one GENERALIZATION step — the privacy
+    // face next to PII redaction (d34/d53 scrub direct identifiers;
+    // this measures QUASI-identifier re-identification risk): every
+    // (lang, source, length-bucket) equivalence class is k-anonymous
+    // iff ≥ k docs share it (Sweeney, IJUFKS 2002). Classes failing
+    // k = 5 at the fine bucket (n_chars div 500) re-generalize one
+    // lattice level up (length suppressed, the Mondrian-style cut:
+    // LeFevre et al., ICDE 2006) and are re-audited; classes still
+    // under k there are the suppression set a release would drop.
+    // Shape: two catalog-sized grouped counts plus one broadcast
+    // semi-join of the failing class keys back onto the scan — the
+    // fine class frame is checkpointed (two consumers, the d86 rule);
+    // nothing is ever row-keyed driver state and the equivalence
+    // classes ARE the output entities. All four outcome branches
+    // occur at both SFs (37/90 fine, 5/68 coarse at sf0.01).
+    "d108_k_anonymity" -> { (s, d) =>
+      val kMin = 5L
+      val docs = Tables.documents(s, d).select(col("lang"), col("source"),
+        expr("n_chars div 500").as("len_bucket"))
+      val fine = new graft.operators.LineageCheckpoint(s, None)(
+        docs.groupBy(col("lang"), col("source"), col("len_bucket"))
+          .agg(count(lit(1)).as("class_size")))
+      val keep = fine.filter(col("class_size") >= kMin)
+        .select(lit("fine").as("level"), col("lang"), col("source"),
+          col("len_bucket"), col("class_size"), lit(true).as("meets_k"))
+      val failing = fine.filter(col("class_size") < kMin)
+        .select(col("lang"), col("source"), col("len_bucket"))
+      val coarse = docs
+        .join(broadcast(failing), Seq("lang", "source", "len_bucket"),
+          "left_semi")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("class_size"))
+        .select(lit("coarse").as("level"), col("lang"), col("source"),
+          lit(-1L).as("len_bucket"), col("class_size"),
+          (col("class_size") >= kMin).as("meets_k"))
+      keep.unionAll(coarse)
+        .orderBy(col("level"), col("lang"), col("source"),
+          col("len_bucket"))
+    },
+
     // SORTED-NEIGHBORHOOD blocking ([[graft.text.Dedup
     // .sortedNeighborhoodPairs]]) — the THIRD blocking family next to
     // LSH bands (d05) and inverted-index prefixes (d92): candidates =
@@ -3545,6 +3585,31 @@ object TextQueries {
         |        WHERE toks[p] = 'hash' AND toks[p+1] = 'join')
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
         |FROM occ GROUP BY 1 ORDER BY n_occ DESC, doc_id""".stripMargin,
+
+    // d108: both lattice levels re-derived; the coarse level counts
+    // only rows from fine-failing classes.
+    "d108_k_anonymity" ->
+      """WITH d AS (SELECT lang, source, n_chars // 500 AS len_bucket
+        |      FROM documents),
+        |f AS (SELECT lang, source, len_bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS class_size
+        |      FROM d GROUP BY 1, 2, 3),
+        |keep AS (SELECT 'fine' AS level, lang, source, len_bucket,
+        |          class_size, TRUE AS meets_k
+        |         FROM f WHERE class_size >= 5),
+        |fail AS (SELECT lang, source, len_bucket FROM f
+        |         WHERE class_size < 5),
+        |c AS (SELECT d.lang, d.source,
+        |       CAST(COUNT(*) AS BIGINT) AS class_size
+        |      FROM d JOIN fail USING (lang, source, len_bucket)
+        |      GROUP BY 1, 2)
+        |SELECT * FROM keep
+        |UNION ALL
+        |SELECT 'coarse' AS level, lang, source,
+        | CAST(-1 AS BIGINT) AS len_bucket, class_size,
+        | class_size >= 5 AS meets_k
+        |FROM c
+        |ORDER BY level, lang, source, len_bucket""".stripMargin,
 
     // d107: the sorted-neighborhood semantics stated directly — one
     // ROW_NUMBER over (key, id) and a rank-distance self-join.

@@ -1416,6 +1416,19 @@ class PlanSpec extends AnyFunSuite {
       s"the edge build must read only (l_orderkey, l_partkey): $sc")
   }
 
+  test("d108: k-anonymity audits catalog-sized classes — broadcast semi-join, pruned scans, no window") {
+    val p = plan("d108_k_anonymity")
+    assert(!p.contains("Window"), s"class counts are plain aggregates:\n${p.take(600)}")
+    assert(p.contains("LeftSemi"),
+      s"failing class keys must gate the re-generalization as a semi-join:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the failing-key set is catalog-sized and must broadcast:\n${p.take(800)}")
+    val sc = scans("d108_k_anonymity")
+    assert(sc.nonEmpty &&
+      sc.forall(_._1.toSet.subsetOf(Set("lang", "source", "n_chars"))),
+      s"the audit reads only the quasi-identifier columns: $sc")
+  }
+
   test("e46: decayed engagement is one user-keyed exchange; the anchor broadcasts as one row") {
     val p = plan("e46_decayed_engagement")
     assert(!p.contains("Window"),
