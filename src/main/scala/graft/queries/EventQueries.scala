@@ -511,6 +511,64 @@ object EventQueries {
         .orderBy(col("type_a"), col("type_b"))
     },
 
+    // MULTI-TOUCH REVENUE ATTRIBUTION — linear and last-touch credit
+    // side by side, the marketing-analytics complement of e16's
+    // conversion funnel (the funnel counts WHO converts; attribution
+    // decides which touch type gets PAID for it). Each purchase finds
+    // the user's view/click touches in the PRECEDING 24 h via
+    // [[graft.operators.IntervalJoin.intervalJoin]] (touch → purchase
+    // look-ahead: time-bucketed by the window width, each row probes
+    // two buckets — never a raw range join); linear credit splits the
+    // purchase's exact cents as cents·1e6 div n_touches per touch,
+    // last-touch gives full cents to max (t, event_id) — unique ids
+    // make the order total. Per-purchase arithmetic runs in a window
+    // PARTITIONED BY purchase id (touch-bounded groups, the doc-keyed
+    // window rule), purchases reached by no touch land in the
+    // '(direct)' bucket via an anti-join, and the pair frame is
+    // checkpointed for its two consumers (the d86 rule). Everything
+    // is exact integer micro-cents.
+    "e47_attribution" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        tsUs.as("t"), col("event_type"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+          .as("cents"))
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_id"), col("t"),
+          col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"), col("event_id").as("p_id"),
+          col("cents"))
+      val pairs = new graft.operators.LineageCheckpoint(s, None)(
+        graft.operators.IntervalJoin.intervalJoin(touches,
+          purchases.select(col("user_id"), col("t"), col("p_id"),
+            col("cents")),
+          Seq("user_id"), "t", DayUs, Seq("p_id", "cents")))
+      val wP = Window.partitionBy(col("iv_p_id"))
+      val credited = pairs
+        .withColumn("n_touches", count(lit(1)).over(wP))
+        .withColumn("last_key",
+          max(struct(col("t"), col("event_id"))).over(wP))
+        .select(col("event_type"), col("iv_p_id"),
+          expr("iv_cents * 1000000 div n_touches").as("credit_micro"),
+          when(struct(col("t"), col("event_id")) === col("last_key"),
+            col("iv_cents")).otherwise(lit(0L)).as("last_cents"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("iv_p_id")).as("n_purchases"),
+          sum(col("credit_micro")).as("linear_micro_cents"),
+          sum(col("last_cents")).as("last_touch_cents"))
+      val direct = purchases
+        .join(pairs.select(col("iv_p_id").as("p_id")).distinct(),
+          Seq("p_id"), "left_anti")
+        .agg(count(lit(1)).as("n_purchases"),
+          coalesce(sum(col("cents")), lit(0L)).as("c"))
+        .select(lit("(direct)").as("event_type"), lit(0L).as("n_pairs"),
+          col("n_purchases"), (col("c") * 1000000).as("linear_micro_cents"),
+          col("c").as("last_touch_cents"))
+      credited.unionAll(direct).orderBy(col("event_type"))
+    },
+
     // TIME-DECAYED ENGAGEMENT SCORES — recency-weighted activity, the
     // ranking signal behind re-engagement targeting and churn-risk
     // ordering (e24's RFM flags recency as a bucket; this weights
@@ -2096,6 +2154,45 @@ object EventQueries {
         |FROM p JOIN n na ON p.type_a = na.event_type
         |JOIN n nb ON p.type_b = nb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // e47: the pair set as a declarative range join, per-purchase
+    // counts and the last touch as windows, division exact integer.
+    "e47_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type,
+        |        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |       FROM events),
+        |tch AS (SELECT user_id, event_id, t, event_type FROM ev
+        |        WHERE event_type IN ('view', 'click')),
+        |pur AS (SELECT user_id, event_id AS p_id, t AS pt, cents FROM ev
+        |        WHERE event_type = 'purchase'),
+        |pairs AS (SELECT tch.event_type, tch.t, tch.event_id,
+        |           pur.p_id, pur.cents
+        |          FROM tch JOIN pur ON tch.user_id = pur.user_id
+        |           AND pur.pt > tch.t AND pur.pt <= tch.t + 86400000000),
+        |c AS (SELECT event_type, p_id, cents,
+        |       COUNT(*) OVER (PARTITION BY p_id) AS n_touches,
+        |       ROW_NUMBER() OVER (PARTITION BY p_id
+        |        ORDER BY t DESC, event_id DESC) AS rn
+        |      FROM pairs),
+        |att AS (SELECT event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |         CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases,
+        |         CAST(SUM(cents * 1000000 // n_touches) AS BIGINT)
+        |          AS linear_micro_cents,
+        |         CAST(SUM(CASE WHEN rn = 1 THEN cents ELSE 0 END) AS BIGINT)
+        |          AS last_touch_cents
+        |        FROM c GROUP BY 1),
+        |direct AS (SELECT '(direct)' AS event_type,
+        |            CAST(0 AS BIGINT) AS n_pairs,
+        |            CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |            CAST(COALESCE(SUM(cents), 0) * 1000000 AS BIGINT)
+        |             AS linear_micro_cents,
+        |            CAST(COALESCE(SUM(cents), 0) AS BIGINT)
+        |             AS last_touch_cents
+        |           FROM pur WHERE p_id NOT IN
+        |            (SELECT DISTINCT p_id FROM pairs))
+        |SELECT * FROM att UNION ALL SELECT * FROM direct
+        |ORDER BY event_type""".stripMargin,
 
     // e46: the integer decay staircase replayed — weight = 1e6
     // right-shifted by whole age-weeks from the corpus max timestamp,

@@ -1416,6 +1416,19 @@ class PlanSpec extends AnyFunSuite {
       s"the edge build must read only (l_orderkey, l_partkey): $sc")
   }
 
+  test("e47: attribution pairs via the bucketed interval join; windows only per purchase") {
+    val p = plan("e47_attribution")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the 24h pairing must be the time-bucketed equi join, not a raw " +
+        s"range join:\n${p.take(800)}")
+    // every window is purchase-keyed (touch-bounded partitions)
+    val specs = "windowspecdefinition\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(specs.nonEmpty && specs.forall(_.startsWith("iv_p_id")),
+      s"windows must partition by the purchase id, got: $specs")
+  }
+
   test("d108: k-anonymity audits catalog-sized classes — broadcast semi-join, pruned scans, no window") {
     val p = plan("d108_k_anonymity")
     assert(!p.contains("Window"), s"class counts are plain aggregates:\n${p.take(600)}")
