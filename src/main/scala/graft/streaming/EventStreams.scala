@@ -524,6 +524,70 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("user_id"),
         col("total_value"))
 
+  /** Driver-held ledger for [[termHeavyHitterSink]]: Misra-Gries
+    * heavy-hitter state over a STREAM of items — the frequency monitor
+    * completing the ledger family ([[AnomalyLedger]] volume spikes,
+    * [[DriftLedger]] distribution drift, [[CusumLedger]] sustained
+    * shifts, [[HoltLedger]] forecasts; this answers "which items
+    * dominate the stream so far", the trending-vocabulary signal next
+    * to d105's batch term-hotness profile). Each micro-batch reduces
+    * EXECUTOR-side to one k-counter MG state (the
+    * [[graft.operators.Sketches.HeavyHitters]] udaf — only k counters
+    * ever cross to the driver, whatever the batch's vocabulary), and
+    * the ledger folds states under the mergeable-summaries merge rule
+    * (Agarwal et al.) via the SAME class, so the ledger inherits MG's
+    * bound over the WHOLE stream: any item with true frequency
+    * > n/(k+1) is guaranteed present, and every reported count lies in
+    * [true − n/(k+1), true]. Counter VALUES are merge-order dependent
+    * — inherent to MG — so the deterministic contract is the bound,
+    * pinned in StreamingSpec exactly as SketchesSpec pins the batch
+    * sketch. State: k counters + one n; idempotent per batchId.
+    */
+  final class HeavyHitterLedger(val k: Int) {
+    require(k >= 1, s"MG needs k >= 1, got $k")
+    private[streaming] var state: Map[String, Long] = Map.empty
+    private[streaming] var n: Long = 0L
+    private[streaming] var lastBatchId: Long = -1L
+    private val mg = new graft.operators.Sketches.HeavyHitters(k)
+
+    /** Folds one micro-batch of items (column `item`); idempotent per
+      * batchId.
+      */
+    def ingest(batch: DataFrame, batchId: Long): Unit =
+      if (batchId > lastBatchId) {
+        val agg = batch
+          .agg(udaf(new graft.operators.Sketches.HeavyHitters(k),
+            org.apache.spark.sql.Encoders.STRING)(col("item")).as("hh"),
+            count(col("item")).as("cnt"))
+          .head()
+        val batchState = agg.getSeq[org.apache.spark.sql.Row](0)
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        state = mg.merge(state, batchState)
+        n += agg.getLong(1)
+        lastBatchId = batchId
+      }
+
+    /** The surviving candidates, (count DESC, item ASC), with the
+      * stream-wide error bound n div (k+1) each count is within.
+      */
+    def top(): Seq[(String, Long, Long)] = {
+      val b = n / (k + 1)
+      state.toSeq.sortBy { case (t, c) => (-c, t) }
+        .map { case (t, c) => (t, c, b) }
+    }
+  }
+
+  /** Streaming frequency monitor: any item stream (terms, URLs, user
+    * agents) into the [[HeavyHitterLedger]] — wire as
+    * `termHeavyHitterSink(docs.select(explode(tokens(col("text")))
+    * .as("item")), ledger)`.
+    */
+  def termHeavyHitterSink(items: DataFrame, ledger: HeavyHitterLedger)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    items.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => ledger.ingest(batch, batchId)
+    }
+
   /** STREAMING face of e46's time-decayed engagement: closed
     * per-(hour, user) increments — event count + exact cents sum —
     * emitted exactly once per window close ([[retentionIncrements]]'s

@@ -644,6 +644,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("termHeavyHitterSink: the MG bound holds over the whole stream; replay cannot double-count") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[String]
+    val ledger = new EventStreams.HeavyHitterLedger(4)
+    val q = EventStreams.termHeavyHitterSink(
+        in.toDF.toDF("item"), ledger)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    // skewed vocabulary scrambled across batches: two dominant items,
+    // a mid item, and singleton noise that forces decrements
+    val items = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(7)).shuffle(
+      (Seq.fill(30)("alpha") ++ Seq.fill(18)("beta") ++
+        Seq.fill(7)("gamma") ++ (0 until 25).map(i => s"noise$i")).toList)
+    try {
+      val (b1, rest) = items.splitAt(20)
+      val (b2, b3) = rest.splitAt(30)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b3: _*); q.processAllAvailable()
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong)
+      val bound = items.length.toLong / (ledger.k + 1)
+      val got = ledger.top().map { case (t, c, b) => t -> (c, b) }.toMap
+      // every item above the guarantee threshold survives
+      for ((t, c) <- truth if c > bound)
+        assert(got.contains(t), s"$t (true $c > bound $bound) must survive")
+      // every reported count sits inside [true - bound, true]
+      for ((t, (c, b)) <- got) {
+        assert(b == bound)
+        assert(c <= truth(t) && c >= truth(t) - bound,
+          s"$t reported $c outside [${truth(t) - bound}, ${truth(t)}]")
+      }
+      // a replayed batchId must not re-fold (foreachBatch redelivery)
+      val before = (ledger.top(), ledger.n)
+      ledger.ingest(Seq("alpha", "alpha").toDF("item"), batchId = 0L)
+      assert((ledger.top(), ledger.n) == before,
+        "stale batchId replay must be a no-op")
+    } finally q.stop()
+  }
+
   test("anomalySink: ledger z-scores equal the batch e23 chain on closed hours") {
     implicit val sq = spark.sqlContext
     val hourUs = 3600L * 1000 * 1000
