@@ -377,6 +377,32 @@ object TextQueries {
       graft.store.TextIndex.phraseSearch(s, p, Seq("hash", "join"))
     },
 
+    // INCREMENTAL COMPONENT MAINTENANCE under the oracle — d19's
+    // clusters reached through [[graft.text.Dedup
+    // .dupComponentsIncremental]]: the candidate pairs split into a
+    // "yesterday" base (both endpoints < 250) and a "today" delta,
+    // the base labels computed once, and the delta FOLDED into them
+    // via the quotient identity (labels' star edges reconnect exactly
+    // the old components, so contraction over |labels| + |delta|
+    // edges equals contraction over the full history — which is never
+    // re-read). The oracle computes ONLY the full pass (d19's
+    // recursive closure over every pair); hash-equality proves the
+    // maintenance identity, the e14/q36 pattern. At 100 TB this is
+    // the difference between per-batch work proportional to the batch
+    // and recomputing a trillion-edge closure on every ingest.
+    "d109_incremental_cc" -> { (s, d) =>
+      val pairs = graft.text.Dedup.nearDupPairs(
+        Tables.documents(s, d), "doc_id", "text", threshold = 0.0)
+        .select(col("a_id"), col("b_id"))
+      val pinned = new graft.operators.LineageCheckpoint(s, None)(pairs)
+      val cut = 250L
+      val base = pinned.filter(col("a_id") < cut && col("b_id") < cut)
+      val delta = pinned.filter(col("a_id") >= cut || col("b_id") >= cut)
+      val baseLabels = graft.text.Dedup.dupComponentsStar(base)
+      graft.text.Dedup.dupComponentsIncremental(baseLabels, delta)
+        .orderBy(col("id"))
+    },
+
     // K-ANONYMITY AUDIT with one GENERALIZATION step — the privacy
     // face next to PII redaction (d34/d53 scrub direct identifiers;
     // this measures QUASI-identifier re-identification risk): every
@@ -3585,6 +3611,20 @@ object TextQueries {
         |        WHERE toks[p] = 'hash' AND toks[p+1] = 'join')
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
         |FROM occ GROUP BY 1 ORDER BY n_occ DESC, doc_id""".stripMargin,
+
+    // d109: the oracle computes ONLY the full closure over every pair
+    // (d19's SQL verbatim) — hash-equality against the incremental
+    // path proves the quotient maintenance identity.
+    "d109_incremental_cc" ->
+      s"""WITH RECURSIVE $CandCtes,
+        |e AS (SELECT a_id AS src, b_id AS dst FROM cand
+        |      UNION SELECT b_id, a_id FROM cand),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+        |SELECT id, MIN(r) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
 
     // d108: both lattice levels re-derived; the coarse level counts
     // only rows from fine-failing classes.

@@ -604,6 +604,31 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL connected-components maintenance: fold a DELTA pair
+    * batch into an existing labeling WITHOUT replaying the edge
+    * history — the maintenance-identity family (e14's compacted
+    * changelog, q36's shard-merged profile, v20's index append)
+    * applied to dedup clusters, where continuous ingest grows the
+    * near-dup graph every batch and a full recompute would rescan
+    * every candidate pair ever found. The identity is a QUOTIENT
+    * argument: a labeling (id → component min) is a lossless summary
+    * of old connectivity — its star edges (id, label) reconnect
+    * exactly the old components — and since every label IS its
+    * component's minimum id, components over (star edges ∪ delta)
+    * equal components over (full old edge set ∪ delta), minima
+    * included. Cost per batch: |labels| + |delta| edges through
+    * [[dupComponentsStar]]'s O(log n) contraction; the historical
+    * edge set is never stored or read again. Singleton components
+    * ride through as self-pairs (the pinned dupComponentsStar
+    * contract). Output contract = [[dupComponents]]: (id, component).
+    */
+  def dupComponentsIncremental(labels: DataFrame, deltaPairs: DataFrame,
+      maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame =
+    dupComponentsStar(
+      labels.select(col("id").as("a_id"), col("component").as("b_id"))
+        .unionByName(deltaPairs.select(col("a_id"), col("b_id"))),
+      maxIter, checkpointDir)
+
   /** [[dupComponents]] by the ALTERNATING large-star/small-star
     * algorithm (Kiveris et al. 2014, "Connected Components in
     * MapReduce and Beyond") — the round-count scale path: min-label

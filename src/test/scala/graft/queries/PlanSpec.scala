@@ -1416,6 +1416,13 @@ class PlanSpec extends AnyFunSuite {
       s"the edge build must read only (l_orderkey, l_partkey): $sc")
   }
 
+  test("d109: the incremental fold's final plan is a checkpointed label scan") {
+    val p = plan("d109_incremental_cc")
+    assert(p.contains("ExistingRDD"),
+      s"contraction rounds must be checkpoint-truncated:\n${p.take(400)}")
+    assert(!p.contains("Window"), s"no rank windows anywhere:\n${p.take(400)}")
+  }
+
   test("e47: attribution pairs via the bucketed interval join; windows only per purchase") {
     val p = plan("e47_attribution")
     assert(!p.contains("CartesianProduct") &&

@@ -301,6 +301,38 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("dupComponentsIncremental ≡ full recompute: delta merges components, history never re-read") {
+    import org.apache.spark.sql.functions.col
+    // base: two chains {1-2-3} and {10-11}, a singleton 20 (self-pair)
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("a_id", "b_id")
+    val labels = Dedup.dupComponentsStar(base)
+    def lbl(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // delta 1: brand-new component {30, 31} plus growth 11-12
+    val d1 = Seq((30L, 31L), (11L, 12L)).toDF("a_id", "b_id")
+    val inc1 = Dedup.dupComponentsIncremental(labels, d1)
+    assert(lbl(inc1) ==
+      lbl(Dedup.dupComponentsStar(base.unionByName(d1))),
+      "incremental must equal the full recompute")
+    // delta 2 MERGES the two old components (3-10) — the quotient
+    // identity's interesting case: the bridge crosses old labels.
+    val d2 = Seq((3L, 10L)).toDF("a_id", "b_id")
+    val inc2 = Dedup.dupComponentsIncremental(inc1, d2)
+    assert(lbl(inc2) ==
+      lbl(Dedup.dupComponentsStar(
+        base.unionByName(d1).unionByName(d2))),
+      "a delta bridging two old components must collapse them to one min")
+    assert(inc2.filter(col("id").isin(1L, 2L, 3L, 10L, 11L, 12L))
+      .select(col("component")).distinct().collect().map(_.getLong(0))
+      .toSeq == Seq(1L), "the merged component's label is the global min")
+    // singletons survive every fold
+    assert(lbl(inc2).contains((20L, 20L)))
+    // empty delta: labels are a fixed point of their own star edges
+    assert(lbl(Dedup.dupComponentsIncremental(inc2,
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"))) == lbl(inc2))
+  }
+
   test("sortedNeighborhoodPairs ≡ naive ranked window — exact count, hot-key ties, any layout") {
     import org.apache.spark.sql.functions.col
     val n = 60
