@@ -304,6 +304,45 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     },
 
+    // EMBEDDING-SPACE DRIFT MONITOR — q41's column-drift discipline
+    // lifted to the vector table: per DIMENSION, the mean shift
+    // between two corpus slices (even/odd vec_id halves stand in for
+    // yesterday/today), the signal that catches a silent embedder
+    // upgrade or a domain shift BEFORE it degrades every ANN index
+    // built on the space (cells trained on yesterday's distribution
+    // prune badly against today's). Components quantize to micro
+    // units AT THE ROW (floor(double(x)·1e6) — the d40 rule: floats
+    // widen exactly to double and both engines floor the same IEEE
+    // product, so every downstream sum is exact integer arithmetic).
+    // Shape: one scan, posexplode to (dim, slice) cells — 64 rows per
+    // vector, collapsed map-side to ≤ 128 partial cells per task, so
+    // the exchange carries cells, never components; output is the
+    // 64-row dimension catalog. No window, no join.
+    "v31_embedding_drift" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select((col("vec_id") % 2).as("slice"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("slice"), col("dim"),
+          floor(col("v").cast("double") * lit(1000000.0)).cast("long")
+            .as("q"))
+        .groupBy(col("dim"))
+        .agg(
+          sum(when(col("slice") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("slice") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("slice") === 0, col("q")).otherwise(0L)).as("sa"),
+          sum(when(col("slice") === 1, col("q")).otherwise(0L)).as("sb"))
+        .select(col("dim").cast("long").as("dim"), col("n_a"), col("n_b"),
+          // Negative sums occur (34 of 64 dims at sf0.01) and BOTH
+          // engines' integer division truncates toward zero (Spark
+          // `div` ≡ DuckDB integer `//`; DuckDB floors only for
+          // doubles) — verified, not assumed, since the two diverge
+          // exactly on negative-with-remainder inputs.
+          expr("sa div n_a").as("mean_a_micro"),
+          expr("sb div n_b").as("mean_b_micro"),
+          abs(expr("sa div n_a") - expr("sb div n_b")).as("shift_micro"))
+        .orderBy(col("dim"))
+    },
+
     // JOHNSON–LINDENSTRAUSS RECALL FACE — dimensionality reduction as
     // a first-class index structure: project 64-d embeddings to 16-d
     // through the deterministic ±1 sign matrix ([[JlSigns]] —
@@ -1162,6 +1201,31 @@ object VectorQueries {
         | FROM b x JOIN b y
         |  ON x.bucket = y.bucket AND x.label <> y.label) t
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // v31: per-row micro quantization (floor of the identical IEEE
+    // double product), then plain integer cell sums per (dim, slice).
+    "v31_embedding_drift" ->
+      """WITH e AS (SELECT vec_id % 2 AS slice,
+        |        generate_subscripts(embedding, 1) - 1 AS dim,
+        |        unnest(embedding) AS v
+        |       FROM embeddings),
+        |q AS (SELECT slice, CAST(dim AS BIGINT) AS dim,
+        |       CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |      FROM e),
+        |m AS (SELECT dim,
+        |       CAST(SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |        AS n_a,
+        |       CAST(SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |        AS n_b,
+        |       CAST(SUM(CASE WHEN slice = 0 THEN q ELSE 0 END) AS BIGINT)
+        |        AS sa,
+        |       CAST(SUM(CASE WHEN slice = 1 THEN q ELSE 0 END) AS BIGINT)
+        |        AS sb
+        |      FROM q GROUP BY 1)
+        |SELECT dim, n_a, n_b, sa // n_a AS mean_a_micro,
+        | sb // n_b AS mean_b_micro,
+        | ABS(sa // n_a - sb // n_b) AS shift_micro
+        |FROM m ORDER BY dim""".stripMargin,
 
     // v29: the sign matrix is injected as literal lists (both engines
     // receive the identical matrix — no hash mirroring), projections

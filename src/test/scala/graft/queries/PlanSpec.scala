@@ -1416,6 +1416,19 @@ class PlanSpec extends AnyFunSuite {
       s"the edge build must read only (l_orderkey, l_partkey): $sc")
   }
 
+  test("v31: embedding drift is one scan + one dim-keyed exchange — no join, no window") {
+    val p = plan("v31_embedding_drift")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"drift cells are plain grouped sums:\n${p.take(600)}")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected only the dim fold, found $hashExchanges:\n${p.take(800)}")
+    val sc = scans("v31_embedding_drift")
+    assert(sc.nonEmpty &&
+      sc.forall(_._1.toSet.subsetOf(Set("vec_id", "embedding"))),
+      s"the scan must read only (vec_id, embedding): $sc")
+  }
+
   test("d109: the incremental fold's final plan is a checkpointed label scan") {
     val p = plan("d109_incremental_cc")
     assert(p.contains("ExistingRDD"),
