@@ -33,6 +33,19 @@ object VectorQueries {
   private val JlIn = 64 // v29 input dimensionality (the table's)
   private val JlOut = 16 // v29 projected dimensionality (4x reduction)
 
+  /** v32's rank-discount table, micro-quantized ON THE DRIVER (the
+    * BM25 inlined-literal rule: log2 never crosses an engine — both
+    * sides receive these integers): disc(r) = ⌊1e6 / log2(r+1)⌋.
+    */
+  private val NdcgDisc: Map[Int, Long] = (1 to 10).map(r =>
+    r -> math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong).toMap
+
+  /** Ideal cumulative DCG at each k for relevance grades (10, 9, …, 1)
+    * — the exact arm's top-10 re-ranked perfectly.
+    */
+  private val NdcgIdeal: Map[Int, Long] = (1 to 10).map(k =>
+    k -> (1 to k).map(i => (11L - i) * NdcgDisc(i)).sum).toMap
+
   /** v29's ±1 sign matrix (Achlioptas's database-friendly JL variant —
     * "Database-friendly random projections", PODS 2001): entries are a
     * pure md5 parity of the cell coordinates, so BOTH engines receive
@@ -739,6 +752,58 @@ object VectorQueries {
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), col("prefix_score"), col("score"))
+    },
+
+    // nDCG@k CURVE for the Matryoshka serving arm — ranking-quality
+    // evaluation beyond hit-counting recall (v16/v29/d103 score "did
+    // the doc appear"; nDCG scores "did it appear HIGH ENOUGH", which
+    // is what a serving team actually tunes prefix length against).
+    // Relevance = 11 − exact_rank from the full-dimension arm (graded,
+    // not binary), served order = v21's prefix-coarse → full-rescore
+    // two-stage, and the per-rank log2 discounts are micro-quantized
+    // ON THE DRIVER and inlined into BOTH engines (the BM25
+    // inlined-literal rule — no transcendental crosses an engine), so
+    // every DCG sum is exact integer arithmetic. Output: the
+    // ndcg@k curve k = 1..10 with per-rank gain witnesses; every
+    // window here orders a 10-row frame (d103's ≤K-row rule). The
+    // corpus pays two scans (coarse arm + exact arm), both ending in
+    // per-partition top-k heaps.
+    "v32_ndcg_curve" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = probeVec(s, d, 42L)
+      val e = Tables.embeddings(s, d)
+      val w10 = Window.orderBy(col("score").desc, col("vec_id"))
+      val exact = e
+        .withColumn("score",
+          vectors.cosineSimilarity(col("embedding"), lit(q)))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"),
+          row_number().over(w10).cast("long").as("exact_rank"))
+      val served = e
+        .withColumn("prefix_score", vectors.cosineSimilarity(
+          slice(col("embedding"), 1, 16), lit(q.take(16))))
+        .orderBy(col("prefix_score").desc, col("vec_id")).limit(50)
+        .withColumn("score",
+          vectors.cosineSimilarity(col("embedding"), lit(q)))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"),
+          row_number().over(w10).cast("long").as("rank"))
+      def byRank(vals: Map[Int, Long]): org.apache.spark.sql.Column =
+        (2 to 10).foldLeft(when(col("rank") === 1, lit(vals(1)))) {
+          (c, r) => c.when(col("rank") === r, lit(vals(r)))
+        }
+      served.join(exact, Seq("vec_id"), "left")
+        .select(col("rank"), col("vec_id"),
+          coalesce(lit(11L) - col("exact_rank"), lit(0L)).as("rel"),
+          byRank(NdcgDisc).as("disc_micro"),
+          byRank(NdcgIdeal).as("ideal_micro"))
+        .withColumn("gain_micro", col("rel") * col("disc_micro"))
+        .withColumn("dcg_micro",
+          sum(col("gain_micro")).over(Window.orderBy(col("rank"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("ndcg_at_k_micro",
+          expr("dcg_micro * 1000000 div ideal_micro"))
+        .orderBy(col("rank"))
     },
 
     // INCREMENTAL IVF maintenance identity ([[graft.store.IvfIndex
@@ -1590,6 +1655,53 @@ object VectorQueries {
         |LEFT JOIN adc_top a
         |  ON x.probe_id = a.probe_id AND x.vec_id = a.vec_id
         |GROUP BY x.probe_id ORDER BY x.probe_id""".stripMargin,
+
+    // v32: both arms replayed (v21's two-stage + the exact arm), the
+    // SAME driver-computed discount/ideal literals injected as CASE
+    // tables — the two engines never evaluate log2 themselves.
+    "v32_ndcg_curve" -> {
+      def caseOf(vals: Map[Int, Long]) = (1 to 10)
+        .map(r => s"WHEN ${r} THEN CAST(${vals(r)} AS BIGINT)")
+        .mkString(" ")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv,
+        |            CAST(embedding[1:16] AS DOUBLE[]) AS qp
+        |           FROM embeddings WHERE vec_id = 42),
+        |coarse AS (
+        |  SELECT e.vec_id, e.embedding,
+        |   list_cosine_similarity(CAST(e.embedding[1:16] AS DOUBLE[]), q.qp)
+        |    AS prefix_score
+        |  FROM embeddings e, q
+        |  ORDER BY prefix_score DESC, e.vec_id LIMIT 50),
+        |served0 AS (
+        |  SELECT c.vec_id,
+        |   list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qv)
+        |    AS score
+        |  FROM coarse c, q ORDER BY score DESC, c.vec_id LIMIT 10),
+        |served AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (
+        |            ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+        |           FROM served0),
+        |exact0 AS (
+        |  SELECT e.vec_id,
+        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |    AS score
+        |  FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT 10),
+        |exact AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (
+        |           ORDER BY score DESC, vec_id) AS BIGINT) AS exact_rank
+        |          FROM exact0),
+        |j AS (SELECT s.rank, s.vec_id,
+        |       CAST(COALESCE(11 - x.exact_rank, 0) AS BIGINT) AS rel,
+        |       CASE s.rank ${caseOf(NdcgDisc)} END AS disc_micro,
+        |       CASE s.rank ${caseOf(NdcgIdeal)} END AS ideal_micro
+        |      FROM served s LEFT JOIN exact x ON s.vec_id = x.vec_id)
+        |SELECT rank, vec_id, rel, disc_micro, ideal_micro,
+        | CAST(rel * disc_micro AS BIGINT) AS gain_micro,
+        | CAST(SUM(rel * disc_micro) OVER (ORDER BY rank
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS dcg_micro,
+        | CAST(SUM(rel * disc_micro) OVER (ORDER BY rank
+        |  ROWS UNBOUNDED PRECEDING) * 1000000 // ideal_micro AS BIGINT)
+        |  AS ndcg_at_k_micro
+        |FROM j ORDER BY rank""".stripMargin
+    },
 
     // v21: both stages replayed — DuckDB's 1-based inclusive slice
     // [1:16] is Spark's slice(embedding, 1, 16); candidate ties and

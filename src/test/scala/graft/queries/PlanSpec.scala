@@ -1416,6 +1416,15 @@ class PlanSpec extends AnyFunSuite {
       s"the edge build must read only (l_orderkey, l_partkey): $sc")
   }
 
+  test("v32: both nDCG arms end in per-partition top-k heaps; the rank join is broadcast") {
+    val p = plan("v32_ndcg_curve")
+    val heaps = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(heaps >= 3,
+      s"coarse, rescore and exact stages must all heap (found $heaps):\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the 10-row rank join must broadcast:\n${p.take(800)}")
+  }
+
   test("v31: embedding drift is one scan + one dim-keyed exchange — no join, no window") {
     val p = plan("v31_embedding_drift")
     assert(!p.contains("Join") && !p.contains("Window"),
