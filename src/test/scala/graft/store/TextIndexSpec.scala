@@ -392,6 +392,33 @@ class TextIndexSpec extends AnyFunSuite {
       "post-compact phrase results must be unchanged")
   }
 
+  test("phraseSearch fuzz: ≡ naive sliding-window counts on pseudo-random corpora") {
+    // tiny vocabulary forces repeats, overlaps and coincidences; the
+    // naive arm slides a window over the raw token list.
+    val rng = new scala.util.Random(1234)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (0L until 40L).map { id =>
+      (id, Seq.fill(3 + rng.nextInt(12))(vocab(rng.nextInt(4)))
+        .mkString(" "))
+    }
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val p = Files.createTempDirectory("graft-ti-fuzz").toString
+    val df = docs.toDF("doc_id", "text")
+    TextIndex.build(df, "doc_id", "text", p, nBuckets = 4)
+    TextIndex.buildPositions(df, "doc_id", "text", p)
+    for (_ <- 0 until 25) {
+      val phrase = Seq.fill(1 + rng.nextInt(3))(vocab(rng.nextInt(4)))
+      val want = toks.flatMap { case (id, ts) =>
+        val n = ts.sliding(phrase.length)
+          .count(w => w.length == phrase.length && w == phrase)
+        if (n > 0) Some((id, n.toLong)) else None
+      }.toSeq.sortBy { case (id, n) => (-n, id) }
+      val got = TextIndex.phraseSearch(spark, p, phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == want, s"phrase $phrase:\n got: $got\nwant: $want")
+    }
+  }
+
   test("appendPositions ≡ one-shot buildPositions; phrase plan prunes buckets, joins nothing") {
     val docs = Tables.documents(spark, sf)
     val phrase = Seq("hash", "join")
