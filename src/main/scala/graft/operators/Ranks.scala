@@ -199,4 +199,53 @@ object Ranks {
       .groupBy(g).agg(min(col(valueCol)).as("wmedian"),
         max(col("w_total")).as("w_total"))
   }
+
+  /** MULTI-rank selection: several exact target ranks per group from
+    * the SAME two passes [[groupedKthSmallest]] pays for one — the
+    * percentile-band primitive (P10/P25/P50/P75/P90 in one histogram
+    * walk instead of five, which at 100 TB is the difference between
+    * 2 scans and 10). Pass 1 is unchanged (one histogram + its
+    * running sum, a window over the CATALOG-sized histogram frame);
+    * each (group, k) picks its own earliest qualifying bucket from
+    * that one cumulated frame. Pass 2 rescans the union of target
+    * buckets ONCE — rows rank inside their (group, bucket) via one
+    * bucket-bounded window, then the (group, bucket, in-bucket-rank)
+    * triple equi-joins the broadcast target frame, so ranks sharing a
+    * bucket (common for adjacent percentiles in a dense group) share
+    * the work. `ks`: (groupCol, `k`) with ANY number of rows per
+    * group — group-count × ranks sized, always broadcastable. Returns
+    * one row per input rank: (groupCol, k, kth); out-of-range ks
+    * yield no row (the [[groupedKthSmallest]] contract).
+    */
+  def groupedKthSmallestMulti(df: DataFrame, groupCol: String,
+      valueCol: String, ks: DataFrame, bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(bucketWidth >= 1L, s"bucketWidth must be >= 1, got $bucketWidth")
+    val g = col(groupCol)
+    val hist = df
+      .select(g, expr(s"`$valueCol` div $bucketWidth").as("bucket"))
+      .groupBy(g, col("bucket")).agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(g).orderBy(col("bucket"))
+    val target = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .join(broadcast(ks.select(g, col("k"))), Seq(groupCol))
+      .filter(col("cum") >= col("k"))
+      .groupBy(g, col("k")).agg(min(struct(col("bucket"), col("cum"),
+        col("cnt"))).as("t"))
+      .select(g, col("k"), col("t.bucket").as("bucket"),
+        (col("k") - (col("t.cum") - col("t.cnt"))).as("k_in"))
+      .localCheckpoint() // consumed twice below (bucket gate + rank join)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(g, col("bucket")).orderBy(col(valueCol))
+    df.select(g, col(valueCol))
+      .withColumn("bucket", expr(s"`$valueCol` div $bucketWidth"))
+      .join(broadcast(target.select(g, col("bucket")).distinct()),
+        Seq(groupCol, "bucket"))
+      .withColumn("rn", row_number().over(wIn))
+      .join(broadcast(target),
+        Seq(groupCol, "bucket")) // then the rank equality
+      .filter(col("rn") === col("k_in"))
+      .select(g, col("k"), col(valueCol).as("kth"))
+  }
 }

@@ -980,6 +980,39 @@ object RelationalQueries {
         .orderBy(col("triangles").desc, col("node"))
     },
 
+    // EXACT PERCENTILE BANDS in ONE selection pass — q49's two cuts
+    // generalized: P10/P25/P50/P75/P90 of order value per priority
+    // via [[graft.operators.Ranks.groupedKthSmallestMulti]], which
+    // answers ALL five ranks from one histogram walk + one refine
+    // rescan (five groupedKthSmallest calls would pay 10 scans; at
+    // 100 TB the scan count IS the cost). Ranks are exact integer
+    // formulas (ceil(p·n) spelled div-style, the q49 idiom); windows
+    // run only over the catalog-sized histogram and the bucket-bounded
+    // refine partitions; the target frame is group×5 rows, broadcast.
+    // The oracle picks the same five ranks from one ranked window.
+    "q51_percentile_bands" -> { (s, d) =>
+      import graft.operators.{LineageCheckpoint, Ranks}
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("pr"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("c"))
+      val n = new LineageCheckpoint(s, None)(
+        o.groupBy(col("pr")).agg(count(lit(1)).as("n")))
+      val ks = n.select(col("pr"), explode(array(
+          struct(lit(10L).as("pct"), expr("(n + 9) div 10").as("k")),
+          struct(lit(25L).as("pct"), expr("(n + 3) div 4").as("k")),
+          struct(lit(50L).as("pct"), expr("(n + 1) div 2").as("k")),
+          struct(lit(75L).as("pct"), expr("(3 * n + 3) div 4").as("k")),
+          struct(lit(90L).as("pct"), expr("(9 * n + 9) div 10").as("k"))))
+          .as("t"))
+        .select(col("pr"), col("t.pct").as("pct"), col("t.k").as("k"))
+      Ranks.groupedKthSmallestMulti(o, "pr", "c", ks, MadBucket)
+        .join(broadcast(ks), Seq("pr", "k"))
+        .select(col("pr").as("o_orderpriority"), col("pct"),
+          col("kth").as("band_cents"))
+        .orderBy(col("o_orderpriority"), col("pct"))
+    },
+
     // QUANTITY-WEIGHTED MEDIAN PRICE — the "typical price per unit
     // SOLD" statistic (a plain median over rows answers a different
     // question: typical price per ORDER LINE), exact and distributed
@@ -1881,6 +1914,26 @@ object RelationalQueries {
         | pn.triangles * 2000000 // (deg.deg * (deg.deg - 1)) AS lcc_micro
         |FROM pn JOIN deg ON pn.node = deg.node
         |ORDER BY triangles DESC, pn.node""".stripMargin,
+
+    // q51: the five ranks picked from one ranked window — the same
+    // exact integer rank formulas, band = the rank-k value.
+    "q51_percentile_bands" ->
+      """WITH o AS (SELECT o_orderpriority AS pr,
+        |        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |          AS BIGINT) AS c
+        |       FROM orders),
+        |n AS (SELECT pr, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1),
+        |r AS (SELECT pr, c,
+        |       ROW_NUMBER() OVER (PARTITION BY pr ORDER BY c) AS rn FROM o),
+        |ks AS (SELECT pr, 10 AS pct, (n + 9) // 10 AS k FROM n
+        |       UNION ALL SELECT pr, 25, (n + 3) // 4 FROM n
+        |       UNION ALL SELECT pr, 50, (n + 1) // 2 FROM n
+        |       UNION ALL SELECT pr, 75, (3 * n + 3) // 4 FROM n
+        |       UNION ALL SELECT pr, 90, (9 * n + 9) // 10 FROM n)
+        |SELECT r.pr AS o_orderpriority, CAST(ks.pct AS BIGINT) AS pct,
+        | CAST(r.c AS BIGINT) AS band_cents
+        |FROM ks JOIN r ON r.pr = ks.pr AND r.rn = ks.k
+        |ORDER BY o_orderpriority, pct""".stripMargin,
 
     // q48: the oracle states the weighted selection as one running-sum
     // window — smallest value whose cumulative weight reaches half.

@@ -96,6 +96,35 @@ class RanksSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq("g1"), s"got: ${got.toSeq}")
   }
 
+  test("groupedKthSmallestMulti ≡ one groupedKthSmallest per rank; shared buckets, widths, out-of-range") {
+    val n = grouped.groupBy($"grp").agg(count(lit(1)).as("n"))
+    // five ranks per group, including adjacent ones that land in the
+    // SAME histogram bucket (the shared-work case) and duplicates.
+    val ks = n.select($"grp", explode(array(
+        expr("(n + 9) div 10"), expr("(n + 3) div 4"),
+        expr("(n + 1) div 2"), expr("(n + 1) div 2 + 1"),
+        expr("(9 * n + 9) div 10"))).as("k"))
+    for (width <- Seq(1L, 8L, 1000000L)) {
+      val got = Ranks.groupedKthSmallestMulti(grouped, "grp", "v", ks, width)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val want = ks.collect().map(r => (r.getString(0), r.getLong(1)))
+        .distinct.map { case (g, k) =>
+          val kth = Ranks.groupedKthSmallest(grouped.filter($"grp" === g),
+              "grp", "v", Seq((g, k)).toDF("grp", "k"), width)
+            .collect()
+          (g, k) -> kth.head.getLong(1)
+        }.toMap
+      assert(got == want, s"width $width: multi disagrees with " +
+        s"per-rank selection\n got: $got\nwant: $want")
+    }
+    // out-of-range ranks yield no row, in-range siblings survive
+    val mixed = Seq(("g0", 100000L), ("g0", 5L)).toDF("grp", "k")
+    val got = Ranks.groupedKthSmallestMulti(grouped, "grp", "v", mixed, 8L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("g0", 5L)), s"got: ${got.toSeq}")
+  }
+
   test("groupedWeightedMedian equals the brute weighted selection, ties and widths included") {
     // Heavy value ties + varied positive weights.
     val wdf = (0 until 600)

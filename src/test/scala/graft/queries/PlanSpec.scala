@@ -1416,6 +1416,17 @@ class PlanSpec extends AnyFunSuite {
       s"the edge build must read only (l_orderkey, l_partkey): $sc")
   }
 
+  test("q51: five percentile bands from one selection pass — partitioned windows, broadcast targets") {
+    val p = plan("q51_percentile_bands")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("pr")),
+      s"selection windows must carry the group partition key:\n" +
+        windows.mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"ks/target frames are group-sized and must broadcast:\n${p.take(800)}")
+  }
+
   test("v32: both nDCG arms end in per-partition top-k heaps; the rank join is broadcast") {
     val p = plan("v32_ndcg_curve")
     val heaps = "TakeOrderedAndProject".r.findAllIn(p).length
