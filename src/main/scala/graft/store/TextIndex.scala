@@ -170,6 +170,22 @@ object TextIndex {
     * publish recognizes already-moved files (dest exists → drop the
     * source). `_SUCCESS`/checksum droppings stay behind and die with
     * the staging dir.
+    *
+    * Publish ORDER is deterministic, with `tombstone_stats` files
+    * FIRST (then lexicographic): for a delete batch the crash window
+    * between the two file moves must leave the stats CORRECTION
+    * published without its tombstones, never the reverse. Correction
+    * without tombstones is transiently stale-LOW and heals the moment
+    * the replay resumes (it publishes the tombstones, completing the
+    * pair) — and if a compact intervenes first, it deletes the
+    * orphaned correction while the not-yet-tombstoned docs stay
+    * counted, landing on EXACT stats. The reverse order (tombstones
+    * first) had a real hole (ADVICE r18): a compact inside the window
+    * consumes the tombstones, refreshes stats without those docs and
+    * clears corrections — and the resumed publish then lands the
+    * staged correction AGAIN, double-subtracting from stats that
+    * already exclude the docs, a wrong-scores state only the NEXT
+    * compact would heal.
     */
   private[store] def publishStaged(spark: SparkSession, path: String,
       token: String): Unit = {
@@ -186,6 +202,9 @@ object TextIndex {
         if (f.getName.endsWith(".parquet")) b += f
       }
       b.result()
+    }.sortBy { f =>
+      val q = fs.makeQualified(f).toString
+      (if (q.contains("/tombstone_stats/")) 0 else 1, q)
     }
     files.foreach { f =>
       val rel = fs.makeQualified(f).toString.stripPrefix(stgQ)
@@ -208,14 +227,30 @@ object TextIndex {
     * complete staged set. Cross-batch duplicate docs are additionally
     * anti-joined against `doclens` (a document already indexed is
     * skipped), the ingest contract every store face here shares. The
-    * first batch creates the index ([[build]] overwrites, so its
-    * replay is trivially safe); an EMPTY first batch creates nothing —
+    * first batch creates the index with meta written LAST, so a crash
+    * mid-build replays as a clean rebuild (every pre-meta write is an
+    * Overwrite); an EMPTY first batch creates nothing —
     * an index with n = 0 must not exist. (The per-batch doclens lookup
     * is the price of disk-level idempotence; at corpus scales where it
     * hurts, front it with the ingest gates' Bloom snapshot pattern.)
+    *
+    * `withPositions = true` maintains the positional tier
+    * ([[buildPositions]]) under the SAME commit: the batch's
+    * `postings_pos` rows are staged in the same `staging/<token>/`
+    * dir, published by the same per-file renames, and gated by the
+    * same doclens anti-join — so both tiers move atomically under one
+    * batch marker and a replay can neither double-append positions nor
+    * append them for a doc the posting tier skipped (the round-18
+    * replay hole a bare [[appendPositions]] call from foreachBatch had:
+    * duplicate (term, doc) position rows make [[phraseSearch]]'s
+    * map assembly throw under mapKeyDedupPolicy=EXCEPTION). A
+    * positional deployment must pass the flag from the FIRST batch —
+    * the tier's append ≡ rebuild contract needs every indexed doc
+    * present in both tiers.
     */
   def appendBatch(batch: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int, batchId: Long): Unit = {
+      path: String, nBuckets: Int, batchId: Long,
+      withPositions: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val token = s"a$batchId"
     val fs = fsOf(spark, path)
@@ -226,7 +261,20 @@ object TextIndex {
     }
     if (!fs.exists(new Path(s"$path/meta"))) {
       // Empty first batch: no index (ADVICE r17 — n = 0 poisons avgdl).
-      if (batch.head(1).nonEmpty) build(batch, idCol, textCol, path, nBuckets)
+      // meta lands LAST: a crash before it replays as a full rebuild
+      // (all Overwrite writes); a crash after it replays through the
+      // incremental branch, whose doclens anti-join comes up empty —
+      // by then BOTH tiers are already complete.
+      if (batch.head(1).nonEmpty) {
+        require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+        writeParts(batch, idCol, textCol, path, nBuckets, SaveMode.Overwrite)
+        if (withPositions)
+          writePositions(batch, idCol, textCol, path, nBuckets,
+            SaveMode.Overwrite)
+        import spark.implicits._
+        Seq(nBuckets).toDF("n_buckets").coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+      }
       touch(fs, marker(path, token))
       return
     }
@@ -247,6 +295,9 @@ object TextIndex {
       }
       writeParts(fresh, idCol, textCol, stg.toString, nBuckets,
         SaveMode.Overwrite)
+      if (withPositions)
+        writePositions(fresh, idCol, textCol, stg.toString, nBuckets,
+          SaveMode.Overwrite)
       touch(fs, staged)
     }
     publishStaged(spark, path, token)
@@ -297,6 +348,16 @@ object TextIndex {
     * publish, exactly the [[appendBatch]] analysis. Ids deleted by an
     * EARLIER batch are anti-joined out (cross-batch double delete must
     * not double-subtract); ids absent from the index contribute 0.
+    *
+    * A [[compact]] interleaved with the crash window is also safe, by
+    * [[publishStaged]]'s ordered publish (correction file before
+    * tombstones): the compact either sees neither staged file
+    * published (nothing changes) or the orphaned correction alone,
+    * which it deletes while the docs stay counted — exact stats, and
+    * the resumed publish then re-tombstones the docs with the
+    * correction gone, i.e. the documented stale-HIGH lag the next
+    * compact heals. At no interleaving can the correction be applied
+    * to stats that already exclude the docs.
     */
   def deleteBatch(idsBatch: DataFrame, idCol: String, path: String,
       batchId: Long): Unit = {
@@ -390,21 +451,43 @@ object TextIndex {
     if (fs.exists(new Path(s"$path/postings_pos")))
       IvfIndex.compactLayout(spark, path, "postings_pos", "doc_id",
         partCol = "bucket", clearTombstones = false)
+    // (3c) the IMPACT tier reclaims against the same tombstones too,
+    // EVEN THOUGH step (5) rebuilds it: the rebuild runs only after
+    // (4) has cleared the tombstone set, so a crash between the two
+    // would otherwise leave a tier still carrying the reclaimed docs
+    // with no tombstones left to mask them — searchTop would serve
+    // deleted documents until the next compact (ADVICE r18). After
+    // this step the tier never holds a dead doc at ANY crash point;
+    // its df_full stays the snapshot's until (5) refreshes it, the
+    // already-documented freshness lag.
+    if (fs.exists(new Path(s"$path/postings_top")))
+      IvfIndex.compactLayout(spark, path, "postings_top", "doc_id",
+        partCol = "bucket", clearTombstones = false)
     // (4) physical reclamation; clears tombstones/ as its last step.
     val counts = IvfIndex.compactLayout(spark, path, "postings", "doc_id",
       partCol = "bucket")
-    // (5) a serving tier built BEFORE the deletes still carries the
-    // reclaimed docs' rows and their stale df — and with the
-    // tombstones now cleared, [[searchTop]]'s anti-join would no
-    // longer hide them. Rebuilding from the compacted postings (one
-    // pass, the tier's own build cost) restores the tier contract;
-    // crash-safe because buildTopTier overwrites.
+    // (5) refresh the serving tier's ranking and df from the compacted
+    // postings (one pass, the tier's own build cost) — (3c) already
+    // removed its dead rows, this restores exact df_full. Crash-safe
+    // because buildTopTier overwrites. When every document has been
+    // deleted the tier is torn DOWN instead: buildTopTier rightly
+    // refuses an empty corpus (n = 0 poisons avgdl), and a tier over
+    // nothing serves nothing — searchTop's n ≤ 0 guard already returns
+    // empty, so dropping the layout is the consistent state (ADVICE
+    // r18: the old unconditional rebuild threw here, aborting compact
+    // with a stale tier left behind).
     val topMeta = new Path(s"$path/top_meta")
     if (fs.exists(topMeta)) {
-      val tm = spark.read.parquet(topMeta.toString)
-        .select(col("top_n"), col("k1"), col("b")).head()
-      buildTopTier(spark, path, tm.getInt(0), tm.getDouble(1),
-        tm.getDouble(2))
+      val live = liveStats(spark, path)
+      if (live._1 <= 0L) {
+        fs.delete(new Path(s"$path/postings_top"), true)
+        fs.delete(topMeta, true)
+      } else {
+        val tm = spark.read.parquet(topMeta.toString)
+          .select(col("top_n"), col("k1"), col("b")).head()
+        buildTopTier(spark, path, tm.getInt(0), tm.getDouble(1),
+          tm.getDouble(2))
+      }
     }
     counts
   }
@@ -413,7 +496,7 @@ object TextIndex {
     * is append-only delta rows (build/compact collapse it back to
     * one), so the read is a sum either way.
     */
-  private def liveStats(spark: SparkSession, path: String): (Long, Long) = {
+  private[store] def liveStats(spark: SparkSession, path: String): (Long, Long) = {
     val st = spark.read.parquet(s"$path/stats")
       .agg(coalesce(sum(col("n_docs")), lit(0L)),
         coalesce(sum(col("sum_dl")), lit(0L))).head()
@@ -467,20 +550,29 @@ object TextIndex {
   }
 
   /** BATCH SERVING: answer a whole query batch from ONE pruned posting
-    * read — the [[graft.operators.Similarity.ivfSearchBatch]] shape
-    * applied to the lexical index (production retrieval serves query
-    * BATCHES; paying a disk read per query wastes the bucket layout
-    * when queries share hot terms). The union of the batch's terms
-    * prunes the read to ≤ |terms| bucket partitions, the candidate
-    * rows are locally checkpointed ONCE, and each query then scores
-    * its own candidate subset through the same fixed-order chain as
-    * [[search]] — so per query the rows are BIT-IDENTICAL to a solo
-    * search (TextIndexSpec pins it): n/avgdl/df are frame-independent
-    * numbers, and a term's part column ignores rows carrying other
-    * queries' terms. The batch itself is driver-held — a query batch
-    * is codebook-sized by nature, never data-scale. Output:
-    * (query_id, rank, doc_id, score); the per-query rank window runs
-    * over ≤ k rows (ties on doc_id).
+    * read AND ONE plan — the [[graft.operators.Similarity
+    * .ivfSearchBatch]] shape applied to the lexical index (production
+    * retrieval serves query BATCHES; paying a disk read per query
+    * wastes the bucket layout when queries share hot terms). The union
+    * of the batch's terms prunes the read to ≤ |terms| bucket
+    * partitions and the candidate rows are locally checkpointed ONCE;
+    * a broadcast (query_id, term, idf) frame then fans each candidate
+    * row out to the queries that want its term, ONE (query_id, doc_id)
+    * aggregate assembles each query-candidate's term→contribution map,
+    * and the per-query score replays [[search]]'s fixed-order term
+    * chain as an `element_at` addition chain dispatched on query_id —
+    * so per query the rows are BIT-IDENTICAL to a solo search
+    * (TextIndexSpec pins it): n/avgdl/df are frame-independent
+    * numbers, idf is the same driver-computed double riding the
+    * broadcast row, and the additions run in the same term order.
+    * (The round-18 shape unioned Q separate aggregate subtrees —
+    * right data-side, but Catalyst paid O(Q) planning and Q passes
+    * over the checkpointed candidates; this is one aggregate and one
+    * window whatever Q is.) The batch itself is driver-held — a query
+    * batch is codebook-sized by nature, never data-scale. Output:
+    * (query_id, rank, doc_id, score); the per-query rank window
+    * partitions by query_id over candidate-bounded rows (ties on
+    * doc_id).
     */
   def searchBatch(spark: SparkSession, path: String,
       queries: Seq[(Long, Seq[String])], k: Int,
@@ -490,19 +582,19 @@ object TextIndex {
     require(queries.map(_._1).distinct.length == queries.length,
       "query ids must be unique")
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
     val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
     val (n, sumDl) = liveStats(spark, path)
     if (n <= 0L) {
-      import spark.implicits._
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("query_id", "rank", "doc_id", "score")
     }
     val avgdl = sumDl.toDouble / n
     val buckets = allTerms.map(t => hash32Of(t) % nBuckets).distinct
-    // one disk read for the whole batch, materialized for Q consumers
-    // (the multi-consumer rule): every per-query aggregate below reads
-    // these candidate rows, never the parquet again.
+    // one disk read for the whole batch, materialized once (the
+    // multi-consumer rule: the df collect and the scoring join below
+    // both read these candidate rows, never the parquet again).
     val pruned = IvfIndex.dropTombstoned(
       spark.read.parquet(s"$path/postings")
         .filter(col("bucket").isin(buckets: _*))
@@ -511,16 +603,48 @@ object TextIndex {
       .localCheckpoint()
     val dfs = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    queries.map { case (qid, qterms0) =>
-      val qterms = qterms0.distinct
-      scoreCandidates(pruned.filter(col("term").isin(qterms: _*)),
-        qterms, dfs, n, avgdl, k1, b, k)
-        .select(lit(qid).as("query_id"),
-          row_number()
-            .over(Window.orderBy(col("score").desc, col("doc_id")))
-            .cast("long").as("rank"),
-          col("doc_id"), col("score"))
-    }.reduce(_ union _)
+    def idfOf(t: String): Double =
+      math.log((n - dfs.getOrElse(t, 0L) + 0.5) /
+        (dfs.getOrElse(t, 0L) + 0.5) + 1.0)
+    // the fan-out side: one row per (query, distinct term), idf
+    // pre-computed driver-side — the SAME double search would embed as
+    // a literal, so col("idf") * part is the identical IEEE multiply.
+    val qterms = queries.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => (qid, t, idfOf(t)))
+    }.toDF("query_id", "q_term", "idf")
+    val dl = col("dl").cast("double")
+    val tf = col("tf").cast("double")
+    val part = tf * lit(k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
+    // ONE aggregate for the whole batch: (term, doc) is unique in the
+    // postings and (query, term) unique in the broadcast frame, so
+    // each map key appears once per (query_id, doc_id) group.
+    val parts = pruned
+      .join(broadcast(qterms), col("term") === col("q_term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("term"), col("idf") * part))).as("m"))
+    // [[search]]'s fixed-order addition chain, dispatched on query_id:
+    // one CASE WHEN expression over the batch — O(Q) expression size,
+    // but a single analyzed plan and a single pass over the groups.
+    val chains = queries.map { case (qid, ts) =>
+      qid -> ts.distinct
+        .map(t => coalesce(element_at(col("m"), lit(t)), lit(0.0)))
+        .reduce(_ + _)
+    }
+    val score = chains.tail.foldLeft(
+      when(col("query_id") === chains.head._1, chains.head._2)) {
+      case (acc, (qid, chain)) => acc.when(col("query_id") === qid, chain)
+    }
+    parts
+      .select(col("query_id"), col("doc_id"),
+        round(score, Bm25.ScoreScale).as("score"))
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -676,28 +800,47 @@ object TextIndex {
     * delta batch in ([[append]]'s contract — append ≡ rebuild, pinned
     * in TextIndexSpec); [[delete]] needs nothing here (tombstones are
     * anti-joined at query time) and [[compact]] reclaims tombstoned
-    * rows physically. The streaming sink does not maintain this tier
-    * (positions cannot be derived from postings after the fact) —
-    * streaming deployments call [[appendPositions]] from the same
-    * foreachBatch that calls [[appendBatch]].
+    * rows physically. Streaming deployments do NOT call the batch
+    * faces here: positions cannot be derived from postings after the
+    * fact, and a bare positional append has no replay defense — pass
+    * `withPositions = true` to [[appendBatch]] (or the streaming
+    * sink), which stages the positional delta inside the SAME batch
+    * commit as the postings, so both tiers publish atomically under
+    * one marker.
     */
   def buildPositions(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Unit =
-    writePositions(docs, idCol, textCol, path, SaveMode.Overwrite)
+      path: String): Unit = {
+    val nBuckets = docs.sparkSession.read.parquet(s"$path/meta")
+      .head().getInt(0)
+    writePositions(docs, idCol, textCol, path, nBuckets, SaveMode.Overwrite)
+  }
 
   /** Incremental positional maintenance — delta batches land inside
     * existing `bucket=<b>` directories, append ≡ one-shot rebuild
     * (the [[append]] contract; rows are (term, doc) keyed and a doc
     * arrives once, so no fold is needed — pure append suffices).
+    * BATCH-MODE ONLY, like [[append]]: this is a bare append with no
+    * batch marker, staging, or already-indexed anti-join, so a
+    * re-delivered micro-batch would double-append (term, doc) rows
+    * and [[phraseSearch]]'s term→positions map assembly would then
+    * hit duplicate keys. Streaming deployments use
+    * [[appendBatch]](withPositions = true) instead.
     */
   def appendPositions(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Unit =
-    writePositions(docs, idCol, textCol, path, SaveMode.Append)
+      path: String): Unit = {
+    val nBuckets = docs.sparkSession.read.parquet(s"$path/meta")
+      .head().getInt(0)
+    writePositions(docs, idCol, textCol, path, nBuckets, SaveMode.Append)
+  }
 
-  private def writePositions(docs: DataFrame, idCol: String,
-      textCol: String, path: String, mode: SaveMode): Unit = {
-    val spark = docs.sparkSession
-    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+  /** The positional-tier write for one doc frame. `nBuckets` is passed
+    * in (not read from `<path>/meta`) so [[appendBatch]] can stage this
+    * layout under `staging/<token>/` — a directory that has no meta of
+    * its own — and so the first streaming batch can write positions
+    * BEFORE the meta marker that commits the build.
+    */
+  private[store] def writePositions(docs: DataFrame, idCol: String,
+      textCol: String, path: String, nBuckets: Int, mode: SaveMode): Unit =
     docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(TF.tokens(col(textCol))).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"))
@@ -706,7 +849,6 @@ object TextIndex {
       .write.mode(mode)
       .partitionBy("bucket")
       .parquet(s"$path/postings_pos")
-  }
 
   /** Exact PHRASE search: documents containing the query tokens
     * CONSECUTIVELY, with the occurrence count — served entirely from
@@ -719,29 +861,66 @@ object TextIndex {
     * p of the first token with token i sitting at p+i for every i.
     * Overlapping occurrences count separately and repeated phrase
     * tokens ("window window") resolve against the SAME positions
-    * array, both pinned in TextIndexSpec. Row volume is Σ df(term)
-    * over the phrase's terms — the same bound as [[search]] over the
-    * identical terms, paid in ONE exchange (the candidate groupBy);
-    * a stopword inside a phrase is the documented hot-term caveat
-    * ([[buildTopTier]]'s analysis; impact ordering cannot pre-rank
-    * adjacency, so production engines pay the full positional read or
-    * gate on the rarest term's df first). Output: (doc_id, n_occ),
+    * array, both pinned in TextIndexSpec. The positional read is
+    * RAREST-TERM GATED (≥ 2 distinct terms): a phrase occurrence
+    * needs EVERY term present, so the min-df term's doc set is a
+    * sound candidate filter — its positional rows are read first
+    * (min-df rows) and every other term's read is broadcast-SEMI-
+    * JOINED onto that doc set before any positions array leaves the
+    * scan, bounding the heavy positional bytes by |terms| · min-df
+    * instead of Σ df. That is the production hot-term defense
+    * ([[buildTopTier]]'s analysis — impact ordering cannot pre-rank
+    * adjacency, so positional engines gate on the rarest term): a
+    * stopword INSIDE a discriminative phrase now costs min-df, and
+    * only an all-stopword phrase still pays a hot term's df (then the
+    * broadcast should be revisited — at that df the candidate set no
+    * longer fits a broadcast, and no term order can save the read).
+    * Term ranking uses df from the POSTING tier (term column only — a
+    * count, never the arrays; tombstones left in, they only rank);
+    * gating exactness needs nothing from it, the candidate docs come
+    * from the positional rows themselves. Output: (doc_id, n_occ),
     * n_occ DESC then doc_id.
     */
   def phraseSearch(spark: SparkSession, path: String,
       phrase: Seq[String]): DataFrame = {
+    import spark.implicits._
     require(phrase.nonEmpty, "empty phrase")
     val fs = fsOf(spark, path)
     require(fs.exists(new Path(s"$path/postings_pos")),
       s"no positional tier at $path — buildPositions first")
     val terms = phrase.distinct
     val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
-    val buckets = terms.map(t => hash32Of(t) % nBuckets).distinct
-    val pruned = IvfIndex.dropTombstoned(
-      spark.read.parquet(s"$path/postings_pos")
-        .filter(col("bucket").isin(buckets: _*)) // partition pruning
-        .filter(col("term").isin(terms: _*)),
-      "doc_id", spark, path)
+    // an index whose every document is tombstoned (or reclaimed —
+    // compact can leave `postings_pos` physically empty) holds no
+    // phrases; answer without touching the positional layout.
+    if (liveStats(spark, path)._1 <= 0L)
+      return Seq.empty[(Long, Long)].toDF("doc_id", "n_occ")
+    def posRead(ts: Seq[String]): DataFrame = {
+      val bks = ts.map(t => hash32Of(t) % nBuckets).distinct
+      IvfIndex.dropTombstoned(
+        spark.read.parquet(s"$path/postings_pos")
+          .filter(col("bucket").isin(bks: _*)) // partition pruning
+          .filter(col("term").isin(ts: _*)),
+        "doc_id", spark, path)
+    }
+    val pruned =
+      if (terms.length < 2) posRead(terms)
+      else {
+        val dfs = spark.read.parquet(s"$path/postings")
+          .filter(col("bucket").isin(
+            terms.map(t => hash32Of(t) % nBuckets).distinct: _*))
+          .filter(col("term").isin(terms: _*))
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rarest = terms.minBy(t => dfs.getOrElse(t, 0L))
+        // min-df rows; checkpointed — consumed twice (the gate's doc
+        // set and the union back into the candidate frame).
+        val rare = posRead(Seq(rarest)).localCheckpoint()
+        val others = posRead(terms.filterNot(_ == rarest))
+          .join(broadcast(rare.select(col("doc_id"))), Seq("doc_id"),
+            "left_semi")
+        rare.unionByName(others)
+      }
     val m = col("m")
     val first = element_at(m, lit(phrase.head))
     val occs =

@@ -892,14 +892,20 @@ object EventStreams {
     * creates the index, and because append ≡ one-shot build bit for
     * bit, the streamed index equals a batch build over everything
     * ingested so far (TextIndexSpec + StreamingSpec pin both halves).
+    * `withPositions = true` additionally maintains the positional
+    * phrase tier inside the SAME staged commit — both tiers publish
+    * atomically under one batch marker, so a stream-built phrase
+    * index equals a batch [[graft.store.TextIndex.buildPositions]]
+    * bit for bit and replays cannot double-append position rows
+    * (StreamingSpec pins it).
     */
   def textIndexSink(docs: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64)
+      path: String, nBuckets: Int = 64, withPositions: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         graft.store.TextIndex.appendBatch(batch, idCol, textCol, path,
-          nBuckets, batchId)
+          nBuckets, batchId, withPositions)
     }
 
   /** Streaming DELETES against the on-disk inverted text index — the
@@ -916,6 +922,29 @@ object EventStreams {
     ids.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         graft.store.TextIndex.deleteBatch(batch, idCol, path, batchId)
+    }
+
+  /** Streaming dedup-cluster maintenance: each micro-batch of near-dup
+    * pairs (a_id, b_id) folds into the ON-DISK label store at `path`
+    * via [[graft.text.Dedup.labelStoreBatch]] — the d109 quotient
+    * identity run continuously, so the cluster labeling stays current
+    * as ingest discovers pairs WITHOUT ever storing or replaying the
+    * pair history (per batch: |labels| + |delta| edges through the
+    * O(log n) star contraction). Replay-idempotent per batchId AND
+    * under the fold itself (re-folding an absorbed delta is a
+    * quotient no-op), crash-safe by the rename-swap label commit;
+    * read the current labeling with [[graft.text.Dedup.labelStore]].
+    * StreamingSpec pins stream labels ≡ batch
+    * [[graft.text.Dedup.dupComponents]] over the concatenated pair
+    * history on closed batches, and replay/crash idempotence.
+    */
+  def dupLabelsSink(pairs: DataFrame, path: String, maxIter: Int = 50,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    pairs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.text.Dedup.labelStoreBatch(batch, path, batchId, maxIter,
+          checkpointDir)
     }
 
   /** Per-day exact DAU + KMV user state, finalized at watermark close —

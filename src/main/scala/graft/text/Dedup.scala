@@ -629,6 +629,91 @@ object Dedup {
         .unionByName(deltaPairs.select(col("a_id"), col("b_id"))),
       maxIter, checkpointDir)
 
+  /** [[dupComponentsIncremental]] run CONTINUOUSLY — the micro-batch
+    * body of [[graft.streaming.EventStreams.dupLabelsSink]], the
+    * production ingest shape: the label frame lives ON DISK at
+    * `<path>/labels` and each delta pair batch folds in through the
+    * quotient identity, so per batch the cost is |labels| + |delta|
+    * edges through the O(log n) star contraction and the pair history
+    * is never stored or replayed. Replay-idempotent at two levels,
+    * the [[graft.store.TextIndex.appendBatch]] discipline:
+    *   - a `batch_markers/<id>` marker skips a fully-processed batch
+    *     wholesale (foreachBatch is at-least-once);
+    *   - WITHOUT the marker a replay is STILL exact, because the fold
+    *     itself is idempotent — re-folding a delta already reflected
+    *     in the labels adds edges between already-co-labeled nodes,
+    *     which the quotient absorbs (labels unchanged, minima
+    *     included) — so the marker is a work-skip, not a correctness
+    *     crutch, and no crash point between the label swap and the
+    *     marker can corrupt the store.
+    * The swap is write-aside → rename-aside → rename-in → delete-old
+    * ([[graft.store.IvfIndex.compactLayout]]'s discipline): the label
+    * frame is always present under some name, and a crash between the
+    * renames is healed at the next entry by restoring `labels_old`.
+    * An empty FIRST batch creates nothing (no store of zero labels);
+    * an empty later batch just lands its marker. StreamingSpec pins
+    * stream labels ≡ batch [[dupComponents]] over the concatenated
+    * pair history on every closed batch.
+    */
+  def labelStoreBatch(deltaPairs: DataFrame, path: String, batchId: Long,
+      maxIter: Int = 50, checkpointDir: Option[String] = None): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = deltaPairs.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(s"$path/batch_markers/l$batchId")
+    if (fs.exists(marker)) return
+    val labelsP = new Path(s"$path/labels")
+    val oldP = new Path(s"$path/labels_old")
+    val tmpP = new Path(s"$path/labels_next")
+    // Heal a crashed predecessor's half-done swap before anything else.
+    if (!fs.exists(labelsP) && fs.exists(oldP))
+      require(fs.rename(oldP, labelsP),
+        s"heal failed: could not restore $oldP to $labelsP")
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+    if (fs.exists(tmpP)) fs.delete(tmpP, true)
+    val hasStore = fs.exists(labelsP)
+    if (deltaPairs.head(1).isEmpty) {
+      // nothing to fold — and an empty FIRST batch must not create an
+      // empty store (the appendBatch empty-first-batch rule).
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+      return
+    }
+    val next =
+      if (!hasStore) dupComponentsStar(deltaPairs, maxIter, checkpointDir)
+      else dupComponentsIncremental(spark.read.parquet(labelsP.toString),
+        deltaPairs, maxIter, checkpointDir)
+    // `next` is checkpointed by the contraction, so this write reads
+    // materialized blocks, never the `labels` dir being swapped out.
+    next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmpP.toString)
+    if (fs.exists(labelsP))
+      require(fs.rename(labelsP, oldP),
+        s"label swap failed: could not move $labelsP aside")
+    require(fs.rename(tmpP, labelsP),
+      s"label swap failed: could not rename $tmpP into $labelsP")
+    fs.delete(oldP, true)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+  }
+
+  /** The current label frame of a [[labelStoreBatch]] store — (id,
+    * component), healing a crashed swap if one is pending (the same
+    * restore [[labelStoreBatch]] runs at entry, so a reader after a
+    * crash sees the last committed labeling, never nothing).
+    */
+  def labelStore(spark: org.apache.spark.sql.SparkSession, path: String)
+      : DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val labelsP = new Path(s"$path/labels")
+    val oldP = new Path(s"$path/labels_old")
+    if (!fs.exists(labelsP) && fs.exists(oldP))
+      require(fs.rename(oldP, labelsP),
+        s"heal failed: could not restore $oldP to $labelsP")
+    spark.read.parquet(labelsP.toString)
+  }
+
   /** [[dupComponents]] by the ALTERNATING large-star/small-star
     * algorithm (Kiveris et al. 2014, "Connected Components in
     * MapReduce and Beyond") — the round-count scale path: min-label

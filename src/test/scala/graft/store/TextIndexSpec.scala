@@ -206,6 +206,26 @@ class TextIndexSpec extends AnyFunSuite {
     }
     assert(parquetScans.isEmpty,
       "the posting read must be paid once at checkpoint time, not per query")
+    // …and is ONE plan whatever Q is: a broadcast (query, term, idf)
+    // fan-out into a single (query_id, doc_id) aggregate and a single
+    // per-query rank window — never Q unioned aggregate subtrees
+    // (the r18 shape: O(Q) planning, Q passes over the candidates).
+    val planStr = plan.toString
+    assert(!planStr.contains("Union"),
+      s"batch serving must not union per-query plans:\n${planStr.take(800)}")
+    assert("(?i)window".r.findAllIn(planStr).length >= 1 &&
+      plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.length == 1,
+      s"one per-query rank window expected:\n${planStr.take(800)}")
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(aggs.length <= 2, // partial + final of the ONE aggregate
+      s"one (query_id, doc_id) aggregate expected, got ${aggs.length}:\n" +
+        planStr.take(800))
   }
 
   test("top tier ≡ exact search when every query term's list fits; reads stay tier-bounded") {
@@ -444,8 +464,251 @@ class TextIndexSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters"), plan.take(400))
     assert("bucket#\\d+ IN|bucket#\\d+ =".r.findFirstIn(plan).isDefined,
       "expected a bucket partition filter in:\n" + plan.take(800))
-    assert(!plan.contains("Join") && !plan.contains("Window"),
-      "phrase matching is one doc-keyed aggregate over the pruned " +
+    // the ONLY join is the rarest-term gate's broadcast semi-join;
+    // matching itself stays one doc-keyed aggregate — no shuffle join,
+    // no window.
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "a multi-term phrase read must be gated on the rarest term's " +
+        s"doc set:\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      "phrase matching is one doc-keyed aggregate over the gated " +
         s"positional read:\n${plan.take(800)}")
+  }
+
+  test("appendBatch(withPositions): both tiers commit atomically under one marker across the crash matrix") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.SaveMode
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    val phrase = Seq("hash", "join")
+    def phr(p: String) = TextIndex.phraseSearch(spark, p, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def top(p: String) = TextIndex.search(spark, p, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pRef = Files.createTempDirectory("graft-ti-wpref").toString
+    TextIndex.build(docs, "doc_id", "text", pRef, nBuckets = 16)
+    TextIndex.buildPositions(docs, "doc_id", "text", pRef)
+    val p = Files.createTempDirectory("graft-ti-wp").toString
+    val fs = TextIndex.fsOf(spark, p)
+    // batch 0 creates BOTH tiers; meta lands last, so a crash between
+    // them replays as a clean rebuild — simulate by pre-writing the
+    // postings half only (no meta) and replaying.
+    val b0 = docs.filter(col("doc_id") < 80)
+    TextIndex.writeParts(b0, "doc_id", "text", p, 16, SaveMode.Overwrite)
+    TextIndex.appendBatch(b0, "doc_id", "text", p, 16, batchId = 0L,
+      withPositions = true)
+    // batch 1 — crash AFTER the dual-tier stage, BEFORE any publish.
+    val b1 = docs.filter(col("doc_id") >= 80 && col("doc_id") < 140)
+    val stg1 = s"$p/staging/a1"
+    TextIndex.writeParts(b1, "doc_id", "text", stg1, 16, SaveMode.Overwrite)
+    TextIndex.writePositions(b1, "doc_id", "text", stg1, 16,
+      SaveMode.Overwrite)
+    TextIndex.touch(fs, new Path(s"$stg1/STAGED"))
+    TextIndex.appendBatch(b1, "doc_id", "text", p, 16, batchId = 1L,
+      withPositions = true)
+    // batch 2 — crash MID-publish with one POSITIONAL file already
+    // moved: the resumed publish must complete both tiers exactly once.
+    val b2 = docs.filter(col("doc_id") >= 140 && col("doc_id") < 170)
+    val stg2 = s"$p/staging/a2"
+    TextIndex.writeParts(b2, "doc_id", "text", stg2, 16, SaveMode.Overwrite)
+    TextIndex.writePositions(b2, "doc_id", "text", stg2, 16,
+      SaveMode.Overwrite)
+    TextIndex.touch(fs, new Path(s"$stg2/STAGED"))
+    val it = fs.listFiles(new Path(s"$stg2/postings_pos"), true)
+    var moved = false
+    while (it.hasNext && !moved) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val rel = fs.makeQualified(f).toString
+          .stripPrefix(fs.makeQualified(new Path(stg2)).toString)
+          .stripPrefix("/")
+        val destDir = new Path(s"$p/${rel.take(rel.lastIndexOf('/'))}")
+        fs.mkdirs(destDir)
+        assert(fs.rename(f, new Path(destDir, s"a2-${f.getName}")))
+        moved = true
+      }
+    }
+    assert(moved, "fixture must simulate a half-done positional publish")
+    TextIndex.appendBatch(b2, "doc_id", "text", p, 16, batchId = 2L,
+      withPositions = true)
+    // batch 3 — cross-batch duplicate docs: the doclens anti-join must
+    // gate BOTH tiers (a dup doc appending positions again would give
+    // phraseSearch duplicate map keys).
+    val b3 = docs.filter(col("doc_id") >= 150) // overlaps b2 by 20 docs
+    TextIndex.appendBatch(b3, "doc_id", "text", p, 16, batchId = 3L,
+      withPositions = true)
+    // replay of a fully-published batch: wholesale skip.
+    TextIndex.appendBatch(b3, "doc_id", "text", p, 16, batchId = 3L,
+      withPositions = true)
+    assert(spark.read.parquet(s"$p/postings_pos")
+      .groupBy(col("term"), col("doc_id")).count()
+      .filter(col("count") > 1).count() == 0L,
+      "no (term, doc) may ever appear twice in the positional tier")
+    assert(top(p) == top(pRef),
+      "every crash-replay path must reproduce the one-shot build")
+    assert(phr(p) == phr(pRef),
+      "…and the one-shot positional build, bit for bit")
+  }
+
+  test("compact crash window: the tier holds no reclaimed doc even before its rebuild lands") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+    val p = Files.createTempDirectory("graft-ti-tierwin").toString
+    TextIndex.build(docs, "doc_id", "text", p, nBuckets = 16)
+    TextIndex.buildTopTier(spark, p, topN = 2000)
+    val dead = TextIndex.searchTop(spark, p, query, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    TextIndex.delete(spark, p, dead)
+    // Replay compact's steps (3c) + (4) and CRASH before the tier
+    // rebuild (5): the tier was reclaimed against the tombstones
+    // BEFORE they cleared, so searchTop must not serve a deleted doc
+    // even though no tombstone is left to mask it (the r18 ADVICE
+    // hole: rebuilding only at (5) left this window serving them).
+    IvfIndex.compactLayout(spark, p, "postings_top", "doc_id",
+      partCol = "bucket", clearTombstones = false)
+    IvfIndex.compactLayout(spark, p, "postings", "doc_id",
+      partCol = "bucket")
+    assert(!TextIndex.fsOf(spark, p)
+      .exists(new org.apache.hadoop.fs.Path(s"$p/tombstones")),
+      "fixture: tombstones must be cleared to open the window")
+    val got = TextIndex.searchTop(spark, p, query, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.nonEmpty && dead.forall(d => !got.contains(d)),
+      s"a reclaimed doc resurfaced from the un-rebuilt tier: $got")
+    // the next compact completes the rebuild and restores exactness.
+    TextIndex.compact(spark, p)
+    val want = TextIndex.search(spark, p, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val after = TextIndex.searchTop(spark, p, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == want)
+  }
+
+  test("compact of a fully-deleted index tears the tier down instead of throwing") {
+    val docs = Seq((1L, "one two"), (2L, "two three"), (3L, "three one"))
+      .toDF("doc_id", "text")
+    val p = Files.createTempDirectory("graft-ti-alldead").toString
+    TextIndex.build(docs, "doc_id", "text", p, nBuckets = 4)
+    TextIndex.buildTopTier(spark, p, topN = 8)
+    TextIndex.buildPositions(docs, "doc_id", "text", p)
+    TextIndex.delete(spark, p, Seq(1L, 2L, 3L))
+    TextIndex.compact(spark, p) // r18 ADVICE: this threw in buildTopTier
+    val fs = TextIndex.fsOf(spark, p)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/postings_top")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$p/top_meta")),
+      "an empty corpus must not keep a serving tier")
+    assert(TextIndex.search(spark, p, Seq("two"), k = 5).count() == 0L)
+    assert(TextIndex.searchTop(spark, p, Seq("two"), k = 5).count() == 0L)
+    assert(TextIndex.phraseSearch(spark, p, Seq("one", "two")).count() == 0L,
+      "phraseSearch must answer empty without touching the reclaimed layout")
+  }
+
+  test("deleteBatch × compact interleave: ordered publish can never double-subtract the stats") {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 120)
+    val p = Files.createTempDirectory("graft-ti-interleave").toString
+    TextIndex.build(docs, "doc_id", "text", p, nBuckets = 16)
+    val n0 = TextIndex.liveStats(spark, p)._1
+    def top(path: String) = TextIndex.search(spark, path, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dead = top(p).take(2).map(_._1)
+    // Stage a delete batch by hand and simulate a crash mid-publish at
+    // the point the ORDERED publish allows: the stats CORRECTION moved,
+    // the tombstones still staged. (The reverse state — tombstones
+    // published, correction staged — is unreachable post-fix.)
+    val fs = TextIndex.fsOf(spark, p)
+    val doclens = spark.read.parquet(s"$p/doclens")
+    val c = doclens.filter(col("doc_id").isin(dead: _*))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+    dead.toDF("id").coalesce(1).write
+      .parquet(s"$p/staging/d5/tombstones")
+    Seq((c.getLong(0), c.getAs[Long]("s")))
+      .toDF("n_docs", "sum_dl").coalesce(1)
+      .write.parquet(s"$p/staging/d5/tombstone_stats")
+    TextIndex.touch(fs, new Path(s"$p/staging/d5/STAGED"))
+    val itc = fs.listFiles(new Path(s"$p/staging/d5/tombstone_stats"), true)
+    var moved = false
+    while (itc.hasNext && !moved) {
+      val f = itc.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        fs.mkdirs(new Path(s"$p/tombstone_stats"))
+        assert(fs.rename(f,
+          new Path(s"$p/tombstone_stats/d5-${f.getName}")))
+        moved = true
+      }
+    }
+    assert(moved)
+    // window state: correction published without its tombstones —
+    // transiently stale-LOW, the benign direction…
+    assert(TextIndex.liveStats(spark, p)._1 == n0 - dead.length)
+    // …and a compact INSIDE the window deletes the orphaned correction
+    // while the (un-tombstoned) docs stay counted: exact stats.
+    TextIndex.compact(spark, p)
+    assert(TextIndex.liveStats(spark, p)._1 == n0,
+      "compact inside the window must land on exact stats")
+    // the replay resumes the publish: docs tombstoned, correction gone
+    // — stale-HIGH (the documented lag), NEVER double-subtracted.
+    TextIndex.deleteBatch(dead.toDF("doc_id"), "doc_id", p, batchId = 5L)
+    assert(top(p).forall(r => !dead.contains(r._1)),
+      "resumed delete must hide the docs")
+    assert(TextIndex.liveStats(spark, p)._1 == n0,
+      s"stats must be stale-high here, not double-subtracted to ${n0 - 2 * dead.length}")
+    // the next compact heals the lag to exactly a rebuild-without.
+    TextIndex.compact(spark, p)
+    assert(TextIndex.liveStats(spark, p)._1 == n0 - dead.length)
+    val pWo = Files.createTempDirectory("graft-ti-interwo").toString
+    TextIndex.build(docs.filter(!col("doc_id").isin(dead: _*)),
+      "doc_id", "text", pWo, nBuckets = 16)
+    assert(top(p) == top(pWo),
+      "post-compact scores must equal a rebuild without the docs")
+  }
+
+  test("a streamed corpus's tier: stale within contract across appendBatches, exact again after compact") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 150)
+    val p = Files.createTempDirectory("graft-ti-tierstream").toString
+    TextIndex.appendBatch(docs.filter(col("doc_id") < 60), "doc_id",
+      "text", p, 16, batchId = 0L)
+    TextIndex.buildTopTier(spark, p, topN = 2000)
+    TextIndex.appendBatch(
+      docs.filter(col("doc_id") >= 60 && col("doc_id") < 110),
+      "doc_id", "text", p, 16, batchId = 1L)
+    TextIndex.appendBatch(docs.filter(col("doc_id") >= 110), "doc_id",
+      "text", p, 16, batchId = 2L)
+    // the tier is a SNAPSHOT: streamed appends leave it stale (docs
+    // 60–149 absent) — the documented contract, refreshed on compact.
+    val stale = TextIndex.searchTop(spark, p, query, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(stale.forall(_ < 60L),
+      s"pre-compact the tier serves its snapshot only: $stale")
+    TextIndex.compact(spark, p)
+    val got = TextIndex.searchTop(spark, p, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = TextIndex.search(spark, p, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want,
+      "post-compact the streamed corpus's tier must be exact (df ≤ topN)")
+  }
+
+  test("phraseSearch rarest-term gate: exact where the gate bites, positional read bounded by min-df") {
+    // 60 docs all containing the hot term; only two contain the rare
+    // one — the gate must bound the positional read by df(rare) = 2
+    // docs' rows, and the results must be exactly the ungated answer.
+    val docs = ((1L to 58L).map(i => (i, s"the filler number$i end")) ++
+      Seq((59L, "the quorum holds the quorum"), (60L, "quorum the")))
+      .toDF("doc_id", "text")
+    val p = Files.createTempDirectory("graft-ti-gate").toString
+    TextIndex.build(docs, "doc_id", "text", p, nBuckets = 8)
+    TextIndex.buildPositions(docs, "doc_id", "text", p)
+    def run(ph: Seq[String]) = TextIndex.phraseSearch(spark, p, ph)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // rare term SECOND in the phrase: the gate picks it by df, not by
+    // position.
+    assert(run(Seq("the", "quorum")) == Seq((59L, 2L)))
+    assert(run(Seq("quorum", "the")) == Seq((60L, 1L)))
+    assert(run(Seq("the", "absent")).isEmpty,
+      "an absent term gates the whole read down to nothing")
+    // the gate is sound under deletes too (tombstones anti-joined on
+    // BOTH legs).
+    TextIndex.delete(spark, p, Seq(59L))
+    assert(run(Seq("the", "quorum")).isEmpty)
   }
 }

@@ -2118,6 +2118,115 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("textIndexSink(withPositions): stream-built phrase index ≡ batch-built, replays can't double-append") {
+    implicit val sq = spark.sqlContext
+    val docsAll = graft.Tables.documents(spark, TestSession.sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+      .take(120)
+    val p = Files.createTempDirectory("graft-ti-posstream").toString
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.textIndexSink(
+        in.toDS().toDF("doc_id", "text"), "doc_id", "text", p,
+        nBuckets = 16, withPositions = true)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      val Seq(b1, b2, b3) = docsAll.grouped(40).toSeq
+      in.addData(b1: _*); q.processAllAvailable()
+      // re-delivered overlap: the dup docs must be skipped in BOTH
+      // tiers — a positional double-append would give phraseSearch
+      // duplicate map keys (throws under mapKeyDedupPolicy=EXCEPTION).
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData((b2 ++ b3): _*); q.processAllAvailable()
+      val pRef = Files.createTempDirectory("graft-ti-posref").toString
+      val ref = graft.Tables.documents(spark, TestSession.sf)
+        .filter(col("doc_id") < 120)
+      graft.store.TextIndex.build(ref, "doc_id", "text", pRef,
+        nBuckets = 16)
+      graft.store.TextIndex.buildPositions(ref, "doc_id", "text", pRef)
+      assert(spark.read.parquet(s"$p/postings_pos")
+        .groupBy(col("term"), col("doc_id")).count()
+        .filter(col("count") > 1).count() == 0L,
+        "a replayed batch must not double-append positional rows")
+      def phr(path: String, ph: Seq[String]) = graft.store.TextIndex
+        .phraseSearch(spark, path, ph)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      Seq(Seq("hash", "join"), Seq("table"), Seq("query", "plan"))
+        .foreach { ph =>
+          assert(phr(p, ph) == phr(pRef, ph),
+            s"stream-built phrase index must equal the batch build: $ph")
+        }
+    } finally q.stop()
+  }
+
+  test("dupLabelsSink: on-disk labels ≡ batch dupComponents over the pair history; replays and crashes fold clean") {
+    implicit val sq = spark.sqlContext
+    val p = Files.createTempDirectory("graft-cc-stream").toString
+    val in = MemoryStream[(Long, Long)]
+    val q = EventStreams.dupLabelsSink(
+        in.toDS().toDF("a_id", "b_id"), p)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ck").toString)
+      .start()
+    val history = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def check(tag: String): Unit = {
+      val got = graft.text.Dedup.labelStore(spark, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val want = graft.text.Dedup.dupComponents(
+          history.toSeq.toDF("a_id", "b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == want,
+        s"$tag:\n got: $got\nwant: $want")
+    }
+    try {
+      // batch 1: two separate chains + a singleton self-pair.
+      val b1 = Seq((1L, 2L), (3L, 4L), (9L, 9L))
+      history ++= b1; in.addData(b1: _*); q.processAllAvailable()
+      check("after batch 1")
+      // batch 2 MERGES the two chains through a bridge pair and adds a
+      // new component — the quotient fold must relabel 3 and 4 down to
+      // component 1 without ever seeing batch 1's edges again.
+      val b2 = Seq((2L, 3L), (7L, 8L))
+      history ++= b2; in.addData(b2: _*); q.processAllAvailable()
+      check("after the merging batch")
+      // batch 3: edges entirely inside known components (absorbed).
+      val b3 = Seq((1L, 4L), (7L, 7L))
+      history ++= b3; in.addData(b3: _*); q.processAllAvailable()
+      check("after an absorbed batch")
+    } finally q.stop()
+    // replay idempotence without the marker: re-folding an absorbed
+    // delta is a quotient no-op, so even a crash AFTER the label swap
+    // but BEFORE the marker replays exact.
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/batch_markers/l2"), false)
+    graft.text.Dedup.labelStoreBatch(
+      Seq((1L, 4L), (7L, 7L)).toDF("a_id", "b_id"), p, batchId = 2L)
+    check("after an unmarked replay")
+    // marker present: wholesale skip.
+    graft.text.Dedup.labelStoreBatch(
+      Seq((100L, 200L)).toDF("a_id", "b_id"), p, batchId = 2L)
+    check("a marked batch id must be skipped wholesale")
+    // crashed swap: labels moved aside, next entry (and readers) heal.
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$p/labels"),
+      new org.apache.hadoop.fs.Path(s"$p/labels_old")))
+    check("labelStore must heal a half-done swap")
+    // empty FIRST batch must not create a store.
+    val p2 = Files.createTempDirectory("graft-cc-empty").toString
+    graft.text.Dedup.labelStoreBatch(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"), p2, batchId = 0L)
+    val fs2 = new org.apache.hadoop.fs.Path(p2)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs2.exists(new org.apache.hadoop.fs.Path(s"$p2/labels")),
+      "an empty first batch must not create an empty label store")
+    assert(fs2.exists(new org.apache.hadoop.fs.Path(s"$p2/batch_markers/l0")),
+      "…but the batch must still be marked processed")
+  }
+
   test("textIndexDeleteSink: stream-deleted docs score like batch deletes; compact reclaims") {
     implicit val sq = spark.sqlContext
     val docs = graft.Tables.documents(spark, TestSession.sf)
