@@ -384,7 +384,13 @@ object EventQueries {
     // the event log. Capacity derives from a 1-row max(user_id)
     // lookup (the codebook pattern), so the same query serves every
     // SF; the oracle is plain COUNT(DISTINCT) per window — bit
-    // equality IS the exactness proof.
+    // equality IS the exactness proof. When the id domain is NOT
+    // dense (UUID/hash surrogates — max+1 capacity would allocate
+    // dead bits for the whole key space), the named remediation is
+    // e45's paved path: dictionary-encode first ([[graft.operators
+    // .Sketches.dictEncode]]'s exact two-pass codebook), then run
+    // this query verbatim over the dense codes — bitmaps sized by the
+    // live audience, not the key space.
     "e33_bitmap_actives" -> { (s, d) =>
       val cap = (Tables.events(s, d).agg(max(col("user_id"))).head()
         .getLong(0) + 1).toInt
@@ -481,6 +487,9 @@ object EventQueries {
     // join on shared user_id by construction (not by fixture): a
     // fixture where two types share no qualifying user must omit the
     // pair on both arms, and either = 0 must never reach the divide.
+    // Sparse/surrogate id domains take e45's paved path first
+    // (dictEncode → dense codes), then this query verbatim — the
+    // named remediation for the dense-domain contract assumed here.
     "e35_audience_overlap" -> { (s, d) =>
       val cap = (Tables.events(s, d).agg(max(col("user_id"))).head()
         .getLong(0) + 1).toInt

@@ -377,6 +377,47 @@ object TextQueries {
       graft.store.TextIndex.phraseSearch(s, p, Seq("hash", "join"))
     },
 
+    // POSITIONAL-TIER COST PROFILE — d105's observability face for the
+    // layout the phrase opt-in roughly DOUBLES ([[graft.store.TextIndex
+    // .buildPositions]]'s documented price): per term the tier stores
+    // one row per containing doc (df) and one position per occurrence
+    // (Σ tf), so the top-16 terms by stored positions ARE the bytes
+    // budget — the profile an operator reads before enabling the tier
+    // on a corpus, and the one that names which stopwords make a
+    // phrase query pay [[phraseSearch]]'s rarest-term gate. Ranked by
+    // the MERGEABLE tagged top-k (positions DESC / term ASC, df riding
+    // as the payload): the vocabulary never sorts and never windows, k
+    // rows per task cross the wire. Reads ONLY the index layout
+    // (postings_pos + the 1-row stats pair), never the corpus — at
+    // 100 TB auditing the serving layout through a corpus scan would
+    // defeat the index. cost_micro = Σ positions · 1e6 div total
+    // tokens (the stats pair's sum_dl — Σ over terms of Σ tf IS the
+    // token count), exact integers. Build included in the timing, as
+    // the d100 family.
+    "d110_pos_cost_profile" -> { (s, d) =>
+      val p = scratchDir("graft-ti-poscost")
+      graft.store.TextIndex.build(Tables.documents(s, d),
+        "doc_id", "text", p, nBuckets = 16)
+      graft.store.TextIndex.buildPositions(Tables.documents(s, d),
+        "doc_id", "text", p)
+      val totalPos = s.read.parquet(s"$p/stats")
+        .agg(coalesce(sum(col("sum_dl")), lit(0L))).head().getLong(0)
+      val topk = udaf(new graft.operators.Sketches.TopKByScoreTagged(16),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(java.lang.Long, String, java.lang.Long)]())
+      s.read.parquet(s"$p/postings_pos")
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          sum(size(col("positions"))).cast("long").as("pos_total"))
+        .agg(topk(col("pos_total"), col("term"), col("df")).as("top"))
+        .select(posexplode(col("top")).as(Seq("r0", "p")))
+        .select((col("r0") + 1).cast("long").as("rank"),
+          col("p._2").as("term"), col("p._1").as("pos_total"),
+          col("p._3").as("df"),
+          expr(s"p._1 * 1000000 div $totalPos").as("cost_micro"))
+        .orderBy(col("rank"))
+    },
+
     // INCREMENTAL COMPONENT MAINTENANCE under the oracle — d19's
     // clusters reached through [[graft.text.Dedup
     // .dupComponentsIncremental]]: the candidate pairs split into a
@@ -3611,6 +3652,26 @@ object TextQueries {
         |        WHERE toks[p] = 'hash' AND toks[p+1] = 'join')
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
         |FROM occ GROUP BY 1 ORDER BY n_occ DESC, doc_id""".stripMargin,
+
+    // d110: the tier's per-term storage re-derived from the corpus —
+    // one (doc, term) row per posting (df), tf summed per term (≡ the
+    // stored positions count), total tokens as the micro-share base;
+    // the same (pos_total DESC, term) rank, integer division.
+    "d110_pos_cost_profile" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |        SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+        |g AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |       CAST(SUM(tf) AS BIGINT) AS pos_total
+        |      FROM tf GROUP BY 1),
+        |s AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS total FROM t),
+        |r AS (SELECT term, df, pos_total,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY pos_total DESC, term)
+        |        AS BIGINT) AS rank
+        |      FROM g)
+        |SELECT r.rank, r.term, r.pos_total, r.df,
+        | r.pos_total * 1000000 // s.total AS cost_micro
+        |FROM r, s WHERE r.rank <= 16 ORDER BY r.rank""".stripMargin,
 
     // d109: the oracle computes ONLY the full closure over every pair
     // (d19's SQL verbatim) — hash-equality against the incremental

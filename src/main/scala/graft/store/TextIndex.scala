@@ -281,6 +281,18 @@ object TextIndex {
     val staged = new Path(s"$path/staging/$token/STAGED")
     if (!fs.exists(staged)) {
       if (fs.exists(stg)) fs.delete(stg, true) // partial stage: redo
+      // Enabling positions MID-stream on an index whose tier doesn't
+      // exist would create a tier holding only the batches from here
+      // on — phraseSearch would silently under-report. Positions
+      // cannot be derived after the fact, so fail loud instead: the
+      // tier must exist from the first batch (this branch is
+      // unreachable for batch 0 — no meta yet — which CREATES the
+      // tier above).
+      if (withPositions)
+        require(fs.exists(new Path(s"$path/postings_pos")),
+          s"no positional tier at $path — withPositions must be set " +
+            "from the FIRST batch (or buildPositions over the full " +
+            "corpus before streaming into it)")
       val seen = spark.read.parquet(s"$path/doclens")
         .select(col("doc_id"))
       // checkpoint: writeParts consumes `fresh` three times (the
@@ -443,12 +455,27 @@ object TextIndex {
     Seq((s.getLong(0), s.getAs[Long]("s")))
       .toDF("n_docs", "sum_dl").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+    // A layout dir can be left SCHEMA-LESS by a previous all-deleted
+    // compact (zero live rows → the partitioned writer emits no files,
+    // only _SUCCESS) — re-reading it would throw "unable to infer
+    // schema", so every reclamation step skips a fileless dir: there
+    // is nothing in it to reclaim, and the next append re-populates
+    // it with readable files.
+    def hasParquet(dir: String): Boolean = {
+      val d = new Path(dir)
+      if (!fs.exists(d)) return false
+      val it = fs.listFiles(d, true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) return true
+      }
+      false
+    }
     // (3b) the POSITIONAL tier reclaims its tombstoned rows BEFORE the
     // posting compaction clears the tombstone set — positions cannot
     // be rebuilt from postings (unlike the impact tier, the
     // corpus-side ordering lives only here), so this tier compacts
     // against the same tombstones instead of rebuilding.
-    if (fs.exists(new Path(s"$path/postings_pos")))
+    if (hasParquet(s"$path/postings_pos"))
       IvfIndex.compactLayout(spark, path, "postings_pos", "doc_id",
         partCol = "bucket", clearTombstones = false)
     // (3c) the IMPACT tier reclaims against the same tombstones too,
@@ -460,12 +487,21 @@ object TextIndex {
     // this step the tier never holds a dead doc at ANY crash point;
     // its df_full stays the snapshot's until (5) refreshes it, the
     // already-documented freshness lag.
-    if (fs.exists(new Path(s"$path/postings_top")))
+    if (hasParquet(s"$path/postings_top"))
       IvfIndex.compactLayout(spark, path, "postings_top", "doc_id",
         partCol = "bucket", clearTombstones = false)
-    // (4) physical reclamation; clears tombstones/ as its last step.
-    val counts = IvfIndex.compactLayout(spark, path, "postings", "doc_id",
-      partCol = "bucket")
+    // (4) physical reclamation; clears tombstones/ as its last step —
+    // done by hand when the posting layout is already fileless (an
+    // idempotent re-compact of an emptied index must not try to read
+    // schema off _SUCCESS droppings).
+    val counts =
+      if (hasParquet(s"$path/postings"))
+        IvfIndex.compactLayout(spark, path, "postings", "doc_id",
+          partCol = "bucket")
+      else {
+        fs.delete(new Path(s"$path/tombstones"), true)
+        (0L, 0L)
+      }
     // (5) refresh the serving tier's ranking and df from the compacted
     // postings (one pass, the tier's own build cost) — (3c) already
     // removed its dead rows, this restores exact df_full. Crash-safe

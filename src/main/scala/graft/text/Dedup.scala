@@ -654,6 +654,13 @@ object Dedup {
     * an empty later batch just lands its marker. StreamingSpec pins
     * stream labels ≡ batch [[dupComponents]] over the concatenated
     * pair history on every closed batch.
+    *
+    * Single-writer, like every maintenance face here: the swap is not
+    * atomic for a CONCURRENT reader (it can catch the instant between
+    * the renames; [[labelStore]] heals by restoring the aside copy,
+    * which would then fail the writer's rename-in loudly, never
+    * silently) — production readers snapshot the labels dir or read
+    * between batches, the [[graft.store.IvfIndex.compact]] caveat.
     */
   def labelStoreBatch(deltaPairs: DataFrame, path: String, batchId: Long,
       maxIter: Int = 50, checkpointDir: Option[String] = None): Unit = {

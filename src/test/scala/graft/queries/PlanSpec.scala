@@ -1403,6 +1403,24 @@ class PlanSpec extends AnyFunSuite {
       s"the postings scan must prune to the term column: $sc")
   }
 
+  test("d110: the positional cost profile reads the tier layout via mergeable top-k — no window, no corpus") {
+    val p = plan("d110_pos_cost_profile")
+    assert(!p.contains("Window"),
+      s"the vocabulary rank must be the tagged top-k aggregate, never a window:\n${p.take(600)}")
+    assert(!p.contains("Join"), s"profile joins nothing:\n${p.take(400)}")
+    val roots = graft.SparkEntry.queries("d110_pos_cost_profile")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    assert(roots.nonEmpty && roots.forall(_.contains("postings_pos")),
+      s"the profile must audit the positional layout, not the corpus: $roots")
+    val sc = scans("d110_pos_cost_profile")
+    assert(sc.nonEmpty && sc.forall(_._1.toSet.subsetOf(
+      Set("term", "positions"))),
+      s"the tier scan must prune to (term, positions): $sc")
+  }
+
   test("q50: triangle counting is node/pair-keyed joins only — no window, no cartesian, pruned scans") {
     val p = plan("q50_triangle_lcc")
     assert(!p.contains("Window"),
@@ -1506,9 +1524,15 @@ class PlanSpec extends AnyFunSuite {
       s"neighbors join on the bucket key:\n${p.take(600)}")
   }
 
-  test("d106: phrase search reads only the pruned positional tier — no corpus, no join, no window") {
+  test("d106: phrase search reads only the pruned positional tier — gated semi-join, no corpus, no window") {
     val p = plan("d106_phrase_search")
-    assert(!p.contains("Join") && !p.contains("Window"),
+    // r19: the ONLY join is the rarest-term gate — the min-df term's
+    // doc set broadcast-SEMI-joins the other terms' positional reads,
+    // bounding the heavy read by min-df; adjacency itself stays a
+    // row-local array fold after one doc-keyed aggregate.
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"the positional read must be gated on the rarest term:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
       s"adjacency must be a row-local array fold after one doc-keyed " +
         s"aggregate:\n${p.take(600)}")
     val roots = graft.SparkEntry.queries("d106_phrase_search")(spark, sf)
@@ -1522,22 +1546,39 @@ class PlanSpec extends AnyFunSuite {
     assert(sc.nonEmpty &&
       sc.forall(_._1.toSet.subsetOf(Set("term", "doc_id", "positions"))),
       s"the positional scan must prune to (term, doc_id, positions): $sc")
-    assert(sc.forall(_._2.contains("In(term")),
+    // r19: the gate reads per-leg term subsets — a 2-term phrase's
+    // surviving (non-checkpointed) leg pushes a single-term equality.
+    assert(sc.forall(s => s._2.contains("In(term") ||
+      s._2.contains("EqualTo(term")),
       s"the term filter must push into the positional scan: $sc")
   }
 
-  test("d104: the batch serves every query from the one checkpointed candidate read") {
+  test("d104: the batch serves every query from the one checkpointed candidate read, in ONE plan") {
     val p = plan("d104_bm25_batch")
     assert(p.contains("ExistingRDD"),
       s"candidates must be materialized once for the whole batch:\n${p.take(400)}")
     assert(scans("d104_bm25_batch").isEmpty,
       "no parquet scan may survive — the bucket-pruned read was paid at " +
         "checkpoint time")
-    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
-      s"per-query scoring joins nothing:\n${p.take(600)}")
-    // one per-partition top-k per batch query
-    assert("TakeOrderedAndProject".r.findAllIn(p).length == 4,
-      s"each query's top-k must be its own heap:\n${p.take(800)}")
+    // r19 single-plan shape: one broadcast (query, term, idf) fan-out
+    // join, ONE (query_id, doc_id) aggregate, ONE per-query rank
+    // window — never Q unioned aggregate subtrees (the r18 shape paid
+    // O(Q) planning and Q candidate passes).
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the query fan-out must be the broadcast join:\n${p.take(600)}")
+    assert(!p.contains("Union"),
+      s"batch serving must be one plan, not Q unioned:\n${p.take(600)}")
+    val sparkPlan = graft.SparkEntry.queries("d104_bm25_batch")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.length == 1, s"one rank window whatever Q is:\n${p.take(800)}")
+    assert(sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }.length <= 2, // partial + final of the one aggregate
+      s"one (query_id, doc_id) aggregate whatever Q is:\n${p.take(800)}")
   }
 
   test("d103: the recall face scans only embeddings; the lexical arm is checkpointed") {

@@ -599,6 +599,29 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.searchTop(spark, p, Seq("two"), k = 5).count() == 0L)
     assert(TextIndex.phraseSearch(spark, p, Seq("one", "two")).count() == 0L,
       "phraseSearch must answer empty without touching the reclaimed layout")
+    // an emptied index stays MAINTAINABLE: the reclaimed layout dirs
+    // are schema-less (no parquet files), and a re-compact must skip
+    // them instead of failing schema inference off _SUCCESS droppings…
+    TextIndex.compact(spark, p)
+    // …and fresh appends bring the index back to life.
+    TextIndex.append(Seq((4L, "two four")).toDF("doc_id", "text"),
+      "doc_id", "text", p)
+    assert(TextIndex.search(spark, p, Seq("two"), k = 5)
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("appendBatch(withPositions) fails loud when the tier wasn't started at batch 0") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 60)
+    val p = Files.createTempDirectory("graft-ti-midpos").toString
+    TextIndex.appendBatch(docs.filter(col("doc_id") < 30), "doc_id",
+      "text", p, 8, batchId = 0L) // tier NOT started
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.appendBatch(docs.filter(col("doc_id") >= 30), "doc_id",
+        "text", p, 8, batchId = 1L, withPositions = true)
+    }
+    assert(e.getMessage.contains("positional tier"),
+      "mid-stream withPositions over a tierless index would silently " +
+        s"under-report phrases — must fail loud, got: ${e.getMessage}")
   }
 
   test("deleteBatch × compact interleave: ordered publish can never double-subtract the stats") {
