@@ -526,6 +526,29 @@ object TextQueries {
       graft.store.TextIndex.searchBatch(s, p, QueryBatch, k = 5)
     },
 
+    // BATCH SERVING OFF THE IMPACT TIER — d104's one-plan batch
+    // amortization composed with d102's configured read bound
+    // ([[graft.store.TextIndex.searchTopBatch]]): the whole batch is
+    // answered from ≤ topN tier rows per DISTINCT term across the
+    // batch, so Q queries sharing hot terms pay one read whose size is
+    // CONFIGURED, not data-dependent — the shape a serving fleet runs
+    // at 100 TB (both bounds at once: tier-bounded candidates,
+    // batch-amortized read, one aggregate + one rank window whatever Q
+    // is). idf uses the tier's stored TRUE df, so only candidate
+    // recall is bounded; per query the rows are bit-identical to solo
+    // [[graft.store.TextIndex.searchTop]] (TextIndexSpec pins it). The
+    // oracle replays each term's tier cut declaratively (d102's
+    // ROW_NUMBER by the identical IEEE impact) and each query's
+    // candidates as the union of ITS terms' cuts, scored by the same
+    // frozen-true-df chain. Build included in the timing, as d100.
+    "d111_tier_batch" -> { (s, d) =>
+      val p = scratchDir("graft-ti-tierb")
+      graft.store.TextIndex.build(Tables.documents(s, d),
+        "doc_id", "text", p, nBuckets = 16)
+      graft.store.TextIndex.buildTopTier(s, p, topN = TopTierN)
+      graft.store.TextIndex.searchTopBatch(s, p, QueryBatch, k = 5)
+    },
+
     // HYBRID RECALL FLOOR — v16's recall-evaluation pattern applied to
     // the RRF path: the question a RAG deployment tunes on is not "is
     // each arm approximate" but "what does the FUSED top-10 lose when
@@ -3759,6 +3782,62 @@ object TextQueries {
          |bs AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl,
          |  $dfs
          | FROM bt),
+         |$qCtes
+         |SELECT query_id, rank, doc_id, score FROM ($union) u
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // d111: d102's per-term tier cut generated for every DISTINCT term
+    // in the batch, then d104's per-query replay with each query's
+    // candidate set the union of ITS terms' cuts and the score the
+    // same left-assoc COALESCE chain in term order.
+    "d111_tier_batch" -> {
+      val allTerms = QueryBatch.flatMap(_._2).distinct
+      val idx = allTerms.zipWithIndex.toMap
+      val dfs = allTerms.zipWithIndex.map { case (t, i) =>
+        s"SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
+      }.mkString(",\n  ")
+      val tierCtes = allTerms.zipWithIndex.map { case (t, i) =>
+        val tf = s"CAST(len(list_filter(bt.toks, x -> x = '$t')) AS DOUBLE)"
+        val dl = "CAST(len(bt.toks) AS DOUBLE)"
+        val imp = s"($tf * 2.2e0) / ($tf + 1.2e0 * (0.25e0 + 0.75e0 * $dl / bs.avgdl))"
+        val part = s"ln((bs.n - bs.df$i + 0.5e0) / (bs.df$i + 0.5e0) + 1.0e0)" +
+          s" * ($tf * 2.2e0)" +
+          s" / ($tf + 1.2e0 * (0.25e0 + 0.75e0 * $dl / bs.avgdl))"
+        s"""p$i AS (SELECT bt.doc_id, $imp AS imp, $part AS part
+           | FROM bt, bs WHERE list_contains(bt.toks, '$t')),
+           |t$i AS (SELECT doc_id, part FROM (
+           |  SELECT doc_id, part,
+           |   ROW_NUMBER() OVER (ORDER BY imp DESC, doc_id) AS rn
+           |  FROM p$i) x WHERE rn <= $TopTierN)""".stripMargin
+      }.mkString(",\n")
+      val qCtes = QueryBatch.map { case (qid, qt0) =>
+        val qt = qt0.distinct
+        val unions = qt.map(t => s"SELECT doc_id FROM t${idx(t)}")
+          .mkString(" UNION ALL ")
+        val joins = qt
+          .map(t => s"LEFT JOIN t${idx(t)} ON t${idx(t)}.doc_id = c.doc_id")
+          .mkString("\n   ")
+        val score = qt.map(t => s"COALESCE(t${idx(t)}.part, 0.0e0)")
+          .mkString(" + ")
+        s"""c$qid AS (SELECT DISTINCT doc_id FROM ($unions)),
+           |r$qid AS (SELECT CAST($qid AS BIGINT) AS query_id,
+           |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+           |  doc_id, score
+           | FROM (SELECT c.doc_id, ROUND($score, 9) AS score
+           |       FROM c$qid c
+           |   $joins) s
+           | ORDER BY score DESC, doc_id LIMIT 5)""".stripMargin
+      }.mkString(",\n")
+      val union = QueryBatch
+        .map { case (qid, _) => s"SELECT * FROM r$qid" }
+        .mkString(" UNION ALL ")
+      s"""WITH bt AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |bs AS (SELECT COUNT(*) AS n,
+         |  CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl,
+         |  $dfs
+         | FROM bt),
+         |$tierCtes,
          |$qCtes
          |SELECT query_id, rank, doc_id, score FROM ($union) u
          |ORDER BY query_id, rank""".stripMargin

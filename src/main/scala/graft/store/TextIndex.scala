@@ -617,16 +617,10 @@ object TextIndex {
       "empty batch or empty query")
     require(queries.map(_._1).distinct.length == queries.length,
       "query ids must be unique")
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
     val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
     val (n, sumDl) = liveStats(spark, path)
-    if (n <= 0L) {
-      return Seq.empty[(Long, Long, Long, Double)]
-        .toDF("query_id", "rank", "doc_id", "score")
-    }
-    val avgdl = sumDl.toDouble / n
+    if (n <= 0L) return emptyBatchResult(spark)
     val buckets = allTerms.map(t => hash32Of(t) % nBuckets).distinct
     // one disk read for the whole batch, materialized once (the
     // multi-consumer rule: the df collect and the scoring join below
@@ -639,6 +633,72 @@ object TextIndex {
       .localCheckpoint()
     val dfs = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    scoreBatchCandidates(pruned, queries, dfs, n, sumDl.toDouble / n,
+      k1, b, k)
+  }
+
+  /** BATCH SERVING off the IMPACT TIER — [[searchBatch]]'s one-plan
+    * shape reading `postings_top` instead of the full postings, so the
+    * whole batch's disk read is bounded by topN rows per DISTINCT term
+    * across the batch: Q queries sharing hot terms pay one CONFIGURED
+    * read ([[buildTopTier]]'s bound), the shape a 100-TB serving fleet
+    * actually runs (tier-bounded candidates, batch-amortized read, one
+    * aggregate + one rank window whatever Q is). idf uses the tier's
+    * stored TRUE df (`df_full`), n/avgdl the live stats, and the
+    * per-query scoring replays the solo chain — so per query the rows
+    * are BIT-IDENTICAL to [[searchTop]] alone (TextIndexSpec pins it),
+    * and [[buildTopTier]]'s exactness contract lifts to the batch:
+    * every query term's df ≤ topN → the batch row set ≡
+    * [[searchBatch]]'s. Output: (query_id, rank, doc_id, score).
+    */
+  def searchTopBatch(spark: SparkSession, path: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      k1: Double = Bm25.DefaultK1, b: Double = Bm25.DefaultB): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "empty batch or empty query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "query ids must be unique")
+    val allTerms = queries.flatMap(_._2).distinct
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val (n, sumDl) = liveStats(spark, path)
+    if (n <= 0L) return emptyBatchResult(spark)
+    val buckets = allTerms.map(t => hash32Of(t) % nBuckets).distinct
+    val pruned = IvfIndex.dropTombstoned(
+      spark.read.parquet(s"$path/postings_top")
+        .filter(col("bucket").isin(buckets: _*)) // partition pruning
+        .filter(col("term").isin(allTerms: _*)),
+      "doc_id", spark, path)
+      .localCheckpoint()
+    // TRUE df off the tier rows — every surviving row of a term
+    // carries the same df_full, so max reads it without a second scan
+    // (the [[searchTop]] idiom, batch-wide).
+    val dfs = pruned.groupBy(col("term"))
+      .agg(max(col("df_full")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    scoreBatchCandidates(pruned.drop("df_full"), queries, dfs, n,
+      sumDl.toDouble / n, k1, b, k)
+  }
+
+  private def emptyBatchResult(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long, Double)]
+      .toDF("query_id", "rank", "doc_id", "score")
+  }
+
+  /** The shared BATCH scoring tail ([[searchBatch]] /
+    * [[searchTopBatch]]): broadcast (query_id, term, idf) fan-out, ONE
+    * (query_id, doc_id) aggregate, and the solo fixed-order addition
+    * chain dispatched on query_id — per query bit-identical to the
+    * matching solo search because n/avgdl/df are frame-independent
+    * numbers, idf is the same driver-computed double riding the
+    * broadcast row, and the additions run in the same term order.
+    */
+  private def scoreBatchCandidates(pruned: DataFrame,
+      queries: Seq[(Long, Seq[String])], dfs: Map[String, Long], n: Long,
+      avgdl: Double, k1: Double, b: Double, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = pruned.sparkSession
+    import spark.implicits._
     def idfOf(t: String): Double =
       math.log((n - dfs.getOrElse(t, 0L) + 0.5) /
         (dfs.getOrElse(t, 0L) + 0.5) + 1.0)

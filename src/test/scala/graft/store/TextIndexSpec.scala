@@ -734,4 +734,54 @@ class TextIndexSpec extends AnyFunSuite {
     TextIndex.delete(spark, p, Seq(59L))
     assert(run(Seq("the", "quorum")).isEmpty)
   }
+
+  test("searchTopBatch ≡ per-query solo searchTop bit for bit; one plan, tier-bounded read") {
+    val p = Files.createTempDirectory("graft-ti-tierbatch").toString
+    TextIndex.build(Tables.documents(spark, sf), "doc_id", "text", p,
+      nBuckets = 16)
+    // topN small enough to BITE on every common term — the batch face
+    // must agree with solo searchTop exactly where the tier's
+    // under-recall contract is in force, not only in the exact regime.
+    TextIndex.buildTopTier(spark, p, topN = 3)
+    val batch = Seq(1L -> Seq("table", "scan"), 2L -> Seq("query"),
+      3L -> Seq("scan", "zz", "query"))
+    val df = TextIndex.searchTopBatch(spark, p, batch, k = 7)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val want = batch.flatMap { case (qid, terms) =>
+      TextIndex.searchTop(spark, p, terms, k = 7)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1L, r.getLong(0), r.getDouble(1)) }
+    }
+    assert(got == want, s"\n got: $got\nwant: $want")
+    // exact regime: rebuild the tier deep enough for every batch
+    // term's full list — the batch face then equals the exact batch.
+    TextIndex.buildTopTier(spark, p, topN = 2000)
+    val exact = TextIndex.searchBatch(spark, p, batch, k = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val tiered = TextIndex.searchTopBatch(spark, p, batch, k = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(tiered == exact,
+      "df ≤ topN must make the tier's batch face ≡ the exact batch")
+    // searchBatch's plan pins hold here too: the ONE checkpointed
+    // tier read, no per-query unions, one rank window, one aggregate.
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.isEmpty, "the tier read must be paid once at checkpoint time")
+    val planStr = plan.toString
+    assert(!planStr.contains("Union"),
+      s"tier batch serving must not union per-query plans:\n${planStr.take(800)}")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.length == 1, s"one per-query rank window expected:\n${planStr.take(800)}")
+    assert(plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }.length <= 2, "one (query_id, doc_id) aggregate expected")
+  }
 }
