@@ -967,18 +967,25 @@ object TextIndex {
     * instead of Σ df. That is the production hot-term defense
     * ([[buildTopTier]]'s analysis — impact ordering cannot pre-rank
     * adjacency, so positional engines gate on the rarest term): a
-    * stopword INSIDE a discriminative phrase now costs min-df, and
-    * only an all-stopword phrase still pays a hot term's df (then the
-    * broadcast should be revisited — at that df the candidate set no
-    * longer fits a broadcast, and no term order can save the read).
+    * stopword INSIDE a discriminative phrase now costs min-df.
     * Term ranking uses df from the POSTING tier (term column only — a
     * count, never the arrays; tombstones left in, they only rank);
     * gating exactness needs nothing from it, the candidate docs come
-    * from the positional rows themselves. Output: (doc_id, n_occ),
-    * n_occ DESC then doc_id.
+    * from the positional rows themselves.
+    *
+    * The gate itself has a safety valve: an ALL-stopword phrase has a
+    * corpus-scale min-df, and broadcasting that doc set would melt the
+    * driver long before the positional read hurts — so when min-df
+    * exceeds `gateMaxDf` (default 8M ids ≈ 64 MB of broadcast, well
+    * inside executor/driver budgets; the dfs are already driver-side
+    * from the ranking count, so the decision is free) the read runs
+    * UNGATED: the same pruned positional scan, no broadcast anywhere.
+    * Result equality across both paths is pinned in TextIndexSpec —
+    * the gate is a read-bound optimization, never a semantic switch.
+    * Output: (doc_id, n_occ), n_occ DESC then doc_id.
     */
   def phraseSearch(spark: SparkSession, path: String,
-      phrase: Seq[String]): DataFrame = {
+      phrase: Seq[String], gateMaxDf: Long = 8000000L): DataFrame = {
     import spark.implicits._
     require(phrase.nonEmpty, "empty phrase")
     val fs = fsOf(spark, path)
@@ -1009,13 +1016,16 @@ object TextIndex {
           .groupBy(col("term")).agg(count(lit(1)).as("df"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val rarest = terms.minBy(t => dfs.getOrElse(t, 0L))
-        // min-df rows; checkpointed — consumed twice (the gate's doc
-        // set and the union back into the candidate frame).
-        val rare = posRead(Seq(rarest)).localCheckpoint()
-        val others = posRead(terms.filterNot(_ == rarest))
-          .join(broadcast(rare.select(col("doc_id"))), Seq("doc_id"),
-            "left_semi")
-        rare.unionByName(others)
+        if (dfs.getOrElse(rarest, 0L) > gateMaxDf) posRead(terms)
+        else {
+          // min-df rows; checkpointed — consumed twice (the gate's doc
+          // set and the union back into the candidate frame).
+          val rare = posRead(Seq(rarest)).localCheckpoint()
+          val others = posRead(terms.filterNot(_ == rarest))
+            .join(broadcast(rare.select(col("doc_id"))), Seq("doc_id"),
+              "left_semi")
+          rare.unionByName(others)
+        }
       }
     val m = col("m")
     val first = element_at(m, lit(phrase.head))

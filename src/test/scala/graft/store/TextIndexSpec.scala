@@ -475,6 +475,28 @@ class TextIndexSpec extends AnyFunSuite {
         s"positional read:\n${plan.take(800)}")
   }
 
+  test("gate safety valve: min-df above gateMaxDf runs ungated (no broadcast), result identical") {
+    val docs = Tables.documents(spark, sf)
+    val phrase = Seq("hash", "join")
+    val p = Files.createTempDirectory("graft-ti-ungated").toString
+    TextIndex.build(docs, "doc_id", "text", p, nBuckets = 16)
+    TextIndex.buildPositions(docs, "doc_id", "text", p)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val gated = TextIndex.phraseSearch(spark, p, phrase)
+    val ungated = TextIndex.phraseSearch(spark, p, phrase, gateMaxDf = 0L)
+    assert(rows(ungated) == rows(gated),
+      "the gate is a read-bound optimization, never a semantic switch")
+    // an all-stopword phrase must not broadcast a corpus-scale doc set:
+    // the fallback plans NO join at all — just the pruned scan and the
+    // doc-keyed aggregate.
+    val plan = ungated.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("Join"),
+      s"ungated phrase read must plan no join:\n${plan.take(800)}")
+    assert(plan.contains("PartitionFilters"),
+      s"bucket pruning must survive the fallback:\n${plan.take(400)}")
+  }
+
   test("appendBatch(withPositions): both tiers commit atomically under one marker across the crash matrix") {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.SaveMode
