@@ -447,11 +447,12 @@ object TextQueries {
     // LABEL STORE under the oracle — d109's quotient fold run
     // CONTINUOUSLY through the ON-DISK store ([[graft.text.Dedup
     // .labelStoreBatch]], the streaming ingest shape d109's docstring
-    // gestures at): the candidate pairs split into THREE ingest batches
-    // by endpoint range, each folded into `<scratch>/labels` under the
-    // write-aside → rename swap + batchId marker protocol, with batch 1
-    // RE-DELIVERED mid-stream (foreachBatch is at-least-once; the
-    // marker skips it wholesale — near-zero cost, pinned deeper in
+    // gestures at): the candidate pairs split into two ingest batches
+    // by endpoint range (d109's cut), each folded into
+    // `<scratch>/labels` under the write-aside → rename swap + batchId
+    // marker protocol, with batch 0 RE-DELIVERED mid-stream
+    // (foreachBatch is at-least-once; the marker skips it wholesale —
+    // near-zero cost; deeper fold-of-fold/crash interleavings are
     // StreamingSpec's crash matrix), and the final labeling read back
     // with [[graft.text.Dedup.labelStore]]. The oracle computes ONLY
     // the full recursive closure over every pair (d109's SQL verbatim):
@@ -460,24 +461,21 @@ object TextQueries {
     // |labels| + |delta| edges through the O(log n) contraction and the
     // pair history is never stored or replayed, which at 100 TB is the
     // difference between ingest-proportional work and a trillion-edge
-    // closure per batch. At sf0.001 batches 1–2 are EMPTY (60 docs, all
-    // ids < 200): the marker-only empty-batch path is exercised there,
-    // all three folds at sf0.01+.
+    // closure per batch. At sf0.001 batch 1 is EMPTY (60 docs, all ids
+    // < 250): the marker-only empty-batch path is exercised there,
+    // both folds at sf0.01+.
     "d112_label_store_cc" -> { (s, d) =>
       val p = scratchDir("graft-cc-store")
       val pairs = graft.text.Dedup.nearDupPairs(
         Tables.documents(s, d), "doc_id", "text", threshold = 0.0)
         .select(col("a_id"), col("b_id"))
       val pinned = new graft.operators.LineageCheckpoint(s, None)(pairs)
-      val (c1, c2) = (200L, 400L)
-      val b0 = pinned.filter(col("a_id") < c1 && col("b_id") < c1)
-      val b1 = pinned.filter((col("a_id") >= c1 || col("b_id") >= c1) &&
-        col("a_id") < c2 && col("b_id") < c2)
-      val b2 = pinned.filter(col("a_id") >= c2 || col("b_id") >= c2)
+      val cut = 250L
+      val b0 = pinned.filter(col("a_id") < cut && col("b_id") < cut)
+      val b1 = pinned.filter(col("a_id") >= cut || col("b_id") >= cut)
       graft.text.Dedup.labelStoreBatch(b0, p, batchId = 0L)
+      graft.text.Dedup.labelStoreBatch(b0, p, batchId = 0L) // replay: no-op
       graft.text.Dedup.labelStoreBatch(b1, p, batchId = 1L)
-      graft.text.Dedup.labelStoreBatch(b1, p, batchId = 1L) // replay: no-op
-      graft.text.Dedup.labelStoreBatch(b2, p, batchId = 2L)
       graft.text.Dedup.labelStore(s, p)
         .select(col("id"), col("component"))
         .orderBy(col("id"))
