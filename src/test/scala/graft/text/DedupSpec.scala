@@ -333,6 +333,36 @@ class DedupSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("a_id", "b_id"))) == lbl(inc2))
   }
 
+  test("fuzz: label store over random edge splits ≡ one-shot dupComponents") {
+    // Random graphs through the ON-DISK store: whatever the batch
+    // split, the fold-of-folds must land the one-shot labeling —
+    // the d112 oracle's property, exercised over topologies the fixed
+    // fixtures can't enumerate (multi-bridge merges, dense clumps,
+    // batches whose every edge is absorbed).
+    val rng = new scala.util.Random(20260816L)
+    def lbls(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    for (round <- 0 until 3) {
+      val n = 24
+      val edges = Seq.fill(40)(
+          (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val nb = 1 + rng.nextInt(3)
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft-cc-fuzz$round").toString
+      edges.zipWithIndex.groupMap(_._2 % nb)(_._1).toSeq.sortBy(_._1)
+        .foreach { case (i, b) =>
+          Dedup.labelStoreBatch(b.toDF("a_id", "b_id"), p,
+            batchId = i.toLong)
+        }
+      val got = lbls(Dedup.labelStore(spark, p))
+      val want = lbls(Dedup.dupComponents(edges.toDF("a_id", "b_id")))
+      assert(got == want,
+        s"round $round (${edges.length} edges, $nb batches):\n" +
+          s" got: $got\nwant: $want")
+    }
+  }
+
   test("sortedNeighborhoodPairs ≡ naive ranked window — exact count, hot-key ties, any layout") {
     import org.apache.spark.sql.functions.col
     val n = 60
