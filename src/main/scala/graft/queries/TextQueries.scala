@@ -352,6 +352,36 @@ object TextQueries {
         .orderBy(col("rank"))
     },
 
+    // BUCKET-BALANCE profile — the third index-observability face
+    // (d105 names the hot TERMS, d110 the positional BYTES; this one
+    // audits the LAYOUT ITSELF): per bucket the posting-row count,
+    // distinct-term count, and integer micro-share of all posting
+    // rows — v18's IVF cell-balance profile applied to the text
+    // index's hash(term) % nBuckets partitioning. This is the face
+    // that tells an operator when nBuckets is mis-sized: a bucket
+    // whose share is many × 1/nBuckets means one partition of every
+    // q-term read carries a disproportionate scan (hash skew from a
+    // stopword cluster), the signal to raise the modulus at the next
+    // compact or move the hot terms to the impact tier. One layout
+    // scan, one bucket-keyed aggregate (nBuckets groups — CATALOG
+    // sized, so the exchange is trivially bounded at any corpus
+    // scale); the corpus is never read. The oracle re-derives every
+    // (term, doc) posting row and the same md5-derived bucket. Build
+    // included in the timing, as the d100 family.
+    "d113_bucket_balance" -> { (s, d) =>
+      val p = scratchDir("graft-ti-balance")
+      graft.store.TextIndex.build(Tables.documents(s, d),
+        "doc_id", "text", p, nBuckets = 16)
+      val total = s.read.parquet(s"$p/postings").count()
+      s.read.parquet(s"$p/postings")
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("posting_rows"),
+          countDistinct(col("term")).as("n_terms"))
+        .withColumn("share_micro",
+          expr(s"posting_rows * 1000000 div $total"))
+        .orderBy(col("bucket"))
+    },
+
     // EXACT PHRASE SEARCH through the index's POSITIONAL tier
     // ([[graft.store.TextIndex.phraseSearch]]) — the lookup
     // bag-of-words postings cannot answer: docs where "hash" and
@@ -3700,6 +3730,25 @@ object TextQueries {
         | CAST(('0x'||substr(md5(r.term),1,8)) AS BIGINT) % 16 AS bucket,
         | r.df * 1000000 // n.n AS share_micro
         |FROM r, n WHERE r.rank <= 16 ORDER BY r.rank""".stripMargin,
+
+    // d113: every (term, doc) posting row re-derived from the corpus,
+    // the same md5-derived bucket, one grouped count — integer
+    // micro-share off the total row count.
+    "d113_bucket_balance" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |post AS (SELECT DISTINCT doc_id, term FROM (
+        |          SELECT doc_id, unnest(toks) AS term FROM t)),
+        |b AS (SELECT CAST(('0x'||substr(md5(term),1,8)) AS BIGINT) % 16
+        |        AS bucket,
+        |       term
+        |      FROM post),
+        |g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS posting_rows,
+        |       CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+        |      FROM b GROUP BY 1),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM post)
+        |SELECT g.bucket, g.posting_rows, g.n_terms,
+        | g.posting_rows * 1000000 // s.total AS share_micro
+        |FROM g, s ORDER BY g.bucket""".stripMargin,
 
     // d106: occurrences re-derived from the corpus — a 2-token sliding
     // window over the token list (p ranges over every window start);
