@@ -1421,6 +1421,23 @@ class PlanSpec extends AnyFunSuite {
       s"the tier scan must prune to (term, positions): $sc")
   }
 
+  test("d113: the bucket-balance profile is one layout scan + a catalog-sized aggregate — no window, no join, no corpus") {
+    val p = plan("d113_bucket_balance")
+    assert(!p.contains("Window"),
+      s"a 16-group profile needs no window:\n${p.take(600)}")
+    assert(!p.contains("Join"), s"profile joins nothing:\n${p.take(400)}")
+    val roots = graft.SparkEntry.queries("d113_bucket_balance")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    assert(roots.nonEmpty && roots.forall(_.contains("postings")),
+      s"the profile must audit the serving layout, not the corpus: $roots")
+    val sc = scans("d113_bucket_balance")
+    assert(sc.nonEmpty && sc.forall(_._1.toSet.subsetOf(Set("term"))),
+      s"the layout scan must prune to the term column: $sc")
+  }
+
   test("q50: triangle counting is node/pair-keyed joins only — no window, no cartesian, pruned scans") {
     val p = plan("q50_triangle_lcc")
     assert(!p.contains("Window"),
