@@ -64,6 +64,19 @@ object TextQueries {
     2L -> Seq("table", "scan"),
     3L -> Seq("query", "big", "table"),
     4L -> Seq("data"))
+  /** d114's audit workload: QueryBatch (every term hot — all_exact
+    * false) extended with the corpus's one RARE term "dup" (df 25 at
+    * sf0.01, under the 64-deep tier → exact), a rare+hot mix (the hot
+    * term drags max_df over the cut), and an absent term (df 0,
+    * trivially held whole) — so both flag branches and the
+    * missing-term case all occur at the oracle SFs. At sf0.1 "dup"
+    * crosses the cut (df 250): the flag genuinely tracks corpus
+    * growth, which is exactly why the audit exists.
+    */
+  private val CoverageBatch: Seq[(Long, Seq[String])] = QueryBatch ++ Seq(
+    5L -> Seq("dup"),
+    6L -> Seq("dup", "table"),
+    7L -> Seq("zz", "dup"))
   private val WinnowK = 4 // d86 shingle width (tokens per k-gram)
   private val WinnowW = 5 // d86 window width (hashes per min-window)
   private val WinnowMaxDf = 2 // d86 posting cap (bites: 29 fps at df 3)
@@ -315,6 +328,49 @@ object TextQueries {
         "doc_id", "text", p, nBuckets = 16)
       graft.store.TextIndex.buildTopTier(s, p, topN = TopTierN)
       graft.store.TextIndex.searchTop(s, p, QueryTerms, k = 10)
+    },
+
+    // TIER WORKLOAD-COVERAGE audit — [[graft.store.TextIndex
+    // .buildTopTier]]'s exactness contract quantified against a
+    // SERVING WORKLOAD (d105 profiles the corpus side — which terms
+    // are hot; this is the query side — what fraction of a workload
+    // the tier serves EXACTLY): per batch query, the distinct-term
+    // count, the max df over its terms, and the all_exact flag
+    // (max df ≤ topN → the tier holds every relevant posting list
+    // whole, so searchTop ≡ search bit for bit for that query — the
+    // TextIndexSpec theorem, applied per workload row). This is THE
+    // number an operator tunes topN against: raise it until the
+    // workload's exact fraction meets the SLA, spend the configured
+    // read bound on nothing more. Shape: one pruned posting read
+    // (bucket partition pruning to the workload's terms), a
+    // |terms|-bounded df aggregate, a broadcast join onto the
+    // (query, term) frame (workload-sized — a serving batch is
+    // codebook-sized by nature), one query-keyed aggregate. Terms
+    // absent from the corpus have df 0 (trivially exact). The oracle
+    // re-derives every term's df with d104's list_contains counts and
+    // replays the per-query max/flag.
+    "d114_tier_coverage" -> { (s, d) =>
+      import s.implicits._
+      val p = scratchDir("graft-ti-cov")
+      graft.store.TextIndex.build(Tables.documents(s, d),
+        "doc_id", "text", p, nBuckets = 16)
+      val allTerms = CoverageBatch.flatMap(_._2).distinct
+      val nb = 16
+      val buckets = allTerms
+        .map(t => graft.store.TextIndex.hash32Of(t) % nb).distinct
+      val dfs = s.read.parquet(s"$p/postings")
+        .filter(col("bucket").isin(buckets: _*))
+        .filter(col("term").isin(allTerms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val qt = CoverageBatch.flatMap { case (qid, ts) =>
+        ts.distinct.map(t => (qid, t))
+      }.toDF("query_id", "q_term")
+      qt.join(broadcast(dfs), col("q_term") === col("term"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          max(coalesce(col("df"), lit(0L))).as("max_df"))
+        .withColumn("all_exact", col("max_df") <= TopTierN)
+        .orderBy(col("query_id"))
     },
 
     // INDEX TERM-HOTNESS PROFILE — the observability face the impact
@@ -3749,6 +3805,29 @@ object TextQueries {
         |SELECT g.bucket, g.posting_rows, g.n_terms,
         | g.posting_rows * 1000000 // s.total AS share_micro
         |FROM g, s ORDER BY g.bucket""".stripMargin,
+
+    // d114: every workload term's df re-derived with d104's
+    // list_contains counts, then each query's max df and exactness
+    // flag replayed off the one stats row.
+    "d114_tier_coverage" -> {
+      val allTerms = CoverageBatch.flatMap(_._2).distinct
+      val idx = allTerms.zipWithIndex.toMap
+      val dfs = allTerms.zipWithIndex.map { case (t, i) =>
+        s"SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
+      }.mkString(",\n  ")
+      val rows = CoverageBatch.map { case (qid, ts0) =>
+        val ts = ts0.distinct
+        val maxDf = ts.map(t => s"bs.df${idx(t)}")
+          .reduceLeft((a, b) => s"greatest($a, $b)")
+        s"""SELECT CAST($qid AS BIGINT) AS query_id,
+           | CAST(${ts.length} AS BIGINT) AS n_terms,
+           | CAST($maxDf AS BIGINT) AS max_df,
+           | $maxDf <= $TopTierN AS all_exact FROM bs""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH bt AS (SELECT string_split(text,' ') AS toks FROM documents),
+         |bs AS (SELECT $dfs FROM bt)
+         |SELECT * FROM ($rows) u ORDER BY query_id""".stripMargin
+    },
 
     // d106: occurrences re-derived from the corpus — a 2-token sliding
     // window over the token list (p ranges over every window start);
