@@ -268,10 +268,15 @@ class TextIndexSpec extends AnyFunSuite {
     val dead = TextIndex.searchTop(spark, p, query, k = 2)
       .collect().map(_.getLong(0)).toSeq
     TextIndex.delete(spark, p, dead)
-    // pre-compact: the anti-join hides the tombstoned docs
+    // pre-compact: the anti-join hides the tombstoned docs — on the
+    // batch face too (searchTopBatch reads the same dropTombstoned
+    // tier; a deleted doc must not serve from EITHER face).
     val before = TextIndex.searchTop(spark, p, query, k = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(before.forall(r => !dead.contains(r._1)))
+    assert(TextIndex.searchTopBatch(spark, p, Seq(1L -> query), k = 10)
+      .collect().forall(r => !dead.contains(r.getLong(2))),
+      "the batch tier face must hide tombstoned docs pre-compact")
     TextIndex.compact(spark, p)
     // post-compact: the tier was REBUILT — dead docs gone physically
     // and df REFRESHED. Scores legitimately shift here (the
