@@ -1438,6 +1438,25 @@ class PlanSpec extends AnyFunSuite {
       s"the layout scan must prune to the term column: $sc")
   }
 
+  test("d114: the coverage audit joins only by broadcast over a pruned posting read — no window, no shuffle join") {
+    val p = plan("d114_tier_coverage")
+    assert(!p.contains("Window"),
+      s"a workload-keyed aggregate needs no window:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the workload frame is codebook-sized — broadcast only:\n${p.take(600)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the df frame must broadcast onto the workload:\n${p.take(600)}")
+    val roots = graft.SparkEntry.queries("d114_tier_coverage")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    assert(roots.nonEmpty && roots.forall(_.contains("postings")),
+      s"the audit must read the serving layout, not the corpus: $roots")
+    assert(p.contains("PartitionFilters") || p.contains("bucket"),
+      s"the posting read must prune to the workload's buckets:\n${p.take(600)}")
+  }
+
   test("q50: triangle counting is node/pair-keyed joins only — no window, no cartesian, pruned scans") {
     val p = plan("q50_triangle_lcc")
     assert(!p.contains("Window"),
