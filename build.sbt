@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through VERBATIM instead of routing
+// it through sbt's logger: the bench harness parses a bare JSON line
+// from stdout, and the default LoggedOutput strategy prefixes every
+// line with "[info] ", which is why BENCH parsed:null every round.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

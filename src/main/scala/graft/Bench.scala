@@ -34,6 +34,32 @@ import org.apache.spark.sql.SparkSession
   * Failures are LOUD: a failed query is reported in "failed", excluded
   * from the total, timed as -1, and the process exits nonzero — a broken
   * query must never read as a fast one.
+  *
+  * DEADLINE (round 20): the round-19 harness run was killed at its
+  * wall-clock timeout (rc=124) — the box was under sustained external
+  * load (q39 ran 17× its floor), which inflated every run AND tripped
+  * floor-triggered heal retries, each costing 4 more inflated runs.
+  * A bench that produces NO number is strictly worse than one that
+  * produces a degraded-precision number, so the sweep now carries a
+  * wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET` seconds, default
+  * 1450 — in-JVM time, sized well inside the harness timeout net of
+  * sbt startup/compile). Degradation is per-query and graceful:
+  *   - warmup ALWAYS runs (an unwarmed number is a different metric);
+  *   - the timed triple runs only while there is room for it before
+  *     85% of budget (estimated at 3× the query's own warmup time);
+  *   - else ONE timed run stands in for the triple;
+  *   - else (past the sweep deadline) the warmup run itself is the
+  *     measurement;
+  *   - past 100% of budget remaining queries are SKIPPED outright
+  *     (listed in "skipped", previous committed spreads carried in
+  *     the sidecar, exit stays 0 — a partial number the harness can
+  *     parse beats a timeout kill that reports nothing);
+  *   - the heal pass runs per-retry only while the remaining budget
+  *     covers that query's 4-run cost; foregone retries keep the flag.
+  * Queries measured below full precision are listed in "degraded" in
+  * the sidecar and counted in the summary — a degraded sweep is
+  * visible, never silently noisy. Floors only ratchet down, so a
+  * degraded single-run min can tighten but never corrupt them.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -99,14 +125,51 @@ object Bench {
     // default collector a full collection reliably follows.)
     def quietHeap(): Unit = { System.gc(); Thread.sleep(50) }
 
+    // Default sized from the round-19 closing sweep: 278 s of medians →
+    // ~1150-1300 s in-JVM at full precision on a quiet 32-cpu box, so
+    // 1450 keeps a quiet sweep entirely un-degraded while capping a
+    // contended one at ~24 min in-JVM — inside a 30-min harness timeout
+    // even after sbt startup.
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .map(_.toDouble).getOrElse(1450.0)
+    val t0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - t0) / 1e9
+    val sweepDeadline = 0.85 * budgetSec
+
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     require(selected.nonEmpty, s"SPARK_GRAFT_ONLY matched no queries: $only")
+    // Sentinel Left marker for budget-skips — NOT a failure: the query is
+    // fine, the box ran out of wall clock. Distinguished everywhere below
+    // (carried spreads, no nonzero exit, own summary count).
+    val SkipMark = "SKIPPED_BUDGET"
+    val degradedNames = scala.collection.mutable.ListBuffer.empty[String]
     val swept = selected.map { case (name, fn) =>
-      try {
+      if (elapsed() > budgetSec) {
+        // hard-over budget: even a warmup-only run of every remaining
+        // query could blow the harness timeout (the rc=124 failure mode
+        // this guards). Skip loudly; the sidecar carries the previous
+        // committed spread for visibility.
+        System.err.println(f"[bench] $name SKIPPED: ${elapsed()}%.0fs " +
+          f"past ${budgetSec}%.0fs budget")
+        name -> Left(SkipMark)
+      } else try {
         quietHeap()
-        timeOnce(fn) // warmup: JIT, codegen cache, file-footer cache
-        name -> Right(Seq.fill(3)(timeOnce(fn)).sorted) // [min, median, max]
+        val w = timeOnce(fn) // warmup: JIT, codegen cache, file-footer cache
+        val runs =
+          if (elapsed() + 3 * w <= sweepDeadline)
+            Seq.fill(3)(timeOnce(fn)).sorted // [min, median, max]
+          else if (elapsed() + w <= sweepDeadline) {
+            degradedNames += name
+            val r = timeOnce(fn) // one timed run stands in for the triple
+            Seq.fill(3)(r)
+          } else {
+            degradedNames += name // past deadline: the warmup IS the run
+            System.err.println(f"[bench] $name past sweep deadline at " +
+              f"${elapsed()}%.0fs/${budgetSec}%.0fs — warmup-only")
+            Seq.fill(3)(w)
+          }
+        name -> Right(runs)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -125,7 +188,11 @@ object Bench {
       case (name, Right(runs)) if flagged(name, runs) =>
         var cur = runs
         var attempts = 0
-        while (attempts < 2 && flagged(name, cur)) {
+        // A retry costs warmup + triple ≈ 4 runs at the query's current
+        // (possibly inflated) cost — only spend it if the budget covers
+        // it, else keep the flag (reviewable, never hidden).
+        def retryFits(): Boolean = elapsed() + 4 * cur(1) <= budgetSec
+        while (attempts < 2 && flagged(name, cur) && retryFits()) {
           attempts += 1
           val why =
             if (noisySpread(cur)) f"spread ${cur.last / cur.head}%.1fx"
@@ -140,6 +207,9 @@ object Bench {
           }
         }
         if (!flagged(name, cur) && (cur ne runs)) healedNames += name
+        // a retry's triple is full-precision — it supersedes a degraded
+        // (single-run / warmup-only) sweep measurement
+        if (cur ne runs) degradedNames -= name
         name -> Right(cur)
       case other => other
     }
@@ -170,7 +240,12 @@ object Bench {
         "retries — rerun on a quiet box, or acknowledge a real re-costing " +
         "by dropping its BENCH_FLOORS.json entry")
     }
-    val failedNames = results.collect { case (k, Left(_)) => k }
+    val skippedNames = results.collect {
+      case (k, Left(m)) if m == SkipMark => k
+    }
+    val failedNames = results.collect {
+      case (k, Left(m)) if m != SkipMark => k
+    }
     val failed = failedNames.map(k => s"\"$k\"")
     val total = results.collect { case (_, Right(runs)) => runs(1) }.sum
     // Merge with the previous sidecar: an ONLY-subset isolated audit
@@ -181,7 +256,13 @@ object Bench {
     // spreads map to one entry). Re-measured queries drop their stale
     // flags; unmeasured queries keep spreads AND flags from the
     // previous run. A sidecar from a different SF is ignored whole.
-    val measured = results.map(_._1).toSet
+    // Budget-skipped queries were NOT measured: their previous committed
+    // spreads (and flags) must carry through the merge below, exactly like
+    // an ONLY-subset audit's unselected queries.
+    val measured = results.collect {
+      case (k, Left(m)) if m != SkipMark => k
+      case (k, Right(_)) => k
+    }.toSet
     val prev =
       try {
         val p = java.nio.file.Paths.get("BENCH_SPREADS.json")
@@ -212,6 +293,8 @@ object Bench {
       java.nio.file.Paths.get("BENCH_SPREADS.json"),
       (s"""{"spreads":$spreads,"noisy":[${jlist(carried("noisy", noisy))}],""" +
         s""""healed":[${jlist(carried("healed", healedNames.toSeq))}],""" +
+        s""""degraded":[${jlist(carried("degraded", degradedNames.toSeq))}],""" +
+        s""""skipped":[${jlist(carried("skipped", skippedNames))}],""" +
         s""""failed":[${jlist(carried("failed", failedNames))}],"sf":"$sfDir"}""")
         .getBytes("UTF-8"))
     catch { // the sidecar is best-effort; never fail the bench over it
@@ -240,7 +323,7 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH_FLOORS.json: $e")
     }
-    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","noisy":${noisy.length},"failed":${failed.length},"healed":${healedNames.length},"n_queries":${results.length},"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","noisy":${noisy.length},"failed":${failed.length},"healed":${healedNames.length},"degraded":${degradedNames.length},"skipped":${skippedNames.length},"n_queries":${results.length},"elapsed_sec":${fmt(elapsed())},"sf":"$sfDir"}"""
     // The summary ALSO lands in a sidecar file: the stdout line has been
     // visibly complete since it went fixed-size, yet the harness's
     // parsed field still read null (capture-side last-line selection or
@@ -256,8 +339,11 @@ object Bench {
         System.err.println(s"[bench] could not write BENCH_SUMMARY.json: $e")
       }
     }
-    println(summary)
+    // stop() BEFORE the println: the harness parses the JSON line from
+    // the tail of captured output, and Spark's shutdown chatter (context
+    // cleaner, shuffle service warnings) must not land after it.
     spark.stop()
+    println(summary)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

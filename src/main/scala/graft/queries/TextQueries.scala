@@ -355,7 +355,10 @@ object TextQueries {
       graft.store.TextIndex.build(Tables.documents(s, d),
         "doc_id", "text", p, nBuckets = 16)
       val allTerms = CoverageBatch.flatMap(_._2).distinct
-      val nb = 16
+      // The modulus is part of the layout: read it back from the index's
+      // meta (the phraseSearch/searchTop rule) so the pruning predicate
+      // can never diverge from the nBuckets the build above was given.
+      val nb = s.read.parquet(s"$p/meta").head().getInt(0)
       val buckets = allTerms
         .map(t => graft.store.TextIndex.hash32Of(t) % nb).distinct
       val dfs = s.read.parquet(s"$p/postings")

@@ -971,7 +971,14 @@ object TextIndex {
     * Term ranking uses df from the POSTING tier (term column only — a
     * count, never the arrays; tombstones left in, they only rank);
     * gating exactness needs nothing from it, the candidate docs come
-    * from the positional rows themselves.
+    * from the positional rows themselves. The tombstone inflation has
+    * one cost-side consequence worth naming: after a mass delete a
+    * term whose LIVE df is small can still carry a corpus-scale dead
+    * df, trip the `gateMaxDf` valve below, and run ungated — the
+    * result is still exact (tombstones drop in `posRead`), but the
+    * read bound degrades from |terms| · min-df to the pruned Σ df
+    * until [[compact]] reclaims the dead rows, which is the operating
+    * procedure after bulk deletes anyway.
     *
     * The gate itself has a safety valve: an ALL-stopword phrase has a
     * corpus-scale min-df, and broadcasting that doc set would melt the

@@ -707,7 +707,11 @@ object Dedup {
   /** The current label frame of a [[labelStoreBatch]] store — (id,
     * component), healing a crashed swap if one is pending (the same
     * restore [[labelStoreBatch]] runs at entry, so a reader after a
-    * crash sees the last committed labeling, never nothing).
+    * crash sees the last committed labeling, never nothing). A path
+    * where every batch so far was empty has no `labels` dir (the
+    * empty-first-batch rule above) — that reads as the empty labeling,
+    * not an error: a consumer polling the store before the first
+    * non-empty batch closes must see "no duplicates yet".
     */
   def labelStore(spark: org.apache.spark.sql.SparkSession, path: String)
       : DataFrame = {
@@ -718,6 +722,10 @@ object Dedup {
     if (!fs.exists(labelsP) && fs.exists(oldP))
       require(fs.rename(oldP, labelsP),
         s"heal failed: could not restore $oldP to $labelsP")
+    if (!fs.exists(labelsP)) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long)].toDF("id", "component")
+    }
     spark.read.parquet(labelsP.toString)
   }
 

@@ -363,6 +363,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("labelStore on a store with no labels yet reads as the empty labeling") {
+    // Every batch so far empty (markers only, no `labels` dir) — a
+    // consumer polling before the first non-empty batch closes must see
+    // "no duplicates yet", not a missing-path crash (round-19 ADVICE).
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-cc-empty").toString
+    Dedup.labelStoreBatch(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"), p, batchId = 0L)
+    val got = Dedup.labelStore(spark, p)
+    assert(got.columns.toSeq == Seq("id", "component"),
+      "the empty labeling must still carry the store's schema")
+    assert(got.count() == 0L)
+    // ...and an entirely absent store path reads the same way.
+    val p2 = java.nio.file.Files
+      .createTempDirectory("graft-cc-absent").toString
+    assert(Dedup.labelStore(spark, p2).count() == 0L)
+  }
+
   test("sortedNeighborhoodPairs ≡ naive ranked window — exact count, hot-key ties, any layout") {
     import org.apache.spark.sql.functions.col
     val n = 60
