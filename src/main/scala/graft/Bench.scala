@@ -42,14 +42,14 @@ import org.apache.spark.sql.SparkSession
   * A bench that produces NO number is strictly worse than one that
   * produces a degraded-precision number, so the sweep now carries a
   * wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET` seconds, default
-  * 1450 — in-JVM time, sized well inside the harness timeout net of
+  * 1600 — in-JVM time, sized well inside the harness timeout net of
   * sbt startup/compile). Degradation is per-query and graceful:
-  *   - warmup ALWAYS runs (an unwarmed number is a different metric);
+  *   - warmup ALWAYS runs (an unwarmed number is a different metric —
+  *     the first full-budget sweep measured cold runs at 2-3× the warm
+  *     medians, so no degradation level ever reports the warmup);
   *   - the timed triple runs only while there is room for it before
   *     85% of budget (estimated at 3× the query's own warmup time);
-  *   - else ONE timed run stands in for the triple;
-  *   - else (past the sweep deadline) the warmup run itself is the
-  *     measurement;
+  *   - else ONE warm timed run stands in for the triple;
   *   - past 100% of budget remaining queries are SKIPPED outright
   *     (listed in "skipped", previous committed spreads carried in
   *     the sidecar, exit stays 0 — a partial number the harness can
@@ -125,19 +125,35 @@ object Bench {
     // default collector a full collection reliably follows.)
     def quietHeap(): Unit = { System.gc(); Thread.sleep(50) }
 
-    // Default sized from the round-19 closing sweep: 278 s of medians →
-    // ~1150-1300 s in-JVM at full precision on a quiet 32-cpu box, so
-    // 1450 keeps a quiet sweep entirely un-degraded while capping a
-    // contended one at ~24 min in-JVM — inside a 30-min harness timeout
-    // even after sbt startup.
+    // Default sized from measured round-20 full sweeps: ~300 s of
+    // medians → ~1350-1450 s in-JVM at full precision on a quiet 32-cpu
+    // box (warmups of index-building queries cost more than their
+    // medians), so 1600 keeps a quiet sweep nearly un-degraded with
+    // ~150 s of heal reserve, while capping a contended one at ~27 min
+    // in-JVM — inside the harness timeout even after sbt startup.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
-      .map(_.toDouble).getOrElse(1450.0)
+      .map(_.toDouble).getOrElse(1600.0)
     val t0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - t0) / 1e9
     val sweepDeadline = 0.85 * budgetSec
 
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Sweep order: new queries first (no floor yet, so no flag
+    // protection — they need the tightest measurement), then ASCENDING
+    // historical floor, ties alphabetical. Degradation consumes the
+    // sweep from the tail, so this order degrades the FEWEST queries
+    // and the right ones: a full-budget descending-order sweep degraded
+    // 145 cheap queries (each needing median-of-3 the most — GC spikes
+    // dominate their relative error), where ascending order degrades
+    // only the handful of heaviest queries, whose multi-second runs
+    // self-average and whose single warm run tracks their median
+    // within jitter. Per-query values are order-independent (quietHeap
+    // barriers each block), so spreads stay comparable with every
+    // previous alphabetical sweep.
+    val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy { case (name, _) =>
+        (floors.getOrElse(name, -1.0), name)
+      }
     require(selected.nonEmpty, s"SPARK_GRAFT_ONLY matched no queries: $only")
     // Sentinel Left marker for budget-skips — NOT a failure: the query is
     // fine, the box ran out of wall clock. Distinguished everywhere below
@@ -156,18 +172,17 @@ object Bench {
       } else try {
         quietHeap()
         val w = timeOnce(fn) // warmup: JIT, codegen cache, file-footer cache
+        // Degraded mode is ONE WARM run, never the warmup itself: the
+        // first full-budget sweep proved warmup-as-measurement reports
+        // cold-cache numbers 2-3× the warm medians — a different metric
+        // that floor-flagged the whole degraded tail, not a noisy one.
         val runs =
           if (elapsed() + 3 * w <= sweepDeadline)
             Seq.fill(3)(timeOnce(fn)).sorted // [min, median, max]
-          else if (elapsed() + w <= sweepDeadline) {
+          else {
             degradedNames += name
-            val r = timeOnce(fn) // one timed run stands in for the triple
+            val r = timeOnce(fn) // one warm run stands in for the triple
             Seq.fill(3)(r)
-          } else {
-            degradedNames += name // past deadline: the warmup IS the run
-            System.err.println(f"[bench] $name past sweep deadline at " +
-              f"${elapsed()}%.0fs/${budgetSec}%.0fs — warmup-only")
-            Seq.fill(3)(w)
           }
         name -> Right(runs)
       } catch {
