@@ -48,9 +48,9 @@ import org.apache.spark.sql.SparkSession
   *     the first full-budget sweep measured cold runs at 2-3× the warm
   *     medians, so no degradation level ever reports the warmup);
   *   - the timed triple runs only while there is room for it before
-  *     85% of budget (estimated at 3× the query's own warmup time);
+  *     80% of budget (estimated at 3× the query's own warmup time);
   *   - else ONE warm timed run stands in for the triple;
-  *   - past 100% of budget remaining queries are SKIPPED outright
+  *   - past 95% of budget remaining queries are SKIPPED outright
   *     (listed in "skipped", previous committed spreads carried in
   *     the sidecar, exit stays 0 — a partial number the harness can
   *     parse beats a timeout kill that reports nothing);
@@ -135,7 +135,14 @@ object Bench {
       .map(_.toDouble).getOrElse(1600.0)
     val t0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - t0) / 1e9
-    val sweepDeadline = 0.85 * budgetSec
+    // 0.80/0.95 split: the sweep degrades past 80% of budget and hard-
+    // skips past 95%, so the heal pass ALWAYS gets ≥5% of budget. The
+    // first loaded-box full sweep proved why: with the sweep allowed to
+    // run to 100%, 84 queries kept contamination flags and ZERO healed —
+    // and healing is the cheapest flag-remover there is (a cheap flagged
+    // query retries in seconds).
+    val sweepDeadline = 0.80 * budgetSec
+    val skipDeadline = 0.95 * budgetSec
 
     // Sweep order: new queries first (no floor yet, so no flag
     // protection — they need the tightest measurement), then ASCENDING
@@ -161,13 +168,14 @@ object Bench {
     val SkipMark = "SKIPPED_BUDGET"
     val degradedNames = scala.collection.mutable.ListBuffer.empty[String]
     val swept = selected.map { case (name, fn) =>
-      if (elapsed() > budgetSec) {
-        // hard-over budget: even a warmup-only run of every remaining
-        // query could blow the harness timeout (the rc=124 failure mode
-        // this guards). Skip loudly; the sidecar carries the previous
-        // committed spread for visibility.
+      if (elapsed() > skipDeadline) {
+        // hard-over the skip deadline: even a warm single run of every
+        // remaining query could blow the harness timeout (the rc=124
+        // failure mode this guards) and would starve the heal pass.
+        // Skip loudly; the sidecar carries the previous committed
+        // spread for visibility.
         System.err.println(f"[bench] $name SKIPPED: ${elapsed()}%.0fs " +
-          f"past ${budgetSec}%.0fs budget")
+          f"past ${skipDeadline}%.0fs skip deadline")
         name -> Left(SkipMark)
       } else try {
         quietHeap()
