@@ -578,6 +578,50 @@ object EventQueries {
       credited.unionAll(direct).orderBy(col("event_type"))
     },
 
+    // BENFORD FIRST-DIGIT FORENSIC PROFILE — the data-quality face for
+    // FABRICATED numbers (Benford 1938; Hill, Statistical Science 1995;
+    // the standard forensic-accounting screen): naturally-occurring
+    // multi-scale amounts lead with digit d at share log10(1 + 1/d),
+    // while synthetic, copied, or fat-fingered columns drift from it —
+    // at 100 TB this is THE cheap screen run over every numeric column
+    // of a new source before it enters the corpus mix. Exactness rules:
+    // amounts go through exact cents (DECIMAL(12,2) · 100, e47's
+    // idiom); the first significant digit is the first character of
+    // the integer's decimal string (multiplying by 10² preserves it,
+    // and string heads are engine-identical where log10-based digit
+    // extraction is not — the d40 no-transcendental rule); the nine
+    // Benford shares are floor-quantized micro literals computed ON
+    // THE DRIVER and inlined into both engines (the BM25 literal
+    // rule). Shape: ONE value-only scan into a 9-key aggregate
+    // (map-side partial, nothing row-keyed crosses), checkpointed for
+    // its two consumers (the d86 rule: the total and the join must not
+    // re-run the scan), then broadcast-only joins onto the 9-row
+    // frame. Output: per digit the count, observed micro-share,
+    // Benford micro-share, and absolute deviation.
+    "e48_benford_profile" -> { (s, d) =>
+      import s.implicits._
+      val cents = Tables.events(s, d)
+        .select((col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+          .as("cents"))
+        .filter(col("cents") > 0) // first char of a positive long is 1-9
+      val counts = new graft.operators.LineageCheckpoint(s, None)(
+        cents.select(substring(col("cents").cast("string"), 1, 1)
+            .as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n")))
+      val total = counts.agg(sum(col("n")).as("total"))
+      val benford = Seq("1" -> 301029L, "2" -> 176091L, "3" -> 124938L,
+        "4" -> 96910L, "5" -> 79181L, "6" -> 66946L, "7" -> 57991L,
+        "8" -> 51152L, "9" -> 45757L).toDF("digit", "benford_micro")
+      counts.join(broadcast(benford), Seq("digit"))
+        .crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div total").as("share_micro"),
+          col("benford_micro"),
+          expr("abs(n * 1000000 div total - benford_micro)")
+            .as("dev_micro"))
+        .orderBy(col("digit"))
+    },
+
     // TIME-DECAYED ENGAGEMENT SCORES — recency-weighted activity, the
     // ranking signal behind re-engagement targeting and churn-risk
     // ordering (e24's RFM flags recency as a bucket; this weights
@@ -2202,6 +2246,28 @@ object EventQueries {
         |            (SELECT DISTINCT p_id FROM pairs))
         |SELECT * FROM att UNION ALL SELECT * FROM direct
         |ORDER BY event_type""".stripMargin,
+
+    // e48: first digit re-derived as the head character of the exact
+    // cents integer's decimal string; the nine Benford micro shares
+    // are the same driver-inlined literals both engines consume.
+    "e48_benford_profile" ->
+      """WITH c AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |            AS cents FROM events),
+        |p AS (SELECT cents FROM c WHERE cents > 0),
+        |g AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM p GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g),
+        |b(digit, m) AS (VALUES
+        | ('1', 301029), ('2', 176091), ('3', 124938), ('4', 96910),
+        | ('5', 79181), ('6', 66946), ('7', 57991), ('8', 51152),
+        | ('9', 45757))
+        |SELECT g.digit, g.n,
+        | g.n * 1000000 // t.total AS share_micro,
+        | CAST(b.m AS BIGINT) AS benford_micro,
+        | abs(g.n * 1000000 // t.total - CAST(b.m AS BIGINT)) AS dev_micro
+        |FROM g JOIN b USING (digit), t
+        |ORDER BY g.digit""".stripMargin,
 
     // e46: the integer decay staircase replayed — weight = 1e6
     // right-shifted by whole age-weeks from the corpus max timestamp,

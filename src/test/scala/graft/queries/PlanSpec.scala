@@ -1553,6 +1553,25 @@ class PlanSpec extends AnyFunSuite {
       s"the max-timestamp anchor must broadcast:\n${p.take(600)}")
   }
 
+  test("e48: benford profile reads only value; digit-keyed fold, broadcast-only joins, no window") {
+    val p = plan("e48_benford_profile")
+    assert(!p.contains("Window"),
+      s"digit shares are grouped counts, never a window:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the 9-row digit frame joins by broadcast only:\n${p.take(600)}")
+    // the checkpointed digit counts feed BOTH the total and the join —
+    // exactly one scan subtree must survive in the final plan (the d86
+    // two-consumer rule), and it reads only the value column.
+    val execs = graft.SparkEntry.queries("e48_benford_profile")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(execs.isEmpty ||
+      execs.forall(_.requiredSchema.fieldNames.toSeq == Seq("value")),
+      "any surviving scan must read only the value column: " +
+        execs.map(_.requiredSchema.fieldNames.toSeq).mkString(","))
+  }
+
   test("d107: sorted-neighborhood pairs meet in rank-space buckets — no unpartitioned window, no cartesian") {
     val p = plan("d107_sorted_neighborhood")
     assert(!p.contains("Window"),
