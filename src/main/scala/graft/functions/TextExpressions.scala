@@ -56,6 +56,15 @@ case class MinHashSlices(child: Expression, nBands: Int)
 }
 
 object MinHash {
+  /** One MD5 instance per thread: `MessageDigest.getInstance` is a
+    * provider lookup + allocation, measurable when a scan calls the
+    * digest once per ROW (hash32) rather than once per array. Shared by
+    * [[MinHash.compute]] and [[Hash32Ops.compute]]; `reset()` before
+    * every use makes reuse sound.
+    */
+  private[functions] val localMd5: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** Band minima over one-digest-per-element MD5 slices; null for an
     * empty array (matching `array_min`/DuckDB `list_aggregate 'min'` on
     * empty input).
@@ -63,7 +72,7 @@ object MinHash {
   def compute(arr: ArrayData, nBands: Int): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
-    val md = MessageDigest.getInstance("MD5")
+    val md = MinHash.localMd5.get()
     val mins = new Array[Long](nBands)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 0
@@ -81,6 +90,49 @@ object MinHash {
       i += 1
     }
     new GenericArrayData(mins)
+  }
+}
+
+/** Native 32-bit-range MD5 hash: the first 4 digest bytes read
+  * big-endian as an unsigned 32-bit value in a long — BIT-IDENTICAL to
+  * the declarative contract `conv(substring(md5(s), 1, 8), 16, 10)
+  * .cast("long")` (the first 8 hex digits ARE the first 4 bytes), which
+  * is how every oracle replays it (`CAST(('0x' || substr(md5(s),1,8))
+  * AS BIGINT)` in DuckDB). One digest + a 4-byte fold per call; the
+  * declarative form materializes the 32-char hex STRING, substrings it,
+  * and string-parses the slice through `conv` — measured ~2.3 s for
+  * 2.4 M calls at sf0.1 (q26's cents-hash projection), almost all of it
+  * the hex formatting and conv parse. hash32 feeds dedup fingerprints,
+  * split assignment, PPS sampling, Bloom double-hashing, count-min and
+  * the text-index bucket map, so the per-call cost is a surface-wide
+  * constant factor (guide §1.2 step 2: per-task work, after the plan
+  * shape is right).
+  */
+case class Hash32(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hash32"
+
+  override def nullSafeEval(v: Any): Any =
+    Hash32Ops.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hash32Ops.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Hash32Ops {
+  /** First 4 MD5 bytes of the string's UTF-8 form, big-endian unsigned. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = MinHash.localMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 }
 
@@ -403,6 +455,10 @@ object text {
   /** Array of `nBands` minhash values for a string-array column. */
   def minhashSlices(shingles: Column, nBands: Int = 4): Column =
     ColumnBridge.column(MinHashSlices(ColumnBridge.expression(shingles), nBands))
+
+  /** Native 32-bit-range md5 hash (first 8 hex digits as a long). */
+  def hash32(c: Column): Column =
+    ColumnBridge.column(Hash32(ColumnBridge.expression(c)))
 
   /** Native BPE segmentation of a word column under fixed merges. */
   def bpeSegment(word: Column, merges: Seq[(String, String)]): Column =

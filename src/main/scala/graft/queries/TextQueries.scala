@@ -191,12 +191,13 @@ object TextQueries {
 
     // Near-dup detection, LSH-banded: candidates = pairs sharing any
     // minhash band (shuffle on (band, mh), never all-pairs), then exact
-    // shingle-set Jaccard on candidates only. Cost shape: the signature
-    // projection is one md5 per shingle (all 4 bands slice one digest);
-    // the Jaccard stage rebuilds shingle sets in a second scan-side pass
-    // and joins them to the candidate pairs, instead of carrying full
-    // arrays through the band shuffle (see Dedup.nearDupPairs for the
-    // measured trade).
+    // shingle-set Jaccard on candidates only. Cost shape (r21): ONE
+    // materialized tokenize+shingle pass — the signature projection
+    // (one md5 per shingle; all 4 bands slice one digest), both sides
+    // of the band self-join, and both rescore joins read the
+    // checkpointed distinct-shingle frame (see Dedup.nearDupPairs for
+    // the measured trade), instead of carrying full arrays through the
+    // band shuffle.
     // (Implementation lives in graft.text.Dedup.nearDupPairs — banded
     // minhash candidates + single-evaluation exact Jaccard; threshold 0
     // keeps every candidate pair so the oracle checks the full band

@@ -118,6 +118,14 @@ object TextIndex {
       path: String, nBuckets: Int, mode: SaveMode): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // Deliberately NOT cached across its three consumers (r21 measured
+    // trade): the postings write, doclens write, and stats aggregate
+    // each re-tokenize lazily, but persisting the (doc_id, toks, dl)
+    // frame costs MORE than the two re-scans it saves — the columnar
+    // cache encode of the token arrays dominates (interleaved A/B at
+    // sf0.1: d104 +7%, d111 +18% with the persist; the tokenize pass
+    // itself is ~0.6 s). The lazy form also holds zero executor state,
+    // which the streaming appendBatch staging path shares.
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       TF.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))

@@ -127,11 +127,31 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleLen: Int = 3, bands: Int = 4,
       maxBucket: Long = 0): DataFrame = {
-    val shingled = df
-      .select(col(idCol).as("_dd_id"), TF.tokens(col(textCol)).as("_dd_toks"))
-      .select(col("_dd_id"), TF.shingles(col("_dd_toks"), shingleLen).as("_dd_sh"))
-    val sig0 = shingled.select(col("_dd_id"),
-      posexplode(graft.functions.text.minhashSlices(col("_dd_sh"), bands))
+    // ONE materialized corpus pass (r21, guide §1.2 step 1): the
+    // distinct shingle sets are computed once and locally checkpointed;
+    // the signature projection, the band self-join's BOTH sides, and
+    // the exact-rescore joins all read the materialized frame. The
+    // previous lazy form paid the tokenize+shingle scan three times
+    // (signature pass + each side of the two rescore joins) and — the
+    // dominant cost, measured at sf0.1 — evaluated the whole signature
+    // subtree TWICE inside the band self-join (a self-join's build and
+    // stream sides cannot share one lazy subtree): candidates alone ran
+    // 3.7 s against 0.6 s over a checkpointed frame. Deriving the
+    // signature from the DISTINCT set is exact: per-band minhash is a
+    // min over the shingles, and min over a set equals min over the
+    // multiset, so signatures, candidates, and Jaccards are all
+    // bit-identical to the multiset form (the oracle replays the same
+    // min). localCheckpoint (executor-held blocks, the searchBatch
+    // idiom) is the right mode for the bounded frames a query pass
+    // holds; the arrays it stores are exactly the bytes the rescore
+    // joins shuffled anyway.
+    val sets = df
+      .select(col(idCol).as("_dd_id"),
+        array_distinct(TF.shingles(TF.tokens(col(textCol)), shingleLen))
+          .as("_dd_ss"))
+      .localCheckpoint()
+    val sig0 = sets.select(col("_dd_id"),
+      posexplode(graft.functions.text.minhashSlices(col("_dd_ss"), bands))
         .as(Seq("band", "mh")))
     val sig =
       if (maxBucket <= 0) sig0
@@ -146,15 +166,6 @@ object Dedup {
           col("x._dd_id") < col("y._dd_id"))
       .select(col("x._dd_id").as("a_id"), col("y._dd_id").as("b_id"))
       .distinct()
-    // The exact-Jaccard stage rebuilds shingle sets with a SECOND pass
-    // over the corpus and joins them to the candidate pairs. Measured
-    // trade (sf0.1): filtering this pass down to candidate ids first
-    // requires evaluating the candidate subtree twice (once for the
-    // pairs, once for the id filter — Catalyst cannot reuse it across
-    // the two consumers), which costs MORE than re-shingling every
-    // document in one clean scan-side pass; so the full-corpus pass
-    // stays. At cluster scale the two sort-merge joins below shuffle
-    // each document's distinct-shingle array exactly once each.
     // Per-pair intersection via the built-in array_intersect (hash set
     // per pair). Measured trade at sf0.1: pre-sorting every document's
     // set to use the native merge-pass sortedIntersectCount costs MORE
@@ -162,7 +173,6 @@ object Dedup {
     // (the corpus-wide array_sort dominates); on pair-dense corpora —
     // candidate pairs >> documents — flip to sorted sets +
     // graft.functions.text.sortedIntersectCount.
-    val sets = shingled.select(col("_dd_id"), array_distinct(col("_dd_sh")).as("_dd_ss"))
     cand
       .join(sets.select(col("_dd_id").as("a_id"), col("_dd_ss").as("_dd_sa")), "a_id")
       .join(sets.select(col("_dd_id").as("b_id"), col("_dd_ss").as("_dd_sb")), "b_id")
@@ -241,9 +251,13 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs a threshold in (0, 1], got $threshold")
     val tMicro = math.round(threshold * 1e6)
+    // Materialized once (r21): the posting explode and both verify-side
+    // joins read this frame (was three tokenize+shingle corpus passes —
+    // the nearDupPairs measurement; same fix).
     val sets = df.select(col(idCol).as("_pf_id"),
       array_distinct(TF.shingles(TF.tokens(col(textCol)), shingleLen))
         .as("_pf_ss"))
+      .localCheckpoint()
     // Set size rides through the explode (one long per posting row) so
     // the prefix cut needs only the row_number window, not a second
     // count-over-doc window.
@@ -364,9 +378,13 @@ object Dedup {
     */
   private def shinglePairStats(df: DataFrame, idCol: String,
       textCol: String, shingleLen: Int, maxDf: Long): DataFrame = {
+    // Materialized once (r21): the posting explode and both size joins
+    // read this frame — lazily it was three tokenize+shingle corpus
+    // passes (the nearDupPairs measurement; same fix).
     val sets = df.select(col(idCol).as("_nj_id"),
       array_distinct(TF.shingles(TF.tokens(col(textCol)), shingleLen))
         .as("_nj_ss"))
+      .localCheckpoint()
     val posting0 = sets.select(col("_nj_id"), explode(col("_nj_ss")).as("_nj_sh"))
     val posting =
       if (maxDf <= 0) posting0

@@ -17,8 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Deterministic 32-bit-range hash of a string column (see class doc). */
-  def hash32(c: Column): Column =
+  /** Deterministic 32-bit-range hash of a string column (see class doc).
+    * Delegates to the native [[graft.functions.Hash32]] expression —
+    * bit-identical to the declarative
+    * `conv(substring(md5(c), 1, 8), 16, 10).cast("long")` (the first 8
+    * hex digits ARE the first 4 digest bytes), but one digest + byte
+    * fold per call instead of hex-formatting a 32-char string and
+    * string-parsing the slice back through `conv` (~3× on hash-dense
+    * projections, e.g. q26's four cents-hash columns; pinned ≡ the
+    * declarative form in TextContractSpec).
+    */
+  def hash32(c: Column): Column = graft.functions.text.hash32(c)
+
+  /** The declarative spelling of [[hash32]] — the cross-engine contract
+    * the oracles replay. Kept callable so the equivalence is testable
+    * against the native expression.
+    */
+  def hash32Declarative(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Single-space tokenization (the documents table is single-spaced). */

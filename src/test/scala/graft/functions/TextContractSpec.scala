@@ -30,6 +30,29 @@ class TextContractSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("hash32 native ≡ declarative conv(substring(md5)) — ascii, unicode, empty, null") {
+    // The r21 native expression must be bit-identical to the
+    // cross-engine md5-hex contract every oracle replays (the first 8
+    // hex digits ARE the first 4 digest bytes, read unsigned).
+    val rnd = new scala.util.Random(21)
+    val samples = Seq("", " ", "a", "The quick brown fox", "é©漢字🚀",
+      "line\nbreak\ttab", "0", "-1", "a" * 500) ++
+      Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(40)).mkString) :+
+      (null: String)
+    val rows = samples.toDF("s")
+      .select(
+        graft.text.TextFunctions.hash32(col("s")).as("native"),
+        graft.text.TextFunctions.hash32Declarative(col("s")).as("decl"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) {
+        assert(r.getLong(0) == r.getLong(1))
+        assert(r.getLong(0) >= 0L && r.getLong(0) < 4294967296L)
+      }
+    }
+  }
+
   test("ahoCounts: overlapping, nested, and absent patterns against a brute scan") {
     val pats = Seq("aba", "ba", "a", "never here")
     // "ababa": "aba" overlaps itself at 0 and 2; "ba" at 1 and 3;

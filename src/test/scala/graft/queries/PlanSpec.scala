@@ -97,10 +97,16 @@ class PlanSpec extends AnyFunSuite {
       "prefix selection must be the doc-keyed window")
     val joins = "Join ".r.findAllIn(p).length
     assert(joins <= 5, s"expected ≤5 equi joins, found $joins:\n${p.take(800)}")
-    assert(scans("d92_prefix_filter_pairs").forall(
-        _._1.toSet.subsetOf(Set("doc_id", "text"))),
-      "every pass over documents must read at most (doc_id, text) — " +
-        "the df branch prunes down to text alone")
+    // r21: the distinct-shingle sets are computed ONCE and locally
+    // checkpointed (the posting explode and both verify joins read the
+    // materialized frame), so the final plan's passes read the
+    // checkpointed RDD and no parquet scan survives — the corpus
+    // tokenize+shingle pass runs exactly once, at materialization.
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"d92 must read the materialized shingle-set frame:\n${p.take(600)}")
+    assert(scans("d92_prefix_filter_pairs").isEmpty,
+      "no parquet re-scan may survive — the one corpus pass ran at " +
+        "shingle-set materialization")
   }
 
   test("q06: pure scan-aggregate — no join, no window") {
@@ -109,12 +115,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters:"))
   }
 
-  test("d35: inverted-index Jaccard — equi joins only, scan pruned to (doc_id, text)") {
+  test("d35: inverted-index Jaccard — equi joins only, one materialized shingle pass") {
     val p = plan("d35_ngram_jaccard")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"posting-list join degenerated to a cross product:\n${p.take(600)}")
-    assert(scans("d35_ngram_jaccard").forall(_._1.sorted == Seq("doc_id", "text")),
-      "every pass over documents must read exactly (doc_id, text)")
+    // r21: the shingle-set frame is locally checkpointed (posting
+    // explode + both size joins read it), so the served plan reads the
+    // materialized RDD and the corpus pays exactly one tokenize pass.
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"d35 must read the materialized shingle-set frame:\n${p.take(600)}")
+    assert(scans("d35_ngram_jaccard").isEmpty,
+      "no parquet re-scan may survive — the one corpus pass ran at " +
+        "shingle-set materialization")
   }
 
   test("e06: interval join is an equi join on (key, bucket) — never a per-key cross product") {
