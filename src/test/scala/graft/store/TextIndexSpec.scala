@@ -151,6 +151,50 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("appendBatch: a within-batch duplicate doc cannot double-count — dup batch ≡ single-copy build") {
+    // The r19/r20 verdicts' top ask: a micro-batch carrying the SAME
+    // doc_id twice must not write two doclens rows, count n_docs += 2,
+    // merge tf across the copies, or fold both copies' positions into
+    // one array (inflating phraseSearch n_occ). The guard dedups the
+    // batch on the id at entry; this pins every layout piece against a
+    // store fed the same docs once.
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 120)
+    val dup = docs.unionByName(docs.filter(col("doc_id") < 60)) // 0–59 twice
+    val pDup = Files.createTempDirectory("graft-ti-dup").toString
+    val pRef = Files.createTempDirectory("graft-ti-dupref").toString
+    // batch 0 exercises the first-batch (Overwrite build) path with
+    // intra-batch dups; batch 1 the incremental staged path.
+    TextIndex.appendBatch(dup.filter(col("doc_id") < 80), "doc_id",
+      "text", pDup, 16, batchId = 0L, withPositions = true)
+    TextIndex.appendBatch(dup.filter(col("doc_id") >= 80), "doc_id",
+      "text", pDup, 16, batchId = 1L, withPositions = true)
+    TextIndex.appendBatch(docs.filter(col("doc_id") < 80), "doc_id",
+      "text", pRef, 16, batchId = 0L, withPositions = true)
+    TextIndex.appendBatch(docs.filter(col("doc_id") >= 80), "doc_id",
+      "text", pRef, 16, batchId = 1L, withPositions = true)
+    def rows(p: String, part: String, cols: Seq[String]) =
+      spark.read.parquet(s"$p/$part")
+        .select(cols.map(col): _*).collect()
+        .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(rows(pDup, "doclens", Seq("doc_id", "dl"))
+      == rows(pRef, "doclens", Seq("doc_id", "dl")),
+      "a duplicated doc must land exactly one doclens row")
+    assert(rows(pDup, "postings", Seq("term", "doc_id", "dl", "tf"))
+      == rows(pRef, "postings", Seq("term", "doc_id", "dl", "tf")),
+      "postings tf must not merge across the batch's copies")
+    val statsOf = (p: String) => spark.read.parquet(s"$p/stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    assert(statsOf(pDup) == statsOf(pRef),
+      "the stats pair must count the duplicated doc once")
+    val phr = (p: String) => TextIndex.phraseSearch(spark, p,
+      Seq("big", "data")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(phr(pDup) == phr(pRef),
+      "positions must not fold two copies into one array (n_occ inflation)")
+    val s = (p: String) => TextIndex.search(spark, p, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(s(pDup) == s(pRef), "scores must equal the single-copy build")
+  }
+
   test("deleteBatch ≡ batch delete bit for bit; replays and cross-batch doubles cannot double-subtract") {
     import org.apache.hadoop.fs.Path
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 150)
