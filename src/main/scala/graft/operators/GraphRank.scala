@@ -138,6 +138,19 @@ object GraphRank {
     val spark = edges.sparkSession
     val ckA = new LineageCheckpoint(spark, checkpointDir)
     val ckH = new LineageCheckpoint(spark, checkpointDir)
+    // r22 (guide §1.2 step 1): each half-step's RAW sums materialize on
+    // their own rotation before the max is taken. Lazy, the raw frame's
+    // edge-sized join+aggregate was evaluated TWICE per half-step — once
+    // inside the broadcast subquery computing the max, once on the
+    // stream side of the rescale join (the band-self-join lesson: two
+    // consumers of a lazy subtree pay it twice unless an exchange reuse
+    // happens to line up, and here the broadcast side's extra max-agg
+    // node breaks the match). Materialized, the max is a 1-column scan
+    // of node-sized blocks and the rescale join reads the same blocks.
+    // The rotation frees each raw frame when the opposite half-step's
+    // raw lands (by then its consumer is checkpointed); `release()` in
+    // the finally frees the last one.
+    val ckRaw = new LineageCheckpoint(spark, checkpointDir)
     var hubs = nodes.select(col("node"), lit(unitMicro).as("hub"))
     // Uniform initial authorities exist only as the round-1 comparison
     // base for the convergence check; the score chain itself always
@@ -147,8 +160,9 @@ object GraphRank {
     try {
       var i = 0
       while (i < iters && !converged) {
-        val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
-          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("ar"))
+        val aRaw = ckRaw(
+          e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("ar")))
         val aMax = aRaw.agg(max(col("ar")).as("am"))
         val aNew = nodes.join(aRaw, Seq("node"), "left")
           .crossJoin(broadcast(aMax))
@@ -166,8 +180,9 @@ object GraphRank {
             aSettled = next.filter(abs(col("auth") - col("_hi_old")) > tol).isEmpty
             auths = next.select(col("node"), col("auth"))
         }
-        val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
-          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hr"))
+        val hRaw = ckRaw(
+          e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hr")))
         val hMax = hRaw.agg(max(col("hr")).as("hm"))
         val hNew = nodes.join(hRaw, Seq("node"), "left")
           .crossJoin(broadcast(hMax))
@@ -187,7 +202,7 @@ object GraphRank {
         }
         i += 1
       }
-    } finally { e.unpersist(); nodes.unpersist() }
+    } finally { e.unpersist(); nodes.unpersist(); ckRaw.release() }
     require(convergeTol.isEmpty || converged,
       s"HITS did not converge within $iters rounds (tol=${convergeTol.get})")
     hubs.join(auths, "node")
@@ -341,11 +356,11 @@ object GraphRank {
     require(skewSalt >= 0, s"skewSalt must be >= 0, got $skewSalt")
     val cast = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    // The edge, degree, and node frames are read by EVERY iteration.
+    // The edge+degree and node frames are read by EVERY iteration.
     // Left lazy, each iteration's action would re-derive them — for
     // q29 that is the lineitem self-join + distinct recomputed up to
-    // 2·iters+1 times. Persist all three (disk-spillable: the edge
-    // list of a 100-TB corpus graph outgrows executor memory), and
+    // 2·iters+1 times. Persist both (disk-spillable: the edge list of
+    // a 100-TB corpus graph outgrows executor memory), and
     // eagerly checkpoint each iteration's rank frame — the same
     // lineage-truncation cadence as the connected-components loop
     // (`text/Dedup.scala` dupComponents): the plan stays one join deep
@@ -358,6 +373,30 @@ object GraphRank {
     val e = (if (assumeDistinct) cast else cast.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // r22 (guide §2.4/§3.1): the out-degree column RIDES the persisted
+    // edge frame instead of joining per iteration — the old shape paid
+    // one deg join (a broadcast build at local scale; at web scale deg
+    // is node-sized and NOT broadcastable, i.e. a second shuffle) in
+    // EVERY iteration for a value that never changes. One src-keyed
+    // join at setup attaches it once; each iteration is then a single
+    // equi-join of the edge+deg frame with the rank frame. Salt (when
+    // requested) is pre-keyed on the same frame, as before.
+    // Persisted PRE-PARTITIONED on the loop's join key (guide §2.4:
+    // operations keyed the same way share one exchange, and an
+    // InMemoryRelation preserves its child's partitioning): the
+    // contribution join re-shuffled the edge-sized cache on `src` in
+    // EVERY iteration; one repartition paid at setup removes that
+    // exchange from all of them — only the node-sized rank frame moves
+    // per round. Same for the node frame below: the post-aggregate
+    // left join is keyed by `node`, and the aggregate's output already
+    // carries hash(node) partitioning, so with the cache partitioned
+    // the same way the per-iteration join plans exchange-free on both
+    // sides.
+    val eDeg0 = e.join(deg, "src")
+    val eDeg = (if (skewSalt > 1)
+        eDeg0.withColumn("_gr_salt", pmod(hash(col("dst")), lit(skewSalt)))
+          .repartition(col("src"), col("_gr_salt"))
+      else eDeg0.repartition(col("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bare = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -368,31 +407,25 @@ object GraphRank {
         bare.join(tn, Seq("node"), "left")
           .select(col("node"), coalesce(col("_gr_in"), lit(0L)).as("_gr_seed"))
       case None => bare.withColumn("_gr_seed", lit(1L))
-    }).persist(StorageLevel.MEMORY_AND_DISK)
+    }).repartition(col("node")).persist(StorageLevel.MEMORY_AND_DISK)
     val checkpointed =
       new LineageCheckpoint(edges.sparkSession, checkpointDir)
     var ranks = nodes
       .select(col("node"), (lit(initMicro) * col("_gr_seed")).as("rank"))
-    // Salted path only: edges pre-keyed by (src, hash(dst) mod S) once,
-    // outside the loop, riding the same persisted frame.
-    val eSalted =
-      if (skewSalt > 1)
-        e.withColumn("_gr_salt", pmod(hash(col("dst")), lit(skewSalt)))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-      else e
     var converged = false
     try {
       var i = 0
       while (i < iters && !converged) {
+        // Salted path: the rank frame (small side) replicates S ways and
+        // meets the pre-salted edge+deg frame on (src, salt) — deg
+        // already rides the edge side, so the small side stays rank-only.
         val contrib = (if (skewSalt > 1) {
-          eSalted
-            .join(ranks.withColumnRenamed("node", "src").join(deg, "src")
+          eDeg.join(ranks.withColumnRenamed("node", "src")
               .withColumn("_gr_salt",
                 explode(sequence(lit(0), lit(skewSalt - 1)))),
-              Seq("src", "_gr_salt"))
+            Seq("src", "_gr_salt"))
         } else {
-          e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+          eDeg.join(ranks.withColumnRenamed("node", "src"), "src")
         })
           .groupBy(col("dst").as("node"))
           .agg(sum(expr("rank div deg")).as("s"))
@@ -419,11 +452,16 @@ object GraphRank {
               next.filter(abs(col("rank") - col("_gr_old")) > tol).isEmpty
             ranks = next.select(col("node"), col("rank"))
         }
+        // After the first iteration's action, everything derived from
+        // the bare edge frame (eDeg's cache, nodes' cache) is
+        // materialized — free the duplicate edge copy instead of
+        // holding both for the loop's life (at corpus scale the edge
+        // list is the dominant state).
+        if (i == 0) e.unpersist()
         i += 1
       }
     } finally {
-      e.unpersist(); deg.unpersist(); nodes.unpersist()
-      if (eSalted ne e) eSalted.unpersist()
+      e.unpersist(); eDeg.unpersist(); nodes.unpersist()
     }
     require(convergeTol.isEmpty || converged,
       s"PageRank did not converge within $iters rounds (tol=${convergeTol.get})")

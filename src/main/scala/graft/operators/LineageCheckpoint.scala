@@ -42,6 +42,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rotation, never double-freed.
   */
 object LineageCheckpoint {
+  /** Opt-in plan evidence for ITERATIVE loops (r22): a loop's final
+    * frame explains as one `Scan ExistingRDD` of the last checkpoint,
+    * so `PlanDump` can never show the PER-ROUND join/exchange shape an
+    * optimization changes. With `-Dgraft.ckpt.plans=<dir>` every frame
+    * passed to any rotation is explained (formatted) to
+    * (env `GRAFT_CKPT_PLANS` works too — sbt forks the run JVM) to
+    * `<dir>/ckpt_NNN.txt` before materialization — measurement tooling
+    * only, inert without the property (bench/verify never set it).
+    */
+  private val planSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def dumpPlan(df: DataFrame): Unit =
+    sys.props.get("graft.ckpt.plans")
+      .orElse(sys.env.get("GRAFT_CKPT_PLANS")).foreach { dir =>
+      try {
+        val n = planSeq.incrementAndGet()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"ckpt_$n%03d.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+      } catch { case _: Exception => () } // evidence is best-effort
+    }
+
   /** Unpersisting a locally-checkpointed RDD makes Spark WARN that its
     * truncated lineage "cannot be recomputed after unpersisting" — true
     * in general, but here BY DESIGN: every unpersisted copy is a
@@ -81,7 +104,8 @@ final class LineageCheckpoint(spark: SparkSession,
     * checkpointed by the PREVIOUS call. The frame from the FINAL call
     * is never freed — it is the loop's result.
     */
-  def apply(df: DataFrame): DataFrame =
+  def apply(df: DataFrame): DataFrame = {
+    LineageCheckpoint.dumpPlan(df)
     if (checkpointDir.isDefined) {
       val before = listCheckpointed()
       val out = df.checkpoint() // eager: on storage before we delete the old one
@@ -110,4 +134,25 @@ final class LineageCheckpoint(spark: SparkSession,
       prevRddIds = created.toSet
       out
     }
+  }
+
+  /** Frees the artifacts of the LAST frame this rotation checkpointed —
+    * for rotations holding INTERMEDIATE loop state (e.g. the HITS
+    * half-step raw sums) whose final frame is not part of the loop's
+    * result. Must not be called on the rotation that produced the
+    * returned frame: its blocks/files are what the caller reads.
+    */
+  def release(): Unit = {
+    prevFiles.foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    }
+    prevFiles = Set.empty
+    prevRddIds.foreach { id =>
+      spark.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false))
+    }
+    prevRddIds = Set.empty
+  }
 }

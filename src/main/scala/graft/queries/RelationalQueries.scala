@@ -562,12 +562,24 @@ object RelationalQueries {
     // unrolls all three rounds declaratively and every redistribution
     // is BIGINT floor division on both engines.
     "q29_copurchase_rank" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
+      // Edge build (r22, guide §2.3/§2.4): the lineitem SELF-JOIN on
+      // l_orderkey scanned lineitem twice and shuffled/broadcast-built
+      // a full copy before the pair distinct; one groupBy(l_orderkey)
+      // collect_set + a row-local pair explosion produces the SAME
+      // distinct pair set (all ordered pairs of distinct parts
+      // co-occurring in an order — per-order sets are line-count
+      // bounded, never catalog-scale) from ONE scan and one exchange.
+      // Interleaved A/B at sf0.1: edge stage 0.63, full query 0.72;
+      // pair-set equality checked by construction and by the oracle.
+      val edges = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, a -> " +
+            "transform(filter(ps, b -> b != a), b -> struct(a, b))))"))
+          .as("p"))
+        .select(col("p.a").as("src"), col("p.b").as("dst"))
         .distinct()
       graft.operators.GraphRank.pageRank(edges, "src", "dst", iters = 3,
           assumeDistinct = true)
@@ -586,12 +598,17 @@ object RelationalQueries {
     // seed indicators riding the node frame; the oracle unrolls all
     // three rounds with the seed CASE inline.
     "q35_personalized_rank" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
+      // Same one-scan edge build as q29 (r22) — the self-join shape it
+      // replaces is documented there.
+      val edges = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, a -> " +
+            "transform(filter(ps, b -> b != a), b -> struct(a, b))))"))
+          .as("p"))
+        .select(col("p.a").as("src"), col("p.b").as("dst"))
         .distinct()
       val seeds = Tables.part(s, d)
         .filter(col("p_brand") === "Brand#1")
@@ -964,13 +981,18 @@ object RelationalQueries {
     // (deg·(deg−1)) in exact integers; the oracle replays the
     // orientation with an explicit (deg, id) lexicographic compare.
     "q50_triangle_lcc" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
+      // One-scan weighted edge build (r22) — see q40 for the multiset
+      // equality argument (collect_list keeps per-order multiplicity,
+      // so w matches the self-join's row count exactly).
+      val edges = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"),
-          col("b.l_partkey").as("dst"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_partkey")).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, a -> " +
+            "transform(filter(ps, b -> b != a), b -> struct(a, b))))"))
+          .as("p"))
+        .groupBy(col("p.a").as("src"), col("p.b").as("dst"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select(col("src"), col("dst"))
@@ -1209,13 +1231,22 @@ object RelationalQueries {
     // is what lets the oracle unroll the vote rounds; the vote itself
     // is a mergeable max_by, never a per-node window sort.
     "q40_communities" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
+      // One-scan weighted edge build (r22, the q29 rewrite with
+      // collect_LIST): the self-join's per-(src,dst) row count is
+      // Σ_orders cnt_a·cnt_b, and exploding ordered pairs from the
+      // per-order part LIST (duplicates kept, partner copies equal by
+      // VALUE excluded — exactly the a.partkey ≠ b.partkey condition)
+      // reproduces that multiset term for term, so the weights and the
+      // w ≥ 2 gate are unchanged.
+      val edges = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"),
-          col("b.l_partkey").as("dst"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_partkey")).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, a -> " +
+            "transform(filter(ps, b -> b != a), b -> struct(a, b))))"))
+          .as("p"))
+        .groupBy(col("p.a").as("src"), col("p.b").as("dst"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select(col("src"), col("dst"))

@@ -2543,18 +2543,23 @@ object TextQueries {
       val covered = scala.collection.mutable.LinkedHashSet.empty[String]
       val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
       val rows = (1 to K).map { r =>
+        // ONE job per round (r22, guide §1.2 job count): the argmax row
+        // carries its novel-shingle array alongside, so the separate
+        // point-lookup job the r21 shape paid per round is gone (rounds
+        // cost 10 jobs, not 20). gain = size of the same array_except
+        // the lookup recomputed; array ordering matches the old
+        // filterNot (array_except preserves left order, ss is already
+        // distinct), so the covered set grows identically.
         val top = sets
           .filter(if (picked.isEmpty) lit(true)
             else !col("doc_id").isin(picked.toSeq: _*))
           .select(col("doc_id"),
-            size(array_except(col("ss"), lit(covered.toArray))).as("gain"))
+            array_except(col("ss"), lit(covered.toArray)).as("novel"))
+          .select(col("doc_id"), col("novel"), size(col("novel")).as("gain"))
           .orderBy(col("gain").desc, col("doc_id"))
           .limit(1).collect().head
-        val (id, gain) = (top.getLong(0), top.getInt(1).toLong)
-        val novel = sets.filter(col("doc_id") === id)
-          .select(col("ss")).head().getSeq[String](0)
-          .filterNot(covered.contains)
-        covered ++= novel
+        val (id, gain) = (top.getLong(0), top.getInt(2).toLong)
+        covered ++= top.getSeq[String](1)
         picked += id
         (r.toLong, id, gain, covered.size.toLong)
       }

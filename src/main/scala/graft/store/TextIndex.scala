@@ -118,14 +118,15 @@ object TextIndex {
       path: String, nBuckets: Int, mode: SaveMode): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // Deliberately NOT cached across its three consumers (r21 measured
-    // trade): the postings write, doclens write, and stats aggregate
-    // each re-tokenize lazily, but persisting the (doc_id, toks, dl)
-    // frame costs MORE than the two re-scans it saves — the columnar
-    // cache encode of the token arrays dominates (interleaved A/B at
-    // sf0.1: d104 +7%, d111 +18% with the persist; the tokenize pass
-    // itself is ~0.6 s). The lazy form also holds zero executor state,
-    // which the streaming appendBatch staging path shares.
+    // Deliberately NOT cached across its consumers (r21 measured
+    // trade): the postings write and doclens write each re-tokenize
+    // lazily, but persisting the (doc_id, toks, dl) frame costs MORE
+    // than the re-scan it saves — the columnar cache encode of the
+    // token arrays dominates (interleaved A/B at sf0.1: d104 +7%,
+    // d111 +18% with the persist; the tokenize pass itself is ~0.6 s).
+    // The lazy form also holds zero executor state, which the
+    // streaming appendBatch staging path shares. (The stats pass
+    // stopped being a third tokenize in r22 — see the delta below.)
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       TF.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
@@ -138,7 +139,18 @@ object TextIndex {
       .parquet(s"$path/postings")
     base.select(col("doc_id"), col("dl"))
       .write.mode(mode).parquet(s"$path/doclens")
-    val delta = base
+    // The stats delta re-tokenized the corpus a THIRD time when derived
+    // from `base` (r22, guide §1.2 step 1 / §6 fewer scans). In
+    // Overwrite mode the doclens dir just written holds EXACTLY this
+    // frame's rows, so the pair reads back off that tiny two-column
+    // parquet instead — same exact integer sums (n = row count,
+    // s = Σ dl), one corpus pass saved per build/staged batch. Append
+    // mode (the public `append` face) keeps the base aggregate: the
+    // dir there also holds every EARLIER batch's rows, and the delta
+    // must cover only this frame.
+    val delta = (
+      if (mode == SaveMode.Overwrite) spark.read.parquet(s"$path/doclens")
+      else base)
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
       .head()
     Seq((delta.getLong(0), delta.getAs[Long]("s")))
@@ -171,6 +183,70 @@ object TextIndex {
   private[store] def touch(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
     fs.mkdirs(p.getParent)
     fs.create(p, true).close()
+  }
+
+  // --------------------------------------------------------------------
+  // Bounded marker growth (r22; the r19/r20 robustness ask): markers
+  // are one empty file per batch FOREVER without retention — a
+  // year-long stream lists millions of them on every skip check. Old
+  // markers fold into a HIGH-WATER file `_hwm_<prefix>_<N>` meaning
+  // "every <prefix> batch with id ≤ N is done": a batch is skipped when
+  // its own marker exists OR its id is under the high water. Crash-safe
+  // by file NAMING, no content read: the new high-water file is created
+  // BEFORE any marker or older high-water file is deleted, and the
+  // reader takes the MAX across surviving `_hwm` files — at no crash
+  // point can a processed batch read as unprocessed (the only replay
+  // hazard). Structured streaming replays only the last uncommitted
+  // batch ids, so a 4096-batch window is far beyond any real replay
+  // horizon; pruning runs every 256th batch so the steady-state dir
+  // holds ≤ ~4.3k files per prefix instead of one per batch ever.
+  // --------------------------------------------------------------------
+
+  private[graft] val MarkerRetention = 4096L
+  private[graft] val MarkerPruneEvery = 256L
+
+  /** Max N across `_hwm_<prefix>_<N>` files; -1 when none. */
+  private[graft] def markerHighWater(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, prefix: String): Long = {
+    val dir = new Path(s"$path/batch_markers")
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(s"_hwm_${prefix}_"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(s"_hwm_${prefix}_").toLong).toOption)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** The skip check: marker file present, or id under the high water. */
+  private[graft] def batchDone(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, prefix: String, batchId: Long): Boolean =
+    fs.exists(marker(path, s"$prefix$batchId")) ||
+      batchId <= markerHighWater(fs, path, prefix)
+
+  /** Advance the high water to `batchId - MarkerRetention` and drop the
+    * markers it covers — called AFTER this batch's marker is down, on
+    * the `MarkerPruneEvery` cadence. Deletion order (new `_hwm` first)
+    * is the crash-safety argument above.
+    */
+  private[graft] def pruneMarkers(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, prefix: String, batchId: Long): Unit = {
+    if (batchId <= 0 || batchId % MarkerPruneEvery != 0L) return
+    val hw = batchId - MarkerRetention
+    if (hw < 0 || hw <= markerHighWater(fs, path, prefix)) return
+    touch(fs, marker(path, s"_hwm_${prefix}_$hw"))
+    val dir = new Path(s"$path/batch_markers")
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      val covered =
+        if (n.startsWith(s"_hwm_${prefix}_"))
+          scala.util.Try(n.stripPrefix(s"_hwm_${prefix}_").toLong)
+            .toOption.exists(_ < hw)
+        else if (n.startsWith(prefix) && !n.startsWith("_"))
+          scala.util.Try(n.stripPrefix(prefix).toLong)
+            .toOption.exists(_ <= hw)
+        else false
+      if (covered) fs.delete(st.getPath, false)
+    }
   }
 
   /** Move every staged `.parquet` file to its mirrored location under
@@ -263,7 +339,7 @@ object TextIndex {
     val token = s"a$batchId"
     val fs = fsOf(spark, path)
     val stg = new Path(s"$path/staging/$token")
-    if (fs.exists(marker(path, token))) {
+    if (batchDone(fs, path, "a", batchId)) {
       if (fs.exists(stg)) fs.delete(stg, true)
       return
     }
@@ -274,13 +350,18 @@ object TextIndex {
     // an intra-batch duplicate would write two doclens rows, count
     // n_docs += 2, merge postings tf across the copies, and fold both
     // copies' positions into one collect_list array (inflating
-    // phraseSearch n_occ). One id-keyed dedup at entry closes all four;
-    // the surviving row per id is whichever dropDuplicates keeps (ids
-    // carrying DIFFERENT texts in one batch have no order to prefer —
-    // callers that care sequence their updates across batches). The
-    // shuffle is micro-batch-sized, never index-scale. TextIndexSpec
-    // pins dup-batch ≡ single-copy build across both tiers.
-    val batch = batch0.dropDuplicates(Seq(idCol))
+    // phraseSearch n_occ). One id-keyed dedup at entry closes all four.
+    // The keeper is DETERMINISTIC (r22, VERDICT r21 #7): the
+    // lexicographically LARGEST text per id wins — ids carrying
+    // different texts in one batch have no arrival order to prefer
+    // (callers that care sequence their updates across batches), but a
+    // replay/debug run must reproduce the same index bit for bit,
+    // which the old dropDuplicates (partition-order keeper) did not
+    // guarantee. Same micro-batch-sized shuffle, never index-scale.
+    // TextIndexSpec pins dup-batch ≡ single-copy build across both
+    // tiers and the keeper's determinism.
+    val batch = batch0.select(col(idCol), col(textCol))
+      .groupBy(col(idCol)).agg(max(col(textCol)).as(textCol))
     if (!fs.exists(new Path(s"$path/meta"))) {
       // Empty first batch: no index (ADVICE r17 — n = 0 poisons avgdl).
       // meta lands LAST: a crash before it replays as a full rebuild
@@ -336,6 +417,7 @@ object TextIndex {
     }
     publishStaged(spark, path, token)
     touch(fs, marker(path, token))
+    pruneMarkers(fs, path, "a", batchId)
     fs.delete(stg, true)
   }
 
@@ -400,7 +482,7 @@ object TextIndex {
     val token = s"d$batchId"
     val fs = fsOf(spark, path)
     val stg = new Path(s"$path/staging/$token")
-    if (fs.exists(marker(path, token))) {
+    if (batchDone(fs, path, "d", batchId)) {
       if (fs.exists(stg)) fs.delete(stg, true)
       return
     }
@@ -436,6 +518,7 @@ object TextIndex {
     }
     publishStaged(spark, path, token)
     touch(fs, marker(path, token))
+    pruneMarkers(fs, path, "d", batchId)
     fs.delete(stg, true)
   }
 
@@ -550,6 +633,35 @@ object TextIndex {
     counts
   }
 
+  /** meta's n_buckets + the live-stats pair in ONE job (r22, guide
+    * §1.2 job count; VERDICT r21 ask #4): every serving face paid 2–3
+    * driver-blocking jobs (meta head, stats sum, tombstone_stats sum)
+    * before its real work — a fixed per-search tax. The three tiny
+    * layouts read as ONE merged-schema parquet scan; correction rows
+    * are recognized by their file path (`_metadata.file_path`) and
+    * enter the sums NEGATED. Exact: the same integer sums and the same
+    * single-row n_buckets as the separate reads, just computed in one
+    * pass (the only fs call left is the driver-side tombstone_stats
+    * existence probe, which is not a Spark job).
+    */
+  private[graft] def metaAndLiveStats(spark: SparkSession, path: String)
+      : (Int, Long, Long) = {
+    val fs = fsOf(spark, path)
+    val ts = s"$path/tombstone_stats"
+    val paths = Seq(s"$path/meta", s"$path/stats") ++
+      (if (fs.exists(new Path(ts))) Seq(ts) else Nil)
+    val sign = when(col("_fp").contains("/tombstone_stats/"), lit(-1L))
+      .otherwise(lit(1L))
+    val r = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      .select(col("n_buckets"), col("n_docs"), col("sum_dl"),
+        col("_metadata.file_path").as("_fp"))
+      .agg(max(col("n_buckets")),
+        coalesce(sum(sign * col("n_docs")), lit(0L)),
+        coalesce(sum(sign * col("sum_dl")), lit(0L)))
+      .head()
+    (r.getInt(0), r.getLong(1), r.getLong(2))
+  }
+
   /** The summed live-stats pair after tombstone corrections — `stats`
     * is append-only delta rows (build/compact collapse it back to
     * one), so the read is a sum either way.
@@ -591,8 +703,7 @@ object TextIndex {
       b: Double = Bm25.DefaultB): DataFrame = {
     require(query.nonEmpty, "empty query")
     val terms = query.distinct
-    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
-    val (n, sumDl) = liveStats(spark, path)
+    val (nBuckets, n, sumDl) = metaAndLiveStats(spark, path)
     if (n <= 0L) return emptyResult(spark)
     val buckets = terms.map(t => hash32Of(t) % nBuckets).distinct
     val pruned = IvfIndex.dropTombstoned(
@@ -632,16 +743,28 @@ object TextIndex {
     * partitions by query_id over candidate-bounded rows (ties on
     * doc_id).
     */
+  /** Cap on one serving batch's query count (r22, the r19 robustness
+    * ask): the per-batch score dispatch is one CASE chain with a branch
+    * per query, so plan size and generated code grow O(Q) — fine for
+    * real serving batches (hundreds), but an unbounded Q would blow
+    * codegen/analysis long before any executor works hard. Fail loud
+    * with the remedy instead of degrading mysteriously; a caller with
+    * more queries chunks and unions.
+    */
+  val MaxBatchQueries = 1024
+
   def searchBatch(spark: SparkSession, path: String,
       queries: Seq[(Long, Seq[String])], k: Int,
       k1: Double = Bm25.DefaultK1, b: Double = Bm25.DefaultB): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "empty batch or empty query")
+    require(queries.length <= MaxBatchQueries,
+      s"batch of ${queries.length} queries exceeds MaxBatchQueries=" +
+        s"$MaxBatchQueries — chunk the batch and union the results")
     require(queries.map(_._1).distinct.length == queries.length,
       "query ids must be unique")
     val allTerms = queries.flatMap(_._2).distinct
-    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
-    val (n, sumDl) = liveStats(spark, path)
+    val (nBuckets, n, sumDl) = metaAndLiveStats(spark, path)
     if (n <= 0L) return emptyBatchResult(spark)
     val buckets = allTerms.map(t => hash32Of(t) % nBuckets).distinct
     // one disk read for the whole batch, materialized once (the
@@ -678,11 +801,13 @@ object TextIndex {
       k1: Double = Bm25.DefaultK1, b: Double = Bm25.DefaultB): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "empty batch or empty query")
+    require(queries.length <= MaxBatchQueries,
+      s"batch of ${queries.length} queries exceeds MaxBatchQueries=" +
+        s"$MaxBatchQueries — chunk the batch and union the results")
     require(queries.map(_._1).distinct.length == queries.length,
       "query ids must be unique")
     val allTerms = queries.flatMap(_._2).distinct
-    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
-    val (n, sumDl) = liveStats(spark, path)
+    val (nBuckets, n, sumDl) = metaAndLiveStats(spark, path)
     if (n <= 0L) return emptyBatchResult(spark)
     val buckets = allTerms.map(t => hash32Of(t) % nBuckets).distinct
     val pruned = IvfIndex.dropTombstoned(
@@ -871,10 +996,9 @@ object TextIndex {
       k1: Double = Bm25.DefaultK1, b: Double = Bm25.DefaultB): Unit = {
     import spark.implicits._
     require(topN >= 1, s"topN must be >= 1, got $topN")
-    val (n, sumDl) = liveStats(spark, path)
+    val (nBuckets, n, sumDl) = metaAndLiveStats(spark, path)
     require(n > 0L, "cannot build a serving tier over an empty index")
     val avgdl = sumDl.toDouble / n
-    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
     val posts = IvfIndex.dropTombstoned(
       spark.read.parquet(s"$path/postings"), "doc_id", spark, path)
     val dl = col("dl").cast("double")
@@ -1021,11 +1145,11 @@ object TextIndex {
     require(fs.exists(new Path(s"$path/postings_pos")),
       s"no positional tier at $path — buildPositions first")
     val terms = phrase.distinct
-    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val (nBuckets, nLive, _) = metaAndLiveStats(spark, path)
     // an index whose every document is tombstoned (or reclaimed —
     // compact can leave `postings_pos` physically empty) holds no
     // phrases; answer without touching the positional layout.
-    if (liveStats(spark, path)._1 <= 0L)
+    if (nLive <= 0L)
       return Seq.empty[(Long, Long)].toDF("doc_id", "n_occ")
     def posRead(ts: Seq[String]): DataFrame = {
       val bks = ts.map(t => hash32Of(t) % nBuckets).distinct
@@ -1087,8 +1211,7 @@ object TextIndex {
       b: Double = Bm25.DefaultB): DataFrame = {
     require(query.nonEmpty, "empty query")
     val terms = query.distinct
-    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
-    val (n, sumDl) = liveStats(spark, path)
+    val (nBuckets, n, sumDl) = metaAndLiveStats(spark, path)
     if (n <= 0L) return emptyResult(spark)
     val buckets = terms.map(t => hash32Of(t) % nBuckets).distinct
     val pruned = IvfIndex.dropTombstoned(

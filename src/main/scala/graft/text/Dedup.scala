@@ -686,7 +686,10 @@ object Dedup {
     val spark = deltaPairs.sparkSession
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(s"$path/batch_markers/l$batchId")
-    if (fs.exists(marker)) return
+    // Marker growth is bounded by the shared high-water retention
+    // ([[graft.store.TextIndex.pruneMarkers]], r22): skip covers both
+    // an existing marker and an id under the pruned window's water line.
+    if (graft.store.TextIndex.batchDone(fs, path, "l", batchId)) return
     val labelsP = new Path(s"$path/labels")
     val oldP = new Path(s"$path/labels_old")
     val tmpP = new Path(s"$path/labels_next")
@@ -720,6 +723,7 @@ object Dedup {
     fs.delete(oldP, true)
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
+    graft.store.TextIndex.pruneMarkers(fs, path, "l", batchId)
   }
 
   /** The current label frame of a [[labelStoreBatch]] store — (id,
@@ -764,13 +768,26 @@ object Dedup {
     * point every edge is (component min, member) — the labels are read
     * straight off the terminal edges, no closure pass.
     *
-    * Convergence is CHECKED (edge set unchanged over a full round:
-    * equal count + empty difference — count equality makes one-sided
-    * `except` decisive), fail-loud past `maxIter`. Rounds checkpoint
-    * on TWO interleaved [[graft.operators.LineageCheckpoint]]
-    * rotations (the HITS idiom): the comparison must read the
-    * PREVIOUS round's frame after the new one materializes, so the
-    * rotation that frees it must lag one round behind.
+    * Convergence is CHECKED (edge set unchanged over a full round),
+    * fail-loud past `maxIter` — detected in ONE aggregate job per
+    * round (r22, guide §1.2 job count): a (count, Σ xxhash64,
+    * ⊕ xxhash64) triple over the just-checkpointed frame, compared to
+    * the previous round's triple held driver-side. The r21 shape paid
+    * next.count() + edges.count() + (counts tied) a full `except` —
+    * two extra scans per round plus a distinct anti-join that ALWAYS
+    * fired on the converged round. Equality argument: both frames are
+    * DISTINCT canonical pair sets (`canon` ends in `.distinct()`), so
+    * set equality implies triple equality outright (sum and xor are
+    * order-independent, the decimal sum is exact); two DIFFERENT
+    * equal-sized distinct pair sets pass only by colliding on both
+    * the 64-bit hash sum and the hash xor simultaneously —
+    * ~2⁻¹²⁸-grade under non-adversarial inputs (these pairs derive
+    * from content similarity, not attacker-chosen ids) — and a false
+    * stop would be caught loudly by the oracle hash check every sweep
+    * runs. Because the check never re-reads the PREVIOUS round's
+    * frame, the loop needs only ONE checkpoint rotation (the old
+    * interleaved pair existed solely so the compared frame outlived
+    * its successor), halving lingering superseded state.
     *
     * Same output contract as [[dupComponents]]: (id, component = min
     * reachable id) for every node in `pairs` — INCLUDING a node that
@@ -783,8 +800,7 @@ object Dedup {
   def dupComponentsStar(pairs: DataFrame, maxIter: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    val ckptA = new graft.operators.LineageCheckpoint(spark, checkpointDir)
-    val ckptB = new graft.operators.LineageCheckpoint(spark, checkpointDir)
+    val ckpt = new graft.operators.LineageCheckpoint(spark, checkpointDir)
     def canon(df: DataFrame): DataFrame =
       df.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
@@ -810,9 +826,9 @@ object Dedup {
     // `pairs` (dupComponents does), so self-pair-ONLY nodes are
     // captured here — off the materialized frame, never by rescanning
     // the caller's (expensive) pair pipeline — onto their own rotation
-    // (the A rotation frees `all` on its first in-loop call), and
+    // (the loop rotation frees `all` on its first in-loop call), and
     // union back in as their own singleton components at the end.
-    val all = ckptA(
+    val all = ckpt(
       pairs.select(least(col("a_id"), col("b_id")).as("a"),
         greatest(col("a_id"), col("b_id")).as("b")).distinct())
     val selfCkpt = new graft.operators.LineageCheckpoint(spark, checkpointDir)
@@ -821,28 +837,44 @@ object Dedup {
         .except(all.filter(col("a") =!= col("b")).select(col("a").as("id"))
           .unionByName(
             all.filter(col("a") =!= col("b")).select(col("b").as("id")))))
+    // The one-job fixed-point detector (see the docstring's equality
+    // argument): count + exact decimal sum + xor of xxhash64(a, b),
+    // all in a single scan of a materialized frame. Nulls (empty edge
+    // set) resolve driver-side.
+    def edgeStats(df: DataFrame): (Long, java.math.BigDecimal, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")),
+        expr("bit_xor(xxhash64(a, b))")).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
     var edges = all.filter(col("a") =!= col("b"))
+    var prevStats = edgeStats(edges) // one scan of the `all` checkpoint
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val ckpt = if (i % 2 == 0) ckptB else ckptA
+      // Reading `edges` inside the checkpoint job is safe with one
+      // rotation: apply() materializes the new frame BEFORE freeing
+      // the previous one.
       val next = ckpt(star(star(edges, large = true), large = false))
-      // Safe to read `edges` here: its rotation frees it only on the
-      // NEXT same-parity round, after this comparison is done.
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      val nextStats = edgeStats(next)
+      converged = nextStats._1 == prevStats._1 &&
+        nextStats._2.compareTo(prevStats._2) == 0 &&
+        nextStats._3 == prevStats._3
+      prevStats = nextStats
       edges = next
       i += 1
     }
     require(converged, s"star contraction did not converge in $maxIter rounds")
-    // Materialize the label frame (the rotation NOT holding the final
-    // edges — its previous frame is superseded): like dupComponents,
-    // callers get a checkpointed result, so branching consumers (d69
-    // reads it three times) scan it instead of re-deriving the
-    // union+distinct per branch (measured: the un-materialized form
-    // cost d69 ~2 s extra at sf0.1).
-    val labelCkpt = if ((i - 1) % 2 == 0) ckptA else ckptB
-    labelCkpt(
+    // Materialize the label frame: like dupComponents, callers get a
+    // checkpointed result, so branching consumers (d69 reads it three
+    // times) scan it instead of re-deriving the union+distinct per
+    // branch (measured: the un-materialized form cost d69 ~2 s extra
+    // at sf0.1). Safe on the same rotation — the final edges frame is
+    // read while the label frame materializes, then superseded.
+    ckpt(
       edges.select(col("b").as("id"), col("a").as("component"))
         .unionByName(edges.select(col("a").as("id"), col("a").as("component")))
         .distinct()

@@ -195,6 +195,76 @@ class TextIndexSpec extends AnyFunSuite {
     assert(s(pDup) == s(pRef), "scores must equal the single-copy build")
   }
 
+  test("appendBatch: duplicate ids with DIFFERENT texts keep the max text, whatever the arrival order") {
+    // r22 (VERDICT r21 #7): the dup-batch keeper is deterministic — the
+    // lexicographically largest text per id wins — so a replay/debug
+    // run rebuilds the same index bit for bit regardless of partition
+    // or arrival order (dropDuplicates kept an arbitrary copy).
+    val a = Seq((1L, "alpha beta"), (1L, "zeta omega"), (2L, "gamma delta"))
+    val b = Seq(a(1), a(2), a(0)) // same rows, different arrival order
+    val ref = Seq((1L, "zeta omega"), (2L, "gamma delta")) // max text per id
+    val ps = Seq(a, b).map { rows =>
+      val p = Files.createTempDirectory("graft-ti-det").toString
+      TextIndex.appendBatch(rows.toDF("doc_id", "text"), "doc_id", "text",
+        p, 16, batchId = 0L)
+      p
+    }
+    val pRef = Files.createTempDirectory("graft-ti-detref").toString
+    TextIndex.build(ref.toDF("doc_id", "text"), "doc_id", "text", pRef,
+      nBuckets = 16)
+    def postings(p: String) = spark.read.parquet(s"$p/postings")
+      .select(col("term"), col("doc_id"), col("dl"), col("tf")).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    ps.foreach { p =>
+      assert(postings(p) == postings(pRef),
+        "the keeper must be the max text per id, independent of order")
+    }
+  }
+
+  test("batch markers fold into a high-water file; covered ids still read done") {
+    import org.apache.hadoop.fs.Path
+    // r22 (the r19/r20 robustness ask): markers older than the
+    // retention window are replaced by a `_hwm_<prefix>_<N>` file.
+    // Crash-safety = creation order (new high water lands before any
+    // delete), and the skip rule (marker OR id ≤ high water) must hold
+    // at every point.
+    val p = Files.createTempDirectory("graft-ti-markers").toString
+    val fs = TextIndex.fsOf(spark, p)
+    (4340L to 4352L).foreach(i =>
+      TextIndex.touch(fs, TextIndex.marker(p, s"a$i")))
+    TextIndex.touch(fs, TextIndex.marker(p, "a10"))
+    TextIndex.touch(fs, TextIndex.marker(p, "d10")) // other prefix
+    TextIndex.pruneMarkers(fs, p, "a", 4351L) // off-cadence: no-op
+    assert(fs.exists(TextIndex.marker(p, "a10")))
+    TextIndex.pruneMarkers(fs, p, "a", 4352L) // 17·256 → high water 256
+    assert(!fs.exists(TextIndex.marker(p, "a10")),
+      "a marker under the water line must be pruned")
+    assert(fs.exists(TextIndex.marker(p, "d10")),
+      "pruning one prefix must not touch another's markers")
+    assert(TextIndex.batchDone(fs, p, "a", 10L),
+      "a pruned batch must still read as done (the replay hazard)")
+    assert(TextIndex.batchDone(fs, p, "a", 4350L), "marker still present")
+    assert(!TextIndex.batchDone(fs, p, "a", 257L),
+      "an unprocessed id above the water line must not read done")
+    // advancing the water replaces the old hwm file and prunes more.
+    TextIndex.pruneMarkers(fs, p, "a", 8448L) // high water 4352
+    assert(!fs.exists(TextIndex.marker(p, "a4350")))
+    assert(TextIndex.batchDone(fs, p, "a", 4350L))
+    assert(TextIndex.batchDone(fs, p, "a", 10L))
+    val hwms = fs.listStatus(new Path(s"$p/batch_markers"))
+      .map(_.getPath.getName).filter(_.startsWith("_hwm_a_")).toSeq
+    assert(hwms == Seq("_hwm_a_4352"),
+      s"exactly one high-water file must survive, got $hwms")
+  }
+
+  test("searchBatch refuses a batch past MaxBatchQueries, loudly") {
+    val big = (0L until (TextIndex.MaxBatchQueries + 1L))
+      .map(i => i -> Seq("table")).toSeq
+    val e = intercept[IllegalArgumentException](
+      TextIndex.searchBatch(spark, path, big, k = 1))
+    assert(e.getMessage.contains("MaxBatchQueries"))
+  }
+
   test("deleteBatch ≡ batch delete bit for bit; replays and cross-batch doubles cannot double-subtract") {
     import org.apache.hadoop.fs.Path
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 150)
