@@ -240,6 +240,87 @@ object ProfileR22 {
       }
     }
 
+    // variant: materialize the INNER star each round (2 ckpt jobs per
+    // round, outer star reads blocks instead of recomputing the inner
+    // join/agg subtrees its plan references repeatedly).
+    def starInner(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+      val ckpt = new LineageCheckpoint(spark, None)
+      def canon(df: DataFrame): DataFrame =
+        df.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+      def star(e: DataFrame, large: Boolean): DataFrame = {
+        val adj = e.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+        val mins = adj.groupBy(col("u"))
+          .agg(least(min(col("v")), first(col("u"))).as("m"))
+        val joined = adj.join(mins, "u")
+        val out =
+          if (large)
+            joined.filter(col("v") > col("u"))
+              .select(col("v").as("a"), col("m").as("b"))
+          else
+            joined.filter(col("v") <= col("u"))
+              .select(col("v").as("a"), col("m").as("b"))
+              .unionByName(mins.select(col("u").as("a"), col("m").as("b")))
+        canon(out)
+      }
+      val all = ckpt(
+        pairs.select(least(col("a_id"), col("b_id")).as("a"),
+          greatest(col("a_id"), col("b_id")).as("b")).distinct())
+      val selfCkpt = new LineageCheckpoint(spark, None)
+      val selfOnly = selfCkpt(
+        all.filter(col("a") === col("b")).select(col("a").as("id"))
+          .except(all.filter(col("a") =!= col("b")).select(col("a").as("id"))
+            .unionByName(
+              all.filter(col("a") =!= col("b")).select(col("b").as("id")))))
+      def edgeStats(df: DataFrame): (Long, java.math.BigDecimal, Long) = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")),
+          expr("bit_xor(xxhash64(a, b))")).head()
+        (r.getLong(0),
+          Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO),
+          if (r.isNullAt(2)) 0L else r.getLong(2))
+      }
+      var edges = all.filter(col("a") =!= col("b"))
+      var prev = edgeStats(edges)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val inner = ckpt(star(edges, large = true))
+        val next = ckpt(star(inner, large = false))
+        val st = edgeStats(next)
+        converged = st == prev
+        prev = st
+        edges = next
+        i += 1
+      }
+      require(converged, s"no convergence in $maxIter rounds")
+      ckpt(
+        edges.select(col("b").as("id"), col("a").as("component"))
+          .unionByName(edges.select(col("a").as("id"), col("a").as("component")))
+          .distinct()
+          .unionByName(selfOnly.select(col("id"), col("id").as("component"))))
+    }
+
+    if (sel("starinner")) {
+      val docs = Tables.documents(spark, sfDir)
+      noop(docs)
+      val pinned = new LineageCheckpoint(spark, None)(
+        graft.text.Dedup.nearDupPairs(docs, "doc_id", "text", 0.0)
+          .select(col("a_id"), col("b_id")))
+      println("pairs: " + pinned.count())
+      val a = graft.text.Dedup.dupComponentsStar(pinned).orderBy("id")
+        .collect().toSeq
+      val b = starInner(pinned).orderBy("id").collect().toSeq
+      require(a == b, "starInner labels diverge")
+      ab("star CC: 1-job round vs inner ckpt", 4) {
+        noop(graft.text.Dedup.dupComponentsStar(pinned))
+      } {
+        noop(starInner(pinned))
+      }
+    }
+
     if (sel("star")) {
       val docs = Tables.documents(spark, sfDir)
       noop(docs)

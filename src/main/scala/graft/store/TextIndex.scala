@@ -137,23 +137,25 @@ object TextIndex {
       .write.mode(mode)
       .partitionBy("bucket")
       .parquet(s"$path/postings")
+    // The stats delta rides the doclens write as OBSERVED METRICS
+    // (r22, guide §1.2 step 1 / §6 fewer scans): derived from `base`
+    // it re-tokenized the corpus a THIRD time, and a read-back of the
+    // written doclens (tried first) pays a listing+footer+scan job
+    // that at small corpus sizes costs MORE than the tokenize it saves
+    // (clean in-bench A/B: build-dominated faces d100/d105/d113/d114
+    // +21–55%). `observe` computes the same exact integer pair —
+    // count + Σ dl over exactly the rows the write writes — INSIDE the
+    // write job's tasks: zero extra pass at any scale, both modes.
+    // Exactly-once under retries: observed metrics are accumulator-
+    // backed and a result partition's update is applied only on its
+    // first successful completion.
+    val obs = new org.apache.spark.sql.Observation()
     base.select(col("doc_id"), col("dl"))
+      .observe(obs, count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s"))
       .write.mode(mode).parquet(s"$path/doclens")
-    // The stats delta re-tokenized the corpus a THIRD time when derived
-    // from `base` (r22, guide §1.2 step 1 / §6 fewer scans). In
-    // Overwrite mode the doclens dir just written holds EXACTLY this
-    // frame's rows, so the pair reads back off that tiny two-column
-    // parquet instead — same exact integer sums (n = row count,
-    // s = Σ dl), one corpus pass saved per build/staged batch. Append
-    // mode (the public `append` face) keeps the base aggregate: the
-    // dir there also holds every EARLIER batch's rows, and the delta
-    // must cover only this frame.
-    val delta = (
-      if (mode == SaveMode.Overwrite) spark.read.parquet(s"$path/doclens")
-      else base)
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
-      .head()
-    Seq((delta.getLong(0), delta.getAs[Long]("s")))
+    val m = obs.get
+    Seq((m("n").asInstanceOf[Long], m("s").asInstanceOf[Long]))
       .toDF("n_docs", "sum_dl").coalesce(1)
       .write.mode(mode).parquet(s"$path/stats")
   }

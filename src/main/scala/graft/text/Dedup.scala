@@ -855,10 +855,20 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // Reading `edges` inside the checkpoint job is safe with one
-      // rotation: apply() materializes the new frame BEFORE freeing
-      // the previous one.
-      val next = ckpt(star(star(edges, large = true), large = false))
+      // The INNER (large) star materializes before the outer (small)
+      // star consumes it (r22, guide §1.2 step 1): left lazy, the
+      // outer star's plan references the inner subtree several times
+      // (both adj projections, the mins aggregate, both join sides —
+      // the per-round dump showed 14 SMJ / 22 exchanges in the fused
+      // round), and exchange reuse does not cover all of them.
+      // Interleaved A/B on pinned pairs: 0.93 min-ratio, the split
+      // arm ahead in all four pairs; labels verified identical.
+      // Rotation safety holds per-call: apply() materializes the new
+      // frame BEFORE freeing the previous one, and once a round's
+      // inner frame lands nothing reads the previous round's `edges`
+      // again (its stats triple is already driver-held).
+      val inner = ckpt(star(edges, large = true))
+      val next = ckpt(star(inner, large = false))
       val nextStats = edgeStats(next)
       converged = nextStats._1 == prevStats._1 &&
         nextStats._2.compareTo(prevStats._2) == 0 &&
