@@ -589,9 +589,14 @@ object Dedup {
     // Undirected edges, both directions; reused every round, so cache
     // once (self-loops are implicit: `least(old, nbr_min)` keeps a
     // node's own label in play without doubling the edge list).
+    // Pre-partitioned on the loop's join key (r22, guide §2.4 — the
+    // GraphRank idiom): every round joins this cache on `dst`, and an
+    // InMemoryRelation preserves its child's partitioning, so the SMJ
+    // path re-shuffles only the node-sized label frame per round.
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = checkpointed(
       edges.select(col("src").as("id"))
